@@ -1,13 +1,24 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.rel.{AnalyticQueries, RelQueries}
+import graft.ext.{DedupQueries, Multimodal, SimilarityQueries, TextQueries}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelQueries.queries ++ AnalyticQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      TextQueries.queries ++ Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelQueries.oracles ++ AnalyticQueries.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      TextQueries.oracles ++ Multimodal.oracles
 }

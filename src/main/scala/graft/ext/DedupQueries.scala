@@ -1,0 +1,254 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.rel.Tables
+
+/** Deduplication operators for an LLM training-data pipeline: exact
+  * (hash-groupBy), keep-first (window), MinHash+LSH near-dup, SimHash
+  * signatures, and blocked exact n-gram Jaccard.
+  *
+  * Portability: the 32-bit shingle/word hash is the first 8 hex chars of
+  * md5 — identical in Spark (`conv(substring(md5(x),1,8),16,10)`) and
+  * DuckDB (`('0x' || substring(md5(x),1,8))::BIGINT`), so every oracle
+  * reproduces the signatures bit-for-bit.
+  *
+  * Scale posture: MinHash signatures are one explode + one hash-aggregate
+  * (single shuffle on doc_id); LSH banding turns the quadratic pair search
+  * into an equi-join on band keys; the exact-Jaccard verify only touches
+  * LSH candidates. At 100 TB the same plan holds — the band join is the
+  * only shuffle whose width depends on near-dup density, not corpus size.
+  */
+object DedupQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared MinHash parameters (mirrored verbatim in the oracles) ----
+  private val P = 4294967311L // prime > 2^32
+  private val NumHashes = 16
+  private val hashA: Seq[Long] = (0 until NumHashes).map(j => 2L * j + 3)
+  private val hashB: Seq[Long] = (0 until NumHashes).map(j => 104729L * (j + 1))
+  private val BandSize = 4 // 4 bands x 4 rows
+  private val JaccardThreshold = 0.8
+
+  /** portable 32-bit hash of a string column. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def shingleCol(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(words) - 3),
+      i => concat_ws(" ", slice(words, i + 1, lit(3)))))
+  }
+
+  /** Exact dedup summary: distinct-text counts per language. */
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5($"text"))).as("n_dups"))
+      .orderBy($"lang")
+  }
+
+  /** Keep-first dedup: earliest event per (user_id, event_type). */
+  def d02KeepFirst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .filter($"user_id" < 50)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(
+        Window.partitionBy($"user_id", $"event_type")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id".as("kept_event_id"),
+        ($"group_size" - 1).cast("long").as("n_dropped"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard. */
+  def d03MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", shingleCol($"text").as("shingles"))
+    val hashed = docs
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .withColumn("h", h32($"sh"))
+    val sigExprs = (0 until NumHashes).map { j =>
+      min(($"h" * hashA(j) + hashB(j)) % P).as(s"m$j")
+    }
+    val sig = hashed.groupBy($"doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val key = concat_ws(",",
+        (0 until BandSize).map(r => col(s"m${b * BandSize + r}")): _*)
+      sig.select($"doc_id", lit(b).as("band"), key.as("band_key"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+      .withColumn("jac", round($"inter" /
+        (size($"sa") + size($"sb") - $"inter"), 6))
+      .filter($"jac" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", $"jac")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash: 32-bit signature over word occurrences per document. */
+  def d04SimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .withColumn("h", h32($"w"))
+    val bitSums = (0 until 32).map { i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val agg = words.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { i =>
+      when(col(s"b$i") > 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select($"doc_id", sig.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact word-3-gram Jaccard near-dup with length-bucket blocking:
+    * pairs are only compared within the same or adjacent 64-char bucket,
+    * keeping candidate counts linear in corpus size for ~uniform lengths. */
+  def d05NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
+        shingleCol($"text").as("shingles"))
+    // equi-join on an exploded bucket key instead of an OR range condition:
+    // the OR form would plan as a nested-loop join (quadratic); this stays
+    // a hash join whose width tracks near-dup density, not corpus size.
+    val a = docs.select($"doc_id".as("doc_a"),
+        explode(array($"bkt", $"bkt" + 1)).as("k"), $"shingles".as("sa"))
+    val b = docs.select($"doc_id".as("doc_b"), $"bkt".as("k"), $"shingles".as("sb"))
+    a.join(b, Seq("k"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+      .withColumn("jac", round($"inter" /
+        (size($"sa") + size($"sb") - $"inter"), 6))
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jac")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_keep_first" -> (d02KeepFirst _),
+    "d03_minhash_lsh" -> (d03MinHashLsh _),
+    "d04_simhash" -> (d04SimHash _),
+    "d05_ngram_jaccard" -> (d05NgramJaccard _),
+  )
+
+  // ---- oracle SQL (DuckDB) ----
+
+  private val shingleSql =
+    """list_distinct(list_transform(
+      |      range(1, len(string_split(text,' ')) - 1),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "d02_keep_first" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS group_size
+        |  FROM events WHERE user_id < 50)
+        |SELECT user_id, event_type, event_id AS kept_event_id,
+        |  CAST(group_size - 1 AS BIGINT) AS n_dropped
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "d03_minhash_lsh" -> {
+      val sigExprs = (0 until NumHashes).map { j =>
+        s"min((h * ${hashA(j)} + ${hashB(j)}) % $P) AS m$j"
+      }.mkString(",\n        |    ")
+      val bandSelects = (0 until NumHashes / BandSize).map { b =>
+        val key = (0 until BandSize).map(r => s"m${b * BandSize + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH docs AS (
+        |  SELECT doc_id, $shingleSql AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+        |hashed AS (SELECT doc_id,
+        |  ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h FROM ex),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigExprs
+        |  FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_key = y.band_key
+        |   AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(len(list_intersect(da.shingles, db.shingles))::DOUBLE /
+        |    (len(da.shingles) + len(db.shingles)
+        |     - len(list_intersect(da.shingles, db.shingles))), 6) AS jac
+        |FROM cand
+        |JOIN docs da ON da.doc_id = doc_a
+        |JOIN docs db ON db.doc_id = doc_b
+        |WHERE round(len(list_intersect(da.shingles, db.shingles))::DOUBLE /
+        |    (len(da.shingles) + len(db.shingles)
+        |     - len(list_intersect(da.shingles, db.shingles))), 6) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "d04_simhash" -> {
+      val bitSums = (0 until 32).map { i =>
+        s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(",\n        |    ")
+      val sig = (0 until 32).map { i =>
+        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substring(md5(w), 1, 8))::BIGINT AS h FROM w),
+        |agg AS (
+        |  SELECT doc_id,
+        |    $bitSums
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+        |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "d05_ngram_jaccard" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
+        |    $shingleSql AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |    (len(a.shingles) + len(b.shingles)
+        |     - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
+        |FROM docs a JOIN docs b
+        |  ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |    (len(a.shingles) + len(b.shingles)
+        |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

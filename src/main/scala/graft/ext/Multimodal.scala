@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rel.Tables
+
+/** Multimodal column plumbing: media payloads are opaque binary columns
+  * with typed metadata; decode / feature-extraction runs per-partition
+  * over a typed Dataset, so at cluster scale each executor decodes its
+  * own splits with no shuffle before the feature aggregation.
+  *
+  * The actual byte decoder is a STUB — this container has no image/audio
+  * codecs — implemented as a deterministic arithmetic fake over the
+  * payload bytes. The Spark-side plumbing (binary schema, Encoders,
+  * mapPartitions batch shape, downstream aggregation) is real and is what
+  * the oracle checks.
+  */
+object Multimodal {
+  /** An opaque media payload: bytes + source tag + MIME type. */
+  case class MediaItem(doc_id: Long, source: String, mime: String,
+      payload: Array[Byte])
+
+  /** Features the (stubbed) decoder extracts per item. */
+  case class MediaFeatures(doc_id: Long, source: String, mime: String,
+      byte_len: Long, width: Long, height: Long, n_frames: Long)
+
+  /** STUB decoder: stands in for an image/audio/video decode. Real
+    * deployments swap this body for the codec call; everything around it
+    * (schema, partitioning, batching) is unchanged. Deterministic in the
+    * payload so tests and the SQL oracle can reproduce it. */
+  def decodeStub(item: MediaItem): MediaFeatures = {
+    val len = item.payload.length.toLong
+    MediaFeatures(item.doc_id, item.source, item.mime,
+      byte_len = len,
+      width = len % 640,
+      height = (len * 7) % 480,
+      n_frames = len % 16 + 1)
+  }
+
+  /** Per-partition decode: the batch shape a real codec would want
+    * (iterator-in, iterator-out; no per-row task overhead). */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(decodeStub))
+  }
+
+  /** documents.text re-cast as an opaque binary payload — the stand-in
+    * media corpus for this container. */
+  def mediaCorpus(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", lit("text/plain").as("mime"),
+        $"text".cast("binary").as("payload"))
+      .as[MediaItem]
+  }
+
+  /** m01: decode features per item, aggregate per source. */
+  def m01MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaCorpus(s, dir)).toDF()
+      .groupBy($"source", $"mime")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"byte_len").as("total_bytes"),
+        round(avg($"width"), 6).as("avg_width"),
+        round(avg($"height"), 6).as("avg_height"),
+        sum($"n_frames").as("total_frames"))
+      .orderBy($"source", $"mime")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_features" -> (m01MediaFeatures _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, 'text/plain' AS mime,
+        |    octet_length(encode(text)) AS byte_len
+        |  FROM documents)
+        |SELECT source, mime, count(*) AS n_items,
+        |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |  round(avg(byte_len % 640), 6) AS avg_width,
+        |  round(avg((byte_len * 7) % 480), 6) AS avg_height,
+        |  CAST(sum(byte_len % 16 + 1) AS BIGINT) AS total_frames
+        |FROM f GROUP BY source, mime ORDER BY source, mime""".stripMargin,
+  )
+}

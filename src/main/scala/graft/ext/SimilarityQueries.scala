@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.rel.Tables
+
+/** Similarity search over the embeddings table (Array[Float], dim 64):
+  * brute-force cosine top-k as the exactness baseline, and an IVF
+  * (inverted-file) variant as the 100 TB scale path — assignment to a
+  * small centroid set turns the all-pairs scan into per-cell scans, and
+  * the query probes only the 2 nearest cells.
+  *
+  * Numeric portability: elements are cast Float→Double BEFORE multiply,
+  * and dot/norm are left-to-right folds (`zip_with` + `aggregate` in
+  * Spark, list_zip + list_apply + list_sum in DuckDB), so both engines
+  * produce bit-identical doubles; similarities are rounded to 6 dp before
+  * every ranking step with vec_id tie-breaks, making top-k deterministic.
+  */
+object SimilarityQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val NumQueries = 8   // query vectors: vec_id < 8
+  private val TopK = 5
+  private val NumCells = 16    // IVF centroids: vec_id < 16
+  private val NumProbes = 2
+
+  /** left-to-right dot product of two float arrays as double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  /** Brute-force cosine top-k: exact baseline (one pass over candidates
+    * per query; the query side is tiny and broadcast). */
+  def s01CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val pairs = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    pairs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= TopK)
+      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
+  /** IVF approximate top-k: assign every vector to its nearest of 16
+    * data-derived centroids (vec_id < 16), probe the 2 cells nearest to
+    * each query, then exact cosine inside the probed cells only. */
+  def s02IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val cents = e.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val simToCent = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
+    val assigned = simToCent
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+    val probes = simToCent
+      .filter($"vec_id" < NumQueries)
+      .withColumn("prn", row_number().over(wAssign))
+      .filter($"prn" <= NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qn"), $"cell_id")
+    val cand = assigned.join(probes, Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    cand.withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= TopK)
+      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> (s01CosineTopK _),
+    "s02_ivf_topk" -> (s02IvfTopK _),
+  )
+
+  private val dotSql =
+    "list_sum(list_apply(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private val normSql =
+    "sqrt(list_sum(list_apply(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM e WHERE vec_id < $NumQueries),
+        |pairs AS (
+        |  SELECT query_id, vec_id,
+        |    round(${dotSql.format("qe", "embedding")} / (qn * nrm), 6) AS cos
+        |  FROM e, q WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM pairs)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+    "s02_ivf_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+        |          FROM e WHERE vec_id < $NumCells),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, cell_id,
+        |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+        |  FROM e, cents),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell_id) AS arn
+        |    FROM sims) WHERE arn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell_id) AS prn
+        |    FROM sims WHERE vec_id < $NumQueries) WHERE prn <= $NumProbes),
+        |cand AS (
+        |  SELECT query_id, a.vec_id,
+        |    round(${dotSql.format("qe", "a.embedding")} / (qn * a.nrm), 6) AS cos
+        |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM cand)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rel.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline
+  * (builder-prompt extension set): language-ID (marker-word heuristic),
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All computations stay inside whole-stage-codegen'd built-ins
+  * (split / higher-order filter / regexp) — no UDFs — so the plan
+  * scales linearly over documents and parallelizes per input split.
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** marker words per language for the n-gram/stopword language-ID
+    * heuristic; scores are occurrence counts of each language's markers. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "row"),
+    "de" -> Seq("data", "table", "hash"),
+    "zh" -> Seq("big", "small", "window"),
+    "fr" -> Seq("query", "join", "line"),
+    "es" -> Seq("fast", "slow", "batch"))
+
+  private def markerScore(words: Column, ws: Seq[String]): Column =
+    size(filter(words, w => ws.map(m => w === m).reduce(_ || _)))
+
+  /** Language-ID: argmax of marker scores (ties broken in fixed language
+    * order), reported as a confusion matrix against the labeled lang. */
+  def t01LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val scored = t(s, dir, "documents")
+      .withColumn("words", words)
+      .select(($"doc_id" +: $"lang" +:
+        markers.map { case (l, ws) => markerScore($"words", ws).as(s"s_$l") }): _*)
+    val mx = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    // first-match CASE chain = fixed-order tie-break, mirrored in the oracle
+    val predFirst = markers.map { case (l, _) => (l, col(s"s_$l") === mx) }
+      .reverse.foldLeft(lit("??")) { case (alt, (l, cond)) =>
+        when(cond, lit(l)).otherwise(alt)
+      }
+    scored
+      .withColumn("pred_lang", predFirst)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** Quality scoring: word/char ratios per document, aggregated by lang. */
+  def t02QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a")
+    val d = t(s, dir, "documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_stop",
+        size(filter($"words", w => stop.map(m => w === m).reduce(_ || _))).cast("long"))
+      .withColumn("avg_word_len",
+        (length($"text") - $"n_words" + 1).cast("double") / $"n_words")
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
+      .withColumn("quality",
+        round(lit(1.0) / (lit(1.0) + exp(-($"avg_word_len" - lit(4.0)))) *
+          (lit(1.0) - $"stop_ratio"), 6))
+    d.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_words"), 6).as("avg_n_words"),
+        round(avg($"stop_ratio"), 6).as("avg_stop_ratio"),
+        round(avg($"quality"), 6).as("avg_quality"),
+        count(when($"quality" < 0.4, 1)).as("n_low_quality"))
+      .orderBy($"lang")
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens. */
+  def t03TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|\\S"), lit(0))).cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ws_tokens").as("total_ws_tokens"),
+        sum($"bpe_tokens").as("total_bpe_tokens"),
+        round(avg($"bpe_tokens"), 6).as("avg_bpe_tokens"))
+      .orderBy($"source")
+  }
+
+  /** Document fingerprinting: md5 of the whitespace-normalized, lowercased
+    * text (canonical-form hash — equal fingerprints = exact near-identical). */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), " +", " "))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_langid" -> (t01LangId _),
+    "t02_quality_score" -> (t02QualityScore _),
+    "t03_token_count" -> (t03TokenCount _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+  )
+
+  private val markerSql: Map[String, String] = markers.map { case (l, ws) =>
+    l -> ws.map(w => s"x = '$w'").mkString(" OR ")
+  }.toMap
+
+  val oracles: Map[String, String] = Map(
+    "t01_langid" -> {
+      val scores = markers.map { case (l, _) =>
+        s"len(list_filter(string_split(text, ' '), x -> ${markerSql(l)})) AS s_$l"
+      }.mkString(",\n        |    ")
+      val mx = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val caseChain = markers.map { case (l, _) =>
+        s"WHEN s_$l = mx THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    $scores
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE $caseChain ELSE '??' END AS pred_lang
+        |  FROM (SELECT *, $mx AS mx FROM scored))
+        |SELECT lang, pred_lang, count(*) AS n_docs
+        |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    },
+    "t02_quality_score" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop,
+        |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        |      / len(string_split(text, ' ')) AS avg_word_len
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang, n_words, n_stop::DOUBLE / n_words AS stop_ratio,
+        |    round(1.0 / (1.0 + exp(-(avg_word_len - 4.0)))
+        |      * (1.0 - n_stop::DOUBLE / n_words), 6) AS quality
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_words), 6) AS avg_n_words,
+        |  round(avg(stop_ratio), 6) AS avg_stop_ratio,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  CAST(count(CASE WHEN quality < 0.4 THEN 1 END) AS BIGINT) AS n_low_quality
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "t03_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S'))) AS BIGINT) AS total_bpe_tokens,
+        |  round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S'))), 6) AS avg_bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

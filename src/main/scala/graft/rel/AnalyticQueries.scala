@@ -1,0 +1,304 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, sessionization, set ops, scalar-function surface,
+  * date/JSON functions, rollup, scalar subqueries (SURVEY.md §2.2).
+  *
+  * Scale notes: window partitions are keyed on high-cardinality columns
+  * (customer, user) so the shuffle is even; sessionization is a single
+  * shuffle on user_id reused by both window steps and the final groupBy
+  * (Catalyst collapses them into one exchange).
+  */
+object AnalyticQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** row_number top-N per group: 3 largest orders per market segment. */
+  def q11TopOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn".cast("long").as("rn"), $"o_orderkey",
+        round($"o_totalprice", 2).as("total_price"))
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  /** Running (cumulative) aggregate per key, ordered by event time. */
+  def q12RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("running_value", round(sum($"value").over(w), 4))
+      .select($"user_id", $"event_id", $"ts".cast("string").as("ts_str"),
+        $"running_value")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  /** lag(): inter-event gap in microseconds per user. */
+  def q13EventDeltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .select($"user_id", $"event_id",
+        coalesce(
+          unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"prev_ts".cast("timestamp")),
+          lit(-1L)).as("delta_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Exact distinct counts (expand-based multi-distinct aggregate). */
+  def q14DistinctCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Set operations: UNION / INTERSECT / EXCEPT (distinct semantics). */
+  def q15SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = t(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+    val sn = t(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey"))
+    val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+    val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+    val e = cn.except(sn).withColumn("op", lit("except"))
+    u.union(i).union(e)
+      .select($"op", $"nationkey")
+      .orderBy($"op", $"nationkey")
+  }
+
+  /** String-function surface: upper/substring/length/concat/replace/regexp. */
+  def q16PartStrings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .filter($"p_name".rlike("^(red|blue) "))
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_upper"),
+        substring($"p_name", 1, 4).as("name_prefix"),
+        length($"p_name").cast("long").as("name_len"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("name_devowel"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date-part extraction and grouping by calendar month. */
+  def q17OrdersByMonth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy(
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"yr", $"mon")
+  }
+
+  /** Event-time tumbling window aggregation (batch form of the streaming
+    * hourly rollup; date_trunc keeps the group key SQL-portable). */
+  def q18HourlyEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"),
+        round(avg($"value"), 6).as("avg_value"))
+      .select($"hour_ts".cast("string").as("hour_str"), $"event_type",
+        $"n_events", $"sum_value", $"avg_value")
+      .orderBy($"hour_str", $"event_type")
+  }
+
+  /** Sessionization: 30-minute inactivity gap splits a user's events into
+    * sessions — lag → flag → cumulative sum → per-session aggregate. */
+  def q19Sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter($"user_id" < 50)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"prev_ts".cast("timestamp")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").cast("string").as("session_start"),
+        max($"ts").cast("string").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** JSON extraction from the events props column. */
+  def q20JsonEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        count($"k").as("n_with_k"),
+        round(avg($"k"), 6).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** ROLLUP grouping sets with subtotal rows surfaced as 'ALL'. */
+  def q21Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n_rows", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** Scalar subquery: customers above the global average balance. */
+  def q22AboveAvgCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val avgBal = c.agg(avg($"c_acctbal").as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg($"c_acctbal"), 4).as("seg_avg_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_top_orders_per_segment" -> (q11TopOrdersPerSegment _),
+    "q12_running_total" -> (q12RunningTotal _),
+    "q13_event_deltas" -> (q13EventDeltas _),
+    "q14_distinct_counts" -> (q14DistinctCounts _),
+    "q15_set_ops" -> (q15SetOps _),
+    "q16_part_strings" -> (q16PartStrings _),
+    "q17_orders_by_month" -> (q17OrdersByMonth _),
+    "q18_hourly_events" -> (q18HourlyEvents _),
+    "q19_sessions" -> (q19Sessions _),
+    "q20_json_events" -> (q20JsonEvents _),
+    "q21_rollup" -> (q21Rollup _),
+    "q22_above_avg_customers" -> (q22AboveAvgCustomers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_top_orders_per_segment" ->
+      """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey,
+        |  round(o_totalprice, 2) AS total_price
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+    "q12_running_total" ->
+      """SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_str,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q13_event_deltas" ->
+      """SELECT user_id, event_id,
+        |  coalesce(date_diff('microsecond',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1)
+        |    AS delta_us
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q14_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_set_ops" ->
+      """WITH cn AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     sn AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q16_part_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_name, 1, 4) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel
+        |FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) ')
+        |ORDER BY p_partkey""".stripMargin,
+    "q17_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    "q18_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_str, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+    "q19_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts) AS VARCHAR) AS session_start,
+        |  CAST(max(ts) AS VARCHAR) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q20_json_events" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q22_above_avg_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 4) AS seg_avg_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+}
