@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.rel.{AnalyticQueries, RelQueries}
 import graft.ext.{DedupQueries, Multimodal, SimilarityQueries, TextQueries}
+import graft.sched.MaintenanceQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,12 +14,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ AnalyticQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ Multimodal.queries
+      TextQueries.queries ++ Multimodal.queries ++ MaintenanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ AnalyticQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ Multimodal.oracles
+      TextQueries.oracles ++ Multimodal.oracles ++ MaintenanceQueries.oracles
 }

@@ -1,0 +1,61 @@
+package graft.cmd
+
+import java.time.Clock
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.meta.{GraftTable, SnapshotLog}
+
+/** Drop snapshots older than the retention threshold (the current
+  * snapshot is always kept) and physically delete data files that only
+  * expired snapshots reference.
+  *
+  * Reference analogue:
+  * `ALTER TABLE t EXECUTE expire_snapshots(retention_threshold => 'Nd')`
+  * (trino_iceberg_maintenance/__main__.py:151-158).
+  *
+  * Safety invariant (property-tested): a file reachable from ANY retained
+  * snapshot is never deleted — computed as a distributed left-anti join
+  * `files(expired) ∖ files(retained)` over the parquet manifests, so the
+  * set algebra never materializes file lists on the driver. Deletion
+  * itself fans out over executors (foreachPartition).
+  *
+  * @return number of data files deleted
+  */
+object ExpireSnapshots {
+  def run(table: GraftTable, retentionDays: Int, clock: Clock): Long =
+    table.lock.synchronized {
+      val all = table.snapshots
+      val currentId = SnapshotLog.current(all).map(_.snapshotId).getOrElse(-1L)
+      val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
+      val (expired, retained) =
+        all.partition(s => s.timestampMs < cutoffMs && s.snapshotId != currentId)
+      if (expired.isEmpty) return 0L
+
+      val spark = table.spark
+      def manifests(ss: Seq[graft.meta.Snapshot]) =
+        if (ss.isEmpty) table.emptyManifest
+        else spark.read.schema(GraftTable.ManifestSchema)
+          .parquet(ss.map(_.manifestPath): _*)
+
+      import spark.implicits._
+      val doomed = manifests(expired).select("path").distinct()
+        .join(manifests(retained).select("path"), Seq("path"), "left_anti")
+        .as[String]
+      val deleted = spark.sparkContext.longAccumulator("deletedFiles")
+      doomed.foreachPartition { (it: Iterator[String]) =>
+        val conf = new Configuration()
+        it.foreach { p =>
+          val path = new Path(p)
+          if (path.getFileSystem(conf).delete(path, false)) deleted.add(1L)
+        }
+      }
+      // Rewrite the log first (atomic), then reclaim expired manifests.
+      SnapshotLog.write(table.fileSystem, table.dir, retained)
+      expired.foreach { s =>
+        table.fileSystem.delete(new Path(s.manifestPath), true)
+      }
+      deleted.value
+    }
+}

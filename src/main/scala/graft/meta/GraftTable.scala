@@ -1,0 +1,266 @@
+package graft.meta
+
+import java.time.Clock
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The "graft table format": a directory of immutable parquet data files
+  * plus a `_graft/` metadata tree —
+  *
+  * {{{
+  * <table>/
+  *   data/<commit-uuid>/part-*.parquet     immutable data files
+  *   _graft/snapshots.json                 small snapshot log (SnapshotLog)
+  *   _graft/manifests/<snapshotId>.parquet per-snapshot file inventory
+  *   _graft/schema.json                    table schema (StructType JSON)
+  *   _graft/stats.json                     ANALYZE output (TableStats)
+  * }}}
+  *
+  * This re-implements, Spark-native over plain parquet, the Iceberg table
+  * semantics the reference drives through Trino (reference:
+  * trino_iceberg_maintenance/__main__.py:141-199 — remove_orphan_files,
+  * expire_snapshots, optimize, ANALYZE; metadata table "t\$files" used by
+  * tests/test_maintenance.py:50). No Iceberg jar exists in this
+  * environment (SURVEY.md §0), so the snapshot layer is ours.
+  *
+  * Scale posture (100 TB): the per-file inventory is a parquet manifest
+  * consumed as a DataFrame; orphan-file and snapshot-expiry set algebra
+  * run as distributed anti-joins over those manifests, and file deletion
+  * fans out over executors. Only the O(#snapshots) log and the final
+  * scan-file list ever touch the driver — the latter is the same
+  * driver-side listing Spark's own InMemoryFileIndex performs for any
+  * parquet scan.
+  *
+  * Concurrency: single writer per table, enforced by a per-instance lock
+  * — the same discipline the reference imposes with its module-level
+  * RLock (__main__.py:18).
+  */
+final class GraftTable(val spark: SparkSession, val location: String) {
+  import GraftTable._
+
+  private val tableDir = new Path(location)
+  private val fs: FileSystem =
+    tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+  // JVM-wide lock per table path, not per GraftTable instance — two
+  // handles on the same table must serialize commits (the reference's
+  // process-level RLock gives the same guarantee, __main__.py:18).
+  private val commitLock = GraftTable.lockFor(location)
+
+  // ---- metadata accessors ----------------------------------------------
+
+  def snapshots: Seq[Snapshot] = SnapshotLog.read(fs, tableDir)
+
+  def currentSnapshot: Option[Snapshot] = SnapshotLog.current(snapshots)
+
+  def schema: StructType = {
+    val p = new Path(tableDir, "_graft/schema.json")
+    val in = fs.open(p)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    DataType.fromJson(txt).asInstanceOf[StructType]
+  }
+
+  /** Metadata relation: one row per live data file — the engine-native
+    * analogue of Iceberg's `"t$files"` (tests/test_maintenance.py:50). */
+  def files: DataFrame = currentSnapshot match {
+    case Some(s) => spark.read.schema(ManifestSchema).parquet(s.manifestPath)
+    case None =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
+  }
+
+  /** Union of every snapshot's inventory (for orphan reconciliation). */
+  private def allReferencedFiles: DataFrame = {
+    val paths = snapshots.map(_.manifestPath)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
+    else spark.read.schema(ManifestSchema).parquet(paths: _*)
+  }
+
+  /** Scan of the current snapshot. */
+  def read: DataFrame = currentSnapshot match {
+    case Some(s) if s.numFiles > 0 =>
+      val paths = spark.read.schema(ManifestSchema).parquet(s.manifestPath)
+        .select("path").collect().map(_.getString(0))
+      spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+    case _ =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  // ---- commits ----------------------------------------------------------
+
+  /** Append rows as a new snapshot (reference analogue: INSERT INTO,
+    * tests/test_maintenance.py:48-49). */
+  def append(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
+    commitLock.synchronized {
+      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+      df.write.parquet(commitDir.toString)
+      fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      writeSchemaIfAbsent(df.schema)
+      val added = inventory(commitDir)
+      val carried = files.select(ManifestCols.map(col): _*)
+      commit("append", carried.unionAll(added), clock)
+    }
+
+  /** Overwrite the table content entirely (used by tests / demos). */
+  def overwrite(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
+    commitLock.synchronized {
+      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+      df.write.parquet(commitDir.toString)
+      fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      writeSchemaIfAbsent(df.schema)
+      commit("overwrite", inventory(commitDir), clock)
+    }
+
+  /** Build the (path, size_bytes, record_count, null_counts) inventory
+    * of a freshly written commit directory: FS listing for path+size,
+    * one distributed `_metadata` aggregation for per-file row counts and
+    * per-column null counts (files whose rows were all pruned — e.g. an
+    * empty append — keep record_count 0).
+    */
+  private[graft] def inventory(commitDir: Path): DataFrame = {
+    val listed = listFiles(fs, commitDir)
+      .map(f => (normalize(f.getPath), f.getLen))
+    import spark.implicits._
+    val fsDf = listed.toDF("path", "size_bytes")
+    if (listed.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
+    }
+    val data = spark.read.parquet(commitDir.toString)
+    val names = data.schema.fieldNames.toSeq
+    val nullMap = map_from_arrays(
+      array(names.map(lit): _*),
+      array(names.map(n => sum(when(data(n).isNull, 1L).otherwise(0L))): _*))
+    val counts = data
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"))
+      .withColumn("path", normalizeUdf(col("path")))
+    fsDf.join(counts, Seq("path"), "left")
+      .select(col("path"), col("size_bytes"),
+        coalesce(col("record_count"), lit(0L)).as("record_count"),
+        col("null_counts"))
+  }
+
+  /** Write the manifest parquet + appended log entry. Caller holds lock. */
+  private def commit(op: String, manifest: DataFrame, clock: Clock): Unit = {
+    val prior = snapshots
+    val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+    val manifestDir = new Path(tableDir, s"_graft/manifests/$id")
+    manifest
+      .select(col("path"), col("size_bytes"), col("record_count"),
+        col("null_counts"), lit(id).as("added_snapshot_id"))
+      .coalesce(1) // manifests are small relative to data; 1 file per commit
+      .write.mode("overwrite").parquet(manifestDir.toString)
+    fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+    val summary = spark.read.parquet(manifestDir.toString)
+      .agg(count(lit(1)), coalesce(sum("size_bytes"), lit(0L)),
+        coalesce(sum("record_count"), lit(0L)))
+      .collect()(0)
+    val snap = Snapshot(id, clock.millis(), op, manifestDir.toString,
+      summary.getLong(0), summary.getLong(1), summary.getLong(2))
+    SnapshotLog.write(fs, tableDir, prior :+ snap)
+  }
+
+  private def writeSchemaIfAbsent(s: StructType): Unit = {
+    val p = new Path(tableDir, "_graft/schema.json")
+    if (!fs.exists(p)) {
+      val tmp = new Path(p.getParent, s".schema.tmp-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
+  }
+
+  // ---- maintenance commands (graft.cmd implements the bodies) -----------
+
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
+               clock: Clock = Clock.systemUTC()): Unit =
+    graft.cmd.Optimize.run(this, targetFileBytes, clock)
+
+  def expireSnapshots(retentionDays: Int,
+                      clock: Clock = Clock.systemUTC()): Long =
+    graft.cmd.ExpireSnapshots.run(this, retentionDays, clock)
+
+  def removeOrphanFiles(retentionDays: Int,
+                        clock: Clock = Clock.systemUTC()): Long =
+    graft.cmd.RemoveOrphanFiles.run(this, retentionDays, clock)
+
+  def analyze(columns: Option[Seq[String]] = None,
+              clock: Clock = Clock.systemUTC()): Unit =
+    graft.cmd.Analyze.run(this, columns, clock)
+
+  /** SHOW STATS-shaped relation (tests/test_maintenance.py:90-92). */
+  def stats: DataFrame = graft.cmd.Analyze.statsRelation(this)
+
+  // ---- internals shared with graft.cmd ---------------------------------
+
+  private[graft] def fileSystem: FileSystem = fs
+  private[graft] def dir: Path = tableDir
+  private[graft] def lock: Object = commitLock
+  private[graft] def doCommit(op: String, manifest: DataFrame, clock: Clock): Unit =
+    commit(op, manifest, clock)
+  private[graft] def emptyManifest: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
+}
+
+object GraftTable {
+  val ManifestCols: Seq[String] = Seq("path", "size_bytes", "record_count", "null_counts")
+  /** Per-file inventory. `null_counts` (column name → #nulls in this
+    * file) is the Iceberg-manifest-style file-level statistic that lets
+    * SHOW STATS derive LIVE null fractions for columns never ANALYZEd —
+    * the reference tests pin exactly that behavior
+    * (tests/test_maintenance.py:151-161: un-analyzed column b's fraction
+    * moves immediately after an insert; analyzed column a stays pinned). */
+  val ManifestSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("null_counts", MapType(StringType, LongType), nullable = true),
+    StructField("added_snapshot_id", LongType, nullable = true)))
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[meta] def lockFor(location: String): Object =
+    locks.computeIfAbsent(normalize(location), _ => new Object)
+
+  /** `file:///a/b` and `file:/a/b` both → `file:/a/b`. */
+  def normalize(p: Path): String = p.toString
+  def normalize(s: String): String = new Path(s).toString
+  private[meta] val normalizeUdf =
+    udf((s: String) => normalize(s))
+
+  def create(spark: SparkSession, location: String, schema: StructType): GraftTable = {
+    val t = new GraftTable(spark, location)
+    t.fileSystem.mkdirs(new Path(location, "_graft"))
+    t.writeSchemaIfAbsent(schema)
+    SnapshotLog.write(t.fileSystem, t.dir, Seq.empty)
+    t
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location)
+
+  def exists(spark: SparkSession, location: String): Boolean = {
+    val dir = new Path(location)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(SnapshotLog.logPath(dir))
+  }
+
+  private[graft] def listFiles(fs: FileSystem, dir: Path): Seq[LocatedFileStatus] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        buf += f
+    }
+    buf.result()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Options, Path}
+
+/** One committed table version.
+  *
+  * The per-file inventory is NOT held here — it lives in a parquet
+  * manifest at [[manifestPath]], read as a DataFrame (scales to millions
+  * of files; the log row itself stays O(1)). Mirrors the Iceberg
+  * snapshot-of-manifests model the reference operates on via Trino
+  * (reference: trino_iceberg_maintenance/__main__.py:141-177 issues
+  * ALTER TABLE ... EXECUTE against exactly this structure).
+  *
+  * @param timestampMs  commit time, epoch millis (driver clock — the
+  *                     reference's two-clock split __main__.py:165 vs :174
+  *                     is deliberately unified, SURVEY.md §7.7c)
+  */
+final case class Snapshot(
+    snapshotId: Long,
+    timestampMs: Long,
+    operation: String, // append | optimize | expire | delete
+    manifestPath: String,
+    numFiles: Long,
+    totalBytes: Long,
+    totalRows: Long)
+
+/** The table's snapshot log: a small JSON array at
+  * `<table>/_graft/snapshots.json`, committed by write-temp + atomic
+  * rename (single-writer, same lock discipline as the reference's
+  * module-level RLock, __main__.py:18).
+  *
+  * Hand-rolled JSON (fixed schema, no string escapes needed beyond
+  * paths we generate ourselves) — keeps zero extra dependencies.
+  */
+object SnapshotLog {
+  private val LogName = "snapshots.json"
+
+  def logPath(tableDir: Path): Path = new Path(tableDir, s"_graft/$LogName")
+
+  def read(fs: FileSystem, tableDir: Path): Seq[Snapshot] = {
+    val p = logPath(tableDir)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      parse(txt)
+    }
+  }
+
+  /** Overwrite the full log atomically (temp file + rename). */
+  def write(fs: FileSystem, tableDir: Path, snapshots: Seq[Snapshot]): Unit = {
+    val p = logPath(tableDir)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".$LogName.tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(render(snapshots).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // FileSystem's atomic-overwrite rename is protected; emulate with
+    // delete+rename — safe under the single-writer lock discipline.
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  def current(snapshots: Seq[Snapshot]): Option[Snapshot] =
+    if (snapshots.isEmpty) None else Some(snapshots.maxBy(_.snapshotId))
+
+  // ---- tiny fixed-schema JSON codec -------------------------------------
+
+  private def render(ss: Seq[Snapshot]): String =
+    ss.map { s =>
+      s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
+        s""""operation":"${s.operation}","manifestPath":"${s.manifestPath}",""" +
+        s""""numFiles":${s.numFiles},"totalBytes":${s.totalBytes},"totalRows":${s.totalRows}}"""
+    }.mkString("[\n", ",\n", "\n]")
+
+  private val Entry =
+    ("""\{"snapshotId":(-?\d+),"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
+      """"manifestPath":"([^"]*)","numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
+
+  private def parse(txt: String): Seq[Snapshot] =
+    Entry.findAllMatchIn(txt).map { m =>
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3),
+        m.group(4), m.group(5).toLong, m.group(6).toLong, m.group(7).toLong)
+    }.toSeq
+}

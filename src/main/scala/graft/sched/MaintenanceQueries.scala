@@ -1,0 +1,131 @@
+package graft.sched
+
+import java.nio.file.Files
+import java.time.{Clock, Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.GraftTable
+
+/** Driver-visible demos of the maintenance surface (SURVEY.md §2.1 ops
+  * #4-#9, #13-#14, #16-#19). Maintenance commands aren't SQL-expressible
+  * in DuckDB, so these carry no oracle — the driver records the weaker
+  * rows>0 check (builder contract) — while the exact behavioral
+  * contracts are pinned by ScalaTest (MaintenanceSpec mirrors
+  * tests/test_maintenance.py:41-169).
+  *
+  * Each demo seeds a throwaway GraftTable under java.io.tmpdir from the
+  * REAL sf testdata, runs the command(s), and returns a DataFrame
+  * summarizing observable state.
+  */
+object MaintenanceQueries {
+  private def fixedClock(epochDay: Long): Clock =
+    Clock.fixed(Instant.ofEpochSecond(epochDay * 86400), ZoneOffset.UTC)
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").resolve("t").toString
+
+  private def seed(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+
+  /** optimize: two appended file sets compact to ceil(bytes/target). */
+  private def optimizeDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("optimize"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") % 2 === 0).repartition(4), t0)
+    t.append(df.filter(col("p_partkey") % 2 === 1).repartition(4), t0)
+    val before = t.files.count()
+    t.optimize(clock = t0)
+    t.files.select(lit(before).as("files_before"), col("path"),
+      col("size_bytes"), col("record_count"), col("added_snapshot_id"))
+  }
+
+  /** expire_snapshots: files exclusive to expired snapshots reclaimed. */
+  private def expireDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t1 = fixedClock(20011) // +11 days
+    val t = GraftTable.create(spark, freshDir("expire"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.limit(100), t0)
+    t.append(df.limit(100), t0)
+    t.optimize(clock = t0)
+    t.append(df.limit(50), t1)
+    val deleted = t.expireSnapshots(retentionDays = 5, clock = t1)
+    import spark.implicits._
+    t.snapshots.toDF()
+      .select(col("snapshotId"), col("operation"), col("numFiles"),
+        col("totalRows"), lit(deleted).as("files_deleted"))
+  }
+
+  /** remove_orphan_files: unreferenced + old ⇒ deleted; live kept. */
+  private def orphanDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t1 = fixedClock(20011)
+    val loc = freshDir("orphan")
+    val t = GraftTable.create(spark, loc, seed(spark, sfDir).schema)
+    t.append(seed(spark, sfDir).limit(100), t0)
+    // a stray uncommitted write — e.g. a failed job's leftovers
+    seed(spark, sfDir).limit(10).write.mode("overwrite")
+      .parquet(s"$loc/data/stray")
+    val before = GraftTable.listFiles(t.fileSystem,
+      new org.apache.hadoop.fs.Path(loc, "data")).size
+    val deleted = t.removeOrphanFiles(retentionDays = 5, clock = t1)
+    t.files.select(lit(before).as("files_on_disk_before"),
+      lit(deleted).as("orphans_deleted"), col("path"), col("record_count"))
+  }
+
+  /** ANALYZE + SHOW STATS: exact null fractions, HLL NDV, min/max. */
+  private def analyzeDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("analyze"),
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("lang_or_null",
+          when(col("lang") === "en", lit(null)).otherwise(col("lang")))
+        .schema)
+    t.append(spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("lang_or_null",
+        when(col("lang") === "en", lit(null)).otherwise(col("lang"))), t0)
+    t.analyze(clock = t0)
+    t.stats
+  }
+
+  /** Full scheduler pass: config table, gates, stamps, fail-soft pool. */
+  private def schedulerDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val base = Files.createTempDirectory("graft_sched")
+    val store = new ConfigStore(spark, base.resolve("cfg").toString)
+      .createIfNotExists()
+    Seq("alpha", "beta").foreach { n =>
+      val t = GraftTable.create(spark, base.resolve(n).toString,
+        seed(spark, sfDir).schema)
+      t.append(seed(spark, sfDir).limit(80), t0)
+      t.append(seed(spark, sfDir).limit(80), t0)
+      store.insert(MaintenanceConfig(n, Some(1), None, Some(10), None,
+        Some(1), None, Some(10), Some(1), Some(7), Some(1), Some(7)))
+    }
+    val sched = new Scheduler(store,
+      n => GraftTable.load(spark, base.resolve(n).toString),
+      numWorkers = 2, clock = t0)
+    val results = sched.run()
+    require(results.forall(_.isRight), "scheduler demo: a task failed")
+    store.dataset().toDF()
+      .select(col("table_name"), col("should_optimize"),
+        col("last_optimized_on").cast("string").as("last_optimized_on"),
+        col("last_analyzed_on").cast("string").as("last_analyzed_on"))
+      .orderBy("table_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_optimize" -> (optimizeDemo _),
+    "x02_expire_snapshots" -> (expireDemo _),
+    "x03_remove_orphans" -> (orphanDemo _),
+    "x04_analyze_stats" -> (analyzeDemo _),
+    "x05_scheduler" -> (schedulerDemo _))
+
+  /** Not SQL-expressible → no oracles (driver does rows-only checks). */
+  val oracles: Map[String, String] = Map.empty
+}
