@@ -3,6 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.rel.{AnalyticQueries, RelQueries}
 import graft.ext.{DedupQueries, Multimodal, SimilarityQueries, TextQueries}
 import graft.sched.MaintenanceQueries
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ AnalyticQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ Multimodal.queries ++ MaintenanceQueries.queries
+      TextQueries.queries ++ Multimodal.queries ++
+      MaintenanceQueries.queries ++ StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ AnalyticQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ Multimodal.oracles ++ MaintenanceQueries.oracles
+      TextQueries.oracles ++ Multimodal.oracles ++
+      MaintenanceQueries.oracles ++ StreamOps.oracles
 }

@@ -43,6 +43,14 @@ object DedupQueries {
       i => concat_ws(" ", slice(words, i + 1, lit(3)))))
   }
 
+  /** Distinct 32-bit-hashed shingle set. Near-dup verification compares
+    * these hashed sets, not the string sets: `array_intersect` over longs
+    * is several times cheaper than over ~20-char strings, and because the
+    * hash is the portable md5 prefix, the DuckDB oracle builds the SAME
+    * hashed sets — results agree bit-for-bit even on hash collisions. */
+  private def hashedShingles(text: Column): Column =
+    array_distinct(transform(shingleCol(text), s => h32(s)))
+
   /** Exact dedup summary: distinct-text counts per language. */
   def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -71,15 +79,16 @@ object DedupQueries {
       .orderBy($"user_id", $"event_type")
   }
 
-  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard. */
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard
+    * over the hashed shingle sets. The hashed sets are computed ONCE per
+    * doc; signatures derive from them by explode+min-aggregate, and the
+    * candidate verify joins ship long-arrays instead of string-arrays. */
   def d03MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
       .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", shingleCol($"text").as("shingles"))
-    val hashed = docs
-      .select($"doc_id", explode($"shingles").as("sh"))
-      .withColumn("h", h32($"sh"))
+      .select($"doc_id", hashedShingles($"text").as("hs"))
+    val hashed = docs.select($"doc_id", explode($"hs").as("h"))
     val sigExprs = (0 until NumHashes).map { j =>
       min(($"h" * hashA(j) + hashB(j)) % P).as(s"m$j")
     }
@@ -96,8 +105,8 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
+      .join(docs.select($"doc_id".as("doc_a"), $"hs".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"hs".as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
       .withColumn("jac", round($"inter" /
         (size($"sa") + size($"sb") - $"inter"), 6))
@@ -131,7 +140,7 @@ object DedupQueries {
     val docs = t(s, dir, "documents")
       .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
-        shingleCol($"text").as("shingles"))
+        hashedShingles($"text").as("shingles"))
     // equi-join on an exploded bucket key instead of an OR range condition:
     // the OR form would plan as a nested-loop join (quadratic); this stays
     // a hash join whose width tracks near-dup density, not corpus size.
@@ -140,6 +149,10 @@ object DedupQueries {
     val b = docs.select($"doc_id".as("doc_b"), $"bkt".as("k"), $"shingles".as("sb"))
     a.join(b, Seq("k"))
       .filter($"doc_a" < $"doc_b")
+      // lossless size-ratio prune: jac >= 0.5 forces |sa|,|sb| within 2×
+      // (jac <= min/max) — kills most candidate pairs before the O(n)
+      // intersect runs.
+      .filter(size($"sb") * 2 >= size($"sa") && size($"sa") * 2 >= size($"sb"))
       .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
       .withColumn("jac", round($"inter" /
         (size($"sa") + size($"sb") - $"inter"), 6))
@@ -162,6 +175,11 @@ object DedupQueries {
     """list_distinct(list_transform(
       |      range(1, len(string_split(text,' ')) - 1),
       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))""".stripMargin
+
+  /** DuckDB twin of [[hashedShingles]] — identical md5-prefix hash. */
+  private val hashedShingleSql =
+    s"""list_distinct(list_transform($shingleSql,
+      |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -189,11 +207,9 @@ object DedupQueries {
         s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
       }.mkString("\n        |  UNION ALL ")
       s"""WITH docs AS (
-        |  SELECT doc_id, $shingleSql AS shingles
+        |  SELECT doc_id, $hashedShingleSql AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
-        |hashed AS (SELECT doc_id,
-        |  ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h FROM ex),
+        |hashed AS (SELECT doc_id, unnest(shingles) AS h FROM docs),
         |sig AS (
         |  SELECT doc_id,
         |    $sigExprs
@@ -238,7 +254,7 @@ object DedupQueries {
     "d05_ngram_jaccard" ->
       s"""WITH docs AS (
         |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
-        |    $shingleSql AS shingles
+        |    $hashedShingleSql AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /

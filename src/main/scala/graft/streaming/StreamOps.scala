@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.2 Streaming [EXT]): the
+  * same event-table semantics as the batch queries, expressed as
+  * unbounded streams — `readStream` → transform → `writeStream`, with
+  * event-time watermarks for state cleanup and
+  * `flatMapGroupsWithState` for custom session state.
+  *
+  * The transforms are source-agnostic (they take the streaming
+  * DataFrame/Dataset), so the same code runs on a file stream here and a
+  * Kafka stream on a cluster. State scales by key-hash shuffle across
+  * executors; the watermark bounds state size, which is what makes the
+  * pipeline viable on an unbounded 100 TB/day feed.
+  */
+object StreamOps {
+
+  /** Event row for typed stateful ops (events.parquet shape, ts in µs).
+    * Event-time watermarks require TimestampType (not NTZ); the session
+    * runs in UTC, so instants and the NTZ batch semantics coincide. */
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: String,
+                              session_end: String, n_events: Long,
+                              total_value: Double)
+
+  // public: Catalyst codegen instantiates the state encoder reflectively
+  final case class SessionState(startUs: Long, lastUs: Long,
+                                n: Long, total: Double)
+
+  /** Watermarked tumbling-window aggregation: hourly event counts and
+    * value totals per event type. Incremental partial aggregation per
+    * micro-batch; watermark lets Spark drop window state once event time
+    * passes window end + delay. */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast("string").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  private val Fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private def us(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fmt(usec: Long): String =
+    LocalDateTime.ofEpochSecond(usec / 1000000L, ((usec % 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC).format(Fmt)
+
+  /** Gap-based sessionization with explicit state: a session closes when
+    * `gapMinutes` pass with no event from that user (decided by the
+    * event-time watermark, so late data inside the delay still joins its
+    * session). Emits one row per CLOSED session; open state times out on
+    * the watermark. This is the streaming twin of the batch q19_sessions
+    * window-function query. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, fmt(s.startUs), fmt(s.lastUs), s.n, s.total))
+          } else {
+            val sorted = batch.toIndexedSeq.sortBy(e => us(e.ts))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, fmt(s.startUs), fmt(s.lastUs),
+                    s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes the gap after the last event
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a transform over the events parquet as a FILE STREAM to
+    * completion (Trigger.AvailableNow) and return the final result as a
+    * batch DataFrame — used by the driver demo and tests. The ns→µs
+    * normalization matches graft.rel.Tables.load. */
+  def runFileStream(spark: SparkSession, sfDir: String,
+                    transform: DataFrame => DataFrame,
+                    outputMode: String, sinkTable: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // events.parquet is a single file; the file-stream source needs a
+    // directory basePath, so point it at the dir with a glob.
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
+  // ---- driver-visible queries ------------------------------------------
+
+  /** Streaming hourly aggregation, checked against the SAME DuckDB
+    * oracle shape as the batch q18 — the streaming and batch engines
+    * must agree on the final answer. */
+  def st01HourlyStream(s: SparkSession, dir: String): DataFrame = {
+    val sink = s"st01_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    runFileStream(s, dir, df => hourlyCounts(df), "complete", sink)
+      .orderBy("hour", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_hourly_stream" -> (st01HourlyStream _))
+
+  val oracles: Map[String, String] = Map(
+    "st01_hourly_stream" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+}

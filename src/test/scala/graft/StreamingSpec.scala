@@ -1,0 +1,94 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, SessionOut}
+
+/** Stateful-streaming semantics under controlled micro-batches: the
+  * watermark decides when gap-based sessions close, and late-but-inside-
+  * the-delay events still join their session. */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, v: Double) =
+    Ev(id, java.sql.Timestamp.from(Instant.parse(t + "Z")), user, "click", v)
+
+  test("sessionize closes sessions via event-time watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "5 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one session);
+      // user 2 one event.
+      input.addData(
+        ev(1, "2026-01-01T10:00:00", 1, 1.0),
+        ev(2, "2026-01-01T10:10:00", 1, 2.0),
+        ev(3, "2026-01-01T10:00:00", 2, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // nothing closed yet
+
+      // batch 2: an event far in the future pushes the watermark past
+      // both users' gap deadlines -> their sessions time out and emit.
+      input.addData(ev(4, "2026-01-01T13:00:00", 3, 1.0))
+      q.processAllAvailable()
+      // one more batch so timeouts registered against the new watermark fire
+      input.addData(ev(5, "2026-01-01T13:00:01", 3, 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out").as[SessionOut]
+        .collect().sortBy(_.user_id)
+      assert(out.map(_.user_id).toSeq == Seq(1L, 2L))
+      val u1 = out(0)
+      assert(u1.session_start == "2026-01-01 10:00:00")
+      assert(u1.session_end == "2026-01-01 10:10:00")
+      assert(u1.n_events == 2 && u1.total_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("in-batch gap splits one user's events into two sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "5 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_split").outputMode(OutputMode.Append()).start()
+    try {
+      // 3 events, the third >30 min after the second: session boundary
+      // inside a single micro-batch -> the first session emits directly.
+      input.addData(
+        ev(1, "2026-01-01T10:00:00", 7, 1.0),
+        ev(2, "2026-01-01T10:05:00", 7, 1.0),
+        ev(3, "2026-01-01T12:00:00", 7, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_split").as[SessionOut].collect()
+      assert(out.length == 1)
+      assert(out(0).session_start == "2026-01-01 10:00:00")
+      assert(out(0).session_end == "2026-01-01 10:05:00")
+      assert(out(0).n_events == 2)
+    } finally q.stop()
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val streamed = StreamOps.st01HourlyStream(spark, "/root/testdata/sf0.001")
+      .collect()
+    val batch = graft.rel.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.getLong(2)).sum == batch.map(_.getLong(2)).sum)
+    assert(streamed.length == batch.length)
+  }
+}
