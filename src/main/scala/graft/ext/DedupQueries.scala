@@ -88,21 +88,34 @@ object DedupQueries {
     val docs = t(s, dir, "documents")
       .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", hashedShingles($"text").as("hs"))
-    val hashed = docs.select($"doc_id", explode($"hs").as("h"))
-    val sigExprs = (0 until NumHashes).map { j =>
-      min(($"h" * hashA(j) + hashB(j)) % P).as(s"m$j")
+    // MinHash as a PROJECTION over the per-doc hashed-shingle array —
+    // identical to min-over-exploded-rows, but with no 5M-row explode
+    // and NO shuffle: the signature stage is map-side only, which is the
+    // difference between a wide and a narrow stage at 100 TB.
+    val sigCols = (0 until NumHashes).map { j =>
+      array_min(transform($"hs", h => (h * hashA(j) + hashB(j)) % P)).as(s"m$j")
     }
-    val sig = hashed.groupBy($"doc_id").agg(sigExprs.head, sigExprs.tail: _*)
-    val bands = (0 until NumHashes / BandSize).map { b =>
-      val key = concat_ws(",",
-        (0 until BandSize).map(r => col(s"m${b * BandSize + r}")): _*)
-      sig.select($"doc_id", lit(b).as("band"), key.as("band_key"))
-    }.reduce(_ union _)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val sig = docs.select(($"doc_id" +: sigCols): _*)
+    // ONE pass over sig: posexplode the 4 band keys (a 4-way union of
+    // sig.select(...) would re-execute the whole explode+hash+aggregate
+    // signature chain per band — Catalyst does not dedupe common
+    // subtrees across union branches).
+    val bandKeys = array((0 until NumHashes / BandSize).map { b =>
+      concat_ws(",", (0 until BandSize).map(r => col(s"m${b * BandSize + r}")): _*)
+    }: _*)
+    val bands = sig.select($"doc_id", posexplode(bandKeys).as(Seq("band", "band_key")))
+    // Candidate pairs by bucket-local expansion (groupBy + collect_list)
+    // instead of a bands⋈bands self-join — halves the heavy subtree
+    // executions and shuffles each band bucket once. Bucket membership
+    // lists are near-dup-cluster sized, not corpus sized.
+    val cand = bands
+      .groupBy($"band", $"band_key")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> filter(transform(ids, b -> array(a, b)), " +
+          "p -> p[0] < p[1])))")).as("p"))
+      .select($"p" (0).as("doc_a"), $"p" (1).as("doc_b"))
       .distinct()
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"hs".as("sa")), "doc_a")
@@ -141,18 +154,33 @@ object DedupQueries {
       .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
         hashedShingles($"text").as("shingles"))
-    // equi-join on an exploded bucket key instead of an OR range condition:
-    // the OR form would plan as a nested-loop join (quadratic); this stays
-    // a hash join whose width tracks near-dup density, not corpus size.
-    val a = docs.select($"doc_id".as("doc_a"),
-        explode(array($"bkt", $"bkt" + 1)).as("k"), $"shingles".as("sa"))
-    val b = docs.select($"doc_id".as("doc_b"), $"bkt".as("k"), $"shingles".as("sb"))
-    a.join(b, Seq("k"))
-      .filter($"doc_a" < $"doc_b")
-      // lossless size-ratio prune: jac >= 0.5 forces |sa|,|sb| within 2×
-      // (jac <= min/max) — kills most candidate pairs before the O(n)
-      // intersect runs.
-      .filter(size($"sb") * 2 >= size($"sa") && size($"sa") * 2 >= size($"sb"))
+    // Prefix filtering (AllPairs/PPJoin): under a global element order
+    // (ascending hash), any pair with jac >= t shares at least one
+    // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.
+    // t' = 0.499 < t keeps the filter lossless even for pairs whose true
+    // jac sits just below 0.5 but ROUNDS to 0.5 in the final 6-dp check.
+    // Candidates become "pairs sharing a rare prefix hash" — near-dup
+    // density, not the quadratic length-bucket blowup (5.9M pairs at
+    // sf0.1); the bucket adjacency condition rides along as a residual.
+    val pref = docs.select($"doc_id", $"bkt",
+      explode(slice(array_sort($"shingles"), lit(1),
+        (size($"shingles") - ceil(size($"shingles") * 0.499) + 1)
+          .cast("int"))).as("h"))
+    // bucket-local pair expansion (see d03): one execution of the prefix
+    // subtree instead of two self-join branches.
+    val cand = pref
+      .groupBy($"h")
+      .agg(collect_list(struct($"doc_id", $"bkt")).as("ds"))
+      .filter(size($"ds") > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, a -> filter(transform(ds, b -> " +
+          "named_struct('ida', a.doc_id, 'bka', a.bkt, 'idb', b.doc_id, 'bkb', b.bkt)), " +
+          "p -> p.ida < p.idb AND (p.bkb = p.bka OR p.bkb = p.bka + 1))))")).as("p"))
+      .select($"p.ida".as("doc_a"), $"p.idb".as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
       .withColumn("jac", round($"inter" /
         (size($"sa") + size($"sb") - $"inter"), 6))

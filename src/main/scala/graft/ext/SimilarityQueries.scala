@@ -26,10 +26,12 @@ object SimilarityQueries {
   private val NumCells = 16    // IVF centroids: vec_id < 16
   private val NumProbes = 2
 
-  /** left-to-right dot product of two float arrays as double. */
+  /** left-to-right dot product of two float arrays as double — the
+    * native fused FloatDot expression (graft.functions), identical
+    * result to the zip_with+aggregate fold it replaces but one codegen
+    * loop with no per-row array allocation. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_fdot", a, b)
 
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -42,6 +44,7 @@ object SimilarityQueries {
     * per query; the query side is tiny and broadcast). */
   def s01CosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
@@ -59,6 +62,7 @@ object SimilarityQueries {
     * each query, then exact cosine inside the probed cells only. */
   def s02IvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     val cents = e.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cell_id"), $"embedding".as("ce"), $"nrm".as("cn"))
@@ -85,9 +89,33 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
+  private val NearDupThreshold = 0.4
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label: the
+    * all-pairs search becomes an equi-join on the blocking key (at scale,
+    * the key would be an IVF cell or LSH hyperplane bucket — same plan
+    * shape), then one fused FloatDot per candidate pair. */
+  def s03EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = withNorm(t(s, dir, "embeddings"))
+      .select($"vec_id", $"label", $"embedding", $"nrm")
+    val a = e.select($"label", $"vec_id".as("vec_a"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("vec_b"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
+      .filter($"cos" >= NearDupThreshold)
+      .select($"label", $"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
+    "s03_embedding_neardup" -> (s03EmbeddingNearDup _),
   )
 
   private val dotSql =
@@ -145,5 +173,14 @@ object SimilarityQueries {
         |  FROM cand)
         |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
         |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+    "s03_embedding_neardup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupThreshold
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native fused dot product over two `Array[Float]` columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x,y) => x*y), 0.0,
+  * (acc,x) => acc+x)` — materializes an intermediate array per row and
+  * evaluates two higher-order lambdas per element. This expression is
+  * the (b)-tier extension point from the build rules (custom Catalyst
+  * `Expression` with `doGenCode`): one fused loop, no allocation, inside
+  * whole-stage codegen — the hot kernel of cosine top-k and embedding
+  * near-dup at 100 TB, where the dot product runs per candidate PAIR.
+  *
+  * Accumulation is left-to-right in element order, exactly like the
+  * `aggregate` fold and DuckDB's `list_sum(list_apply(list_zip(...)))`,
+  * so oracle results stay bit-identical. Elements are widened
+  * Float→Double before multiply, matching both engines.
+  */
+case class FloatDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_fdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native SQL functions — via
+  * `SparkSessionExtensions` (`spark.sql.extensions=graft.functions.
+  * GraftSparkExtensions`) for externally built sessions, or
+  * [[GraftFunctions.ensureRegistered]] at first use for any session. */
+class GraftSparkExtensions
+  extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.fdotDescriptor)
+}
+
+object GraftFunctions {
+  private[graft] val fdotDescriptor = (
+    FunctionIdentifier("graft_fdot"),
+    new ExpressionInfo(classOf[FloatDot].getName, "graft_fdot"),
+    (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1)): Expression)
+
+  /** Idempotently register into an existing session (temp function). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_fdot")))
+      reg.createOrReplaceTempFunction("graft_fdot",
+        exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+  }
+}

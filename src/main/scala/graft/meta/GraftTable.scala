@@ -178,6 +178,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** DROP TABLE (reference analogue: tests/test_maintenance.py:20) —
+    * removes data, metadata, and the table directory. */
+  def drop(): Unit = commitLock.synchronized {
+    fs.delete(tableDir, true)
+  }
+
   // ---- maintenance commands (graft.cmd implements the bodies) -----------
 
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,

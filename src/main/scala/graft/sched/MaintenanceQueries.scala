@@ -99,13 +99,21 @@ object MaintenanceQueries {
     val base = Files.createTempDirectory("graft_sched")
     val store = new ConfigStore(spark, base.resolve("cfg").toString)
       .createIfNotExists()
+    // expire/orphan run in their own demos (x02/x03); the scheduler demo
+    // exercises gates + stamps + the bounded pool with optimize/analyze.
     Seq("alpha", "beta").foreach { n =>
       val t = GraftTable.create(spark, base.resolve(n).toString,
         seed(spark, sfDir).schema)
       t.append(seed(spark, sfDir).limit(80), t0)
       t.append(seed(spark, sfDir).limit(80), t0)
-      store.insert(MaintenanceConfig(n, Some(1), None, Some(10), None,
-        Some(1), None, Some(10), Some(1), Some(7), Some(1), Some(7)))
+      store.insert(MaintenanceConfig(n,
+        should_analyze = if (n == "alpha") Some(1) else None,
+        last_analyzed_on = None, days_to_analyze = Some(10),
+        columns_to_analyze = Some(Seq("p_name", "p_retailprice")),
+        should_optimize = Some(1), last_optimized_on = None,
+        days_to_optimize = Some(10),
+        should_expire_snapshots = None, retention_days_snapshots = None,
+        should_remove_orphan_files = None, retention_days_orphan_files = None))
     }
     val sched = new Scheduler(store,
       n => GraftTable.load(spark, base.resolve(n).toString),

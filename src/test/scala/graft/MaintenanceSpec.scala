@@ -259,6 +259,16 @@ class MaintenanceSpec extends SparkSpec {
     assert(fx.fileCount("good") == 1) // the good table was still optimized
   }
 
+  test("drop removes the table and its metadata") {
+    val fx = fixture("drop")
+    fx.createTable("t")
+    fx.insert("t", ("a", "b"))
+    assert(GraftTable.exists(spark, s"${fx.dir}/t"))
+    fx.table("t").drop()
+    assert(!GraftTable.exists(spark, s"${fx.dir}/t"))
+    assert(!new java.io.File(s"${fx.dir}/t").exists())
+  }
+
   test("optimize/analyze gate stamps are persisted via copy-on-write UPDATE") {
     val fx = fixture("stamp")
     fx.createTable("t")
