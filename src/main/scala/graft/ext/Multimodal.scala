@@ -68,8 +68,26 @@ object Multimodal {
       .orderBy($"source", $"mime")
   }
 
+  /** m02: frame sampling — decode yields n_frames per item; emit every
+    * 4th frame index (the shape of video keyframe extraction: explode
+    * frames per item, keep a stride, hand each frame to a downstream
+    * model). Pure narrow ops — generate/explode/filter, no shuffle
+    * before the final aggregation. */
+  def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaCorpus(s, dir)).toDF()
+      .select($"doc_id", $"source", $"n_frames",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+      .filter($"frame_idx" % 4 === 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled_frames"),
+        countDistinct($"doc_id").as("n_items"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
+    "m02_frame_sample" -> (m02FrameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,5 +102,17 @@ object Multimodal {
         |  round(avg((byte_len * 7) % 480), 6) AS avg_height,
         |  CAST(sum(byte_len % 16 + 1) AS BIGINT) AS total_frames
         |FROM f GROUP BY source, mime ORDER BY source, mime""".stripMargin,
+    "m02_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    octet_length(encode(text)) % 16 + 1 AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, source, unnest(range(0, n_frames)) AS frame_idx
+        |  FROM f)
+        |SELECT source, count(*) AS n_sampled_frames,
+        |  count(DISTINCT doc_id) AS n_items
+        |FROM fr WHERE frame_idx % 4 = 0
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }
