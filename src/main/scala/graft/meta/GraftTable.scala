@@ -205,6 +205,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** SHOW STATS-shaped relation (tests/test_maintenance.py:90-92). */
   def stats: DataFrame = graft.cmd.Analyze.statsRelation(this)
 
+  /** Incremental ANALYZE: sketch only not-yet-covered live files;
+    * returns the number of files scanned. */
+  def analyzeIncremental(clock: Clock = Clock.systemUTC()): Long =
+    graft.cmd.AnalyzeIncremental.run(this, clock)
+
+  /** SHOW STATS shape merged from the per-file sketch store. */
+  def statsIncremental: DataFrame =
+    graft.cmd.AnalyzeIncremental.statsRelation(this)
+
   // ---- internals shared with graft.cmd ---------------------------------
 
   private[graft] def fileSystem: FileSystem = fs

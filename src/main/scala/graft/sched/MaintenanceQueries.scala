@@ -127,12 +127,30 @@ object MaintenanceQueries {
       .orderBy("table_name")
   }
 
+  /** Incremental ANALYZE: append → sketch → append → sketch scans only
+    * the new files; merged HLL/min-max stats over the sketch store. */
+  private def incrementalDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("inc"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") % 2 === 0), t0)
+    val scan1 = t.analyzeIncremental(t0)
+    t.append(df.filter(col("p_partkey") % 2 === 1), t0)
+    val scan2 = t.analyzeIncremental(t0)
+    t.statsIncremental
+      .select(lit(scan1).as("files_scanned_run1"),
+        lit(scan2).as("files_scanned_run2"), col("column_name"),
+        col("distinct_values_count"), col("nulls_fraction"), col("row_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
     "x04_analyze_stats" -> (analyzeDemo _),
-    "x05_scheduler" -> (schedulerDemo _))
+    "x05_scheduler" -> (schedulerDemo _),
+    "x06_incremental_analyze" -> (incrementalDemo _))
 
   /** Not SQL-expressible → no oracles (driver does rows-only checks). */
   val oracles: Map[String, String] = Map.empty
