@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.rel.{AnalyticQueries, RelQueries}
+import graft.rel.{AnalyticQueries, RelQueries, ScaleQueries}
 import graft.ext.{DedupQueries, Multimodal, SimilarityQueries, TextQueries}
 import graft.sched.MaintenanceQueries
 import graft.streaming.StreamOps
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelQueries.queries ++ AnalyticQueries.queries ++
+    RelQueries.queries ++ AnalyticQueries.queries ++ ScaleQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ Multimodal.queries ++
       MaintenanceQueries.queries ++ StreamOps.queries
@@ -21,7 +21,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelQueries.oracles ++ AnalyticQueries.oracles ++
+    RelQueries.oracles ++ AnalyticQueries.oracles ++ ScaleQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ Multimodal.oracles ++
       MaintenanceQueries.oracles ++ StreamOps.oracles

@@ -55,9 +55,13 @@ object Analyze {
     table.lock.synchronized {
       val spark = table.spark
       val schema = table.schema
+      // An empty column list means "analyze ALL columns", matching the
+      // reference's NULL/empty-array handling (__main__.py:188): the
+      // column clause is only emitted when the array is non-empty.
       val targets = columns match {
-        case Some(cs) => schema.fields.filter(f => cs.contains(f.name)).toSeq
-        case None => schema.fields.toSeq
+        case Some(cs) if cs.nonEmpty =>
+          schema.fields.filter(f => cs.contains(f.name)).toSeq
+        case _ => schema.fields.toSeq
       }
       val aggExprs = targets.flatMap { f =>
         val c = col(f.name)

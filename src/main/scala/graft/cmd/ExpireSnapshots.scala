@@ -2,7 +2,6 @@ package graft.cmd
 
 import java.time.Clock
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 import graft.meta.{GraftTable, SnapshotLog}
@@ -43,16 +42,23 @@ object ExpireSnapshots {
       val doomed = manifests(expired).select("path").distinct()
         .join(manifests(retained).select("path"), Seq("path"), "left_anti")
         .as[String]
+      // Commit the trimmed log FIRST: a crash after this point leaves only
+      // harmless orphan files (reclaimable by remove_orphan_files), never a
+      // log entry whose manifest references already-deleted data.
+      SnapshotLog.write(table.fileSystem, table.dir, retained)
+      // Executors must see the session's Hadoop conf (s3a credentials,
+      // endpoints, …), not a from-scratch Configuration.
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
       val deleted = spark.sparkContext.longAccumulator("deletedFiles")
       doomed.foreachPartition { (it: Iterator[String]) =>
-        val conf = new Configuration()
+        val conf = confB.value.value
         it.foreach { p =>
           val path = new Path(p)
           if (path.getFileSystem(conf).delete(path, false)) deleted.add(1L)
         }
       }
-      // Rewrite the log first (atomic), then reclaim expired manifests.
-      SnapshotLog.write(table.fileSystem, table.dir, retained)
       expired.foreach { s =>
         table.fileSystem.delete(new Path(s.manifestPath), true)
       }

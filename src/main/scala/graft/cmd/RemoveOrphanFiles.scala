@@ -2,7 +2,6 @@ package graft.cmd
 
 import java.time.Clock
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 import graft.meta.GraftTable
@@ -47,9 +46,14 @@ object RemoveOrphanFiles {
         .join(referenced, Seq("path"), "left_anti")
         .select("path").as[String]
 
+      // Ship the session's Hadoop conf to executors (credentials/endpoint
+      // for non-default filesystems), instead of a from-scratch Configuration.
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
       val deleted = spark.sparkContext.longAccumulator("deletedOrphans")
       orphans.foreachPartition { (it: Iterator[String]) =>
-        val conf = new Configuration()
+        val conf = confB.value.value
         it.foreach { p =>
           val path = new Path(p)
           if (path.getFileSystem(conf).delete(path, false)) deleted.add(1L)

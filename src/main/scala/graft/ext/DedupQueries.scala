@@ -85,9 +85,15 @@ object DedupQueries {
     * candidate verify joins ship long-arrays instead of string-arrays. */
   def d03MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The hashed-shingle relation feeds THREE plan subtrees (signatures +
+    // both sides of the candidate-verify join); persist so the md5
+    // shingling runs once, not three times. MEMORY_AND_DISK keeps the
+    // same plan valid at 100 TB (spills instead of OOM), where the
+    // re-computation it avoids is a full corpus re-scan.
     val docs = t(s, dir, "documents")
       .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", hashedShingles($"text").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // MinHash as a PROJECTION over the per-doc hashed-shingle array —
     // identical to min-over-exploded-rows, but with no 5M-row explode
     // and NO shuffle: the signature stage is map-side only, which is the
@@ -150,10 +156,12 @@ object DedupQueries {
     * keeping candidate counts linear in corpus size for ~uniform lengths. */
   def d05NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Persisted for the same three-subtree reuse as d03.
     val docs = t(s, dir, "documents")
       .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
         hashedShingles($"text").as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix filtering (AllPairs/PPJoin): under a global element order
     // (ascending hash), any pair with jac >= t shares at least one
     // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.

@@ -146,23 +146,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         col("null_counts"))
   }
 
-  /** Write the manifest parquet + appended log entry. Caller holds lock. */
+  /** Write the manifest parquet + appended log entry. Caller holds lock.
+    * The snapshot summary (file/byte/row totals) is collected by
+    * `observe` DURING the manifest write — one Spark action per commit,
+    * not a write followed by a read-back aggregation. */
   private def commit(op: String, manifest: DataFrame, clock: Clock): Unit = {
     val prior = snapshots
     val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
     val manifestDir = new Path(tableDir, s"_graft/manifests/$id")
+    val obs = new org.apache.spark.sql.Observation(s"manifest-$id")
     manifest
       .select(col("path"), col("size_bytes"), col("record_count"),
         col("null_counts"), lit(id).as("added_snapshot_id"))
+      .observe(obs, count(lit(1)).as("nf"),
+        coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
+        coalesce(sum("record_count"), lit(0L)).as("rows"))
       .coalesce(1) // manifests are small relative to data; 1 file per commit
       .write.mode("overwrite").parquet(manifestDir.toString)
     fs.delete(new Path(manifestDir, "_SUCCESS"), false)
-    val summary = spark.read.parquet(manifestDir.toString)
-      .agg(count(lit(1)), coalesce(sum("size_bytes"), lit(0L)),
-        coalesce(sum("record_count"), lit(0L)))
-      .collect()(0)
+    val m = obs.get
     val snap = Snapshot(id, clock.millis(), op, manifestDir.toString,
-      summary.getLong(0), summary.getLong(1), summary.getLong(2))
+      m("nf").asInstanceOf[Long], m("bytes").asInstanceOf[Long],
+      m("rows").asInstanceOf[Long])
     SnapshotLog.write(fs, tableDir, prior :+ snap)
   }
 
@@ -173,8 +178,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val out = fs.create(tmp, true)
       try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      fs.rename(tmp, p)
+      // Single-FS-op overwrite rename: no window with neither file present.
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 

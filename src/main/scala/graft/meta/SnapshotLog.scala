@@ -2,7 +2,7 @@ package graft.meta
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /** One committed table version.
   *
@@ -51,7 +51,11 @@ object SnapshotLog {
     }
   }
 
-  /** Overwrite the full log atomically (temp file + rename). */
+  /** Overwrite the full log atomically (temp file + overwrite-rename).
+    * FileContext.rename with Options.Rename.OVERWRITE replaces the target
+    * in one FS operation — no delete-then-rename window where a crash
+    * would leave NO snapshots.json and the table would read as absent.
+    */
   def write(fs: FileSystem, tableDir: Path, snapshots: Seq[Snapshot]): Unit = {
     val p = logPath(tableDir)
     fs.mkdirs(p.getParent)
@@ -59,10 +63,8 @@ object SnapshotLog {
     val out = fs.create(tmp, true)
     try out.write(render(snapshots).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // FileSystem's atomic-overwrite rename is protected; emulate with
-    // delete+rename — safe under the single-writer lock discipline.
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    val fc = FileContext.getFileContext(p.toUri, fs.getConf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   def current(snapshots: Seq[Snapshot]): Option[Snapshot] =

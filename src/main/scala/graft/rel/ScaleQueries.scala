@@ -1,0 +1,233 @@
+package graft.rel
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** Scale-technique operators: as-of join, skew-salted join, bucketed
+  * (shuffle-free) join, CSV/JSON ingest, exact percentiles, cube.
+  *
+  * Each query is oracle-checked against DuckDB on the same tables; the
+  * ingest queries additionally round-trip the data through the format
+  * under test, so a hash match proves the round-trip lossless.
+  */
+object ScaleQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Backward as-of join (graft.operators.AsOfJoin): every click joined
+    * to the user's most recent purchase at or before the click. */
+  def a01AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    // Dedupe equal-timestamp purchases per user (keep max event_id) so
+    // the as-of match is uniquely defined in both engines.
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", tie = "purchase_id")
+      .select($"user_id", $"click_id", $"ts".cast("string").as("click_ts"),
+        $"matched_purchase_id".as("purchase_id"),
+        $"matched_ts".cast("string").as("purchase_ts"))
+      .orderBy($"click_id")
+  }
+
+  /** Skew-mitigated join: the probe side gets a deterministic salt, the
+    * build side is replicated across all salt values, so one hot key
+    * spreads over SaltBuckets reducers instead of melting one. The
+    * result is provably identical to the unsalted join (oracle = plain
+    * join), which is the point: salting changes the plan, not the
+    * answer. (AQE skew-join does this adaptively; explicit salting is
+    * the belt-and-braces form for known-degenerate keys.) */
+  def q23SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SaltBuckets = 8
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .withColumn("salt",
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(SaltBuckets)))
+    val ord = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt",
+        explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey")
+        && li("salt") === ord("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Bucketed co-located join: lineitem and orders are written once as
+    * bucketed tables (8 buckets on the join key); the join then reads
+    * bucket-aligned files and needs NO shuffle on either side — the
+    * plan has no Exchange above the scans. This is the 100 TB pattern
+    * for repeated fact-fact joins: pay the partitioning once at write
+    * time, reuse it every query. Tables are cached per (sf, rowcount)
+    * and rebuilt only when missing, so repeated runs measure the join,
+    * not the one-time bucketing. */
+  def q24BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = s"g${math.abs(dir.hashCode)}"
+    val db = s"graft_bkt_$tag"
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    def ensure(name: String, df: => DataFrame, bucketCol: String): Unit =
+      if (!s.catalog.tableExists(s"$db.$name")) {
+        df.write.mode(SaveMode.Overwrite)
+          .bucketBy(8, bucketCol).sortBy(bucketCol)
+          .format("parquet").saveAsTable(s"$db.$name")
+      }
+    ensure("li", t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount"), "l_orderkey")
+    ensure("ord", t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus"), "o_orderkey")
+    s.table(s"$db.li")
+      .join(s.table(s"$db.ord"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** CSV ingest: events round-trip through CSV (header + explicit
+    * schema on read — never inference on a large lake) and aggregate.
+    * A hash match against the parquet-based oracle proves the CSV
+    * round-trip lossless, doubles included (shortest-round-trip
+    * rendering both ways). */
+  def q25CsvIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        $"ts".cast("string").as("ts_str"), $"value")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp)
+    val back = s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "ts_str STRING, value DOUBLE")
+      .option("header", "true").csv(tmp)
+    back.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 4).as("sum_value"),
+        max($"ts_str").as("max_ts"))
+      .orderBy($"event_type")
+  }
+
+  /** JSON ingest: events round-trip through JSON-lines, then the nested
+    * props payload is extracted — the lake-landing pattern for
+    * semi-structured feeds. */
+  def q26JsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_json").toString
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"props")
+      .write.mode(SaveMode.Overwrite).json(tmp)
+    val back = s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, props STRING")
+      .json(tmp)
+    back
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        count($"k").as("n_with_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact interpolated percentiles per group — `percentile` (exact,
+    * sort-based) rather than `approx_percentile`, so the oracle
+    * (quantile_cont) agrees bit-for-bit. At 100 TB the approx_percentile
+    * sketch is the right default; this query pins the exact variant. */
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** CUBE over (priority, year): all four grouping combinations in one
+    * pass (partial-aggregated, single shuffle). q21 covers ROLLUP; this
+    * pins the full cube + grouping-set disambiguation via sentinels. */
+  def q28Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("yr", year($"o_orderdate"))
+      .cube($"o_orderpriority", $"yr")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"yr", lit(-1)).as("yr"), $"n_orders", $"total")
+      .orderBy($"priority", $"yr")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_asof_join" -> (a01AsofJoin _),
+    "q23_salted_join" -> (q23SaltedJoin _),
+    "q24_bucketed_join" -> (q24BucketedJoin _),
+    "q25_csv_ingest" -> (q25CsvIngest _),
+    "q26_json_ingest" -> (q26JsonIngest _),
+    "q27_percentiles" -> (q27Percentiles _),
+    "q28_cube" -> (q28Cube _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a01_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.click_id, CAST(c.ts AS VARCHAR) AS click_ts,
+        |  p.purchase_id, CAST(p.ts AS VARCHAR) AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin,
+    "q23_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q24_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q25_csv_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value,
+        |  max(CAST(ts AS VARCHAR)) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_json_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(CAST(yr AS INT), -1) AS yr,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT o_orderpriority, year(o_orderdate) AS yr, o_totalprice
+        |      FROM orders)
+        |GROUP BY CUBE (o_orderpriority, yr)
+        |ORDER BY priority, yr""".stripMargin,
+  )
+}

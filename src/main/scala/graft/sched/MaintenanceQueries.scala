@@ -101,20 +101,24 @@ object MaintenanceQueries {
       .createIfNotExists()
     // expire/orphan run in their own demos (x02/x03); the scheduler demo
     // exercises gates + stamps + the bounded pool with optimize/analyze.
+    // alpha gets two appends (so optimize visibly compacts); beta one.
+    // Both config rows go in a single INSERT — one commit, not two.
     Seq("alpha", "beta").foreach { n =>
       val t = GraftTable.create(spark, base.resolve(n).toString,
         seed(spark, sfDir).schema)
       t.append(seed(spark, sfDir).limit(80), t0)
-      t.append(seed(spark, sfDir).limit(80), t0)
-      store.insert(MaintenanceConfig(n,
+      if (n == "alpha") t.append(seed(spark, sfDir).limit(80), t0)
+    }
+    store.insert(Seq("alpha", "beta").map { n =>
+      MaintenanceConfig(n,
         should_analyze = if (n == "alpha") Some(1) else None,
         last_analyzed_on = None, days_to_analyze = Some(10),
         columns_to_analyze = Some(Seq("p_name", "p_retailprice")),
         should_optimize = Some(1), last_optimized_on = None,
         days_to_optimize = Some(10),
         should_expire_snapshots = None, retention_days_snapshots = None,
-        should_remove_orphan_files = None, retention_days_orphan_files = None))
-    }
+        should_remove_orphan_files = None, retention_days_orphan_files = None)
+    }: _*)
     val sched = new Scheduler(store,
       n => GraftTable.load(spark, base.resolve(n).toString),
       numWorkers = 2, clock = t0)
