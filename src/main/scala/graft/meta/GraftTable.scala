@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -92,6 +92,37 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** Stats-pruned scan: read only the data files whose manifest
+    * min/max bounds for `column` overlap `[lo, hi]` — Iceberg-style
+    * file skipping over the `lower_bounds`/`upper_bounds` analogue kept
+    * in the manifest. With range-clustered writes (e.g.
+    * `repartitionByRange` on the column before append) this turns a
+    * selective scan from O(table) to O(matching range) I/O — at 100 TB
+    * the difference between reading everything and reading one
+    * partition's worth. Files without recorded bounds are kept (never
+    * prune on missing stats). The predicate itself must still be
+    * applied by the caller — pruning is a superset guarantee.
+    */
+  def readPruned(column: String, lo: Column, hi: Column): PrunedScan =
+    currentSnapshot match {
+      case Some(s) if s.numFiles > 0 =>
+        val dt = schema(column).dataType
+        val m = spark.read.schema(ManifestSchema).parquet(s.manifestPath)
+        val minC = element_at(col("min_values"), column).cast(dt)
+        val maxC = element_at(col("max_values"), column).cast(dt)
+        val keep = m.filter(minC.isNull || maxC.isNull ||
+          (maxC >= lo && minC <= hi))
+        val paths = keep.select("path").collect().map(_.getString(0)).toIndexedSeq
+        val df =
+          if (paths.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          else spark.read.schema(schema).parquet(paths: _*)
+        PrunedScan(df, paths.size.toLong, s.numFiles)
+      case _ =>
+        PrunedScan(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), 0L, 0L)
+    }
+
   // ---- commits ----------------------------------------------------------
 
   /** Append rows as a new snapshot (reference analogue: INSERT INTO,
@@ -133,17 +164,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
     val data = spark.read.parquet(commitDir.toString)
     val names = data.schema.fieldNames.toSeq
+    val bounded = data.schema.fields.filter(f => boundable(f.dataType))
+      .map(_.name).toSeq
     val nullMap = map_from_arrays(
       array(names.map(lit): _*),
       array(names.map(n => sum(when(data(n).isNull, 1L).otherwise(0L))): _*))
+    def boundMap(f: Column => Column) = map_from_arrays(
+      array(bounded.map(lit): _*),
+      array(bounded.map(n => f(data(n)).cast(StringType)): _*))
     val counts = data
       .groupBy(col("_metadata.file_path").as("path"))
-      .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"))
+      .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"),
+        boundMap(min).as("min_values"), boundMap(max).as("max_values"))
       .withColumn("path", normalizeUdf(col("path")))
     fsDf.join(counts, Seq("path"), "left")
       .select(col("path"), col("size_bytes"),
         coalesce(col("record_count"), lit(0L)).as("record_count"),
-        col("null_counts"))
+        col("null_counts"), col("min_values"), col("max_values"))
   }
 
   /** Write the manifest parquet + appended log entry. Caller holds lock.
@@ -157,7 +194,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val obs = new org.apache.spark.sql.Observation(s"manifest-$id")
     manifest
       .select(col("path"), col("size_bytes"), col("record_count"),
-        col("null_counts"), lit(id).as("added_snapshot_id"))
+        col("null_counts"), col("min_values"), col("max_values"),
+        lit(id).as("added_snapshot_id"))
       .observe(obs, count(lit(1)).as("nf"),
         coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
         coalesce(sum("record_count"), lit(0L)).as("rows"))
@@ -231,20 +269,39 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
 }
 
+/** Result of [[GraftTable.readPruned]]: the pruned scan plus the file
+  * counts proving (or disproving) that skipping happened. */
+final case class PrunedScan(df: DataFrame, filesScanned: Long, filesTotal: Long)
+
 object GraftTable {
-  val ManifestCols: Seq[String] = Seq("path", "size_bytes", "record_count", "null_counts")
+  val ManifestCols: Seq[String] = Seq("path", "size_bytes", "record_count",
+    "null_counts", "min_values", "max_values")
   /** Per-file inventory. `null_counts` (column name → #nulls in this
     * file) is the Iceberg-manifest-style file-level statistic that lets
     * SHOW STATS derive LIVE null fractions for columns never ANALYZEd —
     * the reference tests pin exactly that behavior
     * (tests/test_maintenance.py:151-161: un-analyzed column b's fraction
-    * moves immediately after an insert; analyzed column a stays pinned). */
+    * moves immediately after an insert; analyzed column a stays pinned).
+    * `min_values`/`max_values` (column name → string-encoded bound over
+    * this file's rows) are the Iceberg `lower_bounds`/`upper_bounds`
+    * analogue that [[GraftTable.readPruned]] uses for file skipping. */
   val ManifestSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("record_count", LongType, nullable = false),
     StructField("null_counts", MapType(StringType, LongType), nullable = true),
+    StructField("min_values", MapType(StringType, StringType), nullable = true),
+    StructField("max_values", MapType(StringType, StringType), nullable = true),
     StructField("added_snapshot_id", LongType, nullable = true)))
+
+  /** Column types whose string-encoded min/max round-trip losslessly
+    * through `cast(string)` and back (Spark renders doubles/timestamps
+    * shortest-round-trip), so file-skipping comparisons are exact. */
+  private[graft] def boundable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[meta] def lockFor(location: String): Object =

@@ -79,6 +79,11 @@ object ScaleQueries {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
     def ensure(name: String, df: => DataFrame, bucketCol: String): Unit =
       if (!s.catalog.tableExists(s"$db.$name")) {
+        // Bucketing metadata lives in the (in-memory) catalog: files left
+        // by a previous session carry none, so clear them and rewrite.
+        val dir = new org.apache.hadoop.fs.Path(s"$wh/$name")
+        val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(dir)) fs.delete(dir, true)
         df.write.mode(SaveMode.Overwrite)
           .bucketBy(8, bucketCol).sortBy(bucketCol)
           .format("parquet").saveAsTable(s"$db.$name")
@@ -171,6 +176,35 @@ object ScaleQueries {
       .orderBy($"priority", $"yr")
   }
 
+  /** Stats-pruned scan over a range-clustered GraftTable: lineitem is
+    * written once clustered by ship date (`repartitionByRange`), so the
+    * manifest's per-file min/max bounds are tight; a one-year revenue
+    * query then reads only the files overlapping 1994 (readPruned —
+    * Iceberg-style file skipping, asserted <100% in PrunedScanSpec).
+    * The residual predicate still applies post-prune, so the result is
+    * exactly the oracle's full-scan answer. */
+  def q29PrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_pruned_g${math.abs(dir.hashCode)}/t"
+    val li = t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_extendedprice", $"l_discount")
+    if (!GraftTable.exists(s, loc)) {
+      val tbl = GraftTable.create(s, loc, li.schema)
+      tbl.append(li.repartitionByRange(8, $"l_shipdate"))
+    }
+    val scan = GraftTable.load(s, loc).readPruned("l_shipdate",
+      lit("1994-01-01 00:00:00").cast("timestamp_ntz"),
+      lit("1994-12-31 23:59:59.999999").cast("timestamp_ntz"))
+    scan.df
+      .filter(year($"l_shipdate") === 1994)
+      .groupBy(month($"l_shipdate").as("mon"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"mon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01AsofJoin _),
     "q23_salted_join" -> (q23SaltedJoin _),
@@ -179,6 +213,7 @@ object ScaleQueries {
     "q26_json_ingest" -> (q26JsonIngest _),
     "q27_percentiles" -> (q27Percentiles _),
     "q28_cube" -> (q28Cube _),
+    "q29_pruned_scan" -> (q29PrunedScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,5 +264,10 @@ object ScaleQueries {
         |      FROM orders)
         |GROUP BY CUBE (o_orderpriority, yr)
         |ORDER BY priority, yr""".stripMargin,
+    "q29_pruned_scan" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS mon, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE year(l_shipdate) = 1994
+        |GROUP BY mon ORDER BY mon""".stripMargin,
   )
 }

@@ -41,4 +41,16 @@ class FloatDotSpec extends SparkSpec {
     assert(r.isNullAt(1))
     assert(r.getDouble(2) == 0.0)
   }
+
+  test("graft_fdot matches the fold's NULL on ragged and null-element input") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT graft_fdot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT))) AS ragged,
+        |       graft_fdot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS withnull
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0), "unequal lengths must yield NULL, not truncation")
+    assert(r.isNullAt(1), "a null element must yield NULL, not 0-fill")
+  }
 }
