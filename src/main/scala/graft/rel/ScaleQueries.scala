@@ -205,6 +205,20 @@ object ScaleQueries {
       .orderBy($"mon")
   }
 
+  /** PIVOT with an explicit value list (no extra distinct-scan pass to
+    * discover columns — the 100 TB form): events reshaped to one row per
+    * user bucket × one column per event type. */
+  def q30Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events")
+      .groupBy(($"user_id" % 10).as("bucket"))
+      .pivot("event_type", types)
+      .count()
+    p.select(($"bucket" +: types.map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01AsofJoin _),
     "q23_salted_join" -> (q23SaltedJoin _),
@@ -214,6 +228,7 @@ object ScaleQueries {
     "q27_percentiles" -> (q27Percentiles _),
     "q28_cube" -> (q28Cube _),
     "q29_pruned_scan" -> (q29PrunedScan _),
+    "q30_pivot" -> (q30Pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +284,13 @@ object ScaleQueries {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem WHERE year(l_shipdate) = 1994
         |GROUP BY mon ORDER BY mon""".stripMargin,
+    "q30_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

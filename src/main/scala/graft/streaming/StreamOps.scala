@@ -146,14 +146,56 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming exactly-once dedup: the source is deliberately DOUBLED
+    * (self-union of the file stream), then `dropDuplicates("event_id")`
+    * with a watermark removes the second copy of every event — the
+    * at-least-once-ingest → exactly-once-table pattern. The memory sink
+    * receives each event once (append mode; winner is deterministic
+    * because duplicates are identical rows), and a batch aggregation
+    * over the sink must equal the single-copy oracle: if dedup dropped
+    * nothing (or too much), every count mismatches. Watermark bounds the
+    * dedup state, which is what keeps this viable on an unbounded feed. */
+  def st02StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def src: DataFrame = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = src.unionByName(src)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+    val sink = s"st02_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st01_hourly_stream" -> (st01HourlyStream _))
+    "st01_hourly_stream" -> (st01HourlyStream _),
+    "st02_stream_dedup" -> (st02StreamDedup _))
+
+  private val HourlyOracle =
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "st01_hourly_stream" ->
-      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+    "st01_hourly_stream" -> HourlyOracle,
+    // Same single-copy oracle: the stream saw every event TWICE, so a
+    // hash match is proof the dedup removed exactly the duplicates.
+    "st02_stream_dedup" -> HourlyOracle)
 }
