@@ -81,17 +81,22 @@ object AnalyzeIncremental {
           Seq(count(c).as(s"nn:${f.name}"),
             hll_sketch_agg(sketchable(c, f.dataType)).as(s"hll:${f.name}")) ++ mm
         }: _*)
-    // long format: one row per (file, column)
-    val rows = schema.fields.toSeq.map { f =>
-      perFile.select(
-        udf((s: String) => GraftTable.normalize(s)).apply(col("raw_path")).as("path"),
-        lit(f.name).as("column_name"),
-        col("n_rows"),
+    // Long format (one row per file × column) via a single explode — a
+    // per-column unionAll would re-execute the whole sketch aggregation
+    // once per column (Catalyst does not dedupe common subtrees across
+    // union branches).
+    val entries = array(schema.fields.toSeq.map { f =>
+      struct(lit(f.name).as("column_name"),
         col(s"nn:${f.name}").as("n_nonnull"),
         col(s"hll:${f.name}").as("ndv_sketch"),
         col(s"min:${f.name}").as("min_str"),
         col(s"max:${f.name}").as("max_str"))
-    }.reduce(_ unionAll _)
+    }: _*)
+    val rows = perFile.select(
+        udf((s: String) => GraftTable.normalize(s)).apply(col("raw_path")).as("path"),
+        col("n_rows"), explode(entries).as("e"))
+      .select(col("path"), col("e.column_name"), col("n_rows"),
+        col("e.n_nonnull"), col("e.ndv_sketch"), col("e.min_str"), col("e.max_str"))
     rows.write.mode("append").parquet(storeDir(table).toString)
     table.fileSystem.delete(new Path(storeDir(table), "_SUCCESS"), false)
     todo.size.toLong
@@ -112,39 +117,34 @@ object AnalyzeIncremental {
           StoreSchema)
       else spark.read.schema(StoreSchema).parquet(storeDir(table).toString)
 
+    // ONE merge pass: counts, HLL union, and the per-file extrema lists
+    // in the same aggregation (the lists are O(#files) — driver-safe).
     val merged = store.join(liveFiles, Seq("path")) // inner: live files only
       .groupBy($"column_name")
       .agg(sum($"n_rows").as("rows_total"),
         sum($"n_nonnull").as("nn_total"),
         hll_sketch_estimate(hll_union_agg($"ndv_sketch"))
           .cast(DoubleType).as("ndv"),
-        min($"min_str").as("min_any"), max($"max_str").as("max_any"))
+        collect_list($"min_str").as("mins"),
+        collect_list($"max_str").as("maxs"))
       .collect().map(r => r.getString(0) -> r).toMap
 
     // typed re-derivation of min/max: lexicographic string min is wrong
-    // for numerics, so recompute per column over the per-file extrema.
-    val typedMm: Map[String, (String, String)] = {
-      val need = schema.fields.filter(f => orderable(f.dataType)).map(_.name).toSet
-      if (need.isEmpty || store.isEmpty) Map.empty
-      else store.join(liveFiles, Seq("path"))
-        .filter($"column_name".isin(need.toSeq: _*))
-        .groupBy($"column_name")
-        .agg(collect_list($"min_str").as("mins"), collect_list($"max_str").as("maxs"))
-        .collect().map { r =>
-          val f = schema(r.getString(0))
-          def ext(vs: Seq[String], isMin: Boolean): String = {
-            val vals = vs.filter(_ != null)
-            if (vals.isEmpty) null
-            else f.dataType match {
-              case _: NumericType =>
-                val ds = vals.map(BigDecimal(_))
-                (if (isMin) ds.min else ds.max).bigDecimal.toPlainString
-              case _ => if (isMin) vals.min else vals.max
-            }
+    // for numerics, so reduce the per-file extrema under the column type.
+    val typedMm: Map[String, (String, String)] = merged.collect {
+      case (name, r) if orderable(schema(name).dataType) =>
+        def ext(vs: Seq[String], isMin: Boolean): String = {
+          val vals = vs.filter(_ != null)
+          if (vals.isEmpty) null
+          else schema(name).dataType match {
+            case _: NumericType =>
+              val ds = vals.map(BigDecimal(_))
+              (if (isMin) ds.min else ds.max).bigDecimal.toPlainString
+            case _ => if (isMin) vals.min else vals.max
           }
-          r.getString(0) -> (ext(r.getSeq[String](1), isMin = true),
-            ext(r.getSeq[String](2), isMin = false))
-        }.toMap
+        }
+        name -> (ext(r.getSeq[String](4), isMin = true),
+          ext(r.getSeq[String](5), isMin = false))
     }
 
     import scala.jdk.CollectionConverters._
