@@ -33,10 +33,11 @@ object ExpireSnapshots {
       if (expired.isEmpty) return 0L
 
       val spark = table.spark
-      def manifests(ss: Seq[graft.meta.Snapshot]) =
-        if (ss.isEmpty) table.emptyManifest
-        else spark.read.schema(GraftTable.ManifestSchema)
-          .parquet(ss.map(_.manifestPath): _*)
+      def manifests(ss: Seq[graft.meta.Snapshot]) = {
+        val paths = ss.flatMap(_.manifests).distinct
+        if (paths.isEmpty) table.emptyManifest
+        else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
+      }
 
       import spark.implicits._
       val doomed = manifests(expired).select("path").distinct()
@@ -59,9 +60,12 @@ object ExpireSnapshots {
           if (path.getFileSystem(conf).delete(path, false)) deleted.add(1L)
         }
       }
-      expired.foreach { s =>
-        table.fileSystem.delete(new Path(s.manifestPath), true)
-      }
+      // Manifests are shared across append snapshots — reclaim only the
+      // ones no retained snapshot still lists.
+      val retainedManifests = retained.flatMap(_.manifests).toSet
+      expired.flatMap(_.manifests).distinct
+        .filterNot(retainedManifests)
+        .foreach(p => table.fileSystem.delete(new Path(p), true))
       deleted.value
     }
 }

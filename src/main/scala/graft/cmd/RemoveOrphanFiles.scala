@@ -36,7 +36,7 @@ object RemoveOrphanFiles {
       val listing = spark.createDataset(listed).toDF("path", "mtime")
 
       val referenced = {
-        val paths = table.snapshots.map(_.manifestPath)
+        val paths = table.snapshots.flatMap(_.manifests).distinct
         if (paths.isEmpty) table.emptyManifest
         else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
       }.select("path")

@@ -69,14 +69,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Metadata relation: one row per live data file — the engine-native
     * analogue of Iceberg's `"t$files"` (tests/test_maintenance.py:50). */
   def files: DataFrame = currentSnapshot match {
-    case Some(s) => spark.read.schema(ManifestSchema).parquet(s.manifestPath)
-    case None =>
+    case Some(s) if s.manifests.nonEmpty =>
+      spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
+    case _ =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
   }
 
   /** Union of every snapshot's inventory (for orphan reconciliation). */
   private def allReferencedFiles: DataFrame = {
-    val paths = snapshots.map(_.manifestPath)
+    val paths = snapshots.flatMap(_.manifests).distinct
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
     else spark.read.schema(ManifestSchema).parquet(paths: _*)
@@ -85,8 +86,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Scan of the current snapshot. */
   def read: DataFrame = currentSnapshot match {
     case Some(s) if s.numFiles > 0 =>
-      val paths = spark.read.schema(ManifestSchema).parquet(s.manifestPath)
-        .select("path").collect().map(_.getString(0))
+      val paths = files.select("path").collect().map(_.getString(0))
       spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
     case _ =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -107,7 +107,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     currentSnapshot match {
       case Some(s) if s.numFiles > 0 =>
         val dt = schema(column).dataType
-        val m = spark.read.schema(ManifestSchema).parquet(s.manifestPath)
+        val m = files
         val minC = element_at(col("min_values"), column).cast(dt)
         val maxC = element_at(col("max_values"), column).cast(dt)
         val keep = m.filter(minC.isNull || maxC.isNull ||
@@ -126,16 +126,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   // ---- commits ----------------------------------------------------------
 
   /** Append rows as a new snapshot (reference analogue: INSERT INTO,
-    * tests/test_maintenance.py:48-49). */
+    * tests/test_maintenance.py:48-49). Writes ONLY the delta manifest
+    * for the new files and carries the prior manifest list — commit
+    * metadata cost is O(new files), not O(table). */
   def append(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
       df.write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
-      val added = inventory(commitDir)
-      val carried = files.select(ManifestCols.map(col): _*)
-      commit("append", carried.unionAll(added), clock)
+      commit("append", inventory(commitDir), clock, carryPrior = true)
     }
 
   /** Overwrite the table content entirely (used by tests / demos). */
@@ -145,7 +145,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       df.write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
-      commit("overwrite", inventory(commitDir), clock)
+      commit("overwrite", inventory(commitDir), clock, carryPrior = false)
+    }
+
+  /** Metadata compaction (Iceberg's `rewrite_manifests`): merge the
+    * current snapshot's accumulated delta manifests into ONE manifest
+    * and commit it as a new snapshot over the SAME data files
+    * (original `added_snapshot_id` lineage preserved). After many
+    * appends, manifest-list reads touch one file again; superseded
+    * manifests stay owned by older snapshots until expiry.
+    * @return number of manifests merged (0 = nothing to do) */
+  def rewriteManifests(clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      val cur = currentSnapshot.getOrElse(return 0L)
+      if (cur.manifests.size <= 1) return 0L
+      commit("rewrite_manifests",
+        files.select((ManifestCols :+ "added_snapshot_id").map(col): _*),
+        clock, carryPrior = false)
+      cur.manifests.size.toLong
     }
 
   /** Build the (path, size_bytes, record_count, null_counts) inventory
@@ -183,19 +200,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         col("null_counts"), col("min_values"), col("max_values"))
   }
 
-  /** Write the manifest parquet + appended log entry. Caller holds lock.
-    * The snapshot summary (file/byte/row totals) is collected by
+  /** Write the delta manifest parquet + appended log entry. Caller holds
+    * the lock. With `carryPrior`, the new snapshot lists the prior
+    * snapshot's manifests plus this delta and totals accumulate
+    * (append); otherwise the delta replaces the whole list (overwrite /
+    * optimize / rewrite_manifests). The delta summary is collected by
     * `observe` DURING the manifest write — one Spark action per commit,
     * not a write followed by a read-back aggregation. */
-  private def commit(op: String, manifest: DataFrame, clock: Clock): Unit = {
+  private def commit(op: String, manifest: DataFrame, clock: Clock,
+                     carryPrior: Boolean): Unit = {
     val prior = snapshots
+    val cur = SnapshotLog.current(prior)
     val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
     val manifestDir = new Path(tableDir, s"_graft/manifests/$id")
     val obs = new org.apache.spark.sql.Observation(s"manifest-$id")
+    val addedId = // rewrite_manifests passes lineage through; deltas stamp id
+      if (manifest.columns.contains("added_snapshot_id"))
+        coalesce(col("added_snapshot_id"), lit(id))
+      else lit(id)
     manifest
       .select(col("path"), col("size_bytes"), col("record_count"),
         col("null_counts"), col("min_values"), col("max_values"),
-        lit(id).as("added_snapshot_id"))
+        addedId.as("added_snapshot_id"))
       .observe(obs, count(lit(1)).as("nf"),
         coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
         coalesce(sum("record_count"), lit(0L)).as("rows"))
@@ -203,9 +229,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .write.mode("overwrite").parquet(manifestDir.toString)
     fs.delete(new Path(manifestDir, "_SUCCESS"), false)
     val m = obs.get
-    val snap = Snapshot(id, clock.millis(), op, manifestDir.toString,
-      m("nf").asInstanceOf[Long], m("bytes").asInstanceOf[Long],
-      m("rows").asInstanceOf[Long])
+    val (dnf, dbytes, drows) = (m("nf").asInstanceOf[Long],
+      m("bytes").asInstanceOf[Long], m("rows").asInstanceOf[Long])
+    val snap =
+      if (carryPrior) {
+        val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
+        Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
+          b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows)
+      } else
+        Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
+          dnf, dbytes, drows)
     SnapshotLog.write(fs, tableDir, prior :+ snap)
   }
 
@@ -263,8 +296,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private[graft] def fileSystem: FileSystem = fs
   private[graft] def dir: Path = tableDir
   private[graft] def lock: Object = commitLock
-  private[graft] def doCommit(op: String, manifest: DataFrame, clock: Clock): Unit =
-    commit(op, manifest, clock)
+  private[graft] def doCommit(op: String, manifest: DataFrame, clock: Clock,
+                              carryPrior: Boolean = false): Unit =
+    commit(op, manifest, clock, carryPrior)
   private[graft] def emptyManifest: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
 }

@@ -6,12 +6,20 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /** One committed table version.
   *
-  * The per-file inventory is NOT held here — it lives in a parquet
-  * manifest at [[manifestPath]], read as a DataFrame (scales to millions
-  * of files; the log row itself stays O(1)). Mirrors the Iceberg
-  * snapshot-of-manifests model the reference operates on via Trino
-  * (reference: trino_iceberg_maintenance/__main__.py:141-177 issues
-  * ALTER TABLE ... EXECUTE against exactly this structure).
+  * The per-file inventory is NOT held here — it lives in parquet
+  * manifests listed in [[manifests]], read as a DataFrame (scales to
+  * millions of files; the log row stays O(#manifests)). Mirrors the
+  * Iceberg snapshot-of-manifests model the reference operates on via
+  * Trino (reference: trino_iceberg_maintenance/__main__.py:141-177
+  * issues ALTER TABLE ... EXECUTE against exactly this structure).
+  *
+  * An APPEND commit writes only the delta manifest for its new files
+  * and carries the prior snapshot's manifest list — commit metadata
+  * cost is O(new files), not O(table), which is what keeps a
+  * 100 TB/сommit-heavy table writable. Replacement commits (optimize /
+  * overwrite / rewrite_manifests) start a fresh single-manifest list.
+  * Manifests are therefore SHARED between snapshots; expiry must only
+  * delete manifests no retained snapshot lists.
   *
   * @param timestampMs  commit time, epoch millis (driver clock — the
   *                     reference's two-clock split __main__.py:165 vs :174
@@ -20,8 +28,8 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 final case class Snapshot(
     snapshotId: Long,
     timestampMs: Long,
-    operation: String, // append | optimize | expire | delete
-    manifestPath: String,
+    operation: String, // append | optimize | overwrite | rewrite_manifests
+    manifests: Seq[String],
     numFiles: Long,
     totalBytes: Long,
     totalRows: Long)
@@ -74,18 +82,22 @@ object SnapshotLog {
 
   private def render(ss: Seq[Snapshot]): String =
     ss.map { s =>
+      val ms = s.manifests.map(p => s""""$p"""").mkString("[", ",", "]")
       s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
-        s""""operation":"${s.operation}","manifestPath":"${s.manifestPath}",""" +
+        s""""operation":"${s.operation}","manifests":$ms,""" +
         s""""numFiles":${s.numFiles},"totalBytes":${s.totalBytes},"totalRows":${s.totalRows}}"""
     }.mkString("[\n", ",\n", "\n]")
 
   private val Entry =
     ("""\{"snapshotId":(-?\d+),"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
-      """"manifestPath":"([^"]*)","numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
+      """"manifests":\[([^\]]*)\],"numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
 
   private def parse(txt: String): Seq[Snapshot] =
     Entry.findAllMatchIn(txt).map { m =>
+      val manifests =
+        if (m.group(4).isEmpty) Seq.empty[String]
+        else m.group(4).split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
       Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3),
-        m.group(4), m.group(5).toLong, m.group(6).toLong, m.group(7).toLong)
+        manifests, m.group(5).toLong, m.group(6).toLong, m.group(7).toLong)
     }.toSeq
 }

@@ -189,7 +189,14 @@ object ScaleQueries {
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_pruned_g${math.abs(dir.hashCode)}/t"
     val li = t(s, dir, "lineitem")
       .select($"l_shipdate", $"l_extendedprice", $"l_discount")
-    if (!GraftTable.exists(s, loc)) {
+    // Rebuild unless a committed snapshot is readable (a bare log file
+    // from an older format/failed run is not enough).
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0)
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
       val tbl = GraftTable.create(s, loc, li.schema)
       tbl.append(li.repartitionByRange(8, $"l_shipdate"))
     }

@@ -148,13 +148,35 @@ object MaintenanceQueries {
         col("distinct_values_count"), col("nulls_fraction"), col("row_count"))
   }
 
+  /** rewrite_manifests: three delta-manifest appends merge to one
+    * manifest; same files, same rows, lineage preserved. */
+  private def rewriteManifestsDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("rewrite"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    (0 until 3).foreach(i =>
+      t.append(df.filter(col("p_partkey") % 3 === i), t0))
+    val before = t.currentSnapshot.map(_.manifests.size).getOrElse(0)
+    val rowsBefore = t.currentSnapshot.map(_.totalRows).getOrElse(0L)
+    val merged = t.rewriteManifests(t0)
+    val after = t.currentSnapshot.map(_.manifests.size).getOrElse(0)
+    t.files
+      .select(lit(before).as("manifests_before"),
+        lit(merged).as("manifests_merged"),
+        lit(after).as("manifests_after"),
+        lit(rowsBefore).as("rows_before"), col("path"),
+        col("record_count"), col("added_snapshot_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
     "x04_analyze_stats" -> (analyzeDemo _),
     "x05_scheduler" -> (schedulerDemo _),
-    "x06_incremental_analyze" -> (incrementalDemo _))
+    "x06_incremental_analyze" -> (incrementalDemo _),
+    "x07_rewrite_manifests" -> (rewriteManifestsDemo _))
 
   /** Not SQL-expressible → no oracles (driver does rows-only checks). */
   val oracles: Map[String, String] = Map.empty
