@@ -22,14 +22,26 @@ import graft.meta.GraftTable
   * same shape Iceberg's rewrite_data_files (binpack) action uses.
   */
 object Optimize {
-  def run(table: GraftTable, targetFileBytes: Long, clock: Clock): Unit =
+  /** @param clusterBy when non-empty, the rewrite range-partitions and
+    *   sorts by these columns instead of round-robin bin-packing —
+    *   sort-order compaction. Files come out value-clustered, so the
+    *   manifest min/max bounds are tight and `readPruned` range scans
+    *   skip most files (Iceberg's rewrite_data_files `sort` strategy
+    *   vs. the default `binpack`). */
+  def run(table: GraftTable, targetFileBytes: Long, clock: Clock,
+          clusterBy: Seq[String] = Seq.empty): Unit =
     table.lock.synchronized {
       val current = table.currentSnapshot.getOrElse(return)
-      if (current.numFiles <= 1) return // already compact — commit nothing
+      if (current.numFiles <= 1 && clusterBy.isEmpty) return // already compact
       val nOut = math.max(1L,
         (current.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
-      table.read.repartition(nOut).write.parquet(commitDir.toString)
+      val rewritten =
+        if (clusterBy.isEmpty) table.read.repartition(nOut)
+        else table.read
+          .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      rewritten.write.parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
       table.doCommit("optimize", table.inventory(commitDir), clock)
     }

@@ -84,9 +84,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** Scan of the current snapshot. */
-  def read: DataFrame = currentSnapshot match {
-    case Some(s) if s.numFiles > 0 =>
-      val paths = files.select("path").collect().map(_.getString(0))
+  def read: DataFrame = readSnapshot(currentSnapshot)
+
+  /** Time travel: scan the table exactly as of `snapshotId`. Expired
+    * snapshots read as absent (their manifests are gone). */
+  def readAsOf(snapshotId: Long): DataFrame =
+    readSnapshot(snapshots.find(_.snapshotId == snapshotId))
+
+  /** Time travel by wall clock: the latest snapshot committed at or
+    * before `tsMillis` (Iceberg's `FOR TIMESTAMP AS OF`). */
+  def readAsOfTime(tsMillis: Long): DataFrame = {
+    val eligible = snapshots.filter(_.timestampMs <= tsMillis)
+    readSnapshot(if (eligible.isEmpty) None else Some(eligible.maxBy(_.snapshotId)))
+  }
+
+  private def readSnapshot(snap: Option[Snapshot]): DataFrame = snap match {
+    case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty =>
+      val paths = spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
+        .select("path").collect().map(_.getString(0))
       spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
     case _ =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -264,8 +279,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   // ---- maintenance commands (graft.cmd implements the bodies) -----------
 
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
-               clock: Clock = Clock.systemUTC()): Unit =
-    graft.cmd.Optimize.run(this, targetFileBytes, clock)
+               clock: Clock = Clock.systemUTC(),
+               clusterBy: Seq[String] = Seq.empty): Unit =
+    graft.cmd.Optimize.run(this, targetFileBytes, clock, clusterBy)
 
   def expireSnapshots(retentionDays: Int,
                       clock: Clock = Clock.systemUTC()): Long =
