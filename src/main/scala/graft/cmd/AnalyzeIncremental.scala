@@ -58,17 +58,19 @@ object AnalyzeIncremental {
   /** Sketch uncovered live files; returns how many files were scanned. */
   def run(table: GraftTable, clock: Clock): Long = table.lock.synchronized {
     val spark = table.spark
-    val live = table.files.select("path").collect().map(_.getString(0)).toSet
+    val livePairs = table.liveFilePairs
     val covered: Set[String] =
       if (!table.fileSystem.exists(storeDir(table))) Set.empty
       else spark.read.schema(StoreSchema).parquet(storeDir(table).toString)
         .select("path").distinct().collect().map(_.getString(0)).toSet
-    val todo = (live -- covered).toSeq.sorted
+    val todo = livePairs.filterNot(p => covered(p._1)).sortBy(_._1)
     if (todo.isEmpty) return 0L
 
     val schema = table.schema
-    val data = spark.read.schema(schema).parquet(todo: _*)
-    val perFile = data.groupBy(col("_metadata.file_path").as("raw_path"))
+    // Schema-aligned read: sketches are keyed by CURRENT column names
+    // even for files written before a rename.
+    val data = table.readFilesAligned(todo, Some("__graft_fp"))
+    val perFile = data.groupBy(col("__graft_fp").as("raw_path"))
       .agg(count(lit(1)).as("n_rows"),
         schema.fields.toSeq.flatMap { f =>
           val c = data(f.name)

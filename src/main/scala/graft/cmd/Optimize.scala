@@ -36,11 +36,19 @@ object Optimize {
       val nOut = math.max(1L,
         (current.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
+      val spec = table.partitionSpec
       val rewritten =
-        if (clusterBy.isEmpty) table.read.repartition(nOut)
-        else table.read
-          .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        if (clusterBy.nonEmpty)
+          table.read
+            .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        else if (spec.nonEmpty) {
+          // keep a partitioned table clustered — a round-robin rewrite
+          // would widen every file's transform bounds and kill pruning
+          val df = table.read
+          val exprs = spec.map(f => f.expr(df(f.column)))
+          df.repartitionByRange(nOut, exprs: _*).sortWithinPartitions(exprs: _*)
+        } else table.read.repartition(nOut)
       rewritten.write.parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
       table.doCommit("optimize", table.inventory(commitDir), clock)

@@ -69,14 +69,17 @@ object SimilarityQueries {
     val simToCent = e.join(broadcast(cents), lit(true))
       .withColumn("csim", round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
-    val assigned = simToCent
-      .withColumn("arn", row_number().over(wAssign))
-      .filter($"arn" === 1)
+    // One ranked relation feeds both branches. The query filter sits
+    // ABOVE the window so both subtrees share an identical Exchange —
+    // Catalyst's ReuseExchange then runs the 16×N dot-product join and
+    // its shuffle ONCE (filtering below the window forked the exchange
+    // and recomputed the whole join per branch).
+    val ranked = simToCent.withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked
+      .filter($"crn" === 1)
       .select($"vec_id", $"embedding", $"nrm", $"cell_id")
-    val probes = simToCent
-      .filter($"vec_id" < NumQueries)
-      .withColumn("prn", row_number().over(wAssign))
-      .filter($"prn" <= NumProbes)
+    val probes = ranked
+      .filter($"vec_id" < NumQueries && $"crn" <= NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"),
         $"nrm".as("qn"), $"cell_id")
     val cand = assigned.join(probes, Seq("cell_id"))

@@ -5,6 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
+import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -100,11 +101,161 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   private def readSnapshot(snap: Option[Snapshot]): DataFrame = snap match {
     case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty =>
-      val paths = spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
-        .select("path").collect().map(_.getString(0))
-      spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+      readFilesAligned(filePairsOf(s))
     case _ =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** (path, added_snapshot_id) of a snapshot's live data files. */
+  private def filePairsOf(s: Snapshot): Seq[(String, Long)] =
+    spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
+      .select("path", "added_snapshot_id").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toIndexedSeq
+
+  private[graft] def liveFilePairs: Seq[(String, Long)] = currentSnapshot match {
+    case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty => filePairsOf(s)
+    case _ => Seq.empty
+  }
+
+  // ---- schema evolution --------------------------------------------------
+
+  private def schemasDir = new Path(tableDir, "_graft/schemas")
+
+  /** Every schema version ever committed, oldest first. Empty until the
+    * first evolution — an un-evolved table has just `schema.json` and
+    * takes the exact pre-evolution fast read path. */
+  def schemaVersions: Seq[SchemaVersion] =
+    if (!fs.exists(schemasDir)) Seq.empty
+    else fs.listStatus(schemasDir).toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case SchemaFileName(v, since) =>
+            val in = fs.open(st.getPath)
+            val txt = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            Some(SchemaVersion(v.toInt, since.toLong,
+              DataType.fromJson(txt).asInstanceOf[StructType]))
+          case _ => None
+        }
+      }.sortBy(_.version)
+
+  /** ADD COLUMN (always nullable — existing rows read as NULL). */
+  def addColumn(name: String, dataType: DataType): Unit =
+    commitLock.synchronized {
+      val vs = ensureSchemaLog()
+      val cur = vs.last.schema
+      require(!cur.fieldNames.contains(name), s"column $name already exists")
+      // Never recycle a dropped column's id — max over every version's
+      // gids, or a re-added same-named column would resurrect old bytes.
+      val gid = vs.flatMap(_.schema.fields.map(gidOf)).foldLeft(-1L)(math.max) + 1
+      commitSchema(vs, StructType(cur.fields :+ StructField(name, dataType,
+        nullable = true, new MetadataBuilder().putLong(GidKey, gid).build())))
+    }
+
+  /** RENAME COLUMN — metadata-only: no data file is touched; files
+    * written under the old name keep resolving through the stable field
+    * id (the Iceberg field-id rename semantics, not a rewrite). */
+  def renameColumn(from: String, to: String): Unit =
+    commitLock.synchronized {
+      val vs = ensureSchemaLog()
+      val cur = vs.last.schema
+      require(cur.fieldNames.contains(from), s"no such column $from")
+      require(!cur.fieldNames.contains(to), s"column $to already exists")
+      commitSchema(vs, StructType(cur.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)))
+    }
+
+  /** DROP COLUMN — metadata-only; the bytes stay in old files and stop
+    * being projected (and are physically shed by the next optimize). */
+  def dropColumn(name: String): Unit =
+    commitLock.synchronized {
+      val vs = ensureSchemaLog()
+      val cur = vs.last.schema
+      require(cur.fieldNames.contains(name), s"no such column $name")
+      require(cur.fields.length > 1, "cannot drop the last column")
+      commitSchema(vs, StructType(cur.fields.filterNot(_.name == name)))
+    }
+
+  /** Widen a column's type (e.g. int → long / float → double). Data
+    * files keep the narrow type; reads up-cast through the field id. */
+  def updateColumnType(name: String, to: DataType): Unit =
+    commitLock.synchronized {
+      val vs = ensureSchemaLog()
+      val cur = vs.last.schema
+      require(cur.fieldNames.contains(name), s"no such column $name")
+      require(Cast.canUpCast(cur(name).dataType, to),
+        s"cannot widen ${cur(name).dataType.simpleString} to ${to.simpleString}")
+      commitSchema(vs, StructType(cur.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)))
+    }
+
+  /** First evolution on a table that predates the schema log: freeze the
+    * current schema as v1 (field ids = field positions), effective since
+    * the beginning of time. */
+  private def ensureSchemaLog(): Seq[SchemaVersion] = {
+    val vs = schemaVersions
+    if (vs.nonEmpty) vs
+    else {
+      val v = SchemaVersion(1, 0L, withGids(schema))
+      writeSchemaVersion(v)
+      Seq(v)
+    }
+  }
+
+  private def writeSchemaVersion(v: SchemaVersion): Unit = {
+    fs.mkdirs(schemasDir)
+    writeAtomic(new Path(schemasDir, f"v${v.version}%05d_s${v.since}.json"),
+      v.schema.json)
+  }
+
+  private def commitSchema(prior: Seq[SchemaVersion], next: StructType): Unit = {
+    val since = snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+    writeSchemaVersion(SchemaVersion(prior.last.version + 1, since, next))
+    writeAtomic(new Path(tableDir, "_graft/schema.json"), next.json)
+  }
+
+  /** Read data files, each decoded with the schema it was WRITTEN under
+    * (resolved from its `added_snapshot_id`), then aligned to the current
+    * schema by stable field id: renamed columns resolve, added columns
+    * null-fill, dropped columns are not projected, widened types up-cast.
+    * `pathCol` additionally exposes the (normalized) source file path as
+    * a regular column — the callers that need `_metadata.file_path`
+    * can't reach it through the alignment projection/union otherwise.
+    *
+    * Un-evolved tables (≤1 schema version) take the single-scan fast
+    * path — one parquet relation, full pushdown, no union. Evolved
+    * tables get one scan per distinct write-schema generation (a handful
+    * at most), each still a plain pushdown-friendly parquet scan. */
+  private[graft] def readFilesAligned(pathsWithAdded: Seq[(String, Long)],
+                                      pathCol: Option[String] = None): DataFrame = {
+    val cur = schema
+    def pathProj(df: DataFrame): Seq[Column] =
+      pathCol.map(n => normalizeUdf(col("_metadata.file_path")).as(n)).toSeq
+    if (pathsWithAdded.isEmpty) {
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
+      return pathCol.fold(base)(n => base.withColumn(n, lit(null).cast(StringType)))
+    }
+    val vs = schemaVersions
+    if (vs.size <= 1) {
+      val raw = spark.read.schema(cur).parquet(pathsWithAdded.map(_._1): _*)
+      return raw.select(raw.columns.map(col).toSeq ++ pathProj(raw): _*)
+    }
+    val groups = pathsWithAdded.groupBy { case (_, added) =>
+      val elig = vs.filter(_.since <= added)
+      (if (elig.isEmpty) vs.head else elig.last).version
+    }
+    groups.toSeq.sortBy(_._1).map { case (ver, ps) =>
+      val vSchema = vs.find(_.version == ver).get.schema
+      val raw = spark.read.schema(vSchema).parquet(ps.map(_._1): _*)
+      val aligned = cur.fields.toSeq.map { f =>
+        vSchema.fields.find(vf => gidOf(vf) == gidOf(f)) match {
+          case Some(vf) => col(vf.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      raw.select(aligned ++ pathProj(raw): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Stats-pruned scan: read only the data files whose manifest
@@ -118,6 +269,38 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * prune on missing stats). The predicate itself must still be
     * applied by the caller — pruning is a superset guarantee.
     */
+  /** The table's partition spec (empty = unpartitioned). */
+  def partitionSpec: Seq[PartitionField] = PartitionSpec.read(fs, tableDir)
+
+  /** Partition-pruned scan: for each `(specFieldName, value)` predicate
+    * (e.g. `"days_ts" -> lit(18000)`, `"bucket8_id" -> lit(3)`), keep
+    * only the files whose manifest bounds for that TRANSFORM OUTPUT
+    * cover the value. This is Iceberg partition pruning without Hive
+    * directories: data files hold all columns; the manifest holds the
+    * transform bounds; pruning is metadata-only set algebra. Works for
+    * non-monotonic transforms (bucket) where raw-column min/max can't
+    * prune. Superset guarantee — callers still apply the row predicate. */
+  def readPrunedPartition(preds: (String, Column)*): PrunedScan =
+    currentSnapshot match {
+      case Some(s) if s.numFiles > 0 =>
+        val spec = partitionSpec
+        val keep = preds.foldLeft(files) { case (acc, (name, v)) =>
+          val f = spec.find(_.name == name).getOrElse(throw
+            new IllegalArgumentException(s"no partition field named $name"))
+          val dt = f.outputType(schema(f.column).dataType)
+          val minC = element_at(col("min_values"), name).cast(dt)
+          val maxC = element_at(col("max_values"), name).cast(dt)
+          acc.filter(minC.isNull || maxC.isNull || (maxC >= v && minC <= v))
+        }
+        val pa = keep.select("path", "added_snapshot_id").collect()
+          .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toIndexedSeq
+        PrunedScan(readFilesAligned(pa), pa.size.toLong, s.numFiles)
+      case _ =>
+        PrunedScan(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), 0L, 0L)
+    }
+
   def readPruned(column: String, lo: Column, hi: Column): PrunedScan =
     currentSnapshot match {
       case Some(s) if s.numFiles > 0 =>
@@ -127,12 +310,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val maxC = element_at(col("max_values"), column).cast(dt)
         val keep = m.filter(minC.isNull || maxC.isNull ||
           (maxC >= lo && minC <= hi))
-        val paths = keep.select("path").collect().map(_.getString(0)).toIndexedSeq
-        val df =
-          if (paths.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-          else spark.read.schema(schema).parquet(paths: _*)
-        PrunedScan(df, paths.size.toLong, s.numFiles)
+        val pa = keep.select("path", "added_snapshot_id").collect()
+          .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toIndexedSeq
+        PrunedScan(readFilesAligned(pa), pa.size.toLong, s.numFiles)
       case _ =>
         PrunedScan(
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), 0L, 0L)
@@ -145,12 +326,33 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * for the new files and carries the prior manifest list — commit
     * metadata cost is O(new files), not O(table). */
   def append(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
+    appendOp(df, "append", clock)
+
+  /** Append with a caller-chosen operation tag in the snapshot log —
+    * the streaming sink stamps its (query, batchId) here so replayed
+    * micro-batches are detectable atomically with the commit itself.
+    * Partitioned tables range-cluster the batch by the spec's transform
+    * outputs first, so every data file covers a tight transform-value
+    * range and [[readPrunedPartition]] can skip it. */
+  private[graft] def appendOp(df: DataFrame, op: String, clock: Clock): Unit =
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      df.write.parquet(commitDir.toString)
+      val spec = partitionSpec
+      val toWrite =
+        if (spec.isEmpty) df
+        else {
+          // Explicit partition count: without it AQE coalesces the range
+          // shuffle (often to ONE partition on small batches), merging
+          // every transform value into one file and defeating pruning.
+          val exprs = spec.map(f => f.expr(df(f.column)))
+          df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+              exprs: _*)
+            .sortWithinPartitions(exprs: _*)
+        }
+      toWrite.write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
-      commit("append", inventory(commitDir), clock, carryPrior = true)
+      commit(op, inventory(commitDir), clock, carryPrior = true)
     }
 
   /** Overwrite the table content entirely (used by tests / demos). */
@@ -198,12 +400,18 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val names = data.schema.fieldNames.toSeq
     val bounded = data.schema.fields.filter(f => boundable(f.dataType))
       .map(_.name).toSeq
+    // Partition-transform outputs get their own manifest bounds (e.g.
+    // bucket8_id) — identity transforms are already covered by the
+    // column's own entry.
+    val specs = partitionSpec.filter(s =>
+      data.columns.contains(s.column) && !bounded.contains(s.name))
     val nullMap = map_from_arrays(
       array(names.map(lit): _*),
       array(names.map(n => sum(when(data(n).isNull, 1L).otherwise(0L))): _*))
     def boundMap(f: Column => Column) = map_from_arrays(
-      array(bounded.map(lit): _*),
-      array(bounded.map(n => f(data(n)).cast(StringType)): _*))
+      array((bounded.map(lit) ++ specs.map(s => lit(s.name))): _*),
+      array((bounded.map(n => f(data(n)).cast(StringType)) ++
+        specs.map(s => f(s.expr(data(s.column))).cast(StringType))): _*))
     val counts = data
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"),
@@ -259,15 +467,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   private def writeSchemaIfAbsent(s: StructType): Unit = {
     val p = new Path(tableDir, "_graft/schema.json")
-    if (!fs.exists(p)) {
-      val tmp = new Path(p.getParent, s".schema.tmp-${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // Single-FS-op overwrite rename: no window with neither file present.
-      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
-        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    if (!fs.exists(p)) writeAtomic(p, s.json)
+  }
+
+  private def writeAtomic(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // Single-FS-op overwrite rename: no window with neither file present.
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** DROP TABLE (reference analogue: tests/test_maintenance.py:20) —
@@ -298,6 +508,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** SHOW STATS-shaped relation (tests/test_maintenance.py:90-92). */
   def stats: DataFrame = graft.cmd.Analyze.statsRelation(this)
 
+  /** Copy-on-write row-level DELETE; rewrites only affected files.
+    * @return rows deleted */
+  def deleteWhere(cond: Column, clock: Clock = Clock.systemUTC()): Long =
+    graft.cmd.RowLevel.delete(this, cond, clock)
+
+  /** Copy-on-write MERGE (upsert by key); rewrites only affected files. */
+  def merge(source: DataFrame, keys: Seq[String],
+            clock: Clock = Clock.systemUTC()): Unit =
+    graft.cmd.RowLevel.merge(this, source, keys, clock)
+
   /** Incremental ANALYZE: sketch only not-yet-covered live files;
     * returns the number of files scanned. */
   def analyzeIncremental(clock: Clock = Clock.systemUTC()): Long =
@@ -323,7 +543,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   * counts proving (or disproving) that skipping happened. */
 final case class PrunedScan(df: DataFrame, filesScanned: Long, filesTotal: Long)
 
+/** One committed table schema: effective for files added by snapshots
+  * with id >= `since`. Fields carry stable ids ([[GraftTable.gidOf]]) so
+  * renames resolve without touching data (Iceberg field-id semantics). */
+final case class SchemaVersion(version: Int, since: Long, schema: StructType)
+
 object GraftTable {
+  /** Field-metadata key holding a column's stable id across renames. */
+  private[meta] val GidKey = "gid"
+  private[meta] val SchemaFileName = """v(\d+)_s(\d+)\.json""".r
+
+  /** Stable field id; pre-evolution schemas have none (-1) — they are
+    * stamped positionally when the schema log is first created. */
+  private[meta] def gidOf(f: StructField): Long =
+    if (f.metadata.contains(GidKey)) f.metadata.getLong(GidKey) else -1L
+
+  private[meta] def withGids(s: StructType): StructType =
+    StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      if (f.metadata.contains(GidKey)) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(GidKey, i.toLong).build())
+    })
+
   val ManifestCols: Seq[String] = Seq("path", "size_bytes", "record_count",
     "null_counts", "min_values", "max_values")
   /** Per-file inventory. `null_counts` (column name → #nulls in this
@@ -363,10 +604,13 @@ object GraftTable {
   private[meta] val normalizeUdf =
     udf((s: String) => normalize(s))
 
-  def create(spark: SparkSession, location: String, schema: StructType): GraftTable = {
+  def create(spark: SparkSession, location: String, schema: StructType,
+             partitionBy: Seq[PartitionField] = Seq.empty): GraftTable = {
     val t = new GraftTable(spark, location)
     t.fileSystem.mkdirs(new Path(location, "_graft"))
     t.writeSchemaIfAbsent(schema)
+    if (partitionBy.nonEmpty)
+      PartitionSpec.write(t.fileSystem, t.dir, partitionBy)
     SnapshotLog.write(t.fileSystem, t.dir, Seq.empty)
     t
   }

@@ -179,7 +179,7 @@ object ScaleQueries {
   /** Stats-pruned scan over a range-clustered GraftTable: lineitem is
     * written once clustered by ship date (`repartitionByRange`), so the
     * manifest's per-file min/max bounds are tight; a one-year revenue
-    * query then reads only the files overlapping 1994 (readPruned —
+    * query then reads only the files overlapping 1996 (readPruned —
     * Iceberg-style file skipping, asserted <100% in PrunedScanSpec).
     * The residual predicate still applies post-prune, so the result is
     * exactly the oracle's full-scan answer. */
@@ -201,15 +201,41 @@ object ScaleQueries {
       tbl.append(li.repartitionByRange(8, $"l_shipdate"))
     }
     val scan = GraftTable.load(s, loc).readPruned("l_shipdate",
-      lit("1994-01-01 00:00:00").cast("timestamp_ntz"),
-      lit("1994-12-31 23:59:59.999999").cast("timestamp_ntz"))
+      lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+      lit("1996-12-31 23:59:59.999999").cast("timestamp_ntz"))
     scan.df
-      .filter(year($"l_shipdate") === 1994)
+      .filter(year($"l_shipdate") === 1996)
       .groupBy(month($"l_shipdate").as("mon"))
       .agg(count(lit(1)).as("n_items"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
           .as("revenue"))
       .orderBy($"mon")
+  }
+
+  /** Copy-on-write MERGE (upsert): part is loaded into a graft table,
+    * a source of updates (price bump on every 10th key) and inserts
+    * (new keys) is merged in ONE commit, and the post-merge table must
+    * aggregate exactly like the oracle's CASE-rewritten union. Only
+    * files containing matched keys are rewritten (RowLevel). */
+  def a02MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val part = t(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+    val loc = Files.createTempDirectory("graft_merge").resolve("t").toString
+    val tbl = GraftTable.create(s, loc, part.schema)
+    tbl.append(part.repartitionByRange(8, $"p_partkey"))
+    val updates = part.filter($"p_partkey" % 10 === 0)
+      .withColumn("p_retailprice", $"p_retailprice" + 100.0)
+    val inserts = part.filter($"p_partkey" % 100 === 1)
+      .select(($"p_partkey" + 1000000L).as("p_partkey"),
+        $"p_brand", $"p_retailprice")
+    tbl.merge(updates.unionByName(inserts), Seq("p_partkey"))
+    tbl.read
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"p_retailprice"), 2).as("total"))
+      .orderBy($"p_brand")
   }
 
   /** PIVOT with an explicit value list (no extra distinct-scan pass to
@@ -226,8 +252,44 @@ object ScaleQueries {
       .orderBy($"bucket")
   }
 
+  /** Partition-transform pruning (Iceberg `days(ts)` analogue): events
+    * land in a GraftTable partitioned by days(ts) — appends range-cluster
+    * on the transform, manifests record per-file day bounds — and a
+    * one-day query prunes by METADATA before any data I/O
+    * (readPrunedPartition). The residual filter keeps exactness, so the
+    * result hash-matches DuckDB's full scan of the same day. */
+  def q31PartitionedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.{GraftTable, PartitionSpec}
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_part_g${math.abs(dir.hashCode)}/t"
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0) &&
+      GraftTable.load(s, loc).partitionSpec.nonEmpty
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val tbl = GraftTable.create(s, loc, ev.schema,
+        partitionBy = Seq(PartitionSpec.days("ts")))
+      tbl.append(ev)
+    }
+    val day = PartitionSpec.days("ts")
+      .expr(lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    val scan = GraftTable.load(s, loc).readPrunedPartition("days_ts" -> day)
+    scan.df
+      .filter(to_date($"ts") === "2024-01-15")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01AsofJoin _),
+    "q31_partitioned_scan" -> (q31PartitionedScan _),
+    "a02_merge_upsert" -> (a02MergeUpsert _),
     "q23_salted_join" -> (q23SaltedJoin _),
     "q24_bucketed_join" -> (q24BucketedJoin _),
     "q25_csv_ingest" -> (q25CsvIngest _),
@@ -251,6 +313,26 @@ object ScaleQueries {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin,
+    "a02_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT p_partkey, p_brand,
+        |    CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 100.0
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM part),
+        |ins AS (
+        |  SELECT p_partkey + 1000000 AS p_partkey, p_brand, p_retailprice
+        |  FROM part WHERE p_partkey % 100 = 1),
+        |final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT p_brand, count(*) AS n,
+        |  round(sum(p_retailprice), 2) AS total
+        |FROM final GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q31_partitioned_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice), 2) AS revenue
@@ -289,7 +371,7 @@ object ScaleQueries {
     "q29_pruned_scan" ->
       """SELECT CAST(month(l_shipdate) AS INT) AS mon, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-        |FROM lineitem WHERE year(l_shipdate) = 1994
+        |FROM lineitem WHERE year(l_shipdate) = 1996
         |GROUP BY mon ORDER BY mon""".stripMargin,
     "q30_pivot" ->
       """SELECT user_id % 10 AS bucket,

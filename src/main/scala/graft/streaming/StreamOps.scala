@@ -182,9 +182,46 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming ingest into a GraftTable through [[GraftSink]], with a
+    * DELIBERATE replay of micro-batch 0 after the stream finishes — the
+    * sink's (query, batchId) commit markers must make the replay a
+    * no-op. The final table is aggregated and checked against the same
+    * single-copy oracle as st01: had the replay appended, every count
+    * would be inflated and the hash would mismatch. */
+  def st03GraftSink(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val loc = java.nio.file.Files.createTempDirectory("graft_sink")
+      .resolve("t").toString
+    val table = graft.meta.GraftTable.create(s, loc, src.schema)
+    val sinkFn: (DataFrame, Long) => Unit =
+      graft.streaming.GraftSink.appendBatch(table, "st03")
+    val q = src.writeStream
+      .foreachBatch(sinkFn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // simulate an at-least-once redelivery of the whole first batch
+    val replay = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    sinkFn(replay, 0L)
+    table.read
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_stream" -> (st01HourlyStream _),
-    "st02_stream_dedup" -> (st02StreamDedup _))
+    "st02_stream_dedup" -> (st02StreamDedup _),
+    "st03_graft_sink" -> (st03GraftSink _))
 
   private val HourlyOracle =
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
@@ -197,5 +234,8 @@ object StreamOps {
     "st01_hourly_stream" -> HourlyOracle,
     // Same single-copy oracle: the stream saw every event TWICE, so a
     // hash match is proof the dedup removed exactly the duplicates.
-    "st02_stream_dedup" -> HourlyOracle)
+    "st02_stream_dedup" -> HourlyOracle,
+    // Single-copy oracle again: batch 0 was redelivered to the sink, so
+    // a hash match proves the replay committed nothing.
+    "st03_graft_sink" -> HourlyOracle)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.{GraftTable, PartitionSpec}
+
+/** Iceberg-style partition transforms: appends cluster by transform
+  * output, manifests carry transform bounds, and readPrunedPartition
+  * skips files on equality predicates — including non-monotonic bucket
+  * transforms that raw min/max can never prune. */
+class PartitionSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf = {
+    val rows = for (d <- 0 until 8; i <- 0 until 50) yield
+      (d * 50L + i, Timestamp.valueOf(f"2026-01-${d + 1}%02d 12:00:00"),
+        i % 7L, i * 1.5)
+    // deliberately unclustered input — the spec must cluster it
+    rows.toDF("event_id", "ts", "user_id", "value")
+      .repartition(4, $"event_id")
+  }
+
+  test("days transform: one-day scan prunes to a file subset, same answer") {
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
+      partitionBy = Seq(PartitionSpec.days("ts")))
+    t.append(eventsDf)
+    val day = PartitionSpec.days("ts")
+      .expr(lit("2026-01-03 00:00:00").cast("timestamp"))
+    val scan = t.readPrunedPartition("days_ts" -> day)
+    assert(scan.filesTotal > 1, "append must produce multiple files")
+    assert(scan.filesScanned < scan.filesTotal, "pruning must skip files")
+    val got = scan.df.filter(to_date($"ts") === "2026-01-03").count()
+    assert(got == 50)
+  }
+
+  test("bucket transform prunes equality on the bucketed key") {
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
+      partitionBy = Seq(PartitionSpec.bucket(4, "user_id")))
+    t.append(eventsDf)
+    val b = PartitionSpec.bucket(4, "user_id").expr(lit(3L))
+    val scan = t.readPrunedPartition("bucket4_user_id" -> b)
+    assert(scan.filesScanned < scan.filesTotal,
+      s"bucket pruning must skip files (${scan.filesScanned}/${scan.filesTotal})")
+    // superset guarantee: residual filter gives the exact answer
+    val got = scan.df.filter($"user_id" === 3L).count()
+    assert(got == eventsDf.filter($"user_id" === 3L).count())
+  }
+
+  test("optimize keeps a partitioned table clustered (pruning survives)") {
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
+      partitionBy = Seq(PartitionSpec.days("ts")))
+    // several small appends, then compact
+    (0 until 3).foreach(_ => t.append(eventsDf))
+    t.optimize(targetFileBytes = 8 * 1024)
+    val day = PartitionSpec.days("ts")
+      .expr(lit("2026-01-03 00:00:00").cast("timestamp"))
+    val scan = t.readPrunedPartition("days_ts" -> day)
+    assert(scan.filesTotal > 1)
+    assert(scan.filesScanned < scan.filesTotal,
+      s"post-optimize pruning (${scan.filesScanned}/${scan.filesTotal})")
+    assert(scan.df.filter(to_date($"ts") === "2026-01-03").count() == 150)
+  }
+
+  test("spec round-trips through the metadata file") {
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
+      partitionBy = Seq(PartitionSpec.days("ts"), PartitionSpec.bucket(8, "user_id")))
+    assert(GraftTable.load(spark, t.location).partitionSpec ==
+      Seq(PartitionSpec.days("ts"), PartitionSpec.bucket(8, "user_id")))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.GraftTable
+
+/** Copy-on-write DELETE / MERGE: correctness plus the only-touched-files
+  * rewrite guarantee. */
+class RowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable() = {
+    val t = GraftTable.create(spark, tmpDir("rowlevel") + "/t",
+      spark.range(1).select(col("id"), lit("x").as("tag")).schema)
+    // 4 range-clustered files: ids 0-249 / 250-499 / 500-749 / 750-999
+    t.append(spark.range(0, 1000)
+      .select(col("id"), concat(lit("v"), col("id")).as("tag"))
+      .repartitionByRange(4, col("id")))
+    t
+  }
+
+  test("deleteWhere removes matching rows and rewrites only affected files") {
+    val t = freshTable()
+    val filesBefore = t.files.select("path", "added_snapshot_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deleted = t.deleteWhere(col("id") < 100)
+    assert(deleted == 100)
+    assert(t.read.count() == 900)
+    assert(t.read.filter(col("id") < 100).count() == 0)
+    val after = t.files.select("path", "added_snapshot_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val untouched = after.keySet.intersect(filesBefore.keySet)
+    assert(untouched.nonEmpty, "files without matches must be carried as-is")
+    untouched.foreach(p => assert(after(p) == filesBefore(p), "lineage kept"))
+    assert(after.keySet != filesBefore.keySet, "affected file was rewritten")
+  }
+
+  test("deleteWhere with no matches commits nothing") {
+    val t = freshTable()
+    val snapBefore = t.currentSnapshot.get.snapshotId
+    assert(t.deleteWhere(col("id") > 10000) == 0L)
+    assert(t.currentSnapshot.get.snapshotId == snapBefore)
+  }
+
+  test("merge upserts: updates replace by key, inserts append, one commit") {
+    val t = freshTable()
+    val snapBefore = t.currentSnapshot.get.snapshotId
+    val source = Seq((5L, "UPDATED"), (2000L, "NEW")).toDF("id", "tag")
+    t.merge(source, Seq("id"))
+    assert(t.currentSnapshot.get.snapshotId == snapBefore + 1, "single commit")
+    assert(t.read.count() == 1001)
+    val byId = t.read.filter(col("id").isin(5L, 6L, 2000L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(5L) == "UPDATED")
+    assert(byId(6L) == "v6", "non-matched row in an affected file survives")
+    assert(byId(2000L) == "NEW")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.meta.GraftTable
+import graft.streaming.GraftSink
+
+/** Exactly-once streaming sink: replayed micro-batches are no-ops,
+  * committed atomically with the data via the snapshot-log op tag. */
+class StreamSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch stream lands every row exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val t = GraftTable.create(spark, tmpDir("sink") + "/t",
+      mem.toDF().toDF("id", "tag").schema)
+    val fn: (DataFrame, Long) => Unit = GraftSink.appendBatch(t, "q1")
+    val q = mem.toDF().toDF("id", "tag").writeStream.foreachBatch(fn).start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(t.read.count() == 3)
+    assert(GraftSink.lastBatch(t, "q1").contains(1L))
+  }
+
+  test("replayed batch id is ignored; later ids append; per-query isolation") {
+    val t = GraftTable.create(spark, tmpDir("sink") + "/t",
+      Seq((0L, "x")).toDF("id", "tag").schema)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    GraftSink.appendBatch(t, "q1")(batch, 0L)
+    GraftSink.appendBatch(t, "q1")(batch, 0L) // replay — must be a no-op
+    assert(t.read.count() == 2)
+    GraftSink.appendBatch(t, "q1")(batch, 1L) // next batch appends
+    assert(t.read.count() == 4)
+    // a DIFFERENT query writing to the same table has its own ledger
+    GraftSink.appendBatch(t, "q2")(batch, 0L)
+    assert(t.read.count() == 6)
+    assert(GraftSink.lastBatch(t, "q1").contains(1L))
+    assert(GraftSink.lastBatch(t, "q2").contains(0L))
+  }
+
+  test("marker survives restart: a fresh table handle still dedups") {
+    val loc = tmpDir("sink") + "/t"
+    val t = GraftTable.create(spark, loc, Seq((0L, "x")).toDF("id", "tag").schema)
+    val batch = Seq((1L, "a")).toDF("id", "tag")
+    GraftSink.appendBatch(t, "q")(batch, 7L)
+    val reopened = GraftTable.load(spark, loc) // "restarted" writer
+    GraftSink.appendBatch(reopened, "q")(batch, 7L)
+    assert(reopened.read.count() == 1)
+    assert(GraftSink.lastBatch(reopened, "q").contains(7L))
+  }
+}
