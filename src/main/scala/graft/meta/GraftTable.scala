@@ -493,6 +493,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                clusterBy: Seq[String] = Seq.empty): Unit =
     graft.cmd.Optimize.run(this, targetFileBytes, clock, clusterBy)
 
+  /** Z-order (Morton) compaction: cluster on the interleaved bits of
+    * `cols` so file skipping works on every listed dimension. */
+  def optimizeZOrder(cols: Seq[String],
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     bits: Int = 16,
+                     clock: Clock = Clock.systemUTC()): Unit =
+    graft.cmd.ZOrder.run(this, cols, targetFileBytes, bits, clock)
+
   def expireSnapshots(retentionDays: Int,
                       clock: Clock = Clock.systemUTC()): Long =
     graft.cmd.ExpireSnapshots.run(this, retentionDays, clock)

@@ -183,14 +183,15 @@ object ScaleQueries {
     * Iceberg-style file skipping, asserted <100% in PrunedScanSpec).
     * The residual predicate still applies post-prune, so the result is
     * exactly the oracle's full-scan answer. */
-  def q29PrunedScan(s: SparkSession, dir: String): DataFrame = {
+  /** Build-once cache of lineitem range-clustered by ship date as a
+    * GraftTable (shared by q29 and q33). Rebuilds unless a committed
+    * snapshot is readable. */
+  private def clusteredLineitemLoc(s: SparkSession, dir: String): String = {
     import s.implicits._
     import graft.meta.GraftTable
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_pruned_g${math.abs(dir.hashCode)}/t"
     val li = t(s, dir, "lineitem")
       .select($"l_shipdate", $"l_extendedprice", $"l_discount")
-    // Rebuild unless a committed snapshot is readable (a bare log file
-    // from an older format/failed run is not enough).
     val usable = GraftTable.exists(s, loc) &&
       GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0)
     if (!usable) {
@@ -200,11 +201,37 @@ object ScaleQueries {
       val tbl = GraftTable.create(s, loc, li.schema)
       tbl.append(li.repartitionByRange(8, $"l_shipdate"))
     }
+    loc
+  }
+
+  def q29PrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val loc = clusteredLineitemLoc(s, dir)
     val scan = GraftTable.load(s, loc).readPruned("l_shipdate",
       lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
       lit("1996-12-31 23:59:59.999999").cast("timestamp_ntz"))
     scan.df
       .filter(year($"l_shipdate") === 1996)
+      .groupBy(month($"l_shipdate").as("mon"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"mon")
+  }
+
+  /** The registered DataSource end-to-end: `spark.read.format("graft")`
+    * over the clustered lineitem table, with a plain WHERE on ship date
+    * — GraftFileIndex turns the pushed predicate into manifest-bounds
+    * file skipping automatically (no readPruned call; GraftSourceSpec
+    * asserts the scan-metric file counts). Snapshot isolation and
+    * parquet row-group pushdown compose underneath. */
+  def q33DatasourceScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val loc = clusteredLineitemLoc(s, dir)
+    s.read.format("graft").load(loc)
+      .filter($"l_shipdate" >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+        $"l_shipdate" < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
       .groupBy(month($"l_shipdate").as("mon"))
       .agg(count(lit(1)).as("n_items"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
@@ -286,9 +313,46 @@ object ScaleQueries {
       .orderBy($"event_type")
   }
 
+  /** Z-order scan: events compacted once on the Morton interleave of
+    * (user_id, ts), then a per-user one-week query prunes files on BOTH
+    * dimensions (ZOrderSpec proves the pruning; here the hash match
+    * proves the pruned scan + residual filter is exact). At 100 TB this
+    * is the layout that serves "user X, last week" without a second
+    * copy of the table. */
+  def q32ZorderScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_g${math.abs(dir.hashCode)}/t"
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).currentSnapshot.exists(
+        c => c.numFiles > 0 && c.operation == "optimize_zorder")
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val tbl = GraftTable.create(s, loc, ev.schema)
+      tbl.append(ev.repartition(8))
+      tbl.optimizeZOrder(Seq("user_id", "ts"), targetFileBytes = 512 * 1024)
+    }
+    val scan = GraftTable.load(s, loc)
+      .readPruned("user_id", lit(42L), lit(42L))
+    scan.df
+      .filter($"user_id" === 42L &&
+        $"ts" >= lit("2024-01-08 00:00:00").cast("timestamp_ntz") &&
+        $"ts" < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01AsofJoin _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
+    "q32_zorder_scan" -> (q32ZorderScan _),
+    "q33_datasource_scan" -> (q33DatasourceScan _),
     "a02_merge_upsert" -> (a02MergeUpsert _),
     "q23_salted_join" -> (q23SaltedJoin _),
     "q24_bucketed_join" -> (q24BucketedJoin _),
@@ -332,6 +396,21 @@ object ScaleQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_datasource_scan" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS mon, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+    "q32_zorder_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id = 42
+        |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.meta.GraftTable
+
+/** The registered `format("graft")` data source: snapshot-isolated
+  * listing via the manifest, and AUTOMATIC file skipping — query WHERE
+  * clauses prune data files through GraftFileIndex with no
+  * graft-specific code at the call site. */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = spark.range(0, 10000).select(
+    col("id").as("k"),
+    (col("id") % 97).as("v"),
+    concat(lit("s"), col("id")).as("s"))
+
+  private def numFilesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    // collect() executes df's OWN queryExecution (count() would build and
+    // run a different plan, leaving these metrics at zero)
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+  }
+
+  test("format(graft) reads the current snapshot only") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc, data.schema)
+    t.append(data.repartitionByRange(8, $"k"))
+    t.deleteWhere($"k" < 100) // rewrites one file; old file still on disk
+    val df = spark.read.format("graft").load(loc)
+    assert(df.count() == 9900, "snapshot isolation: replaced file not read")
+    assert(df.agg(sum("v")).as[Long].head() ==
+      t.read.agg(sum("v")).as[Long].head())
+  }
+
+  test("WHERE predicates prune files automatically through the manifest") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc, data.schema)
+    t.append(data.repartitionByRange(8, $"k"))
+    val total = t.currentSnapshot.get.numFiles
+    assert(total >= 8)
+    val df = spark.read.format("graft").load(loc)
+    val all = numFilesScanned(df)
+    val pruned = numFilesScanned(df.filter($"k" >= 2000 && $"k" < 3000))
+    assert(all == total, s"unfiltered scan lists all files ($all/$total)")
+    assert(pruned < all, s"range predicate must skip files ($pruned/$all)")
+    // equality + IN shapes prune too
+    assert(numFilesScanned(df.filter($"k" === 5000)) < all)
+    assert(numFilesScanned(df.filter($"k".isin(1L, 9999L))) < all)
+    // non-prunable predicate keeps everything (superset, still correct)
+    assert(df.filter($"s" === "s123").count() == 1)
+  }
+
+  test("SQL over a temp view prunes the same way") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc, data.schema)
+    t.append(data.repartitionByRange(8, $"k"))
+    spark.read.format("graft").load(loc).createOrReplaceTempView("gsrc")
+    val q = spark.sql("SELECT count(*) AS n, sum(v) AS sv FROM gsrc WHERE k BETWEEN 100 AND 199")
+    val got = q.collect().head
+    assert((got.getLong(0), got.getLong(1)) ==
+      data.filter($"k".between(100, 199))
+        .agg(count(lit(1)), sum("v")).as[(Long, Long)].head())
+    // (file-skipping through the same FileIndex is asserted with scan
+    // metrics in the DataFrame test above; SQL resolves to the same
+    // relation, checked here for correctness)
+  }
+
+  test("evolved tables are refused with a pointer to the aligned reader") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc, data.schema)
+    t.append(data)
+    t.renameColumn("v", "w")
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").load(loc).count())
+    assert(e.getMessage.contains("un-evolved"))
+  }
+}
