@@ -27,9 +27,12 @@ object ExpireSnapshots {
     table.lock.synchronized {
       val all = table.snapshots
       val currentId = SnapshotLog.current(all).map(_.snapshotId).getOrElse(-1L)
+      // every branch head is pinned, like Iceberg's ref-aware expiry
+      val refIds = table.branches.values.toSet
       val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
-      val (expired, retained) =
-        all.partition(s => s.timestampMs < cutoffMs && s.snapshotId != currentId)
+      val (expired, retained) = all.partition(s =>
+        s.timestampMs < cutoffMs && s.snapshotId != currentId &&
+          !refIds(s.snapshotId))
       if (expired.isEmpty) return 0L
 
       val spark = table.spark

@@ -56,7 +56,18 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   def snapshots: Seq[Snapshot] = SnapshotLog.read(fs, tableDir)
 
-  def currentSnapshot: Option[Snapshot] = SnapshotLog.current(snapshots)
+  /** Head of `main`: the branch ref once refs are materialized, else
+    * the implicit pre-branching head (max snapshot id). */
+  def currentSnapshot: Option[Snapshot] =
+    headOf(snapshots, Refs.read(fs, tableDir), "main")
+
+  private def headOf(all: Seq[Snapshot], refs: Map[String, Long],
+                     branch: String): Option[Snapshot] =
+    refs.get(branch) match {
+      case Some(id) => all.find(_.snapshotId == id)
+      case None if branch == "main" => SnapshotLog.current(all)
+      case None => None
+    }
 
   def schema: StructType = {
     val p = new Path(tableDir, "_graft/schema.json")
@@ -431,9 +442,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * `observe` DURING the manifest write — one Spark action per commit,
     * not a write followed by a read-back aggregation. */
   private def commit(op: String, manifest: DataFrame, clock: Clock,
-                     carryPrior: Boolean): Unit = {
+                     carryPrior: Boolean, branch: String = "main"): Unit = {
     val prior = snapshots
-    val cur = SnapshotLog.current(prior)
+    val refsNow = Refs.read(fs, tableDir)
+    require(branch == "main" || refsNow.contains(branch),
+      s"no branch named $branch — createBranch first")
+    val cur = headOf(prior, refsNow, branch)
     val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
     val manifestDir = new Path(tableDir, s"_graft/manifests/$id")
     val obs = new org.apache.spark.sql.Observation(s"manifest-$id")
@@ -454,15 +468,97 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val m = obs.get
     val (dnf, dbytes, drows) = (m("nf").asInstanceOf[Long],
       m("bytes").asInstanceOf[Long], m("rows").asInstanceOf[Long])
+    val parent = cur.map(_.snapshotId).getOrElse(-1L)
     val snap =
       if (carryPrior) {
         val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
         Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
-          b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows)
+          b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows, parent)
       } else
         Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
-          dnf, dbytes, drows)
+          dnf, dbytes, drows, parent)
     SnapshotLog.write(fs, tableDir, prior :+ snap)
+    // advance the branch ref (materializing main's implicit head on the
+    // way if refs already exist); pre-branching tables with no refs file
+    // keep the implicit main == max id and write nothing extra
+    if (refsNow.nonEmpty || branch != "main")
+      Refs.write(fs, tableDir, materialize(prior, refsNow) + (branch -> id))
+  }
+
+  /** Pin main's implicit head into the refs map (no-op if present). */
+  private def materialize(all: Seq[Snapshot],
+                          refs: Map[String, Long]): Map[String, Long] =
+    if (refs.contains("main")) refs
+    else refs ++ SnapshotLog.current(all).map("main" -> _.snapshotId)
+
+  // ---- branches / write-audit-publish -----------------------------------
+
+  /** All branch refs, including the implicit main. */
+  def branches: Map[String, Long] = {
+    val refs = Refs.read(fs, tableDir)
+    materialize(snapshots, refs)
+  }
+
+  /** Create a branch pointing at `at` (default: main's current head) —
+    * the "write" staging area of write-audit-publish. */
+  def createBranch(name: String, at: Option[Long] = None): Unit =
+    commitLock.synchronized {
+      val all = snapshots
+      val refs = Refs.read(fs, tableDir)
+      require(name != "main" && !refs.contains(name), s"branch $name exists")
+      val target = at.orElse(headOf(all, refs, "main").map(_.snapshotId))
+        .getOrElse(throw new IllegalArgumentException(
+          "cannot branch an empty table"))
+      require(all.exists(_.snapshotId == target), s"no snapshot $target")
+      Refs.write(fs, tableDir, materialize(all, refs) + (name -> target))
+    }
+
+  /** Scan a branch head (same aligned read path as [[read]]). */
+  def readBranch(name: String): DataFrame =
+    readSnapshot(headOf(snapshots, Refs.read(fs, tableDir), name))
+
+  /** Append onto a branch WITHOUT moving main — audited writers land
+    * data here, validate via [[readBranch]], then [[fastForward]]. */
+  def appendToBranch(branch: String, df: DataFrame,
+                     clock: Clock = Clock.systemUTC()): Unit =
+    commitLock.synchronized {
+      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+      df.write.parquet(commitDir.toString)
+      fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      writeSchemaIfAbsent(df.schema)
+      commit("append", inventory(commitDir), clock, carryPrior = true,
+        branch = branch)
+    }
+
+  /** Publish: move `to` up to `from`'s head, only if `to`'s head is an
+    * ancestor of `from`'s (true fast-forward — no history is lost).
+    * The move is ONE atomic refs write: readers of `to` switch from the
+    * old state to the audited state instantly. */
+  def fastForward(to: String, from: String): Unit =
+    commitLock.synchronized {
+      val all = snapshots
+      val refs = Refs.read(fs, tableDir)
+      val fromHead = headOf(all, refs, from).map(_.snapshotId)
+        .getOrElse(throw new IllegalArgumentException(s"no branch $from"))
+      val toHead = headOf(all, refs, to).map(_.snapshotId).getOrElse(-1L)
+      val byId = all.map(s => s.snapshotId -> s).toMap
+      var c = fromHead
+      var ok = toHead == -1L
+      while (!ok && c != -1L) {
+        if (c == toHead) ok = true
+        else c = byId.get(c).map(_.parentId).getOrElse(-1L)
+      }
+      require(ok, s"$to@$toHead is not an ancestor of $from@$fromHead — " +
+        "not a fast-forward")
+      Refs.write(fs, tableDir, materialize(all, refs) + (to -> fromHead))
+    }
+
+  /** Delete a branch ref (snapshots stay until expiry). */
+  def dropBranch(name: String): Unit = commitLock.synchronized {
+    require(name != "main", "cannot drop main")
+    val refs = Refs.read(fs, tableDir)
+    require(refs.contains(name), s"no branch $name")
+    Refs.write(fs, tableDir, refs - name)
   }
 
   private def writeSchemaIfAbsent(s: StructType): Unit = {

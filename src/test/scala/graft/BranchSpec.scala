@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.GraftTable
+
+/** Branch refs + write-audit-publish: staged commits are invisible on
+  * main until one atomic fast-forward publishes them; expiry never
+  * reclaims a branch head. */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable() = {
+    val t = GraftTable.create(spark, tmpDir("branch") + "/t",
+      Seq((0L, "x")).toDF("id", "tag").schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    t
+  }
+
+  test("write-audit-publish: staged rows invisible until fastForward") {
+    val t = freshTable()
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq((3L, "c"), (4L, "BAD")).toDF("id", "tag"))
+    // audit sees the staged state; main does not
+    assert(t.readBranch("audit").count() == 4)
+    assert(t.read.count() == 2, "main isolated from staged writes")
+    // audit step: validation fails → fix on the branch (another commit)
+    assert(t.readBranch("audit").filter($"tag" === "BAD").count() == 1)
+    t.appendToBranch("audit", Seq((5L, "fix")).toDF("id", "tag"))
+    // publish: one atomic ref move
+    t.fastForward("main", "audit")
+    assert(t.read.count() == 5)
+    assert(t.branches("main") == t.branches("audit"))
+  }
+
+  test("main keeps committing independently; diverged publish is refused") {
+    val t = freshTable()
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq((3L, "c")).toDF("id", "tag"))
+    t.append(Seq((10L, "m")).toDF("id", "tag")) // main advances too
+    assert(t.read.count() == 3)
+    assert(t.readBranch("audit").count() == 3)
+    val e = intercept[IllegalArgumentException](t.fastForward("main", "audit"))
+    assert(e.getMessage.contains("fast-forward"))
+  }
+
+  test("branch at an old snapshot + drop; expiry pins branch heads") {
+    val clock = new TestClock()
+    val t = GraftTable.create(spark, tmpDir("branch") + "/t",
+      Seq((0L, "x")).toDF("id", "tag").schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), clock) // snapshot 1
+    t.append(Seq((3L, "c")).toDF("id", "tag"), clock) // snapshot 2
+    t.createBranch("pin", at = Some(1L))
+    assert(t.readBranch("pin").count() == 2)
+
+    clock.advanceDays(30)
+    t.append(Seq((4L, "d")).toDF("id", "tag"), clock) // fresh current
+    val removed = t.expireSnapshots(retentionDays = 7, clock)
+    // snapshot 1 survives (pinned by the branch); snapshot 2 expired
+    assert(t.snapshots.map(_.snapshotId).contains(1L))
+    assert(!t.snapshots.map(_.snapshotId).contains(2L))
+    assert(t.readBranch("pin").count() == 2, "pinned head still readable")
+    t.dropBranch("pin")
+    assert(!t.branches.contains("pin"))
+    intercept[IllegalArgumentException](t.dropBranch("main"))
+    assert(removed >= 0)
+  }
+
+  test("appendToBranch to a nonexistent branch is refused") {
+    val t = freshTable()
+    intercept[IllegalArgumentException](
+      t.appendToBranch("nope", Seq((9L, "z")).toDF("id", "tag")))
+  }
+}

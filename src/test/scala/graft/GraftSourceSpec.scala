@@ -70,6 +70,26 @@ class GraftSourceSpec extends SparkSpec {
     // relation, checked here for correctness)
   }
 
+  test("write path: save modes map to snapshot commits") {
+    val loc = tmpDir("src") + "/t"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val d2 = Seq((3L, "c")).toDF("id", "tag")
+    d1.write.format("graft").save(loc) // creates table, first commit
+    assert(spark.read.format("graft").load(loc).count() == 2)
+    d2.write.format("graft").mode("append").save(loc)
+    assert(spark.read.format("graft").load(loc).count() == 3)
+    d2.write.format("graft").mode("overwrite").save(loc)
+    assert(spark.read.format("graft").load(loc).count() == 1)
+    d1.write.format("graft").mode("ignore").save(loc) // table exists: no-op
+    assert(spark.read.format("graft").load(loc).count() == 1)
+    intercept[IllegalStateException](
+      d1.write.format("graft").mode("errorifexists").save(loc))
+    // every write was one snapshot commit; time travel sees each state
+    val t = GraftTable.load(spark, loc)
+    assert(t.snapshots.map(_.operation) == Seq("append", "append", "overwrite"))
+    assert(t.readAsOf(2).count() == 3)
+  }
+
   test("evolved tables are refused with a pointer to the aligned reader") {
     val loc = tmpDir("src") + "/t"
     val t = GraftTable.create(spark, loc, data.schema)
