@@ -115,10 +115,70 @@ object SimilarityQueries {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** PERSISTED IVF index: the build phase (run once, cached) assigns
+    * every vector to its nearest centroid and materializes
+    * (vec_id, embedding, nrm, cell_id) as a GraftTable partitioned by
+    * `identity(cell_id)` — appends range-cluster on the cell, so each
+    * data file covers a handful of cells. The query phase recomputes
+    * only the 8×16 query-to-centroid sims, then reads the index through
+    * `format("graft")` with `cell_id IN (probed cells)` — GraftFileIndex
+    * turns that IN into manifest-bounds file skipping, so the scan
+    * touches only the probed cells' files. Same parameters as the
+    * inline s02, so the result (and oracle) are identical; what changes
+    * is that the O(N×16) assignment is paid once at build time, not per
+    * query — the ANN-serving shape for a 100 TB embedding corpus. */
+  def s04IvfIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.{GraftTable, PartitionSpec}
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g${math.abs(dir.hashCode)}/t"
+    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val cents = e.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("ce"), $"nrm".as("cn"))
+    def centSims(vecs: DataFrame): DataFrame = vecs
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
+    val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
+
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0)
+    if (!usable) { // build phase
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val assigned = centSims(e)
+        .withColumn("rn", row_number().over(wCell))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+      val tbl = GraftTable.create(s, loc, assigned.schema,
+        partitionBy = Seq(PartitionSpec.identity("cell_id")))
+      tbl.append(assigned)
+    }
+
+    val probes = centSims(e.filter($"vec_id" < NumQueries))
+      .withColumn("prn", row_number().over(wCell))
+      .filter($"prn" <= NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qn"), $"cell_id")
+    val probedCells = probes.select("cell_id").distinct()
+      .as[Long].collect().toSeq // tiny: ≤ queries × probes
+    val idx = s.read.format("graft").load(loc)
+      .filter($"cell_id".isin(probedCells: _*)) // → file skipping
+    val cand = idx.join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    cand.withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= TopK)
+      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_embedding_neardup" -> (s03EmbeddingNearDup _),
+    "s04_ivf_index" -> (s04IvfIndex _),
   )
 
   private val dotSql =
@@ -145,6 +205,40 @@ object SimilarityQueries {
         |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
         |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
     "s02_ivf_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+        |          FROM e WHERE vec_id < $NumCells),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, cell_id,
+        |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+        |  FROM e, cents),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell_id) AS arn
+        |    FROM sims) WHERE arn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell_id) AS prn
+        |    FROM sims WHERE vec_id < $NumQueries) WHERE prn <= $NumProbes),
+        |cand AS (
+        |  SELECT query_id, a.vec_id,
+        |    round(${dotSql.format("qe", "a.embedding")} / (qn * a.nrm), 6) AS cos
+        |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM cand)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+    // identical parameters to s02 — the persisted index must return
+    // exactly what the inline IVF computes
+    "s04_ivf_index" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
         |  FROM embeddings),

@@ -101,11 +101,47 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The composed training-data prep pipeline, end to end in ONE plan:
+    * canonical-fingerprint dedup (keep lowest doc_id per fingerprint) →
+    * quality gate (t02's score ≥ 0.4) → per-(lang, source) corpus
+    * summary with BPE-ish token totals. One shuffle for the dedup
+    * window, one for the final aggregate; every step is the exact
+    * operator the standalone queries t02-t04 verify individually. */
+  def t05PrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a")
+    val d = t(s, dir, "documents")
+      .withColumn("fingerprint",
+        md5(trim(regexp_replace(lower($"text"), " +", " "))))
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_stop",
+        size(filter($"words", w => stop.map(m => w === m).reduce(_ || _))).cast("long"))
+      .withColumn("avg_word_len",
+        (length($"text") - $"n_words" + 1).cast("double") / $"n_words")
+      .withColumn("quality",
+        round(lit(1.0) / (lit(1.0) + exp(-($"avg_word_len" - lit(4.0)))) *
+          (lit(1.0) - $"n_stop".cast("double") / $"n_words"), 6))
+    val perFp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fingerprint").orderBy($"doc_id")
+    d.withColumn("rn", row_number().over(perFp)).filter($"rn" === 1)
+      .filter($"quality" >= 0.4)
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|\\S"), lit(0)))
+          .cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bpe_tokens").as("total_tokens"),
+        round(avg($"quality"), 4).as("avg_quality"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01LangId _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
     "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_prep_pipeline" -> (t05PrepPipeline _),
   )
 
   private val markerSql: Map[String, String] = markers.map { case (l, ws) =>
@@ -160,5 +196,29 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_prep_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, text,
+        |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop,
+        |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        |      / len(string_split(text, ' ')) AS avg_word_len
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, round(1.0 / (1.0 + exp(-(avg_word_len - 4.0)))
+        |    * (1.0 - n_stop::DOUBLE / n_words), 6) AS quality
+        |  FROM d),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fingerprint
+        |                                 ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |kept AS (SELECT * FROM dd WHERE quality >= 0.4)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S'))) AS BIGINT)
+        |    AS total_tokens,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM kept GROUP BY lang, source ORDER BY lang, source""".stripMargin,
   )
 }
