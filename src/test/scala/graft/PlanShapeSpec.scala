@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.rel.{RelQueries, ScaleQueries}
+import graft.ext.SimilarityQueries
+
+/** Physical-plan shape assertions: the plans we claim (filter pushdown
+  * into the parquet scan, column pruning, broadcast for small dims,
+  * exchange reuse for self-referencing pipelines, bounded shuffle
+  * counts) are pinned here so a regression in plan QUALITY fails the
+  * test suite, not just the benchmark. */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute df and walk the FINAL adaptive plan, descending into AQE
+    * wrappers and materialized query stages. */
+  private def allNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q01: ship-date filter pushed into the parquet scan; columns pruned") {
+    val scans = allNodes(RelQueries.q01PricingSummary(spark, sf))
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      s"expected l_shipdate in PushedFilters: ${scan.metadata("PushedFilters")}")
+    // projection pruning: the 16-column lineitem scan reads only what
+    // the aggregate needs
+    val read = scan.metadata("ReadSchema")
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"),
+      s"scan reads more than needed: $read")
+  }
+
+  test("q03: small dimension sides broadcast, not shuffled") {
+    val nodes = allNodes(RelQueries.q03ShippingPriority(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "customer/orders dims should broadcast against lineitem")
+  }
+
+  test("s02: probe/assign branches share ONE exchange over the dot-product join") {
+    val nodes = allNodes(SimilarityQueries.s02IvfTopK(spark, sf))
+    assert(nodes.exists(
+      _.getClass.getSimpleName.contains("ReusedExchange")),
+      "the 16xN similarity join must be computed once and reused")
+  }
+
+  test("q23: salted join keeps the shuffle count bounded") {
+    val nodes = allNodes(ScaleQueries.queries("q23_salted_join")(spark, sf))
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 3,
+      s"salting must not add extra shuffles (${shuffles.size})")
+  }
+}
