@@ -34,14 +34,17 @@ import graft.meta.GraftTable
 object RowLevel {
   private val FP = "__graft_fp"
 
-  /** DELETE WHERE cond. @return number of rows deleted. */
+  /** DELETE WHERE cond. SQL semantics: a row is deleted only where the
+    * predicate is TRUE — rows where it evaluates NULL survive (a bare
+    * `!cond` filter would silently drop them). @return rows deleted. */
   def delete(table: GraftTable, cond: Column, clock: Clock): Long =
     table.lock.synchronized {
+      val matched = coalesce(cond, lit(false))
       val before = table.currentSnapshot.map(_.totalRows).getOrElse(0L)
       val withPath = table.readFilesAligned(table.liveFilePairs, Some(FP))
       rewrite(table, "delete",
-        affected = withPath.filter(cond).select(col(FP).as("path")).distinct(),
-        survivorsOf = df => df.filter(!cond),
+        affected = withPath.filter(matched).select(col(FP).as("path")).distinct(),
+        survivorsOf = df => df.filter(!matched),
         extra = None, clock)
       before - table.currentSnapshot.map(_.totalRows).getOrElse(0L)
     }

@@ -173,6 +173,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val cur = vs.last.schema
       require(cur.fieldNames.contains(from), s"no such column $from")
       require(!cur.fieldNames.contains(to), s"column $to already exists")
+      requireNotPartitionSource(from, "rename")
       commitSchema(vs, StructType(cur.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)))
     }
@@ -185,8 +186,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val cur = vs.last.schema
       require(cur.fieldNames.contains(name), s"no such column $name")
       require(cur.fields.length > 1, "cannot drop the last column")
+      requireNotPartitionSource(name, "drop")
       commitSchema(vs, StructType(cur.fields.filterNot(_.name == name)))
     }
+
+  /** A partition spec references source columns by name — evolving one
+    * away would make every later append crash (or mis-cluster). */
+  private def requireNotPartitionSource(column: String, op: String): Unit =
+    require(!partitionSpec.exists(_.column == column),
+      s"cannot $op $column: it is a partition-spec source column")
 
   /** Widen a column's type (e.g. int → long / float → double). Data
     * files keep the narrow type; reads up-cast through the field id. */

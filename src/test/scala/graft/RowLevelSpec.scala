@@ -35,6 +35,17 @@ class RowLevelSpec extends SparkSpec {
     assert(after.keySet != filesBefore.keySet, "affected file was rewritten")
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates NULL") {
+    val t = GraftTable.create(spark, tmpDir("rowlevel") + "/t",
+      Seq((1L, Some(5L))).toDF("id", "v").schema)
+    t.append(Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "v"))
+    // SQL DELETE semantics: only TRUE deletes; v=null row must survive
+    assert(t.deleteWhere(col("v") < 10) == 1)
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("deleteWhere with no matches commits nothing") {
     val t = freshTable()
     val snapBefore = t.currentSnapshot.get.snapshotId

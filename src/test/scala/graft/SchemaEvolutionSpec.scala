@@ -55,6 +55,18 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.read.filter(col("tag").isNotNull).count() == 0)
   }
 
+  test("partition-spec source columns cannot be renamed or dropped") {
+    import graft.meta.PartitionSpec
+    val t = GraftTable.create(spark, tmpDir("evolve") + "/t",
+      spark.range(1).select(col("id"), lit("x").as("tag")).schema,
+      partitionBy = Seq(PartitionSpec.bucket(4, "id")))
+    t.append(spark.range(0, 10).select(col("id"), lit("v").as("tag")))
+    intercept[IllegalArgumentException](t.renameColumn("id", "id2"))
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    t.renameColumn("tag", "label") // non-spec columns still evolve
+    assert(t.schema.fieldNames.toSeq == Seq("id", "label"))
+  }
+
   test("updateColumnType widens and refuses narrowing") {
     val t = GraftTable.create(spark, tmpDir("evolve") + "/t",
       StructType(Seq(StructField("k", IntegerType), StructField("v", FloatType))))
