@@ -46,7 +46,7 @@ object Optimize {
           // keep a partitioned table clustered — a round-robin rewrite
           // would widen every file's transform bounds and kill pruning
           val df = table.read
-          val exprs = spec.map(f => f.expr(df(f.column)))
+          val exprs = spec.map(f => f.expr(df(f.column), df.schema(f.column).dataType))
           df.repartitionByRange(nOut, exprs: _*).sortWithinPartitions(exprs: _*)
         } else table.read.repartition(nOut)
       rewritten.write.parquet(commitDir.toString)

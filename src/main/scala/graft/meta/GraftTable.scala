@@ -353,7 +353,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * Partitioned tables range-cluster the batch by the spec's transform
     * outputs first, so every data file covers a tight transform-value
     * range and [[readPrunedPartition]] can skip it. */
-  private[graft] def appendOp(df: DataFrame, op: String, clock: Clock): Unit =
+  private[graft] def appendOp(df: DataFrame, op: String, clock: Clock,
+                              branch: String = "main"): Unit =
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
       val spec = partitionSpec
@@ -363,7 +364,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           // Explicit partition count: without it AQE coalesces the range
           // shuffle (often to ONE partition on small batches), merging
           // every transform value into one file and defeating pruning.
-          val exprs = spec.map(f => f.expr(df(f.column)))
+          val exprs = spec.map(f => f.expr(df(f.column), df.schema(f.column).dataType))
           df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
               exprs: _*)
             .sortWithinPartitions(exprs: _*)
@@ -371,8 +372,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       toWrite.write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
-      commit(op, inventory(commitDir), clock, carryPrior = true)
+      commit(op, inventory(commitDir), clock, carryPrior = true, branch)
     }
+
+  /** Metadata-only COUNT(*): answered from the snapshot log without
+    * touching a single data file (the Iceberg manifest-count shape). */
+  def rowCount: Long = currentSnapshot.map(_.totalRows).getOrElse(0L)
 
   /** Overwrite the table content entirely (used by tests / demos). */
   def overwrite(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
@@ -430,7 +435,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     def boundMap(f: Column => Column) = map_from_arrays(
       array((bounded.map(lit) ++ specs.map(s => lit(s.name))): _*),
       array((bounded.map(n => f(data(n)).cast(StringType)) ++
-        specs.map(s => f(s.expr(data(s.column))).cast(StringType))): _*))
+        specs.map(s => f(s.expr(data(s.column), data.schema(s.column).dataType)).cast(StringType))): _*))
     val counts = data
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"),
@@ -529,14 +534,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * data here, validate via [[readBranch]], then [[fastForward]]. */
   def appendToBranch(branch: String, df: DataFrame,
                      clock: Clock = Clock.systemUTC()): Unit =
-    commitLock.synchronized {
-      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      df.write.parquet(commitDir.toString)
-      fs.delete(new Path(commitDir, "_SUCCESS"), false)
-      writeSchemaIfAbsent(df.schema)
-      commit("append", inventory(commitDir), clock, carryPrior = true,
-        branch = branch)
-    }
+    appendOp(df, "append", clock, branch)
 
   /** Publish: move `to` up to `from`'s head, only if `to`'s head is an
     * ancestor of `from`'s (true fast-forward — no history is lost).

@@ -25,15 +25,20 @@ final case class PartitionField(column: String, transform: String, param: Int = 
     case "truncate" => s"trunc${param}_$column"
   }
 
-  /** The transform as a Catalyst expression over the source column. */
-  def expr(c: Column): Column = transform match {
+  /** The transform as a Catalyst expression over the source column.
+    * `sourceType` matters only for `truncate`, which is width-bucketing
+    * for numerics and PREFIX for strings (Iceberg truncate semantics). */
+  def expr(c: Column, sourceType: DataType = NullType): Column = transform match {
     case "identity" => c
     // days since epoch — monotonic in the source timestamp
     case "days"     => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
     // Murmur3 bucket (Spark's hash); NOT monotonic — prunable only
     // because the manifest stores the transform output's own bounds
     case "bucket"   => pmod(hash(c), lit(param))
-    case "truncate" => (floor(c.cast(DoubleType) / param) * param).cast(LongType)
+    case "truncate" => sourceType match {
+      case StringType => substring(c, 1, param)
+      case _ => (floor(c.cast(DoubleType) / param) * param).cast(LongType)
+    }
     case t => throw new IllegalArgumentException(s"unknown transform $t")
   }
 
@@ -41,7 +46,7 @@ final case class PartitionField(column: String, transform: String, param: Int = 
   def outputType(source: DataType): DataType = transform match {
     case "identity" => source
     case "days" | "bucket" => IntegerType
-    case "truncate" => LongType
+    case "truncate" => if (source == StringType) StringType else LongType
     case t => throw new IllegalArgumentException(s"unknown transform $t")
   }
 }

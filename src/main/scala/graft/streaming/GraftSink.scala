@@ -44,12 +44,16 @@ object GraftSink {
   }
 
   /** `foreachBatch` function: append the micro-batch unless this
-    * (query, batchId) already committed. @return true if appended. */
+    * (query, batchId) already committed. With `branch` set, micro-
+    * batches stage on that branch instead of main — streaming
+    * write-audit-publish: validate `readBranch(branch)` downstream and
+    * `fastForward("main", branch)` to publish a batch of batches. */
   def appendBatch(table: GraftTable, queryName: String,
-                  clock: Clock = Clock.systemUTC())
+                  clock: Clock = Clock.systemUTC(),
+                  branch: String = "main")
                  (df: DataFrame, batchId: Long): Unit =
     table.lock.synchronized {
       if (!lastBatch(table, queryName).exists(_ >= batchId))
-        table.appendOp(df, opFor(queryName, batchId), clock)
+        table.appendOp(df, opFor(queryName, batchId), clock, branch)
     }
 }

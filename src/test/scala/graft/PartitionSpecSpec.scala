@@ -63,6 +63,20 @@ class PartitionSpecSpec extends SparkSpec {
     assert(scan.df.filter(to_date($"ts") === "2026-01-03").count() == 150)
   }
 
+  test("string truncate transform is a prefix; pruning works on it") {
+    import org.apache.spark.sql.types.StringType
+    val docs = (for (p <- Seq("aa", "bb", "cc", "dd"); i <- 0 until 50)
+      yield (s"$p-doc-$i", i.toLong)).toDF("doc_key", "v")
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", docs.schema,
+      partitionBy = Seq(PartitionSpec.truncate(2, "doc_key")))
+    t.append(docs.repartition(4, $"v"))
+    val pred = PartitionSpec.truncate(2, "doc_key").expr(lit("cc-doc-7"), StringType)
+    val scan = t.readPrunedPartition("trunc2_doc_key" -> pred)
+    assert(scan.filesScanned < scan.filesTotal,
+      s"prefix pruning (${scan.filesScanned}/${scan.filesTotal})")
+    assert(scan.df.filter($"doc_key".startsWith("cc")).count() == 50)
+  }
+
   test("spec round-trips through the metadata file") {
     val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
       partitionBy = Seq(PartitionSpec.days("ts"), PartitionSpec.bucket(8, "user_id")))

@@ -44,6 +44,23 @@ class StreamSinkSpec extends SparkSpec {
     assert(GraftSink.lastBatch(t, "q2").contains(0L))
   }
 
+  test("streaming WAP: batches stage on a branch, publish is one ref move") {
+    val t = GraftTable.create(spark, tmpDir("sink") + "/t",
+      Seq((0L, "x")).toDF("id", "tag").schema)
+    t.append(Seq((0L, "base")).toDF("id", "tag"))
+    t.createBranch("ingest")
+    val sink: (DataFrame, Long) => Unit =
+      GraftSink.appendBatch(t, "q", branch = "ingest")
+    sink(Seq((1L, "a")).toDF("id", "tag"), 0L)
+    sink(Seq((2L, "b")).toDF("id", "tag"), 1L)
+    sink(Seq((2L, "b")).toDF("id", "tag"), 1L) // replay → no-op
+    assert(t.read.count() == 1, "main unaffected while batches stage")
+    assert(t.readBranch("ingest").count() == 3)
+    t.fastForward("main", "ingest")
+    assert(t.read.count() == 3)
+    assert(t.rowCount == 3, "metadata-only count agrees post-publish")
+  }
+
   test("marker survives restart: a fresh table handle still dedups") {
     val loc = tmpDir("sink") + "/t"
     val t = GraftTable.create(spark, loc, Seq((0L, "x")).toDF("id", "tag").schema)
