@@ -37,7 +37,9 @@ object AnalyzeIncremental {
     StructField("n_nonnull", LongType, nullable = false),
     StructField("ndv_sketch", BinaryType, nullable = true),
     StructField("min_str", StringType, nullable = true),
-    StructField("max_str", StringType, nullable = true)))
+    StructField("max_str", StringType, nullable = true),
+    // KLL doubles sketch (numeric columns only) — mergeable quantiles
+    StructField("kll_sketch", BinaryType, nullable = true)))
 
   private def storeDir(table: GraftTable): Path =
     new Path(table.dir, "_graft/stats_inc")
@@ -80,8 +82,14 @@ object AnalyzeIncremental {
                 max(c).cast(StringType).as(s"max:${f.name}"))
             else Seq(lit(null).cast(StringType).as(s"min:${f.name}"),
               lit(null).cast(StringType).as(s"max:${f.name}"))
+          val kll = f.dataType match {
+            case _: NumericType =>
+              kll_sketch_agg_double(c.cast(DoubleType)).as(s"kll:${f.name}")
+            case _ => lit(null).cast(BinaryType).as(s"kll:${f.name}")
+          }
           Seq(count(c).as(s"nn:${f.name}"),
-            hll_sketch_agg(sketchable(c, f.dataType)).as(s"hll:${f.name}")) ++ mm
+            hll_sketch_agg(sketchable(c, f.dataType)).as(s"hll:${f.name}"),
+            kll) ++ mm
         }: _*)
     // Long format (one row per file × column) via a single explode — a
     // per-column unionAll would re-execute the whole sketch aggregation
@@ -92,13 +100,15 @@ object AnalyzeIncremental {
         col(s"nn:${f.name}").as("n_nonnull"),
         col(s"hll:${f.name}").as("ndv_sketch"),
         col(s"min:${f.name}").as("min_str"),
-        col(s"max:${f.name}").as("max_str"))
+        col(s"max:${f.name}").as("max_str"),
+        col(s"kll:${f.name}").as("kll_sketch"))
     }: _*)
     val rows = perFile.select(
         udf((s: String) => GraftTable.normalize(s)).apply(col("raw_path")).as("path"),
         col("n_rows"), explode(entries).as("e"))
       .select(col("path"), col("e.column_name"), col("n_rows"),
-        col("e.n_nonnull"), col("e.ndv_sketch"), col("e.min_str"), col("e.max_str"))
+        col("e.n_nonnull"), col("e.ndv_sketch"), col("e.min_str"),
+        col("e.max_str"), col("e.kll_sketch"))
     rows.write.mode("append").parquet(storeDir(table).toString)
     table.fileSystem.delete(new Path(storeDir(table), "_SUCCESS"), false)
     todo.size.toLong
@@ -164,5 +174,30 @@ object AnalyzeIncremental {
       }
     } :+ org.apache.spark.sql.Row(null, null, null, null, totalRows.toDouble, null, null)
     spark.createDataFrame(out.asJava, Analyze.StatsSchema)
+  }
+
+  /** Merged approximate quantiles from the per-file KLL sketches,
+    * restricted to live files — incremental percentiles: appending 1%
+    * of data re-sketches 1%, and any quantile of the WHOLE table is one
+    * cheap merge over the store (KLL merge keeps the rank-error bound;
+    * default k ≈ 1.7% rank error). One row per numeric column, one
+    * column per requested quantile (`p50`, `p95`, …). */
+  def quantiles(table: GraftTable, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val spark = table.spark
+    import spark.implicits._
+    val store =
+      if (!table.fileSystem.exists(storeDir(table)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StoreSchema)
+      else spark.read.schema(StoreSchema).parquet(storeDir(table).toString)
+    val merged = store.join(table.files.select("path"), Seq("path"))
+      .filter($"kll_sketch".isNotNull)
+      .groupBy($"column_name")
+      .agg(kll_merge_agg_double($"kll_sketch").as("m"))
+    val qCols = qs.map(q =>
+      kll_sketch_get_quantile_double($"m", lit(q))
+        .as(s"p${math.round(q * 100)}"))
+    merged.select(($"column_name" +: qCols): _*).orderBy("column_name")
   }
 }

@@ -637,6 +637,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def statsIncremental: DataFrame =
     graft.cmd.AnalyzeIncremental.statsRelation(this)
 
+  /** Approximate quantiles of numeric columns merged from the per-file
+    * KLL sketch store (populated by [[analyzeIncremental]]). */
+  def quantilesIncremental(qs: Seq[Double]): DataFrame =
+    graft.cmd.AnalyzeIncremental.quantiles(this, qs)
+
   // ---- internals shared with graft.cmd ---------------------------------
 
   private[graft] def fileSystem: FileSystem = fs

@@ -62,6 +62,24 @@ class AnalyzeIncrementalSpec extends SparkSpec {
     assert(s(0).getString(5) == "x" && s(0).getString(6) == "y")
   }
 
+  test("KLL quantiles merge across incremental sketch batches") {
+    import org.apache.spark.sql.functions._
+    val clock = new TestClock
+    val df0 = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, tmpDir("inc") + "/t", df0.schema)
+    t.append(df0.filter(col("k") < 500), clock)
+    t.analyzeIncremental(clock)
+    t.append(df0.filter(col("k") >= 500), clock) // second sketch batch
+    t.analyzeIncremental(clock)
+    val q = t.quantilesIncremental(Seq(0.25, 0.5, 0.75))
+      .filter(col("column_name") === "v").collect().head
+    // KLL default rank error ~1.7%: accept +-3% of the 0..999 range
+    def close(got: Double, exact: Double) = math.abs(got - exact) <= 30.0
+    assert(close(q.getDouble(1), 249.75), s"p25 ${q.getDouble(1)}")
+    assert(close(q.getDouble(2), 499.5), s"p50 ${q.getDouble(2)}")
+    assert(close(q.getDouble(3), 749.25), s"p75 ${q.getDouble(3)}")
+  }
+
   test("numeric min/max merge numerically, not lexicographically") {
     val num = StructType(Seq(StructField("v", LongType)))
     val clock = new TestClock
