@@ -176,6 +176,25 @@ object ScaleQueries {
       .orderBy($"priority", $"yr")
   }
 
+  /** Explicit GROUPING SETS (not derivable from cube/rollup): exactly
+    * three chosen groupings — (priority), (year), and grand total — in
+    * one pass; the non-requested (priority, year) pairs are never
+    * aggregated, which at scale is the difference between 3 and N×M
+    * grouping combinations. */
+  def q34GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("yr", year($"o_orderdate"))
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"yr"), Seq.empty),
+        $"o_orderpriority", $"yr")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"yr", lit(-1)).as("yr"), $"n_orders", $"total")
+      .orderBy($"priority", $"yr")
+  }
+
   /** Stats-pruned scan over a range-clustered GraftTable: lineitem is
     * written once clustered by ship date (`repartitionByRange`), so the
     * manifest's per-file min/max bounds are tight; a one-year revenue
@@ -360,6 +379,7 @@ object ScaleQueries {
     "q26_json_ingest" -> (q26JsonIngest _),
     "q27_percentiles" -> (q27Percentiles _),
     "q28_cube" -> (q28Cube _),
+    "q34_grouping_sets" -> (q34GroupingSets _),
     "q29_pruned_scan" -> (q29PrunedScan _),
     "q30_pivot" -> (q30Pivot _),
   )
@@ -439,6 +459,14 @@ object ScaleQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(CAST(yr AS INT), -1) AS yr,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT o_orderpriority, year(o_orderdate) AS yr, o_totalprice
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((o_orderpriority), (yr), ())
+        |ORDER BY priority, yr""".stripMargin,
     "q28_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |  coalesce(CAST(yr AS INT), -1) AS yr,

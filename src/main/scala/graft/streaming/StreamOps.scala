@@ -218,10 +218,52 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Watermarked STREAM-STREAM inner join: clicks and purchases are two
+    * independent unbounded streams; a purchase joins every click by the
+    * same user in the preceding hour. The event-time range condition
+    * plus both watermarks bound the join state (clicks older than the
+    * watermark minus the range can never match and are evicted) — the
+    * property that makes a stream-stream join runnable forever at
+    * 100 TB/day. Checked against DuckDB's batch self-join. */
+  def st04StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def src: DataFrame = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""))
+    val sink = s"st04_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy((col("c_user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_matched"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_stream" -> (st01HourlyStream _),
     "st02_stream_dedup" -> (st02StreamDedup _),
-    "st03_graft_sink" -> (st03GraftSink _))
+    "st03_graft_sink" -> (st03GraftSink _),
+    "st04_stream_join" -> (st04StreamJoin _))
 
   private val HourlyOracle =
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
@@ -237,5 +279,13 @@ object StreamOps {
     "st02_stream_dedup" -> HourlyOracle,
     // Single-copy oracle again: batch 0 was redelivered to the sink, so
     // a hash match proves the replay committed nothing.
-    "st03_graft_sink" -> HourlyOracle)
+    "st03_graft_sink" -> HourlyOracle,
+    "st04_stream_join" ->
+      """SELECT c.user_id % 10 AS bucket, count(*) AS n_pairs,
+        |  count(DISTINCT c.event_id) AS n_clicks_matched
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
 }
