@@ -31,6 +31,12 @@ final class DefaultSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val table = GraftTable.load(spark, path)
     require(GraftTable.exists(spark, path), s"no graft table at $path")
+    // metadata tables, the Iceberg `t.files` / `t.snapshots` analogue:
+    //   spark.read.format("graft").option("metadata", "files").load(p)
+    parameters.get("metadata") match {
+      case Some(m) => return metadataRelation(sqlContext, table, m)
+      case None =>
+    }
     require(table.schemaVersions.size <= 1,
       "the graft DataSource serves un-evolved tables; use GraftTable.read " +
         "for schema-evolved tables (per-generation aligned scans)")
@@ -41,6 +47,35 @@ final class DefaultSource extends RelationProvider
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
+  }
+
+  /** A simple scan-only relation over one of the table's metadata
+    * DataFrames; all are tiny (O(files) or O(snapshots)). */
+  private def metadataRelation(ctx: SQLContext, table: GraftTable,
+                               which: String): BaseRelation = {
+    val spark = ctx.sparkSession
+    import spark.implicits._
+    val df = which match {
+      case "files" => table.files
+      case "snapshots" =>
+        table.snapshots.toDF()
+          .withColumnRenamed("snapshotId", "snapshot_id")
+          .withColumnRenamed("parentId", "parent_id")
+          .withColumnRenamed("timestampMs", "committed_at_ms")
+          .withColumnRenamed("numFiles", "num_files")
+          .withColumnRenamed("totalBytes", "total_bytes")
+          .withColumnRenamed("totalRows", "total_rows")
+      case "refs" => table.branches.toSeq.toDF("name", "snapshot_id")
+      case "stats" => table.stats
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table $other (files|snapshots|refs|stats)")
+    }
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: org.apache.spark.sql.types.StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

@@ -90,6 +90,30 @@ class GraftSourceSpec extends SparkSpec {
     assert(t.readAsOf(2).count() == 3)
   }
 
+  test("metadata tables: files / snapshots / refs / stats via options") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc, data.schema)
+    t.append(data.repartitionByRange(4, $"k"))
+    t.append(data.limit(10))
+    t.createBranch("audit")
+    def meta(m: String) =
+      spark.read.format("graft").option("metadata", m).load(loc)
+    assert(meta("files").count() == t.currentSnapshot.get.numFiles)
+    val snaps = meta("snapshots").orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append"))
+    assert(snaps.last.getAs[Long]("total_rows") == 10010L)
+    val refs = meta("refs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(refs == Map("main" -> 2L, "audit" -> 2L))
+    assert(meta("stats").columns.contains("nulls_fraction"))
+    // SQL over a metadata view
+    meta("files").createOrReplaceTempView("t_files")
+    assert(spark.sql("SELECT sum(record_count) FROM t_files")
+      .head().getLong(0) == 10010L)
+    intercept[IllegalArgumentException](meta("nope").collect())
+  }
+
   test("evolved tables are refused with a pointer to the aligned reader") {
     val loc = tmpDir("src") + "/t"
     val t = GraftTable.create(spark, loc, data.schema)
