@@ -4,53 +4,95 @@ import java.time.Clock
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.meta.GraftTable
 
-/** Small-file compaction: rewrite the current snapshot's data files into
-  * `ceil(totalBytes / targetFileBytes)` files and commit the rewrite as a
-  * new snapshot. Replaced files stay on storage, owned by older snapshots,
-  * until `expireSnapshots` reclaims them.
+/** Small-file compaction, Iceberg `rewrite_data_files` (binpack) shape:
+  * SELECT only the undersized files from the manifest, bin-pack and
+  * rewrite just those, and carry every already-compact file through the
+  * commit untouched (same path, same `added_snapshot_id` lineage).
+  * Replaced files stay on storage, owned by older snapshots, until
+  * `expireSnapshots` reclaims them.
   *
   * Reference analogue: `ALTER TABLE t EXECUTE optimize`
-  * (trino_iceberg_maintenance/__main__.py:161-177); the observable
-  * contract in the reference tests is file count 2 → 1
-  * (tests/test_maintenance.py:51,67,78).
+  * (trino_iceberg_maintenance/__main__.py:170); the observable contract
+  * in the reference tests is file count 2 → 1
+  * (tests/test_maintenance.py:51,67,78) — tiny test files are all below
+  * the threshold, so the full-compaction behavior is unchanged there.
   *
-  * Scale: the rewrite is one distributed read → round-robin repartition →
-  * write; no data ever aggregates on the driver. At 100 TB this is the
-  * same shape Iceberg's rewrite_data_files (binpack) action uses.
+  * Scale: this is what makes `optimize` a maintenance op instead of a
+  * table copy — a 100 TB table with 1% small files rewrites ~1 TB, not
+  * 100 TB. File selection is a distributed filter over the manifest;
+  * only the (small) candidate path list ever reaches the driver, and
+  * the untouched majority of the manifest flows into the new commit as
+  * a DataFrame without being collected.
   */
 object Optimize {
+  /** Files below this fraction of the target size are compaction
+    * candidates (Iceberg's MIN_FILE_SIZE_DEFAULT_RATIO). */
+  private val MinFileSizeRatio = 0.75
+  /** Fewer candidates than this → nothing worth rewriting. */
+  private val MinInputFiles = 2
+
   /** @param clusterBy when non-empty, the rewrite range-partitions and
-    *   sorts by these columns instead of round-robin bin-packing —
-    *   sort-order compaction. Files come out value-clustered, so the
-    *   manifest min/max bounds are tight and `readPruned` range scans
-    *   skip most files (Iceberg's rewrite_data_files `sort` strategy
-    *   vs. the default `binpack`). */
+    *   sorts by these columns instead of bin-packing — sort-order
+    *   compaction (Iceberg's rewrite_data_files `sort` strategy). Sort
+    *   compaction re-clusters the WHOLE table by definition, so file
+    *   selection does not apply there. */
   def run(table: GraftTable, targetFileBytes: Long, clock: Clock,
           clusterBy: Seq[String] = Seq.empty): Unit =
     table.lock.synchronized {
       val current = table.currentSnapshot.getOrElse(return)
       if (current.numFiles <= 1 && clusterBy.isEmpty) return // already compact
-      val nOut = math.max(1L,
-        (current.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
       val spec = table.partitionSpec
+      val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
+
+      if (clusterBy.nonEmpty) {
+        // sort-order compaction: full re-cluster, replaces every file
+        val nOut = math.max(1L,
+          (current.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        table.read
+          .repartitionByRange(nOut, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+          .write.parquet(commitDir.toString)
+        table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
+        table.doCommit("optimize", table.inventory(commitDir), clock)
+        return
+      }
+
+      // ---- binpack: rewrite only undersized files ------------------------
+      val minBytes = (targetFileBytes * MinFileSizeRatio).toLong
+      val manifest = table.files
+      val smallRows = manifest.filter(col("size_bytes") < minBytes)
+        .select("path", "added_snapshot_id", "size_bytes").collect()
+      if (smallRows.length < MinInputFiles) return // nothing worth compacting
+      val smallPairs = smallRows.map(r =>
+        (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toIndexedSeq
+      val smallBytes = smallRows.map(_.getLong(2)).sum
+      val nOut = math.max(1L,
+        (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+      val toRewrite = table.readFilesAligned(smallPairs)
       val rewritten =
-        if (clusterBy.nonEmpty)
-          table.read
-            .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
-            .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        else if (spec.nonEmpty) {
+        if (spec.nonEmpty) {
           // keep a partitioned table clustered — a round-robin rewrite
           // would widen every file's transform bounds and kill pruning
-          val df = table.read
-          val exprs = spec.map(f => f.expr(df(f.column), df.schema(f.column).dataType))
-          df.repartitionByRange(nOut, exprs: _*).sortWithinPartitions(exprs: _*)
-        } else table.read.repartition(nOut)
+          val exprs = spec.map(f =>
+            f.expr(toRewrite(f.column), toRewrite.schema(f.column).dataType))
+          toRewrite.repartitionByRange(nOut, exprs: _*)
+            .sortWithinPartitions(exprs: _*)
+        } else toRewrite.repartition(nOut)
       rewritten.write.parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
-      table.doCommit("optimize", table.inventory(commitDir), clock)
+
+      // New manifest = untouched entries (original lineage preserved, never
+      // collected) ∪ the freshly written files (stamped with the new id by
+      // the commit's coalesce on added_snapshot_id).
+      val untouched = manifest.filter(col("size_bytes") >= minBytes)
+        .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
+      val fresh = table.inventory(commitDir)
+        .withColumn("added_snapshot_id", lit(null).cast("long"))
+      table.doCommit("optimize", untouched.unionByName(fresh), clock)
     }
 }

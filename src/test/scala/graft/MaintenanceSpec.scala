@@ -94,6 +94,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(before.toSeq == after.toSeq)
   }
 
+  test("optimize binpack: compacts only undersized files, carries big ones") {
+    val fx = fixture("binpack")
+    val t = fx.createTable("t")
+    // one file well above the 0.75*target candidate threshold...
+    val bigRows = (1 to 4000).map(i => Row(s"k$i", s"v$i"))
+    t.append(spark.createDataFrame(bigRows.asJava, ab).coalesce(1), fx.clock)
+    // ...plus three tiny files
+    fx.insert("t", ("s1", "1")); fx.insert("t", ("s2", "2"))
+    fx.insert("t", ("s3", "3"))
+    val before = t.files.select("path", "size_bytes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.size == 4)
+    val target = 8L * 1024
+    val bigPath = before.maxBy(_._2)._1
+    assert(before(bigPath) >= (target * 3) / 4) // big file is NOT a candidate
+
+    fx.table("t").optimize(targetFileBytes = target, clock = fx.clock)
+    val after = fx.table("t").files.select("path").collect()
+      .map(_.getString(0)).toSet
+    assert(after.size == 2) // 3 small -> 1, big carried through
+    assert(after.contains(bigPath)) // byte-identical path, never rewritten
+    assert(fx.table("t").read.count() == 4003)
+    // candidate gate: a second run finds one small file -> no-op commit
+    val snaps = fx.table("t").snapshots.size
+    fx.table("t").optimize(targetFileBytes = target, clock = fx.clock)
+    assert(fx.table("t").snapshots.size == snaps)
+  }
+
   // ---- mirror of test_analyze_without_colums (:81-123) -----------------
 
   test("analyze all columns: live fractions, then pinned until re-analyze") {
