@@ -61,6 +61,11 @@ object MaintenanceConfig {
 final class ConfigStore(spark: SparkSession, location: String) {
   import spark.implicits._
 
+  /** Logical table name — the last path segment, the coordinate the
+    * scheduler's SQL statements address this table by. */
+  val tableName: String =
+    new org.apache.hadoop.fs.Path(location).getName
+
   /** `CREATE TABLE IF NOT EXISTS` (__main__.py:40-57). */
   def createIfNotExists(): ConfigStore = {
     if (!GraftTable.exists(spark, location))
@@ -99,4 +104,18 @@ final class ConfigStore(spark: SparkSession, location: String) {
         clock)
     }
   }
+}
+
+object ConfigStore {
+  /** Config-table name, env-overridable — `MAINTENANCE_TABLE`
+    * (__main__.py:15). `env` is injectable so the override is testable
+    * without mutating process state. */
+  def defaultTableName(env: Map[String, String] = sys.env): String =
+    env.getOrElse("MAINTENANCE_TABLE", "iceberg_maintenance_schedule")
+
+  /** The store under `warehouseDir` at the env-resolved table name —
+    * what a deployment gets when it configures only a warehouse root. */
+  def at(spark: SparkSession, warehouseDir: String,
+         env: Map[String, String] = sys.env): ConfigStore =
+    new ConfigStore(spark, s"$warehouseDir/${defaultTableName(env)}")
 }

@@ -8,6 +8,7 @@ import scala.concurrent.duration.Duration
 import scala.util.{Failure, Success, Try}
 
 import graft.meta.GraftTable
+import graft.sql.GraftSql
 
 /** A failed maintenance run for one table, carrying its config — the
   * analogue of MaintenanceTaskException (__main__.py:102-109). */
@@ -52,20 +53,51 @@ final class Scheduler(
       case Some(ts) => days.exists(d => ts.getTime + d * dayMs <= clock.millis())
     }
 
-  /** One table's pipeline (MaintenanceTask.execute, __main__.py:121-201). */
+  /** Resolve the config table by ITS name too, so the stamp UPDATEs can
+    * address it the way the reference does (`UPDATE {MAINTENANCE_TABLE}`,
+    * __main__.py:172,194). */
+  private val resolver: String => GraftTable = {
+    case n if n == store.tableName => store.table
+    case n => resolveTable(n)
+  }
+
+  /** One table's pipeline (MaintenanceTask.execute, __main__.py:121-201).
+    * Each step issues the reference's exact SQL statement through
+    * [[GraftSql]] — SQL is the engine's maintenance interface, the Scala
+    * methods on [[GraftTable]] are what the statements dispatch to. */
   private[graft] def executeTask(cfg: MaintenanceConfig): Unit = {
-    val table = resolveTable(cfg.table_name)
+    val spark = resolveTable(cfg.table_name).spark
+    def sql(s: String): Unit = { GraftSql.exec(spark, s, resolver, clock); () }
+    // __main__.py:144-147
     if (cfg.orphanEnabled)
-      cfg.retention_days_orphan_files.foreach(table.removeOrphanFiles(_, clock))
+      cfg.retention_days_orphan_files.foreach(d => sql(
+        s"""ALTER TABLE ${cfg.table_name} EXECUTE remove_orphan_files(
+           |    retention_threshold => '${d}d'
+           |)""".stripMargin))
+    // __main__.py:154-157
     if (cfg.expireEnabled)
-      cfg.retention_days_snapshots.foreach(table.expireSnapshots(_, clock))
+      cfg.retention_days_snapshots.foreach(d => sql(
+        s"""ALTER TABLE ${cfg.table_name} EXECUTE expire_snapshots(
+           |    retention_threshold => '${d}d'
+           |)""".stripMargin))
+    // __main__.py:170-176
     if (cfg.optimizeEnabled && due(cfg.last_optimized_on, cfg.days_to_optimize)) {
-      table.optimize(clock = clock)
-      store.stamp(cfg.table_name, "last_optimized_on", clock)
+      sql(s"ALTER TABLE ${cfg.table_name} EXECUTE optimize")
+      sql(s"""UPDATE ${store.tableName}
+             |SET last_optimized_on = current_timestamp(6)
+             |WHERE table_name = '${cfg.table_name}'""".stripMargin)
     }
+    // __main__.py:180-199
     if (cfg.analyzeEnabled && due(cfg.last_analyzed_on, cfg.days_to_analyze)) {
-      table.analyze(cfg.columns_to_analyze, clock)
-      store.stamp(cfg.table_name, "last_analyzed_on", clock)
+      val withColumns = cfg.columns_to_analyze match {
+        case Some(cs) if cs.nonEmpty =>
+          s"\nWITH (columns = ARRAY[${cs.map(c => s"'$c'").mkString(", ")}])"
+        case _ => ""
+      }
+      sql(s"ANALYZE ${cfg.table_name}$withColumns")
+      sql(s"""UPDATE ${store.tableName}
+             |SET last_analyzed_on = current_timestamp(6)
+             |WHERE table_name = '${cfg.table_name}'""".stripMargin)
     }
   }
 

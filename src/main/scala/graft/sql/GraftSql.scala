@@ -1,0 +1,346 @@
+package graft.sql
+
+import java.sql.Timestamp
+import java.time.Clock
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.GraftTable
+
+/** The reference's SQL statement surface, parsed and dispatched onto the
+  * engine's native commands. The reference's actual interface is SQL
+  * strings issued over DB-API (trino_iceberg_maintenance/__main__.py):
+  *
+  *   - `ALTER TABLE t EXECUTE remove_orphan_files(retention_threshold => '7d')`
+  *     (__main__.py:144-147)
+  *   - `ALTER TABLE t EXECUTE expire_snapshots(retention_threshold => '7d')`
+  *     (__main__.py:154-157)
+  *   - `ALTER TABLE t EXECUTE optimize` (__main__.py:170)
+  *   - `ANALYZE t [WITH (columns = ARRAY['a', 'b'])]` (__main__.py:188-192)
+  *   - `UPDATE cfg SET last_x = current_timestamp(6) WHERE table_name = 't'`
+  *     (__main__.py:172-176,194-198)
+  *   - `CREATE TABLE [IF NOT EXISTS] t (col TYPE [NOT NULL], ...)`
+  *     (__main__.py:41-55; tests/test_maintenance.py:44)
+  *   - `INSERT INTO t (cols) VALUES (...)` (tests/test_maintenance.py:47,59-62)
+  *   - `SELECT * FROM "t\$files"` / `SELECT * FROM t` (tests:50; __main__.py:62)
+  *   - `SHOW STATS FOR t` (tests/test_maintenance.py:90)
+  *   - `DROP TABLE t` (tests/test_maintenance.py:20)
+  *
+  * This is deliberately a STATEMENT dispatcher, not a query engine —
+  * general SELECTs belong to Spark SQL over `format("graft")` relations
+  * (register with `df.createOrReplaceTempView`); what lives here is the
+  * statement dialect Spark itself cannot route to our table format.
+  * The grammar is the closed set above, so a hand-rolled parser (regex
+  * per statement + a tiny bracket-aware literal scanner) is exact, and
+  * anything outside it fails loudly rather than half-parsing.
+  *
+  * Table names resolve through a caller-supplied `String => GraftTable`
+  * (the reference's catalog.schema prefix maps to a warehouse directory
+  * the same way). All statements share the session clock injected by the
+  * caller — the scheduler's gate/stamp discipline (SURVEY.md §7.7c).
+  */
+object GraftSql {
+
+  /** Execute one statement. Returns a DataFrame for queries
+    * (SELECT / SHOW STATS), None for DDL, DML and maintenance commands. */
+  def exec(spark: SparkSession, sql: String, resolve: String => GraftTable,
+           clock: Clock = Clock.systemUTC()): Option[DataFrame] =
+    normalize(sql) match {
+      case AlterExec(t, op, args) =>
+        alterExec(resolve(unquote(t)), op, Option(args), clock); None
+      case AnalyzeStmt(t, cols) =>
+        resolve(unquote(t)).analyze(Option(cols).map(parseStringArray), clock)
+        None
+      case ShowStats(t) => Some(resolve(unquote(t)).stats)
+      case UpdateStmt(t, setCol, setVal, whereCol, whereVal) =>
+        update(spark, resolve(unquote(t)), setCol, setVal.trim,
+          whereCol, whereVal.trim, clock)
+        None
+      case CreateStmt(ifNotExists, t, colDefs) =>
+        create(spark, resolve(unquote(t)), ifNotExists != null, colDefs); None
+      case DropStmt(ifExists, t) =>
+        val table = resolve(unquote(t))
+        if (GraftTable.exists(spark, table.location)) table.drop()
+        else require(ifExists != null, s"no graft table at ${table.location}")
+        None
+      case InsertStmt(t, cols, values) =>
+        insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
+      case SelectAll(t) => Some(select(spark, resolve, unquote(t)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported SQL (GraftSql handles the reference's statement " +
+          s"dialect only): $other")
+    }
+
+  // ---- statement grammar (whitespace-normalized input) -------------------
+
+  private val Ident = """((?:"[^"]+")|(?:[\w.$]+))"""
+  private val AlterExec =
+    s"""(?i)^ALTER TABLE $Ident EXECUTE (\\w+)(?: ?\\( ?(.*?) ?\\))?$$""".r
+  private val AnalyzeStmt =
+    s"""(?i)^ANALYZE $Ident(?: WITH ?\\( ?columns ?= ?ARRAY\\[(.*?)\\] ?\\))?$$""".r
+  private val ShowStats = s"""(?i)^SHOW STATS FOR $Ident$$""".r
+  private val UpdateStmt =
+    s"""(?i)^UPDATE $Ident SET (\\w+) ?= ?(.+?) WHERE (\\w+) ?= ?(.+)$$""".r
+  private val CreateStmt =
+    s"""(?i)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+)\\)$$""".r
+  private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
+  private val InsertStmt =
+    s"""(?i)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
+  private val SelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
+
+  private def normalize(sql: String): String =
+    sql.trim.replaceAll("\\s+", " ").stripSuffix(";").trim
+
+  private def unquote(id: String): String =
+    if (id.startsWith("\"") && id.endsWith("\"")) id.substring(1, id.length - 1)
+    else id
+
+  // ---- maintenance ops ----------------------------------------------------
+
+  private def alterExec(t: GraftTable, op: String, args: Option[String],
+                        clock: Clock): Unit = {
+    val kv = parseArgs(args)
+    op.toLowerCase match {
+      case "optimize" =>
+        val target = kv.get("file_size_threshold").map(parseDataSize)
+          .getOrElse(128L * 1024 * 1024)
+        t.optimize(targetFileBytes = target, clock = clock)
+      case "expire_snapshots" =>
+        t.expireSnapshots(parseDays(arg(kv, "retention_threshold", op)), clock)
+      case "remove_orphan_files" =>
+        t.removeOrphanFiles(parseDays(arg(kv, "retention_threshold", op)), clock)
+      case other => throw new IllegalArgumentException(
+        s"unsupported table procedure: $other " +
+          "(optimize | expire_snapshots | remove_orphan_files)")
+    }
+  }
+
+  private def arg(kv: Map[String, String], name: String, op: String): String =
+    kv.getOrElse(name,
+      throw new IllegalArgumentException(s"$op requires $name => '...'"))
+
+  /** `name => 'value', name => 'value'` — Trino's named-argument call. */
+  private def parseArgs(args: Option[String]): Map[String, String] =
+    args.filter(_.nonEmpty).toSeq.flatMap(splitTop(_, ',')).map { a =>
+      a.split("=>") match {
+        case Array(k, v) => k.trim.toLowerCase -> stripQuotes(v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"expected name => 'value', got: $a")
+      }
+    }.toMap
+
+  /** `'7d'` → 7 (our retention is day-granular, like the reference's
+    * `retention_days_*` config columns it is always built from). */
+  private def parseDays(v: String): Int = v.trim match {
+    case s if s.matches("""\d+ ?d""") => s.stripSuffix("d").trim.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected a day-granular duration like '7d', got '$other'")
+  }
+
+  /** Trino DataSize literal, binary multipliers: '128MB', '8kB', '1GB'. */
+  private def parseDataSize(v: String): Long = {
+    val m = """(\d+(?:\.\d+)?) ?(B|kB|KB|MB|GB|TB)""".r
+    v.trim match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "B" => 1L
+          case "kB" | "KB" => 1L << 10
+          case "MB" => 1L << 20
+          case "GB" => 1L << 30
+          case "TB" => 1L << 40
+        }
+        (BigDecimal(n) * mult).toLong
+      case other =>
+        throw new IllegalArgumentException(s"bad data size literal '$other'")
+    }
+  }
+
+  private def parseStringArray(inner: String): Seq[String] =
+    if (inner.trim.isEmpty) Seq.empty
+    else splitTop(inner, ',').map(v => stripQuotes(v.trim))
+
+  // ---- UPDATE (point, copy-on-write) --------------------------------------
+
+  /** `UPDATE t SET c = current_timestamp(6) | <literal> WHERE k = <literal>`
+    * — the reference's stamp statements (__main__.py:172-176,194-198).
+    * CoW under the table lock; the config table is O(#maintained tables),
+    * so the driver-side materialize is bounded (large-table row-level
+    * changes go through [[GraftTable.merge]] / [[GraftTable.deleteWhere]],
+    * which rewrite only affected files). */
+  private def update(spark: SparkSession, t: GraftTable, setCol: String,
+                     setVal: String, whereCol: String, whereVal: String,
+                     clock: Clock): Unit =
+    t.lock.synchronized {
+      val schema = t.schema
+      val setType = schema(setCol).dataType
+      val newVal: Any =
+        if (setVal.matches("""(?i)current_timestamp ?\( ?6 ?\)"""))
+          new Timestamp(clock.millis())
+        else coerce(parseLiteral(setVal), setType)
+      val whereV = coerce(parseLiteral(whereVal), schema(whereCol).dataType)
+      val updated = t.read.withColumn(setCol,
+        when(col(whereCol) === lit(whereV), lit(newVal).cast(setType))
+          .otherwise(col(setCol)))
+      // the CoW overwrite would otherwise re-read the files it replaces
+      val rows = updated.collect().toIndexedSeq
+      t.overwrite(spark.createDataFrame(rows.asJava, schema), clock)
+    }
+
+  // ---- CREATE / INSERT -----------------------------------------------------
+
+  private def create(spark: SparkSession, t: GraftTable,
+                     ifNotExists: Boolean, colDefs: String): Unit = {
+    if (GraftTable.exists(spark, t.location)) {
+      require(ifNotExists, s"graft table exists: ${t.location}")
+      return
+    }
+    val fields = splitTop(colDefs, ',').map { d =>
+      val trimmed = d.trim
+      val notNull = trimmed.toUpperCase.endsWith(" NOT NULL")
+      val core = if (notNull) trimmed.dropRight(9).trim else trimmed
+      val sp = core.indexOf(' ')
+      require(sp > 0, s"bad column definition: $d")
+      StructField(unquote(core.substring(0, sp)),
+        parseType(core.substring(sp + 1).trim), nullable = !notNull)
+    }
+    GraftTable.create(spark, t.location, StructType(fields))
+  }
+
+  /** The reference DDL's types (__main__.py:43-54) plus the obvious kin. */
+  private def parseType(t: String): DataType = {
+    val up = t.toUpperCase
+    up match {
+      case "VARCHAR" | "STRING" => StringType
+      case v if v.startsWith("VARCHAR(") => StringType
+      case "INTEGER" | "INT" => IntegerType
+      case "BIGINT" => LongType
+      case "SMALLINT" => ShortType
+      case "DOUBLE" => DoubleType
+      case "REAL" | "FLOAT" => FloatType
+      case "BOOLEAN" => BooleanType
+      case "DATE" => DateType
+      case "VARBINARY" | "BINARY" => BinaryType
+      case v if v.startsWith("TIMESTAMP") => TimestampType
+      case v if v.startsWith("ARRAY(") && v.endsWith(")") =>
+        ArrayType(parseType(t.substring(6, t.length - 1).trim))
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  private def insert(spark: SparkSession, t: GraftTable, cols: Option[String],
+                     values: String, clock: Clock): Unit = {
+    val schema = t.schema
+    val names = cols.map(_.split(",").map(c => unquote(c.trim)).toSeq)
+      .getOrElse(schema.fieldNames.toSeq)
+    val rows = parseTuples(values).map { tuple =>
+      require(tuple.size == names.size,
+        s"INSERT arity mismatch: ${names.size} columns, ${tuple.size} values")
+      val byName = names.zip(tuple).toMap
+      Row(schema.fields.toSeq.map { f =>
+        byName.get(f.name)
+          .map(v => coerce(parseLiteral(v.trim), f.dataType)).orNull
+      }: _*)
+    }
+    t.append(spark.createDataFrame(rows.asJava, schema), clock)
+  }
+
+  /** `('a', 1), (NULL, ARRAY['x'])` → per-tuple raw literal texts. */
+  private def parseTuples(values: String): Seq[Seq[String]] =
+    splitTop(values, ',').map { tup =>
+      val tr = tup.trim
+      require(tr.startsWith("(") && tr.endsWith(")"), s"bad VALUES tuple: $tup")
+      splitTop(tr.substring(1, tr.length - 1), ',').map(_.trim)
+    }
+
+  // ---- SELECT * (incl. metadata tables) -----------------------------------
+
+  /** `SELECT * FROM t` (config-table full scan, __main__.py:62) and the
+    * Iceberg-style metadata suffix `SELECT * FROM "t\$files"`
+    * (tests/test_maintenance.py:50) — `\$snapshots`/`\$refs`/`\$stats` route
+    * through the same graft-source metadata relations. */
+  private def select(spark: SparkSession, resolve: String => GraftTable,
+                     id: String): DataFrame = {
+    val dollar = id.lastIndexOf('$')
+    if (dollar > 0) {
+      val table = resolve(id.substring(0, dollar))
+      spark.read.format("graft").option("metadata", id.substring(dollar + 1))
+        .load(table.location)
+    } else resolve(id).read
+  }
+
+  // ---- literal scanner -----------------------------------------------------
+
+  /** Split on `sep` at bracket depth 0, outside quotes. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+
+  private def stripQuotes(v: String): String = {
+    require(v.startsWith("'") && v.endsWith("'") && v.length >= 2,
+      s"expected a quoted string literal, got $v")
+    v.substring(1, v.length - 1).replace("''", "'")
+  }
+
+  /** One SQL literal → a loosely-typed value ([[coerce]] adapts it to the
+    * target column type): NULL, 'string' (with '' escape), number,
+    * ARRAY[...], TIMESTAMP '...', true/false. */
+  private def parseLiteral(v: String): Any = {
+    val up = v.toUpperCase
+    if (up == "NULL") null
+    else if (up == "TRUE") true
+    else if (up == "FALSE") false
+    else if (v.startsWith("'")) stripQuotes(v)
+    else if (up.startsWith("ARRAY[") && v.endsWith("]"))
+      splitTop(v.substring(6, v.length - 1), ',').map(e => parseLiteral(e.trim))
+    else if (up.startsWith("TIMESTAMP "))
+      Timestamp.valueOf(stripQuotes(v.substring(10).trim))
+    else BigDecimal(v)
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (b: BigDecimal, IntegerType) => b.toIntExact
+    case (b: BigDecimal, LongType) => b.toLongExact
+    case (b: BigDecimal, ShortType) => b.toShortExact
+    case (b: BigDecimal, DoubleType) => b.toDouble
+    case (b: BigDecimal, FloatType) => b.toFloat
+    case (b: BigDecimal, _: DecimalType) => b
+    case (b: BigDecimal, StringType) => b.toString
+    case (s: String, StringType) => s
+    case (s: String, TimestampType) => Timestamp.valueOf(s)
+    case (s: String, DateType) => java.sql.Date.valueOf(s)
+    case (t: Timestamp, TimestampType) => t
+    case (b: Boolean, BooleanType) => b
+    case (b: Boolean, IntegerType) => if (b) 1 else 0
+    case (xs: Seq[_], ArrayType(et, _)) => xs.map(coerce(_, et))
+    case (other, t) => throw new IllegalArgumentException(
+      s"cannot coerce literal $other to ${t.simpleString}")
+  }
+}

@@ -1,0 +1,218 @@
+package graft
+
+import graft.meta.GraftTable
+import graft.sched.{ConfigStore, Scheduler}
+import graft.sql.GraftSql
+
+/** Drives the engine through the reference's EXACT SQL statements —
+  * the strings `trino_iceberg_maintenance/__main__.py` and
+  * `tests/test_maintenance.py` actually send over DB-API — asserting the
+  * same observable contracts the reference tests pin (2 files → 1;
+  * nulls_fraction 1.0 → 2/3; pinned vs live stats).
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  private case class Fx(clock: TestClock, dir: String) {
+    val resolve: String => GraftTable =
+      n => GraftTable.load(spark, s"$dir/$n")
+    def sql(s: String) = GraftSql.exec(spark, s, resolve, clock)
+    def rows(s: String): Array[org.apache.spark.sql.Row] =
+      sql(s).get.collect()
+  }
+
+  private def fixture(prefix: String): Fx =
+    Fx(new TestClock, tmpDir(prefix))
+
+  /** The reference's config-table DDL, verbatim (__main__.py:41-55). */
+  private def createMaintenanceTable(fx: Fx): Unit =
+    fx.sql(s"""
+      CREATE TABLE IF NOT EXISTS ${ConfigStore.defaultTableName(Map.empty)} (
+          table_name VARCHAR NOT NULL,
+          should_analyze INTEGER,
+          last_analyzed_on TIMESTAMP(6),
+          days_to_analyze INTEGER,
+          columns_to_analyze ARRAY(VARCHAR),
+          should_optimize INTEGER,
+          last_optimized_on TIMESTAMP(6),
+          days_to_optimize INTEGER,
+          should_expire_snapshots INTEGER,
+          retention_days_snapshots INTEGER,
+          should_remove_orphan_files INTEGER,
+          retention_days_orphan_files INTEGER
+      )""")
+
+  private def scheduler(fx: Fx): Scheduler = {
+    val store = new ConfigStore(spark,
+      s"${fx.dir}/${ConfigStore.defaultTableName(Map.empty)}")
+    new Scheduler(store, fx.resolve, numWorkers = 2, clock = fx.clock)
+  }
+
+  // ---- tests/test_maintenance.py:41-78, SQL-for-SQL ----------------------
+
+  test("reference SQL end-to-end: optimize 2 files -> 1, gated, re-runs") {
+    val fx = fixture("sqlopt")
+    createMaintenanceTable(fx)
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', 'b')")
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', 'b')")
+    assert(fx.rows("""SELECT * from "t$files" """).length == 2)
+
+    scheduler(fx).run() // no config -> no-op
+    assert(fx.rows("""SELECT * from "t$files" """).length == 2)
+
+    fx.sql("""
+      INSERT INTO iceberg_maintenance_schedule (table_name, should_optimize, days_to_optimize)
+      VALUES ('t', 1, 10)""")
+    assert(scheduler(fx).run().forall(_.isRight))
+    assert(fx.rows("""SELECT * from "t$files" """).length == 1)
+
+    // fresh stamp -> second run must NOT re-optimize
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', 'b')")
+    scheduler(fx).run()
+    assert(fx.rows("""SELECT * from "t$files" """).length == 2)
+
+    // after the configured delta it runs again
+    fx.clock.advanceDays(11)
+    scheduler(fx).run()
+    assert(fx.rows("""SELECT * from "t$files" """).length == 1)
+  }
+
+  // ---- tests/test_maintenance.py:81-123 ----------------------------------
+
+  test("reference SQL end-to-end: analyze pins stats, 1.0 -> 2/3") {
+    val fx = fixture("sqlana")
+    createMaintenanceTable(fx)
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    fx.sql("INSERT INTO t (a, b) VALUES (NULL, NULL)")
+    fx.sql("INSERT INTO t (a, b) VALUES (NULL, NULL)")
+    assert(fx.rows("SHOW STATS FOR t")(0).get(3) == 1.0)
+
+    fx.sql("""
+      INSERT INTO iceberg_maintenance_schedule (table_name, should_analyze, days_to_analyze)
+      VALUES ('t', 1, 10)""")
+    assert(scheduler(fx).run().forall(_.isRight))
+    assert(fx.rows("SHOW STATS FOR t")(0).get(3) == 1.0)
+
+    // pinned: the non-null insert doesn't move the analyzed fraction
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', 'b')")
+    scheduler(fx).run() // still gated
+    assert(fx.rows("SHOW STATS FOR t")(0).get(3) == 1.0)
+
+    fx.clock.advanceDays(11)
+    scheduler(fx).run()
+    assert(fx.rows("SHOW STATS FOR t")(0).get(3) == 2.0 / 3.0)
+  }
+
+  // ---- tests/test_maintenance.py:126-169 ---------------------------------
+
+  test("reference SQL end-to-end: column-subset analyze via ARRAY literal") {
+    val fx = fixture("sqlcols")
+    createMaintenanceTable(fx)
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    fx.sql("INSERT INTO t (a, b) VALUES (NULL, NULL)")
+    fx.sql("INSERT INTO t (a, b) VALUES (NULL, NULL)")
+    fx.sql("""
+      INSERT INTO iceberg_maintenance_schedule (table_name, should_analyze, days_to_analyze, columns_to_analyze)
+      VALUES ('t', 1, 10, ARRAY['a'])""")
+    scheduler(fx).run()
+
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', 'b')")
+    val stats = fx.rows("SHOW STATS FOR t")
+    assert(stats(0).get(3) == 1.0)       // a pinned by its analyze
+    assert(stats(1).get(3) == 2.0 / 3.0) // never-analyzed b tracks live
+  }
+
+  // ---- the ALTER TABLE ... EXECUTE statements, exact shapes --------------
+
+  test("ALTER TABLE EXECUTE statements: all three ops, reference shapes") {
+    val fx = fixture("sqlexec")
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', '1')")
+    fx.sql("INSERT INTO t (a, b) VALUES ('b', '2')")
+
+    // a stray uncommitted file, older than the orphan retention window
+    val stray = java.nio.file.Paths.get(s"${fx.dir}/t/data/stray.parquet")
+    java.nio.file.Files.write(stray, "junk".getBytes)
+    java.nio.file.Files.setLastModifiedTime(stray,
+      java.nio.file.attribute.FileTime.fromMillis(
+        fx.clock.millis() - 10L * 86400000L))
+
+    // __main__.py:144-147 (dedent shape preserved)
+    fx.sql("""
+      ALTER TABLE t EXECUTE remove_orphan_files(
+          retention_threshold => '3d'
+      )""")
+    assert(!java.nio.file.Files.exists(stray))
+
+    // __main__.py:170
+    fx.sql("ALTER TABLE t EXECUTE optimize")
+    assert(fx.rows("""SELECT * from "t$files" """).length == 1)
+
+    // __main__.py:154-157
+    fx.clock.advanceDays(11)
+    fx.sql("INSERT INTO t (a, b) VALUES ('c', '3')")
+    fx.sql("""
+      ALTER TABLE t EXECUTE expire_snapshots(
+          retention_threshold => '5d'
+      )""")
+    val t = fx.resolve("t")
+    assert(t.snapshots.size == 1)
+    assert(t.read.count() == 3)
+
+    // optimize with Trino's optional file_size_threshold argument
+    fx.sql("ALTER TABLE t EXECUTE optimize(file_size_threshold => '128MB')")
+    assert(fx.rows("""SELECT * from "t$files" """).length == 1)
+  }
+
+  test("UPDATE ... current_timestamp(6) stamps one row, copy-on-write") {
+    val fx = fixture("sqlupd")
+    createMaintenanceTable(fx)
+    fx.sql("""
+      INSERT INTO iceberg_maintenance_schedule (table_name, should_optimize, days_to_optimize)
+      VALUES ('t1', 1, 10), ('t2', 1, 10)""")
+    fx.sql("""
+      UPDATE iceberg_maintenance_schedule
+      SET last_optimized_on = current_timestamp(6)
+      WHERE table_name = 't1'""")
+    val rows = fx.rows("SELECT * FROM iceberg_maintenance_schedule")
+      .sortBy(_.getString(0))
+    assert(rows(0).getTimestamp(2) == null) // last_analyzed_on untouched
+    assert(rows(0).getTimestamp(6).getTime == fx.clock.millis()) // t1 stamped
+    assert(rows(1).getTimestamp(6) == null) // t2 untouched
+  }
+
+  test("DROP TABLE and metadata suffix selects") {
+    val fx = fixture("sqldrop")
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    fx.sql("INSERT INTO t (a, b) VALUES ('a', 'b')")
+    assert(fx.rows("""SELECT * FROM "t$snapshots" """).length == 1)
+    assert(fx.rows("""SELECT * FROM "t$refs" """).length == 1)
+    fx.sql("DROP TABLE t")
+    assert(!GraftTable.exists(spark, s"${fx.dir}/t"))
+    fx.sql("DROP TABLE IF EXISTS t") // no-op, no throw
+    intercept[IllegalArgumentException](fx.sql("DROP TABLE t"))
+  }
+
+  test("MAINTENANCE_TABLE env override resolves the store location") {
+    assert(ConfigStore.defaultTableName(Map.empty) ==
+      "iceberg_maintenance_schedule")
+    assert(ConfigStore.defaultTableName(
+      Map("MAINTENANCE_TABLE" -> "custom_schedule")) == "custom_schedule")
+    val dir = tmpDir("envstore")
+    val store = ConfigStore.at(spark, dir,
+      Map("MAINTENANCE_TABLE" -> "custom_schedule")).createIfNotExists()
+    assert(store.tableName == "custom_schedule")
+    assert(GraftTable.exists(spark, s"$dir/custom_schedule"))
+  }
+
+  test("statements outside the dialect fail loudly") {
+    val fx = fixture("sqlerr")
+    fx.sql("CREATE TABLE t (a VARCHAR)")
+    intercept[IllegalArgumentException](
+      fx.sql("SELECT a, count(*) FROM t GROUP BY a"))
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t EXECUTE vacuum"))
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t EXECUTE expire_snapshots(retention_threshold => '7h')"))
+  }
+}
