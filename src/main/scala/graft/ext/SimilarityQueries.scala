@@ -115,6 +115,19 @@ object SimilarityQueries {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Fingerprint of the index's SOURCE data: sorted (name, size, mtime)
+    * of every data file under the source path — the plain-parquet
+    * analogue of a graft/Iceberg source snapshot id. Listing-only, no
+    * data read; any append/rewrite of the source changes it. */
+  private def sourceFingerprint(s: SparkSession, src: String): String = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else graft.meta.GraftTable.listFiles(fs, p)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
   /** PERSISTED IVF index: the build phase (run once, cached) assigns
     * every vector to its nearest centroid and materializes
     * (vec_id, embedding, nrm, cell_id) as a GraftTable partitioned by
@@ -126,7 +139,13 @@ object SimilarityQueries {
     * touches only the probed cells' files. Same parameters as the
     * inline s02, so the result (and oracle) are identical; what changes
     * is that the O(N×16) assignment is paid once at build time, not per
-    * query — the ANN-serving shape for a 100 TB embedding corpus. */
+    * query — the ANN-serving shape for a 100 TB embedding corpus.
+    *
+    * Index lifecycle: the build stamps the SOURCE fingerprint (see
+    * [[sourceFingerprint]]) beside the index table; a query whose
+    * recomputed fingerprint differs rebuilds instead of serving stale
+    * neighbors. The stamp is written only AFTER the index commit, so a
+    * crash mid-build leaves an unstamped index that rebuilds cleanly. */
   def s04IvfIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.{GraftTable, PartitionSpec}
@@ -140,11 +159,22 @@ object SimilarityQueries {
       .withColumn("csim", round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
     val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
 
+    val fp = sourceFingerprint(s, s"$dir/embeddings.parquet")
+    val fpPath = new org.apache.hadoop.fs.Path(loc, "_graft/source_fp")
+    val fs = fpPath.getFileSystem(s.sessionState.newHadoopConf())
+    def stampedFp: Option[String] =
+      if (!fs.exists(fpPath)) None
+      else {
+        val in = fs.open(fpPath)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
     val usable = GraftTable.exists(s, loc) &&
-      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0)
-    if (!usable) { // build phase
+      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0) &&
+      stampedFp.contains(fp)
+    if (!usable) { // build (or rebuild-on-stale) phase
       val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
       val assigned = centSims(e)
         .withColumn("rn", row_number().over(wCell))
@@ -153,6 +183,9 @@ object SimilarityQueries {
       val tbl = GraftTable.create(s, loc, assigned.schema,
         partitionBy = Seq(PartitionSpec.identity("cell_id")))
       tbl.append(assigned)
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
 
     val probes = centSims(e.filter($"vec_id" < NumQueries))

@@ -1,29 +1,44 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.meta.GraftTable
 
 /** A Catalyst [[FileIndex]] over the graft manifest — the integration
   * point that makes file skipping AUTOMATIC: any `WHERE` predicate a
   * query pushes into the scan is tested against each data file's
-  * manifest min/max bounds, and non-overlapping files are never listed
-  * to the parquet reader. This is the same architecture Delta Lake's
-  * TahoeFileIndex and Iceberg's SparkScan use — the table format owns
-  * file listing, Catalyst owns everything else (the parquet row-group
-  * pruning below us still applies to the files we do list).
+  * manifest statistics (min/max bounds AND per-column null counts), and
+  * non-overlapping files are never listed to the parquet reader. This is
+  * the same architecture Delta Lake's TahoeFileIndex and Iceberg's
+  * SparkScan use — the table format owns file listing, Catalyst owns
+  * everything else (the parquet row-group pruning below us still applies
+  * to the files we do list).
   *
-  * Scale: listing is driven by the manifest (one small parquet per
-  * commit chain), never a recursive storage listing — on object stores
-  * at 100 TB that is the difference between one metadata read and a
-  * million LIST calls. Unknown or non-comparison predicates keep the
-  * file (superset guarantee; the row filter still runs).
+  * Scale: the ONLY driver-resident state is the (path, size) pair per
+  * live file — the same footprint Spark's own InMemoryFileIndex keeps
+  * for any parquet scan. The per-column min/max and null-count maps stay
+  * in the manifest parquet and are evaluated AS A SPARK JOB at
+  * [[listFiles]] time: pushed predicates are translated to a keep-file
+  * Column over the manifest rows, the manifest is filtered
+  * distributively, and only the surviving (path, size) list returns to
+  * the driver. At ~1M files the bounds maps would be multi-GB of driver
+  * heap if materialized; here they never leave the executors.
+  *
+  * Snapshot isolation: the manifest path list is pinned at construction
+  * (and re-pinned by [[refresh]]), so a concurrent commit never changes
+  * what an already-planned query reads.
+  *
+  * Unknown or non-translatable predicates keep every file (superset
+  * guarantee; the row filter still runs) — and when NO pushed predicate
+  * is translatable the manifest job is skipped entirely and the cached
+  * (path, size) list is served.
   *
   * Evolution note: this path serves tables whose schema never evolved
   * (one schema generation). [[GraftTable.read]] handles evolved tables
@@ -32,98 +47,155 @@ import graft.meta.GraftTable
 final class GraftFileIndex(spark: SparkSession, table: GraftTable)
   extends FileIndex {
 
-  private case class FileEntry(path: String, size: Long,
-                               mins: Map[String, String],
-                               maxs: Map[String, String])
+  /** (manifest parquet paths of the pinned snapshot, live (path, size)). */
+  private var pinned: (Seq[String], Seq[(String, Long)]) = load()
+  // listFiles can be re-entered during (re)planning of the same query
+  // (AQE, multiple scan nodes over one relation) — memoize per filter
+  // set so each distinct predicate pays the manifest job once.
+  private val listCache =
+    scala.collection.mutable.HashMap.empty[String, Seq[(String, Long)]]
 
-  private var entries: Seq[FileEntry] = loadEntries()
+  private def load(): (Seq[String], Seq[(String, Long)]) = {
+    val manifests = table.currentSnapshot.map(_.manifests).getOrElse(Seq.empty)
+    val entries = manifestDf(manifests).select("path", "size_bytes")
+      .collect().toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
+    (manifests, entries)
+  }
 
-  private def loadEntries(): Seq[FileEntry] =
-    table.files.select("path", "size_bytes", "min_values", "max_values")
-      .collect().toIndexedSeq.map { r =>
-        def m(i: Int): Map[String, String] =
-          if (r.isNullAt(i)) Map.empty
-          else r.getMap[String, String](i).toMap
-        FileEntry(r.getString(0), r.getLong(1), m(2), m(3))
-      }
+  private def manifestDf(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        GraftTable.ManifestSchema)
+    else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
 
   override def rootPaths: Seq[Path] = Seq(new Path(table.location))
 
   override def partitionSchema: StructType = new StructType()
 
-  override def sizeInBytes: Long = entries.map(_.size).sum
+  override def sizeInBytes: Long = pinned._2.map(_._2).sum
 
-  override def inputFiles: Array[String] = entries.map(_.path).toArray
+  override def inputFiles: Array[String] = pinned._2.map(_._1).toArray
 
-  override def refresh(): Unit = { entries = loadEntries() }
+  override def refresh(): Unit = { pinned = load(); listCache.clear() }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = entries.filter(e => dataFilters.forall(f => mayMatch(e, f)))
-    val statuses = kept.map(e =>
-      new FileStatus(e.size, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path)))
+    val conds = dataFilters.flatMap(keepFile)
+    val kept =
+      if (conds.isEmpty) pinned._2
+      else {
+        val key = dataFilters.map(_.canonicalized.toString).sorted.mkString("&")
+        listCache.getOrElseUpdate(key,
+          manifestDf(pinned._1).filter(conds.reduce(_ && _))
+            .select("path", "size_bytes").collect().toIndexedSeq
+            .map(r => (r.getString(0), r.getLong(1))))
+      }
+    val statuses = kept.map { case (p, sz) =>
+      new FileStatus(sz, false, 1, 128L * 1024 * 1024, 0L, new Path(p)) }
     Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
   }
 
-  // ---- bounds algebra ----------------------------------------------------
+  // ---- predicate → manifest-column translation ---------------------------
 
-  /** Conservative "file might contain a matching row" test. Any shape we
-    * don't understand returns true — pruning is only ever a superset. */
-  private def mayMatch(e: FileEntry, expr: Expression): Boolean = expr match {
-    case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
-    case Or(l, r)  => mayMatch(e, l) || mayMatch(e, r)
-    case EqualTo(a: AttributeReference, Literal(v, _)) => overlaps(e, a, v, v)
-    case EqualTo(Literal(v, _), a: AttributeReference) => overlaps(e, a, v, v)
-    case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-      boundCmp(e, a, v)(GreaterThan(_, _), useMax = true)
-    case LessThan(Literal(v, _), a: AttributeReference) =>
-      boundCmp(e, a, v)(GreaterThan(_, _), useMax = true)
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      boundCmp(e, a, v)(GreaterThanOrEqual(_, _), useMax = true)
-    case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      boundCmp(e, a, v)(GreaterThanOrEqual(_, _), useMax = true)
-    case LessThan(a: AttributeReference, Literal(v, _)) =>
-      boundCmp(e, a, v)(LessThan(_, _), useMax = false)
-    case GreaterThan(Literal(v, _), a: AttributeReference) =>
-      boundCmp(e, a, v)(LessThan(_, _), useMax = false)
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      boundCmp(e, a, v)(LessThanOrEqual(_, _), useMax = false)
-    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      boundCmp(e, a, v)(LessThanOrEqual(_, _), useMax = false)
+  /** Translate a pushed predicate into a "this file might contain a
+    * matching row" Column over manifest rows. None = not translatable
+    * (keep every file — pruning is only ever a superset). Every produced
+    * Column must evaluate TRUE when the needed statistic is missing. */
+  private def keepFile(expr: Expression): Option[Column] = expr match {
+    case And(l, r) => (keepFile(l), keepFile(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b) // one translatable conjunct still prunes
+    }
+    case Or(l, r) =>
+      for { a <- keepFile(l); b <- keepFile(r) } yield a || b
+    case EqualTo(a: AttributeReference, Literal(v, _)) => overlap(a, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => overlap(a, v)
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+      if (v == null) Some(mayHaveNulls(a)) else overlap(a, v)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+      if (v == null) Some(mayHaveNulls(a)) else overlap(a, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => maxAbove(a, v, strict = true)
+    case LessThan(Literal(v, _), a: AttributeReference) => maxAbove(a, v, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => maxAbove(a, v, strict = false)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxAbove(a, v, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => minBelow(a, v, strict = true)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => minBelow(a, v, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => minBelow(a, v, strict = false)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => minBelow(a, v, strict = false)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => overlaps(e, a, v, v) }
+      anyOverlap(a, vs.collect { case Literal(v, _) if v != null => v })
     case InSet(a: AttributeReference, vs) =>
-      vs.exists(v => overlaps(e, a, v, v))
-    case _ => true
+      anyOverlap(a, vs.toSeq.filter(_ != null))
+    case IsNull(a: AttributeReference) => Some(mayHaveNulls(a))
+    case IsNotNull(a: AttributeReference) => Some(mayHaveNonNulls(a))
+    case Not(IsNull(a: AttributeReference)) => Some(mayHaveNonNulls(a))
+    case Not(IsNotNull(a: AttributeReference)) => Some(mayHaveNulls(a))
+    case Not(EqualTo(a: AttributeReference, Literal(v, _))) => notAllEqual(a, v)
+    case Not(EqualTo(Literal(v, _), a: AttributeReference)) => notAllEqual(a, v)
+    case StartsWith(a: AttributeReference, Literal(p, StringType)) if p != null =>
+      Some(prefixOverlap(a, p.toString))
+    case _ => None
   }
 
-  /** Does [lo, hi] (internal-format values of the attribute's type)
-    * intersect the file's recorded [min, max] for this column? */
-  private def overlaps(e: FileEntry, a: AttributeReference,
-                       lo: Any, hi: Any): Boolean =
-    (for { mn <- parsedBound(e.mins, a); mx <- parsedBound(e.maxs, a) } yield
-      evalB(LessThanOrEqual(Literal(lo, a.dataType), Literal(mx, a.dataType))) &&
-      evalB(GreaterThanOrEqual(Literal(hi, a.dataType), Literal(mn, a.dataType)))
-    ).getOrElse(true) // no bounds recorded → keep
+  private def minC(a: AttributeReference): Column =
+    element_at(col("min_values"), a.name).cast(a.dataType)
+  private def maxC(a: AttributeReference): Column =
+    element_at(col("max_values"), a.name).cast(a.dataType)
+  private def nullC(a: AttributeReference): Column =
+    element_at(col("null_counts"), a.name)
 
-  /** Test `op(bound, v)` against the file's max (or min) for the column
-    * — e.g. `x > v` keeps the file iff `max(x) > v`. */
-  private def boundCmp(e: FileEntry, a: AttributeReference, v: Any)
-                      (op: (Expression, Expression) => Expression,
-                       useMax: Boolean): Boolean =
-    parsedBound(if (useMax) e.maxs else e.mins, a)
-      .map(b => evalB(op(Literal(b, a.dataType), Literal(v, a.dataType))))
-      .getOrElse(true)
+  /** Catalyst-internal literal value → a Column literal of the column's
+    * external type (None for nulls / non-boundable types → no pruning). */
+  private def extLit(a: AttributeReference, v: Any): Option[Column] =
+    if (v == null || !GraftTable.boundable(a.dataType)) None
+    else Some(lit(CatalystTypeConverters.createToScalaConverter(a.dataType)(v))
+      .cast(a.dataType))
 
-  /** Decode the string-encoded manifest bound back to the column's type
-    * (internal format), via the same Cast the write used in reverse. */
-  private def parsedBound(m: Map[String, String],
-                          a: AttributeReference): Option[Any] =
-    m.get(a.name).flatMap { s =>
-      Option(Cast(Literal(UTF8String.fromString(s), StringType), a.dataType,
-        Some("UTC")).eval(null))
-    }
+  /** `a = v`: keep iff [min, max] covers v (missing bounds → keep). */
+  private def overlap(a: AttributeReference, v: Any): Option[Column] =
+    extLit(a, v).map(l =>
+      minC(a).isNull || maxC(a).isNull || (maxC(a) >= l && minC(a) <= l))
 
-  private def evalB(e: Expression): Boolean =
-    e.eval(null) match { case b: Boolean => b; case _ => true }
+  private def anyOverlap(a: AttributeReference, vs: Seq[Any]): Option[Column] = {
+    val opts = vs.map(v => overlap(a, v))
+    if (vs.isEmpty || opts.exists(_.isEmpty)) None
+    else Some(opts.flatten.reduce(_ || _))
+  }
+
+  /** `a > v` (strict) / `a >= v`: keep iff the file max clears v. */
+  private def maxAbove(a: AttributeReference, v: Any,
+                       strict: Boolean): Option[Column] =
+    extLit(a, v).map(l =>
+      maxC(a).isNull || (if (strict) maxC(a) > l else maxC(a) >= l))
+
+  /** `a < v` (strict) / `a <= v`: keep iff the file min clears v. */
+  private def minBelow(a: AttributeReference, v: Any,
+                       strict: Boolean): Option[Column] =
+    extLit(a, v).map(l =>
+      minC(a).isNull || (if (strict) minC(a) < l else minC(a) <= l))
+
+  /** `a IS NULL`: the manifest's null_counts says exactly — skip files
+    * with zero nulls in the column (missing count → keep). */
+  private def mayHaveNulls(a: AttributeReference): Column =
+    nullC(a).isNull || nullC(a) > 0
+
+  /** `a IS NOT NULL`: skip files where EVERY row is null in the column
+    * (null_count == record_count — e.g. a pre-backfill append). */
+  private def mayHaveNonNulls(a: AttributeReference): Column =
+    nullC(a).isNull || nullC(a) < col("record_count")
+
+  /** `NOT (a = v)`: skippable only when every non-null row equals v
+    * (min == max == v); null rows never satisfy the predicate either. */
+  private def notAllEqual(a: AttributeReference, v: Any): Option[Column] =
+    extLit(a, v).map(l => coalesce(!(minC(a) === l && maxC(a) === l), lit(true)))
+
+  /** `a LIKE 'p%'`: truncate the string bounds to the prefix length —
+    * prefix-truncation is monotone under lexicographic order, so
+    * prefix(min) <= p <= prefix(max) is a necessary condition. */
+  private def prefixOverlap(a: AttributeReference, p: String): Column = {
+    val mn = element_at(col("min_values"), a.name)
+    val mx = element_at(col("max_values"), a.name)
+    mn.isNull || mx.isNull ||
+      (substring(mn, 1, p.length) <= p && substring(mx, 1, p.length) >= p)
+  }
 }

@@ -55,6 +55,85 @@ class GraftSourceSpec extends SparkSpec {
     assert(df.filter($"s" === "s123").count() == 1)
   }
 
+  test("null-count pruning: IS NULL / IS NOT NULL / <> skip files") {
+    val loc = tmpDir("src") + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val t = GraftTable.create(spark, loc, schema)
+    // file A: v entirely NULL (a pre-backfill append); file B: v populated
+    t.append(spark.range(0, 100).select($"id".as("k"),
+      lit(null).cast("long").as("v")).coalesce(1))
+    t.append(spark.range(100, 200).select($"id".as("k"),
+      $"id".as("v")).coalesce(1))
+    // file C: constant column value (for <> pruning)
+    t.append(spark.range(200, 300).select($"id".as("k"),
+      lit(7L).as("v")).coalesce(1))
+    val df = spark.read.format("graft").load(loc)
+    val total = numFilesScanned(df)
+    assert(total == 3)
+    // IS NOT NULL skips the all-null file
+    assert(numFilesScanned(df.filter($"v".isNotNull)) == 2)
+    // IS NULL reads only the all-null file (others have null_count = 0)
+    assert(numFilesScanned(df.filter($"v".isNull)) == 1)
+    // <> 7 skips the constant file (min = max = 7) AND the all-null file
+    // (its min/max are absent but no row satisfies v <> 7 ... bounds keep
+    // it conservatively; assert only the constant file is skipped)
+    assert(numFilesScanned(df.filter($"v" =!= 7L)) <= 2)
+    assert(df.filter($"v" =!= 7L).count() == 100) // file B only; nulls excluded
+    // correctness unchanged by pruning
+    assert(df.filter($"v".isNull).count() == 100)
+    assert(df.filter($"v".isNotNull).count() == 200)
+  }
+
+  test("prefix (LIKE 'p%') pruning via truncated string bounds") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc,
+      data.select($"s", $"k").schema)
+    // two files clustered by s: "s0..." range vs "s9..." range
+    t.append(data.select($"s", $"k").filter($"s".startsWith("s1")).coalesce(1))
+    t.append(data.select($"s", $"k").filter($"s".startsWith("s9")).coalesce(1))
+    val df = spark.read.format("graft").load(loc)
+    assert(numFilesScanned(df) == 2)
+    assert(numFilesScanned(df.filter($"s".startsWith("s9"))) == 1)
+    assert(df.filter($"s".startsWith("s9")).count() ==
+      data.filter($"s".startsWith("s9")).count())
+  }
+
+  test("driver-resident state is (path, size) only — no bounds maps") {
+    val loc = tmpDir("src") + "/t"
+    val t = GraftTable.create(spark, loc, data.schema)
+    t.append(data.repartitionByRange(8, $"k"))
+    val df = spark.read.format("graft").load(loc)
+    // plan + execute a pruned query so listFiles ran with filters
+    df.filter($"k" >= 2000 && $"k" < 3000).collect()
+    val idx = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        r.location
+    }.collect { case g: graft.sources.GraftFileIndex => g }
+      .getOrElse(fail("expected a GraftFileIndex-backed relation"))
+    // hunt for any String->String map (the per-file bounds shape) held
+    // transitively by any field of the index — there must be none
+    def holdsBounds(v: Any, depth: Int = 0): Boolean =
+      depth <= 4 && (v match {
+        case m: scala.collection.Map[_, _] =>
+          m.headOption.exists { case (k, vv) =>
+            k.isInstanceOf[String] && vv.isInstanceOf[String] } ||
+            m.valuesIterator.exists(holdsBounds(_, depth + 1))
+        case s: Iterable[_] => s.exists(holdsBounds(_, depth + 1))
+        case p: Product => p.productIterator.exists(holdsBounds(_, depth + 1))
+        case _ => false
+      })
+    val offending = idx.getClass.getDeclaredFields.toSeq
+      .map { f => f.setAccessible(true); f.getName -> f.get(idx) }
+      .collect { case (n, v) if holdsBounds(v) => n }
+    assert(offending.isEmpty,
+      s"FileIndex holds per-column bounds maps on the driver: $offending")
+  }
+
   test("SQL over a temp view prunes the same way") {
     val loc = tmpDir("src") + "/t"
     val t = GraftTable.create(spark, loc, data.schema)
