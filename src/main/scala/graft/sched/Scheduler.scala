@@ -61,6 +61,13 @@ final class Scheduler(
     case n => resolveTable(n)
   }
 
+  /** Quoted identifier — configured table names are data, not trusted
+    * SQL text; unquoted interpolation broke on hyphens/spaces. */
+  private def qid(name: String): String = "\"" + name + "\""
+
+  /** Single-quoted string literal with '' escaping. */
+  private def qlit(v: String): String = "'" + v.replace("'", "''") + "'"
+
   /** One table's pipeline (MaintenanceTask.execute, __main__.py:121-201).
     * Each step issues the reference's exact SQL statement through
     * [[GraftSql]] — SQL is the engine's maintenance interface, the Scala
@@ -68,36 +75,37 @@ final class Scheduler(
   private[graft] def executeTask(cfg: MaintenanceConfig): Unit = {
     val spark = resolveTable(cfg.table_name).spark
     def sql(s: String): Unit = { GraftSql.exec(spark, s, resolver, clock); () }
+    val t = qid(cfg.table_name)
     // __main__.py:144-147
     if (cfg.orphanEnabled)
       cfg.retention_days_orphan_files.foreach(d => sql(
-        s"""ALTER TABLE ${cfg.table_name} EXECUTE remove_orphan_files(
+        s"""ALTER TABLE $t EXECUTE remove_orphan_files(
            |    retention_threshold => '${d}d'
            |)""".stripMargin))
     // __main__.py:154-157
     if (cfg.expireEnabled)
       cfg.retention_days_snapshots.foreach(d => sql(
-        s"""ALTER TABLE ${cfg.table_name} EXECUTE expire_snapshots(
+        s"""ALTER TABLE $t EXECUTE expire_snapshots(
            |    retention_threshold => '${d}d'
            |)""".stripMargin))
     // __main__.py:170-176
     if (cfg.optimizeEnabled && due(cfg.last_optimized_on, cfg.days_to_optimize)) {
-      sql(s"ALTER TABLE ${cfg.table_name} EXECUTE optimize")
-      sql(s"""UPDATE ${store.tableName}
+      sql(s"ALTER TABLE $t EXECUTE optimize")
+      sql(s"""UPDATE ${qid(store.tableName)}
              |SET last_optimized_on = current_timestamp(6)
-             |WHERE table_name = '${cfg.table_name}'""".stripMargin)
+             |WHERE table_name = ${qlit(cfg.table_name)}""".stripMargin)
     }
     // __main__.py:180-199
     if (cfg.analyzeEnabled && due(cfg.last_analyzed_on, cfg.days_to_analyze)) {
       val withColumns = cfg.columns_to_analyze match {
         case Some(cs) if cs.nonEmpty =>
-          s"\nWITH (columns = ARRAY[${cs.map(c => s"'$c'").mkString(", ")}])"
+          s"\nWITH (columns = ARRAY[${cs.map(c => s"'${c.replace("'", "''")}'").mkString(", ")}])"
         case _ => ""
       }
-      sql(s"ANALYZE ${cfg.table_name}$withColumns")
-      sql(s"""UPDATE ${store.tableName}
+      sql(s"ANALYZE $t$withColumns")
+      sql(s"""UPDATE ${qid(store.tableName)}
              |SET last_analyzed_on = current_timestamp(6)
-             |WHERE table_name = '${cfg.table_name}'""".stripMargin)
+             |WHERE table_name = ${qlit(cfg.table_name)}""".stripMargin)
     }
   }
 

@@ -83,17 +83,38 @@ object GraftSql {
   private val AnalyzeStmt =
     s"""(?i)^ANALYZE $Ident(?: WITH ?\\( ?columns ?= ?ARRAY\\[(.*?)\\] ?\\))?$$""".r
   private val ShowStats = s"""(?i)^SHOW STATS FOR $Ident$$""".r
+  // (?s): SET/WHERE/VALUES literals may legitimately contain newlines
+  // (normalize preserves whitespace inside quotes)
   private val UpdateStmt =
-    s"""(?i)^UPDATE $Ident SET (\\w+) ?= ?(.+?) WHERE (\\w+) ?= ?(.+)$$""".r
+    s"""(?is)^UPDATE $Ident SET (\\w+) ?= ?(.+?) WHERE (\\w+) ?= ?(.+)$$""".r
   private val CreateStmt =
     s"""(?i)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+)\\)$$""".r
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
   private val InsertStmt =
-    s"""(?i)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
+    s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val SelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
 
-  private def normalize(sql: String): String =
-    sql.trim.replaceAll("\\s+", " ").stripSuffix(";").trim
+  /** Collapse whitespace runs OUTSIDE string literals only — `'x  y'`
+    * and literals containing tabs/newlines pass through byte-exact
+    * (a global replaceAll would silently rewrite quoted data). */
+  private def normalize(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var inQuote = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        sb += c
+        if (c == '\'') inQuote = false // '' escape = close+reopen, both copied
+      } else if (c == '\'') { inQuote = true; sb += c }
+      else if (c.isWhitespace) {
+        while (i + 1 < sql.length && sql.charAt(i + 1).isWhitespace) i += 1
+        sb += ' '
+      } else sb += c
+      i += 1
+    }
+    sb.result().trim.stripSuffix(";").trim
+  }
 
   private def unquote(id: String): String =
     if (id.startsWith("\"") && id.endsWith("\"")) id.substring(1, id.length - 1)
@@ -165,12 +186,20 @@ object GraftSql {
 
   // ---- UPDATE (point, copy-on-write) --------------------------------------
 
+  /** Above this row count an UPDATE routes through the affected-file CoW
+    * ([[GraftTable.merge]]) instead of the full-table rewrite — the
+    * driver-materializing path is only ever the faithful analogue of the
+    * reference's config-table stamp (O(#maintained tables) rows), never
+    * a path a billion-row data table can reach. */
+  private val FullRewriteMaxRows = 100000L
+
   /** `UPDATE t SET c = current_timestamp(6) | <literal> WHERE k = <literal>`
     * — the reference's stamp statements (__main__.py:172-176,194-198).
-    * CoW under the table lock; the config table is O(#maintained tables),
-    * so the driver-side materialize is bounded (large-table row-level
-    * changes go through [[GraftTable.merge]] / [[GraftTable.deleteWhere]],
-    * which rewrite only affected files). */
+    * CoW under the table lock. Small (config-sized) tables take the
+    * faithful full-rewrite; larger tables take the Iceberg CoW shape —
+    * only files containing a matching row are rewritten, nothing is
+    * collected to the driver. `current_timestamp(6)` stamps with µs
+    * precision, matching the reference's TIMESTAMP(6) contract. */
   private def update(spark: SparkSession, t: GraftTable, setCol: String,
                      setVal: String, whereCol: String, whereVal: String,
                      clock: Clock): Unit =
@@ -179,15 +208,24 @@ object GraftSql {
       val setType = schema(setCol).dataType
       val newVal: Any =
         if (setVal.matches("""(?i)current_timestamp ?\( ?6 ?\)"""))
-          new Timestamp(clock.millis())
+          Timestamp.from(clock.instant())
         else coerce(parseLiteral(setVal), setType)
       val whereV = coerce(parseLiteral(whereVal), schema(whereCol).dataType)
-      val updated = t.read.withColumn(setCol,
-        when(col(whereCol) === lit(whereV), lit(newVal).cast(setType))
-          .otherwise(col(setCol)))
-      // the CoW overwrite would otherwise re-read the files it replaces
-      val rows = updated.collect().toIndexedSeq
-      t.overwrite(spark.createDataFrame(rows.asJava, schema), clock)
+      if (t.rowCount > FullRewriteMaxRows) {
+        // affected-file CoW: replace only the matching rows, via merge on
+        // the point-predicate key — rewrites only files containing it
+        val updated = t.read.filter(col(whereCol) === lit(whereV))
+          .withColumn(setCol, lit(newVal).cast(setType))
+          .select(schema.fieldNames.toSeq.map(col): _*)
+        t.merge(updated, Seq(whereCol), clock)
+      } else {
+        val updated = t.read.withColumn(setCol,
+          when(col(whereCol) === lit(whereV), lit(newVal).cast(setType))
+            .otherwise(col(setCol)))
+        // the CoW overwrite would otherwise re-read the files it replaces
+        val rows = updated.collect().toIndexedSeq
+        t.overwrite(spark.createDataFrame(rows.asJava, schema), clock)
+      }
     }
 
   // ---- CREATE / INSERT -----------------------------------------------------
@@ -236,6 +274,9 @@ object GraftSql {
     val schema = t.schema
     val names = cols.map(_.split(",").map(c => unquote(c.trim)).toSeq)
       .getOrElse(schema.fieldNames.toSeq)
+    val unknown = names.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown column(s) in INSERT list: " +
+      s"${unknown.mkString(", ")} (table has ${schema.fieldNames.mkString(", ")})")
     val rows = parseTuples(values).map { tuple =>
       require(tuple.size == names.size,
         s"INSERT arity mismatch: ${names.size} columns, ${tuple.size} values")
@@ -262,10 +303,14 @@ object GraftSql {
     * Iceberg-style metadata suffix `SELECT * FROM "t\$files"`
     * (tests/test_maintenance.py:50) — `\$snapshots`/`\$refs`/`\$stats` route
     * through the same graft-source metadata relations. */
+  private val MetaSuffixes = Set("files", "snapshots", "refs", "stats")
+
   private def select(spark: SparkSession, resolve: String => GraftTable,
                      id: String): DataFrame = {
     val dollar = id.lastIndexOf('$')
-    if (dollar > 0) {
+    // only a KNOWN metadata suffix routes to the metadata relations — a
+    // data table whose name happens to contain '$' stays a table read
+    if (dollar > 0 && MetaSuffixes(id.substring(dollar + 1))) {
       val table = resolve(id.substring(0, dollar))
       spark.read.format("graft").option("metadata", id.substring(dollar + 1))
         .load(table.location)

@@ -205,6 +205,77 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftTable.exists(spark, s"$dir/custom_schedule"))
   }
 
+  test("whitespace inside string literals survives normalization") {
+    val fx = fixture("sqlws")
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    // runs of spaces / tabs / newlines INSIDE literals are data;
+    // outside they collapse (the statement itself spans lines)
+    fx.sql("INSERT INTO t (a, b)\n  VALUES\t('x  y', 'tab\there\nand newline')")
+    val r = fx.rows("SELECT * FROM t")
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "x  y")
+    assert(r(0).getString(1) == "tab\there\nand newline")
+    // '' escape still decodes alongside internal whitespace
+    fx.sql("INSERT INTO t (a, b) VALUES ('it''s  two  spaces', NULL)")
+    assert(fx.rows("SELECT * FROM t").exists(r2 =>
+      !r2.isNullAt(0) && r2.getString(0) == "it's  two  spaces"))
+  }
+
+  test("INSERT with an unknown column name fails loudly") {
+    val fx = fixture("sqlbadcol")
+    fx.sql("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    val e = intercept[IllegalArgumentException](
+      fx.sql("INSERT INTO t (a, nope) VALUES ('x', 'y')"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("hyphenated table names work through the scheduler's generated SQL") {
+    val fx = fixture("sqlhyph")
+    createMaintenanceTable(fx)
+    fx.sql("""CREATE TABLE "my-table" (a VARCHAR, b VARCHAR)""")
+    fx.sql("""INSERT INTO "my-table" (a, b) VALUES ('a', 'b')""")
+    fx.sql("""INSERT INTO "my-table" (a, b) VALUES ('c', 'd')""")
+    fx.sql("""
+      INSERT INTO iceberg_maintenance_schedule (table_name, should_optimize, days_to_optimize)
+      VALUES ('my-table', 1, 10)""")
+    assert(scheduler(fx).run().forall(_.isRight))
+    assert(fx.rows("""SELECT * FROM "my-table$files" """).length == 1)
+    // the stamp UPDATE found the hyphenated row
+    val cfg = fx.rows("SELECT * FROM iceberg_maintenance_schedule").head
+    assert(cfg.getTimestamp(6) != null)
+  }
+
+  test("a data table with '$' in its name is not mistaken for metadata") {
+    val fx = fixture("sqldollar")
+    fx.sql("CREATE TABLE a$b (x VARCHAR)")
+    fx.sql("INSERT INTO a$b (x) VALUES ('v')")
+    val r = fx.rows("SELECT * FROM a$b")
+    assert(r.length == 1 && r(0).getString(0) == "v")
+  }
+
+  test("UPDATE on a large table takes the affected-file CoW, not a full rewrite") {
+    val fx = fixture("sqlbig")
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"${fx.dir}/big",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    t.append(spark.range(0, 120000).select($"id".as("k"),
+      org.apache.spark.sql.functions.lit("x").as("v"))
+      .repartitionByRange(4, $"k"))
+    val before = t.files.select("path").collect().map(_.getString(0)).toSet
+    assert(before.size >= 4)
+    fx.sql("UPDATE big SET v = 'y' WHERE k = 5")
+    assert(t.snapshots.maxBy(_.snapshotId).operation == "merge",
+      "large-table UPDATE must be a merge commit, not a full-table overwrite")
+    val after = t.files.select("path").collect().map(_.getString(0)).toSet
+    assert((before intersect after).size >= 3,
+      "untouched files must be carried, not rewritten")
+    assert(t.read.filter($"k" === 5).head().getString(1) == "y")
+    assert(t.read.filter($"v" === "y").count() == 1)
+    assert(t.rowCount == 120000)
+  }
+
   test("statements outside the dialect fail loudly") {
     val fx = fixture("sqlerr")
     fx.sql("CREATE TABLE t (a VARCHAR)")
