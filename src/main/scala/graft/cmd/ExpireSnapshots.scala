@@ -25,15 +25,31 @@ import graft.meta.{GraftTable, SnapshotLog}
 object ExpireSnapshots {
   def run(table: GraftTable, retentionDays: Int, clock: Clock): Long =
     table.lock.synchronized {
-      val all = table.snapshots
-      val currentId = SnapshotLog.current(all).map(_.snapshotId).getOrElse(-1L)
-      // every branch head is pinned, like Iceberg's ref-aware expiry
-      val refIds = table.branches.values.toSet
       val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
-      val (expired, retained) = all.partition(s =>
-        s.timestampMs < cutoffMs && s.snapshotId != currentId &&
-          !refIds(s.snapshotId))
-      if (expired.isEmpty) return 0L
+      // CAS loop: a concurrent cross-process commit between our read and
+      // our log write would otherwise be silently dropped from the
+      // trimmed log — recompute the partition against the fresh head.
+      var expired: Seq[graft.meta.Snapshot] = Seq.empty
+      var retained: Seq[graft.meta.Snapshot] = Seq.empty
+      var done = false
+      while (!done) {
+        val (ver, all) =
+          SnapshotLog.readVersioned(table.fileSystem, table.dir)
+        val currentId = SnapshotLog.current(all).map(_.snapshotId).getOrElse(-1L)
+        // every branch head AND tag target is pinned — Iceberg's
+        // ref-aware expiry over both ref kinds
+        val refIds = table.branches.values.toSet ++ table.tags.values
+        val p = all.partition(s =>
+          s.timestampMs < cutoffMs && s.snapshotId != currentId &&
+            !refIds(s.snapshotId))
+        expired = p._1; retained = p._2
+        if (expired.isEmpty) return 0L
+        // Commit the trimmed log FIRST: a crash after this point leaves
+        // only harmless orphan files (reclaimable by
+        // remove_orphan_files), never a log entry whose manifest
+        // references already-deleted data.
+        done = SnapshotLog.tryWrite(table.fileSystem, table.dir, ver, retained)
+      }
 
       val spark = table.spark
       def manifests(ss: Seq[graft.meta.Snapshot]) = {
@@ -46,10 +62,6 @@ object ExpireSnapshots {
       val doomed = manifests(expired).select("path").distinct()
         .join(manifests(retained).select("path"), Seq("path"), "left_anti")
         .as[String]
-      // Commit the trimmed log FIRST: a crash after this point leaves only
-      // harmless orphan files (reclaimable by remove_orphan_files), never a
-      // log entry whose manifest references already-deleted data.
-      SnapshotLog.write(table.fileSystem, table.dir, retained)
       // Executors must see the session's Hadoop conf (s3a credentials,
       // endpoints, …), not a from-scratch Configuration.
       val confB = spark.sparkContext.broadcast(

@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
   * {{{
   * <table>/
   *   data/<commit-uuid>/part-*.parquet     immutable data files
-  *   _graft/snapshots.json                 small snapshot log (SnapshotLog)
-  *   _graft/manifests/<snapshotId>.parquet per-snapshot file inventory
+  *   _graft/log/v<N>.snapshots.json        versioned snapshot log (SnapshotLog)
+  *   _graft/manifests/<uuid>/              per-snapshot file inventory
   *   _graft/schema.json                    table schema (StructType JSON)
   *   _graft/stats.json                     ANALYZE output (TableStats)
   * }}}
@@ -448,54 +448,77 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** Write the delta manifest parquet + appended log entry. Caller holds
-    * the lock. With `carryPrior`, the new snapshot lists the prior
-    * snapshot's manifests plus this delta and totals accumulate
+    * the in-process lock. With `carryPrior`, the new snapshot lists the
+    * prior snapshot's manifests plus this delta and totals accumulate
     * (append); otherwise the delta replaces the whole list (overwrite /
     * optimize / rewrite_manifests). The delta summary is collected by
     * `observe` DURING the manifest write — one Spark action per commit,
-    * not a write followed by a read-back aggregation. */
+    * not a write followed by a read-back aggregation.
+    *
+    * Cross-process safety: the log write is a versioned CAS
+    * ([[SnapshotLog.tryWrite]]) — on conflict the whole attempt
+    * (head read, id assignment, manifest stamp, snapshot build) is
+    * redone against the new head, so a concurrent writer in ANOTHER
+    * process never gets its commit overwritten. Appends compose fully
+    * (the carried manifest list is re-derived from the fresh head each
+    * attempt). Replacement commits (optimize / rewrite / overwrite /
+    * row-level CoW) re-claim correctly too, but their CONTENT is
+    * derived from the manifest state their caller scanned — like
+    * Iceberg's rewrite validation, concurrent replacement of the same
+    * files assumes operational coordination (cron-style maintenance,
+    * the reference's own deployment model). */
   private def commit(op: String, manifest: DataFrame, clock: Clock,
                      carryPrior: Boolean, branch: String = "main"): Unit = {
-    val prior = snapshots
-    val refsNow = Refs.read(fs, tableDir)
-    require(branch == "main" || refsNow.contains(branch),
-      s"no branch named $branch — createBranch first")
-    val cur = headOf(prior, refsNow, branch)
-    val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
-    val manifestDir = new Path(tableDir, s"_graft/manifests/$id")
-    val obs = new org.apache.spark.sql.Observation(s"manifest-$id")
-    val addedId = // rewrite_manifests passes lineage through; deltas stamp id
-      if (manifest.columns.contains("added_snapshot_id"))
-        coalesce(col("added_snapshot_id"), lit(id))
-      else lit(id)
-    manifest
-      .select(col("path"), col("size_bytes"), col("record_count"),
-        col("null_counts"), col("min_values"), col("max_values"),
-        addedId.as("added_snapshot_id"))
-      .observe(obs, count(lit(1)).as("nf"),
-        coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
-        coalesce(sum("record_count"), lit(0L)).as("rows"))
-      .coalesce(1) // manifests are small relative to data; 1 file per commit
-      .write.mode("overwrite").parquet(manifestDir.toString)
-    fs.delete(new Path(manifestDir, "_SUCCESS"), false)
-    val m = obs.get
-    val (dnf, dbytes, drows) = (m("nf").asInstanceOf[Long],
-      m("bytes").asInstanceOf[Long], m("rows").asInstanceOf[Long])
-    val parent = cur.map(_.snapshotId).getOrElse(-1L)
-    val snap =
-      if (carryPrior) {
-        val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
-        Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
-          b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows, parent)
-      } else
-        Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
-          dnf, dbytes, drows, parent)
-    SnapshotLog.write(fs, tableDir, prior :+ snap)
-    // advance the branch ref (materializing main's implicit head on the
-    // way if refs already exist); pre-branching tables with no refs file
-    // keep the implicit main == max id and write nothing extra
-    if (refsNow.nonEmpty || branch != "main")
-      Refs.write(fs, tableDir, materialize(prior, refsNow) + (branch -> id))
+    // Manifest dir named by UUID, not snapshot id: two cross-process
+    // writers can compute the SAME next id before one loses the CAS —
+    // id-named dirs would collide and silently swap inventories.
+    val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      require(attempt < 50, s"snapshot-log CAS retry exhausted for $op")
+      val (ver, prior) = SnapshotLog.readVersioned(fs, tableDir)
+      val refsNow = Refs.read(fs, tableDir)
+      require(branch == "main" || refsNow.contains(branch),
+        s"no branch named $branch — createBranch first")
+      val cur = headOf(prior, refsNow, branch)
+      val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val obs = new org.apache.spark.sql.Observation(
+        s"manifest-${manifestDir.getName}-$attempt")
+      val addedId = // rewrite_manifests passes lineage through; deltas stamp id
+        if (manifest.columns.contains("added_snapshot_id"))
+          coalesce(col("added_snapshot_id"), lit(id))
+        else lit(id)
+      manifest
+        .select(col("path"), col("size_bytes"), col("record_count"),
+          col("null_counts"), col("min_values"), col("max_values"),
+          addedId.as("added_snapshot_id"))
+        .observe(obs, count(lit(1)).as("nf"),
+          coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
+          coalesce(sum("record_count"), lit(0L)).as("rows"))
+        .coalesce(1) // manifests are small relative to data; 1 file per commit
+        .write.mode("overwrite").parquet(manifestDir.toString)
+      fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+      val m = obs.get
+      val (dnf, dbytes, drows) = (m("nf").asInstanceOf[Long],
+        m("bytes").asInstanceOf[Long], m("rows").asInstanceOf[Long])
+      val parent = cur.map(_.snapshotId).getOrElse(-1L)
+      val snap =
+        if (carryPrior) {
+          val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
+          Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
+            b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows, parent)
+        } else
+          Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
+            dnf, dbytes, drows, parent)
+      done = SnapshotLog.tryWrite(fs, tableDir, ver, prior :+ snap)
+      // advance the branch ref (materializing main's implicit head on the
+      // way if refs already exist); pre-branching tables with no refs file
+      // keep the implicit main == max id and write nothing extra
+      if (done && (refsNow.nonEmpty || branch != "main"))
+        Refs.write(fs, tableDir, materialize(prior, refsNow) + (branch -> id))
+      attempt += 1
+    }
   }
 
   /** Pin main's implicit head into the refs map (no-op if present). */
@@ -519,6 +542,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val all = snapshots
       val refs = Refs.read(fs, tableDir)
       require(name != "main" && !refs.contains(name), s"branch $name exists")
+      require(!tags.contains(name), s"a tag named $name exists")
       val target = at.orElse(headOf(all, refs, "main").map(_.snapshotId))
         .getOrElse(throw new IllegalArgumentException(
           "cannot branch an empty table"))
@@ -542,6 +566,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * old state to the audited state instantly. */
   def fastForward(to: String, from: String): Unit =
     commitLock.synchronized {
+      val tagNames = tags.keySet
+      require(!tagNames(to) && !tagNames(from),
+        "tags are immutable refs — cannot fast-forward a tag")
       val all = snapshots
       val refs = Refs.read(fs, tableDir)
       val fromHead = headOf(all, refs, from).map(_.snapshotId)
@@ -565,6 +592,42 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val refs = Refs.read(fs, tableDir)
     require(refs.contains(name), s"no branch $name")
     Refs.write(fs, tableDir, refs - name)
+  }
+
+  // ---- tags (immutable refs) ---------------------------------------------
+
+  /** All tag refs. Tags are Iceberg's immutable ref kind: they pin a
+    * snapshot forever — never advanced by commits, never fast-forwarded;
+    * expiry keeps their targets like branch heads. */
+  def tags: Map[String, Long] = Refs.readTags(fs, tableDir)
+
+  /** Create a tag at `at` (default: main's current head). The branch and
+    * tag namespaces are shared, like Iceberg's — one name, one ref. */
+  def createTag(name: String, at: Option[Long] = None): Unit =
+    commitLock.synchronized {
+      val all = snapshots
+      require(name != "main" && !Refs.read(fs, tableDir).contains(name),
+        s"a branch named $name exists")
+      val existing = Refs.readTags(fs, tableDir)
+      require(!existing.contains(name), s"tag $name exists")
+      val target = at.orElse(currentSnapshot.map(_.snapshotId))
+        .getOrElse(throw new IllegalArgumentException("cannot tag an empty table"))
+      require(all.exists(_.snapshotId == target), s"no snapshot $target")
+      Refs.writeTags(fs, tableDir, existing + (name -> target))
+    }
+
+  /** Scan the snapshot a tag pins (same aligned read path as [[read]]). */
+  def readTag(name: String): DataFrame = {
+    val id = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name"))
+    readSnapshot(snapshots.find(_.snapshotId == id))
+  }
+
+  /** Delete a tag (its snapshot stays until expiry un-pins it). */
+  def dropTag(name: String): Unit = commitLock.synchronized {
+    val existing = Refs.readTags(fs, tableDir)
+    require(existing.contains(name), s"no tag $name")
+    Refs.writeTags(fs, tableDir, existing - name)
   }
 
   private def writeSchemaIfAbsent(s: StructType): Unit = {
@@ -736,7 +799,7 @@ object GraftTable {
   def exists(spark: SparkSession, location: String): Boolean = {
     val dir = new Path(location)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(SnapshotLog.logPath(dir))
+    SnapshotLog.exists(fs, dir)
   }
 
   private[graft] def listFiles(fs: FileSystem, dir: Path): Seq[LocatedFileStatus] = {

@@ -35,45 +35,132 @@ final case class Snapshot(
     totalRows: Long,
     parentId: Long = -1L) // commit this one was based on; -1 = none/unknown
 
-/** The table's snapshot log: a small JSON array at
-  * `<table>/_graft/snapshots.json`, committed by write-temp + atomic
-  * rename (single-writer, same lock discipline as the reference's
-  * module-level RLock, __main__.py:18).
+/** The table's snapshot log: a small JSON array, committed as VERSIONED
+  * files `<table>/_graft/log/v<N>.snapshots.json` claimed by
+  * rename-WITHOUT-overwrite — optimistic cross-process concurrency, the
+  * Iceberg metadata-file CAS shape:
+  *
+  *   1. writer reads the highest version N (the current state),
+  *   2. renders the full successor log to a hidden temp file,
+  *   3. claims `v(N+1)` by renaming the temp WITHOUT the OVERWRITE
+  *      flag — if another process claimed N+1 first, the rename fails
+  *      (atomically on HDFS; exists-checked on local/object FS) and the
+  *      writer re-reads and retries against the new head.
+  *
+  * Readers always see a complete file (content is fully written before
+  * the claim), and a crashed writer leaves only an unclaimed temp.
+  * This replaces the earlier single-file overwrite-rename, which was
+  * safe only under the in-process lock — two separate JVMs could race
+  * log overwrites and silently drop each other's commits (the
+  * reference's deployment model — a cron job racing ad-hoc writers —
+  * hits exactly that). In-process writers are additionally serialized
+  * by [[GraftTable]]'s per-path lock, so retries only ever happen
+  * across processes. Legacy single-file logs (`_graft/snapshots.json`)
+  * are read as version 0 and upgraded on the next commit.
   *
   * Hand-rolled JSON (fixed schema, no string escapes needed beyond
   * paths we generate ourselves) — keeps zero extra dependencies.
   */
 object SnapshotLog {
-  private val LogName = "snapshots.json"
+  private val LogName = "snapshots.json" // legacy single-file (read fallback)
+  private val VersionFile = """v(\d{20})\.snapshots\.json""".r
+  /** Versions kept behind the head for stragglers before cleanup. */
+  private val KeepVersions = 10
 
   def logPath(tableDir: Path): Path = new Path(tableDir, s"_graft/$LogName")
+  private def logDir(tableDir: Path): Path = new Path(tableDir, "_graft/log")
+  private def versionPath(tableDir: Path, v: Long): Path =
+    new Path(logDir(tableDir), f"v$v%020d.snapshots.json")
 
-  def read(fs: FileSystem, tableDir: Path): Seq[Snapshot] = {
-    val p = logPath(tableDir)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val txt =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      parse(txt)
-    }
+  /** A table exists iff it has a committed log (any version) — the
+    * empty log written by CREATE TABLE counts. */
+  def exists(fs: FileSystem, tableDir: Path): Boolean =
+    listVersions(fs, tableDir).nonEmpty || fs.exists(logPath(tableDir))
+
+  private def listVersions(fs: FileSystem, tableDir: Path): Seq[Long] = {
+    val d = logDir(tableDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap(_.getPath.getName match {
+      case VersionFile(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
   }
 
-  /** Overwrite the full log atomically (temp file + overwrite-rename).
-    * FileContext.rename with Options.Rename.OVERWRITE replaces the target
-    * in one FS operation — no delete-then-rename window where a crash
-    * would leave NO snapshots.json and the table would read as absent.
-    */
-  def write(fs: FileSystem, tableDir: Path, snapshots: Seq[Snapshot]): Unit = {
-    val p = logPath(tableDir)
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".$LogName.tmp-${System.nanoTime()}")
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Current (version, snapshots). Version 0 = no versioned file yet —
+    * the content is then the legacy single file (or empty). */
+  def readVersioned(fs: FileSystem, tableDir: Path): (Long, Seq[Snapshot]) = {
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(fs, tableDir)
+      if (vs.isEmpty) {
+        val legacy = logPath(tableDir)
+        return (0L,
+          if (fs.exists(legacy)) parse(readFile(fs, legacy)) else Seq.empty)
+      }
+      try return (vs.last, parse(readFile(fs, versionPath(tableDir, vs.last))))
+      catch {
+        // head cleaned up between list and open (lagging lister) — re-list
+        case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def read(fs: FileSystem, tableDir: Path): Seq[Snapshot] =
+    readVersioned(fs, tableDir)._2
+
+  /** Compare-and-swap: publish `snapshots` as version `expected + 1`.
+    * Returns false if another writer claimed that version first — the
+    * caller re-reads and recomputes against the new head. */
+  def tryWrite(fs: FileSystem, tableDir: Path, expected: Long,
+               snapshots: Seq[Snapshot]): Boolean = {
+    val target = versionPath(tableDir, expected + 1)
+    fs.mkdirs(target.getParent)
+    if (fs.exists(target)) return false // cheap pre-check; rename re-checks
+    val tmp = new Path(target.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(render(snapshots).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, fs.getConf)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    val claimed =
+      try {
+        // NO Rename.OVERWRITE: an existing target fails the rename —
+        // this IS the atomic claim (atomic on HDFS; checked on local FS)
+        FileContext.getFileContext(target.toUri, fs.getConf)
+          .rename(tmp, target)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          fs.delete(tmp, false); false
+      }
+    if (claimed) {
+      // best-effort housekeeping: drop the legacy file and old versions
+      try {
+        fs.delete(logPath(tableDir), false)
+        listVersions(fs, tableDir).dropRight(KeepVersions)
+          .foreach(v => fs.delete(versionPath(tableDir, v), false))
+      } catch { case _: java.io.IOException => }
+    }
+    claimed
+  }
+
+  /** Unconditional write: CAS-retry until OUR content is the head.
+    * For writers whose content does not depend on the prior state
+    * (CREATE TABLE's empty log); state-dependent writers (commits,
+    * expiry) run their own read-recompute-tryWrite loop instead. */
+  def write(fs: FileSystem, tableDir: Path, snapshots: Seq[Snapshot]): Unit = {
+    var done = false
+    while (!done) {
+      val (v, _) = readVersioned(fs, tableDir)
+      done = tryWrite(fs, tableDir, v, snapshots)
+    }
   }
 
   def current(snapshots: Seq[Snapshot]): Option[Snapshot] =
@@ -113,11 +200,22 @@ object SnapshotLog {
   * the snapshot log. */
 object Refs {
   private val Name = "refs.json"
+  private val TagsName = "tags.json"
   def path(tableDir: Path): Path = new Path(tableDir, s"_graft/$Name")
+  def tagsPath(tableDir: Path): Path = new Path(tableDir, s"_graft/$TagsName")
   private val Entry = """"([^"]+)":(-?\d+)""".r
 
-  def read(fs: FileSystem, tableDir: Path): Map[String, Long] = {
-    val p = path(tableDir)
+  def read(fs: FileSystem, tableDir: Path): Map[String, Long] =
+    readMap(fs, path(tableDir))
+
+  /** Immutable tag refs (Iceberg's tag/branch split): a tag pins a
+    * snapshot forever — no fast-forward, no appends; expiry treats tag
+    * targets exactly like branch heads. Kept in a separate flat file so
+    * pre-tag refs files parse unchanged. */
+  def readTags(fs: FileSystem, tableDir: Path): Map[String, Long] =
+    readMap(fs, tagsPath(tableDir))
+
+  private def readMap(fs: FileSystem, p: Path): Map[String, Long] =
     if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
@@ -125,14 +223,18 @@ object Refs {
         finally in.close()
       Entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong).toMap
     }
-  }
 
-  def write(fs: FileSystem, tableDir: Path, refs: Map[String, Long]): Unit = {
-    val p = path(tableDir)
+  def write(fs: FileSystem, tableDir: Path, refs: Map[String, Long]): Unit =
+    writeMap(fs, path(tableDir), refs)
+
+  def writeTags(fs: FileSystem, tableDir: Path, tags: Map[String, Long]): Unit =
+    writeMap(fs, tagsPath(tableDir), tags)
+
+  private def writeMap(fs: FileSystem, p: Path, refs: Map[String, Long]): Unit = {
     fs.mkdirs(p.getParent)
     val txt = refs.toSeq.sortBy(_._1)
       .map { case (n, id) => s""""$n":$id""" }.mkString("{", ",", "}")
-    val tmp = new Path(p.getParent, s".$Name.tmp-${System.nanoTime()}")
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(txt.getBytes(StandardCharsets.UTF_8))
     finally out.close()

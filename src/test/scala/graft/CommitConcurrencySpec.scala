@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.{GraftTable, Snapshot, SnapshotLog}
+
+/** Cross-process commit safety: the snapshot log is versioned files
+  * claimed by rename-without-overwrite (optimistic CAS). Two writers
+  * that share NO JVM lock must both land their commits — the loser of a
+  * claim re-reads and retries instead of overwriting the winner. */
+class CommitConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  test("a stale claim fails; the retried claim lands on the new head") {
+    val loc = tmpDir("cas") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq(1L).toDF("k"))
+    val (v, snaps) = SnapshotLog.readVersioned(t.fileSystem, t.dir)
+    assert(snaps.size == 1)
+    // "another process" claims v+1 first
+    val forged = Snapshot(99L, 0L, "append", Seq.empty, 0L, 0L, 0L)
+    assert(SnapshotLog.tryWrite(t.fileSystem, t.dir, v, snaps :+ forged))
+    // our claim against the stale version must FAIL, not overwrite
+    assert(!SnapshotLog.tryWrite(t.fileSystem, t.dir, v, snaps))
+    // re-read sees the winner; the next claim succeeds
+    val (v2, snaps2) = SnapshotLog.readVersioned(t.fileSystem, t.dir)
+    assert(v2 == v + 1 && snaps2.map(_.snapshotId).contains(99L))
+    assert(SnapshotLog.tryWrite(t.fileSystem, t.dir, v2, snaps2))
+  }
+
+  test("two lock-independent writers append concurrently; every commit lands") {
+    // A symlinked second spelling of the table path gets its OWN
+    // per-path JVM lock while hitting the same storage — the closest
+    // single-JVM emulation of two processes racing one table.
+    val realParent = tmpDir("casreal")
+    val linkParent = tmpDir("caslink")
+    val real = s"$realParent/t"
+    GraftTable.create(spark, real, schema)
+    Files.createSymbolicLink(Paths.get(s"$linkParent/t"), Paths.get(real))
+    val tA = GraftTable.load(spark, real)
+    val tB = GraftTable.load(spark, s"$linkParent/t")
+    assert(!(tA.lock eq tB.lock), "writers must not share a JVM lock")
+
+    val n = 5
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq((tA, 0L), (tB, 1000L)).map { case (tbl, base) =>
+      new Thread(() =>
+        try (0 until n).foreach(i => tbl.append(Seq(base + i).toDF("k")))
+        catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
+
+    val t = GraftTable.load(spark, real)
+    assert(t.snapshots.size == 2 * n, "every commit must land in the log")
+    assert(t.snapshots.map(_.snapshotId).distinct.size == 2 * n)
+    assert(t.rowCount == 2 * n)
+    assert(t.read.count() == 2 * n)
+    assert(t.read.agg(sum("k")).head().getLong(0) ==
+      (0 until n).map(_.toLong).sum + (0 until n).map(_ + 1000L).sum)
+  }
+
+  test("legacy single-file logs read as version 0 and upgrade on commit") {
+    val loc = tmpDir("caslegacy") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq(1L).toDF("k"))
+    // rewrite the log in the legacy single-file format and drop versions
+    val snaps = t.snapshots
+    val legacy = SnapshotLog.logPath(t.dir)
+    val logDir = new org.apache.hadoop.fs.Path(t.dir, "_graft/log")
+    val content = {
+      // render via a fresh versioned write, then move the head to the
+      // legacy location and remove the versioned dir
+      val head = t.fileSystem.listStatus(logDir).map(_.getPath)
+        .filter(_.getName.endsWith(".snapshots.json")).maxBy(_.getName)
+      val in = t.fileSystem.open(head)
+      try new String(in.readAllBytes()) finally in.close()
+    }
+    val out = t.fileSystem.create(legacy, true)
+    try out.write(content.getBytes) finally out.close()
+    t.fileSystem.delete(logDir, true)
+
+    val t2 = GraftTable.load(spark, loc)
+    assert(GraftTable.exists(spark, loc))
+    assert(t2.snapshots.map(_.snapshotId) == snaps.map(_.snapshotId))
+    assert(t2.read.count() == 1)
+    t2.append(Seq(2L).toDF("k")) // upgrades to a versioned claim
+    assert(!t2.fileSystem.exists(legacy), "legacy file retired on commit")
+    assert(t2.read.count() == 2)
+    assert(SnapshotLog.readVersioned(t2.fileSystem, t2.dir)._1 == 1L)
+  }
+}
