@@ -65,7 +65,10 @@ final class DefaultSource extends RelationProvider
           .withColumnRenamed("numFiles", "num_files")
           .withColumnRenamed("totalBytes", "total_bytes")
           .withColumnRenamed("totalRows", "total_rows")
-      case "refs" => table.branches.toSeq.toDF("name", "snapshot_id")
+      case "refs" =>
+        (table.branches.toSeq.map { case (n, id) => (n, id, "branch") } ++
+          table.tags.toSeq.map { case (n, id) => (n, id, "tag") })
+          .toDF("name", "snapshot_id", "kind")
       case "stats" => table.stats
       case other => throw new IllegalArgumentException(
         s"unknown metadata table $other (files|snapshots|refs|stats)")

@@ -66,6 +66,53 @@ class BranchSpec extends SparkSpec {
     assert(removed >= 0)
   }
 
+  test("tags: immutable refs — create, read, collide, refuse fast-forward") {
+    val t = freshTable() // snapshot 1
+    t.append(Seq((3L, "c")).toDF("id", "tag")) // snapshot 2
+    t.createTag("v1", at = Some(1L))
+    t.createTag("release") // defaults to current head (2)
+    assert(t.tags == Map("v1" -> 1L, "release" -> 2L))
+    assert(t.readTag("v1").count() == 2)
+    assert(t.readTag("release").count() == 3)
+    // the tag never moves as the table advances
+    t.append(Seq((4L, "d")).toDF("id", "tag"))
+    assert(t.readTag("release").count() == 3)
+    // shared namespace with branches, both directions
+    intercept[IllegalArgumentException](t.createBranch("v1"))
+    t.createBranch("audit")
+    intercept[IllegalArgumentException](t.createTag("audit"))
+    intercept[IllegalArgumentException](t.createTag("v1")) // duplicate
+    // immutability: no fast-forward onto or from a tag
+    intercept[IllegalArgumentException](t.fastForward("v1", "audit"))
+    intercept[IllegalArgumentException](t.fastForward("main", "v1"))
+    // no appends through the branch path either (tags are not branches)
+    intercept[IllegalArgumentException](
+      t.appendToBranch("v1", Seq((9L, "z")).toDF("id", "tag")))
+    t.dropTag("v1")
+    assert(!t.tags.contains("v1"))
+    intercept[IllegalArgumentException](t.dropTag("v1"))
+  }
+
+  test("expiry pins tag targets like branch heads") {
+    val clock = new TestClock()
+    val t = GraftTable.create(spark, tmpDir("branch") + "/t",
+      Seq((0L, "x")).toDF("id", "tag").schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), clock) // snapshot 1
+    t.append(Seq((3L, "c")).toDF("id", "tag"), clock)            // snapshot 2
+    t.createTag("keep", at = Some(1L))
+    clock.advanceDays(30)
+    t.append(Seq((4L, "d")).toDF("id", "tag"), clock) // fresh current
+    t.expireSnapshots(retentionDays = 7, clock)
+    // snapshot 1 survives (tag-pinned); untagged snapshot 2 expired
+    assert(t.snapshots.map(_.snapshotId).contains(1L))
+    assert(!t.snapshots.map(_.snapshotId).contains(2L))
+    assert(t.readTag("keep").count() == 2, "tagged snapshot still readable")
+    // dropping the tag un-pins it for the next expiry pass
+    t.dropTag("keep")
+    t.expireSnapshots(retentionDays = 7, clock)
+    assert(!t.snapshots.map(_.snapshotId).contains(1L))
+  }
+
   test("appendToBranch to a nonexistent branch is refused") {
     val t = freshTable()
     intercept[IllegalArgumentException](
