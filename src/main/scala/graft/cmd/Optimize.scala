@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions.{col, lit}
 
 import graft.meta.GraftTable
 
-/** Small-file compaction, Iceberg `rewrite_data_files` (binpack) shape:
-  * SELECT only the undersized files from the manifest, bin-pack and
-  * rewrite just those, and carry every already-compact file through the
-  * commit untouched (same path, same `added_snapshot_id` lineage).
-  * Replaced files stay on storage, owned by older snapshots, until
-  * `expireSnapshots` reclaims them.
+/** File-size compaction, Iceberg `rewrite_data_files` (binpack) shape:
+  * SELECT the mis-sized files from the manifest — undersized ones to
+  * merge AND oversized ones to split — bin-pack and rewrite just those,
+  * and carry every already-compact file through the commit untouched
+  * (same path, same `added_snapshot_id` lineage). Replaced files stay
+  * on storage, owned by older snapshots, until `expireSnapshots`
+  * reclaims them.
   *
   * Reference analogue: `ALTER TABLE t EXECUTE optimize`
   * (trino_iceberg_maintenance/__main__.py:170); the observable contract
@@ -32,7 +33,12 @@ object Optimize {
   /** Files below this fraction of the target size are compaction
     * candidates (Iceberg's MIN_FILE_SIZE_DEFAULT_RATIO). */
   private val MinFileSizeRatio = 0.75
-  /** Fewer candidates than this → nothing worth rewriting. */
+  /** Files above this fraction of the target are SPLIT candidates
+    * (Iceberg's MAX_FILE_SIZE_DEFAULT_RATIO) — binpack rewrites
+    * oversized files into ~size/target pieces, not only small ones. */
+  private val MaxFileSizeRatio = 1.8
+  /** Fewer small candidates than this → nothing worth compacting
+    * (a single oversized file is always worth splitting). */
   private val MinInputFiles = 2
 
   /** @param clusterBy when non-empty, the rewrite range-partitions and
@@ -61,19 +67,25 @@ object Optimize {
         return
       }
 
-      // ---- binpack: rewrite only undersized files ------------------------
+      // ---- binpack: rewrite undersized AND oversized files ---------------
       val minBytes = (targetFileBytes * MinFileSizeRatio).toLong
+      val maxBytes = (targetFileBytes * MaxFileSizeRatio).toLong
       val manifest = table.files
-      val smallRows = manifest.filter(col("size_bytes") < minBytes)
+      val candidate =
+        col("size_bytes") < minBytes || col("size_bytes") > maxBytes
+      val candRows = manifest.filter(candidate)
         .select("path", "added_snapshot_id", "size_bytes").collect()
-      if (smallRows.length < MinInputFiles) return // nothing worth compacting
-      val smallPairs = smallRows.map(r =>
+      val numSmall = candRows.count(_.getLong(2) < minBytes)
+      val numOversized = candRows.length - numSmall
+      // lone small files aren't worth a rewrite; any oversized file is
+      if (numSmall < MinInputFiles && numOversized == 0) return
+      val candPairs = candRows.map(r =>
         (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toIndexedSeq
-      val smallBytes = smallRows.map(_.getLong(2)).sum
+      val candBytes = candRows.map(_.getLong(2)).sum
       val nOut = math.max(1L,
-        (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        (candBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
-      val toRewrite = table.readFilesAligned(smallPairs)
+      val toRewrite = table.readFilesAligned(candPairs)
       val rewritten =
         if (spec.nonEmpty) {
           // keep a partitioned table clustered — a round-robin rewrite
@@ -89,7 +101,7 @@ object Optimize {
       // New manifest = untouched entries (original lineage preserved, never
       // collected) ∪ the freshly written files (stamped with the new id by
       // the commit's coalesce on added_snapshot_id).
-      val untouched = manifest.filter(col("size_bytes") >= minBytes)
+      val untouched = manifest.filter(!candidate)
         .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
       val fresh = table.inventory(commitDir)
         .withColumn("added_snapshot_id", lit(null).cast("long"))

@@ -101,13 +101,14 @@ object MaintenanceQueries {
       .createIfNotExists()
     // expire/orphan run in their own demos (x02/x03); the scheduler demo
     // exercises gates + stamps + the bounded pool with optimize/analyze.
-    // alpha gets two appends (so optimize visibly compacts); beta one.
+    // alpha stages TWO FILES IN ONE COMMIT (repartition(2)) so optimize
+    // visibly compacts without paying a second commit; beta one file.
     // Both config rows go in a single INSERT — one commit, not two.
     Seq("alpha", "beta").foreach { n =>
       val t = GraftTable.create(spark, base.resolve(n).toString,
         seed(spark, sfDir).schema)
-      t.append(seed(spark, sfDir).limit(80), t0)
-      if (n == "alpha") t.append(seed(spark, sfDir).limit(80), t0)
+      if (n == "alpha") t.append(seed(spark, sfDir).limit(160).repartition(2), t0)
+      else t.append(seed(spark, sfDir).limit(80), t0)
     }
     store.insert(Seq("alpha", "beta").map { n =>
       MaintenanceConfig(n,

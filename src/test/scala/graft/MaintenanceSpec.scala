@@ -106,9 +106,11 @@ class MaintenanceSpec extends SparkSpec {
     val before = t.files.select("path", "size_bytes").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(before.size == 4)
-    val target = 8L * 1024
     val bigPath = before.maxBy(_._2)._1
-    assert(before(bigPath) >= (target * 3) / 4) // big file is NOT a candidate
+    // target chosen so the big file sits IN the [0.75x, 1.8x] band —
+    // neither a compaction nor a split candidate
+    val target = before(bigPath)
+    assert(before(bigPath) >= (target * 3) / 4)
 
     fx.table("t").optimize(targetFileBytes = target, clock = fx.clock)
     val after = fx.table("t").files.select("path").collect()
@@ -120,6 +122,34 @@ class MaintenanceSpec extends SparkSpec {
     val snaps = fx.table("t").snapshots.size
     fx.table("t").optimize(targetFileBytes = target, clock = fx.clock)
     assert(fx.table("t").snapshots.size == snaps)
+  }
+
+  test("optimize binpack: splits oversized files, carries in-band ones") {
+    val fx = fixture("binsplit")
+    val t = fx.createTable("t")
+    // one oversized file (~4x the in-band one) and one in-band file
+    val bigRows = (1 to 8000).map(i => Row(s"key$i", s"val$i"))
+    t.append(spark.createDataFrame(bigRows.asJava, ab).coalesce(1), fx.clock)
+    val midRows = (1 to 2000).map(i => Row(s"m$i", s"w$i"))
+    t.append(spark.createDataFrame(midRows.asJava, ab).coalesce(1), fx.clock)
+    val before = t.files.select("path", "size_bytes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.size == 2)
+    val bigPath = before.maxBy(_._2)._1
+    val midPath = (before.keySet - bigPath).head
+    // target: mid lands in-band (~0.9x), big lands above the 1.8x split bar
+    val target = (before(midPath) / 0.9).toLong
+    assert(before(midPath) > (target * 3) / 4 && before(midPath) < target * 9 / 5)
+    assert(before(bigPath) > target * 9 / 5, "premise: big file is oversized")
+
+    t.optimize(targetFileBytes = target, clock = fx.clock)
+    val after = fx.table("t").files.select("path").collect()
+      .map(_.getString(0)).toSet
+    assert(after.contains(midPath), "in-band file carried untouched")
+    assert(!after.contains(bigPath), "oversized file replaced")
+    assert((after - midPath).size >= 2,
+      s"oversized file must split into multiple (got ${after.size - 1})")
+    assert(fx.table("t").read.count() == 10000)
   }
 
   // ---- mirror of test_analyze_without_colums (:81-123) -----------------
