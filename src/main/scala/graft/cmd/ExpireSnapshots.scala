@@ -33,12 +33,15 @@ object ExpireSnapshots {
       var retained: Seq[graft.meta.Snapshot] = Seq.empty
       var done = false
       while (!done) {
-        val (ver, all) =
-          SnapshotLog.readVersioned(table.fileSystem, table.dir)
+        val (ver, st) =
+          SnapshotLog.readState(table.fileSystem, table.dir)
+        val all = st.snapshots
         val currentId = SnapshotLog.current(all).map(_.snapshotId).getOrElse(-1L)
         // every branch head AND tag target is pinned — Iceberg's
-        // ref-aware expiry over both ref kinds
-        val refIds = table.branches.values.toSet ++ table.tags.values
+        // ref-aware expiry over both ref kinds (read from the SAME
+        // state the CAS claims against, so a racing branch op can't
+        // slip between our check and our write)
+        val refIds = st.refs.values.toSet ++ st.tags.values
         val p = all.partition(s =>
           s.timestampMs < cutoffMs && s.snapshotId != currentId &&
             !refIds(s.snapshotId))
@@ -48,7 +51,8 @@ object ExpireSnapshots {
         // only harmless orphan files (reclaimable by
         // remove_orphan_files), never a log entry whose manifest
         // references already-deleted data.
-        done = SnapshotLog.tryWrite(table.fileSystem, table.dir, ver, retained)
+        done = SnapshotLog.tryWriteState(table.fileSystem, table.dir, ver,
+          st.copy(snapshots = retained))
       }
 
       val spark = table.spark

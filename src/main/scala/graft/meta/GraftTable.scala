@@ -56,10 +56,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   def snapshots: Seq[Snapshot] = SnapshotLog.read(fs, tableDir)
 
+  /** One consistent read of snapshots + refs + tags (they share the
+    * CAS-claimed log file, so this is a true point-in-time view). */
+  private def tableState: TableState = SnapshotLog.readState(fs, tableDir)._2
+
   /** Head of `main`: the branch ref once refs are materialized, else
     * the implicit pre-branching head (max snapshot id). */
-  def currentSnapshot: Option[Snapshot] =
-    headOf(snapshots, Refs.read(fs, tableDir), "main")
+  def currentSnapshot: Option[Snapshot] = {
+    val st = tableState
+    headOf(st.snapshots, st.refs, "main")
+  }
 
   private def headOf(all: Seq[Snapshot], refs: Map[String, Long],
                      branch: String): Option[Snapshot] =
@@ -477,8 +483,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     var done = false
     while (!done) {
       require(attempt < 50, s"snapshot-log CAS retry exhausted for $op")
-      val (ver, prior) = SnapshotLog.readVersioned(fs, tableDir)
-      val refsNow = Refs.read(fs, tableDir)
+      val (ver, st) = SnapshotLog.readState(fs, tableDir)
+      val prior = st.snapshots
+      val refsNow = st.refs
       require(branch == "main" || refsNow.contains(branch),
         s"no branch named $branch — createBranch first")
       val cur = headOf(prior, refsNow, branch)
@@ -511,12 +518,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         } else
           Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
             dnf, dbytes, drows, parent)
-      done = SnapshotLog.tryWrite(fs, tableDir, ver, prior :+ snap)
-      // advance the branch ref (materializing main's implicit head on the
-      // way if refs already exist); pre-branching tables with no refs file
-      // keep the implicit main == max id and write nothing extra
-      if (done && (refsNow.nonEmpty || branch != "main"))
-        Refs.write(fs, tableDir, materialize(prior, refsNow) + (branch -> id))
+      // the branch-ref advance rides in the SAME claimed state as the
+      // snapshot (materializing main's implicit head on the way if refs
+      // already exist); refs-free tables keep the implicit main == max id
+      val newRefs =
+        if (refsNow.nonEmpty || branch != "main")
+          materialize(prior, refsNow) + (branch -> id)
+        else refsNow
+      done = SnapshotLog.tryWriteState(fs, tableDir, ver,
+        TableState(prior :+ snap, newRefs, st.tags))
       attempt += 1
     }
   }
@@ -531,28 +541,44 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   /** All branch refs, including the implicit main. */
   def branches: Map[String, Long] = {
-    val refs = Refs.read(fs, tableDir)
-    materialize(snapshots, refs)
+    val st = tableState
+    materialize(st.snapshots, st.refs)
+  }
+
+  /** Run a ref mutation as a state CAS loop: recompute against the
+    * fresh head until the claim lands (cross-process safe — in-process
+    * callers already hold the table lock). */
+  private def casState(mutate: (TableState) => TableState): Unit = {
+    var done = false
+    while (!done) {
+      val (ver, st) = SnapshotLog.readState(fs, tableDir)
+      done = SnapshotLog.tryWriteState(fs, tableDir, ver, mutate(st))
+    }
   }
 
   /** Create a branch pointing at `at` (default: main's current head) —
     * the "write" staging area of write-audit-publish. */
   def createBranch(name: String, at: Option[Long] = None): Unit =
     commitLock.synchronized {
-      val all = snapshots
-      val refs = Refs.read(fs, tableDir)
-      require(name != "main" && !refs.contains(name), s"branch $name exists")
-      require(!tags.contains(name), s"a tag named $name exists")
-      val target = at.orElse(headOf(all, refs, "main").map(_.snapshotId))
-        .getOrElse(throw new IllegalArgumentException(
-          "cannot branch an empty table"))
-      require(all.exists(_.snapshotId == target), s"no snapshot $target")
-      Refs.write(fs, tableDir, materialize(all, refs) + (name -> target))
+      casState { st =>
+        require(name != "main" && !st.refs.contains(name),
+          s"branch $name exists")
+        require(!st.tags.contains(name), s"a tag named $name exists")
+        val target = at.orElse(headOf(st.snapshots, st.refs, "main")
+          .map(_.snapshotId))
+          .getOrElse(throw new IllegalArgumentException(
+            "cannot branch an empty table"))
+        require(st.snapshots.exists(_.snapshotId == target),
+          s"no snapshot $target")
+        st.copy(refs = materialize(st.snapshots, st.refs) + (name -> target))
+      }
     }
 
   /** Scan a branch head (same aligned read path as [[read]]). */
-  def readBranch(name: String): DataFrame =
-    readSnapshot(headOf(snapshots, Refs.read(fs, tableDir), name))
+  def readBranch(name: String): DataFrame = {
+    val st = tableState
+    readSnapshot(headOf(st.snapshots, st.refs, name))
+  }
 
   /** Append onto a branch WITHOUT moving main — audited writers land
     * data here, validate via [[readBranch]], then [[fastForward]]. */
@@ -566,32 +592,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * old state to the audited state instantly. */
   def fastForward(to: String, from: String): Unit =
     commitLock.synchronized {
-      val tagNames = tags.keySet
-      require(!tagNames(to) && !tagNames(from),
-        "tags are immutable refs — cannot fast-forward a tag")
-      val all = snapshots
-      val refs = Refs.read(fs, tableDir)
-      val fromHead = headOf(all, refs, from).map(_.snapshotId)
-        .getOrElse(throw new IllegalArgumentException(s"no branch $from"))
-      val toHead = headOf(all, refs, to).map(_.snapshotId).getOrElse(-1L)
-      val byId = all.map(s => s.snapshotId -> s).toMap
-      var c = fromHead
-      var ok = toHead == -1L
-      while (!ok && c != -1L) {
-        if (c == toHead) ok = true
-        else c = byId.get(c).map(_.parentId).getOrElse(-1L)
+      casState { st =>
+        require(!st.tags.contains(to) && !st.tags.contains(from),
+          "tags are immutable refs — cannot fast-forward a tag")
+        val all = st.snapshots
+        val refs = st.refs
+        val fromHead = headOf(all, refs, from).map(_.snapshotId)
+          .getOrElse(throw new IllegalArgumentException(s"no branch $from"))
+        val toHead = headOf(all, refs, to).map(_.snapshotId).getOrElse(-1L)
+        val byId = all.map(s => s.snapshotId -> s).toMap
+        var c = fromHead
+        var ok = toHead == -1L
+        while (!ok && c != -1L) {
+          if (c == toHead) ok = true
+          else c = byId.get(c).map(_.parentId).getOrElse(-1L)
+        }
+        require(ok, s"$to@$toHead is not an ancestor of $from@$fromHead — " +
+          "not a fast-forward")
+        st.copy(refs = materialize(all, refs) + (to -> fromHead))
       }
-      require(ok, s"$to@$toHead is not an ancestor of $from@$fromHead — " +
-        "not a fast-forward")
-      Refs.write(fs, tableDir, materialize(all, refs) + (to -> fromHead))
     }
 
   /** Delete a branch ref (snapshots stay until expiry). */
   def dropBranch(name: String): Unit = commitLock.synchronized {
     require(name != "main", "cannot drop main")
-    val refs = Refs.read(fs, tableDir)
-    require(refs.contains(name), s"no branch $name")
-    Refs.write(fs, tableDir, refs - name)
+    casState { st =>
+      require(st.refs.contains(name), s"no branch $name")
+      st.copy(refs = st.refs - name)
+    }
   }
 
   // ---- tags (immutable refs) ---------------------------------------------
@@ -599,35 +627,40 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** All tag refs. Tags are Iceberg's immutable ref kind: they pin a
     * snapshot forever — never advanced by commits, never fast-forwarded;
     * expiry keeps their targets like branch heads. */
-  def tags: Map[String, Long] = Refs.readTags(fs, tableDir)
+  def tags: Map[String, Long] = tableState.tags
 
   /** Create a tag at `at` (default: main's current head). The branch and
     * tag namespaces are shared, like Iceberg's — one name, one ref. */
   def createTag(name: String, at: Option[Long] = None): Unit =
     commitLock.synchronized {
-      val all = snapshots
-      require(name != "main" && !Refs.read(fs, tableDir).contains(name),
-        s"a branch named $name exists")
-      val existing = Refs.readTags(fs, tableDir)
-      require(!existing.contains(name), s"tag $name exists")
-      val target = at.orElse(currentSnapshot.map(_.snapshotId))
-        .getOrElse(throw new IllegalArgumentException("cannot tag an empty table"))
-      require(all.exists(_.snapshotId == target), s"no snapshot $target")
-      Refs.writeTags(fs, tableDir, existing + (name -> target))
+      casState { st =>
+        require(name != "main" && !st.refs.contains(name),
+          s"a branch named $name exists")
+        require(!st.tags.contains(name), s"tag $name exists")
+        val target = at.orElse(headOf(st.snapshots, st.refs, "main")
+          .map(_.snapshotId))
+          .getOrElse(throw new IllegalArgumentException(
+            "cannot tag an empty table"))
+        require(st.snapshots.exists(_.snapshotId == target),
+          s"no snapshot $target")
+        st.copy(tags = st.tags + (name -> target))
+      }
     }
 
   /** Scan the snapshot a tag pins (same aligned read path as [[read]]). */
   def readTag(name: String): DataFrame = {
-    val id = tags.getOrElse(name,
+    val st = tableState
+    val id = st.tags.getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name"))
-    readSnapshot(snapshots.find(_.snapshotId == id))
+    readSnapshot(st.snapshots.find(_.snapshotId == id))
   }
 
   /** Delete a tag (its snapshot stays until expiry un-pins it). */
   def dropTag(name: String): Unit = commitLock.synchronized {
-    val existing = Refs.readTags(fs, tableDir)
-    require(existing.contains(name), s"no tag $name")
-    Refs.writeTags(fs, tableDir, existing - name)
+    casState { st =>
+      require(st.tags.contains(name), s"no tag $name")
+      st.copy(tags = st.tags - name)
+    }
   }
 
   private def writeSchemaIfAbsent(s: StructType): Unit = {

@@ -1,8 +1,7 @@
 package graft.meta
 
 import java.nio.charset.StandardCharsets
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 
 /** One committed table version.
   *
@@ -34,6 +33,18 @@ final case class Snapshot(
     totalBytes: Long,
     totalRows: Long,
     parentId: Long = -1L) // commit this one was based on; -1 = none/unknown
+
+/** The complete CAS-versioned table state: the snapshot list plus both
+  * ref kinds. Refs live IN the claimed log file (Iceberg's
+  * metadata.json shape) so a branch advance is atomic with the commit
+  * that caused it — a separate refs file would let two cross-process
+  * winners write their ref updates out of order (main regressing to a
+  * stale head). Empty refs = the implicit pre-branching "main" at the
+  * max snapshot id. */
+final case class TableState(
+    snapshots: Seq[Snapshot],
+    refs: Map[String, Long] = Map.empty,
+    tags: Map[String, Long] = Map.empty)
 
 /** The table's snapshot log: a small JSON array, committed as VERSIONED
   * files `<table>/_graft/log/v<N>.snapshots.json` claimed by
@@ -92,19 +103,30 @@ object SnapshotLog {
     finally in.close()
   }
 
-  /** Current (version, snapshots). Version 0 = no versioned file yet —
-    * the content is then the legacy single file (or empty). */
-  def readVersioned(fs: FileSystem, tableDir: Path): (Long, Seq[Snapshot]) = {
+  /** Current (version, state). Version 0 = no versioned file yet — the
+    * content is then the legacy single file (or empty). Version files
+    * written before refs were folded in (bare JSON arrays), and the
+    * legacy file, take their refs/tags from the standalone
+    * `refs.json`/`tags.json` fallback. */
+  def readState(fs: FileSystem, tableDir: Path): (Long, TableState) = {
     var attempt = 0
     while (true) {
       val vs = listVersions(fs, tableDir)
       if (vs.isEmpty) {
         val legacy = logPath(tableDir)
-        return (0L,
-          if (fs.exists(legacy)) parse(readFile(fs, legacy)) else Seq.empty)
+        val snaps =
+          if (fs.exists(legacy)) parse(readFile(fs, legacy)) else Seq.empty
+        return (0L, TableState(snaps,
+          Refs.read(fs, tableDir), Refs.readTags(fs, tableDir)))
       }
-      try return (vs.last, parse(readFile(fs, versionPath(tableDir, vs.last))))
-      catch {
+      try {
+        val txt = readFile(fs, versionPath(tableDir, vs.last))
+        return (vs.last, parseState(txt) match {
+          case Some(st) => st // refs live in the file
+          case None => TableState(parse(txt), // pre-state array format
+            Refs.read(fs, tableDir), Refs.readTags(fs, tableDir))
+        })
+      } catch {
         // head cleaned up between list and open (lagging lister) — re-list
         case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
       }
@@ -113,20 +135,20 @@ object SnapshotLog {
   }
 
   def read(fs: FileSystem, tableDir: Path): Seq[Snapshot] =
-    readVersioned(fs, tableDir)._2
+    readState(fs, tableDir)._2.snapshots
 
-  /** Compare-and-swap: publish `snapshots` as version `expected + 1`.
+  /** Compare-and-swap: publish `state` as version `expected + 1`.
     * Returns false if another writer claimed that version first — the
     * caller re-reads and recomputes against the new head. */
-  def tryWrite(fs: FileSystem, tableDir: Path, expected: Long,
-               snapshots: Seq[Snapshot]): Boolean = {
+  def tryWriteState(fs: FileSystem, tableDir: Path, expected: Long,
+                    state: TableState): Boolean = {
     val target = versionPath(tableDir, expected + 1)
     fs.mkdirs(target.getParent)
     if (fs.exists(target)) return false // cheap pre-check; rename re-checks
     val tmp = new Path(target.getParent,
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(render(snapshots).getBytes(StandardCharsets.UTF_8))
+    try out.write(renderState(state).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val claimed =
       try {
@@ -141,9 +163,12 @@ object SnapshotLog {
           fs.delete(tmp, false); false
       }
     if (claimed) {
-      // best-effort housekeeping: drop the legacy file and old versions
+      // best-effort housekeeping: retire the legacy/standalone files
+      // (their content now lives in the claimed state) and old versions
       try {
         fs.delete(logPath(tableDir), false)
+        fs.delete(Refs.path(tableDir), false)
+        fs.delete(Refs.tagsPath(tableDir), false)
         listVersions(fs, tableDir).dropRight(KeepVersions)
           .foreach(v => fs.delete(versionPath(tableDir, v), false))
       } catch { case _: java.io.IOException => }
@@ -151,15 +176,16 @@ object SnapshotLog {
     claimed
   }
 
-  /** Unconditional write: CAS-retry until OUR content is the head.
-    * For writers whose content does not depend on the prior state
-    * (CREATE TABLE's empty log); state-dependent writers (commits,
-    * expiry) run their own read-recompute-tryWrite loop instead. */
+  /** Unconditional snapshot-list write: CAS-retry until OUR list is the
+    * head, preserving whatever refs/tags the head carries. For writers
+    * whose content does not depend on the prior state (CREATE TABLE's
+    * empty log); state-dependent writers (commits, expiry, branch ops)
+    * run their own read-recompute-tryWriteState loop instead. */
   def write(fs: FileSystem, tableDir: Path, snapshots: Seq[Snapshot]): Unit = {
     var done = false
     while (!done) {
-      val (v, _) = readVersioned(fs, tableDir)
-      done = tryWrite(fs, tableDir, v, snapshots)
+      val (v, st) = readState(fs, tableDir)
+      done = tryWriteState(fs, tableDir, v, st.copy(snapshots = snapshots))
     }
   }
 
@@ -167,6 +193,32 @@ object SnapshotLog {
     if (snapshots.isEmpty) None else Some(snapshots.maxBy(_.snapshotId))
 
   // ---- tiny fixed-schema JSON codec -------------------------------------
+
+  private def renderMap(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (n, id) => s""""$n":$id""" }
+      .mkString("{", ",", "}")
+
+  /** refs/tags first, snapshots last — snapshot objects contain no
+    * "refs"/"tags" keys, so the block regexes below stay unambiguous. */
+  private def renderState(st: TableState): String =
+    s"""{"refs":${renderMap(st.refs)},"tags":${renderMap(st.tags)},""" +
+      s""""snapshots":${render(st.snapshots)}}"""
+
+  private val RefsBlock = """"refs":\{([^}]*)\}""".r
+  private val TagsBlock = """"tags":\{([^}]*)\}""".r
+  private val MapEntry = """"([^"]+)":(-?\d+)""".r
+
+  private def parseMap(inner: String): Map[String, Long] =
+    MapEntry.findAllMatchIn(inner).map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  /** None = bare-array (pre-state) format. */
+  private def parseState(txt: String): Option[TableState] =
+    if (txt.trim.startsWith("[")) None
+    else Some(TableState(parse(txt),
+      RefsBlock.findFirstMatchIn(txt).map(m => parseMap(m.group(1)))
+        .getOrElse(Map.empty),
+      TagsBlock.findFirstMatchIn(txt).map(m => parseMap(m.group(1)))
+        .getOrElse(Map.empty)))
 
   private def render(ss: Seq[Snapshot]): String =
     ss.map { s =>
@@ -198,6 +250,12 @@ object SnapshotLog {
   * pre-branching behavior); the file is materialized by the first
   * branch operation. Written with the same atomic overwrite-rename as
   * the snapshot log. */
+/** MIGRATION FALLBACK readers for the standalone `refs.json` /
+  * `tags.json` files earlier versions wrote beside the log. Refs and
+  * tags now live INSIDE the CAS-claimed [[TableState]] (so a ref
+  * advance is atomic with its commit); these files are read only when
+  * the log head predates the state format, and are retired by the
+  * next claim. */
 object Refs {
   private val Name = "refs.json"
   private val TagsName = "tags.json"
@@ -208,10 +266,6 @@ object Refs {
   def read(fs: FileSystem, tableDir: Path): Map[String, Long] =
     readMap(fs, path(tableDir))
 
-  /** Immutable tag refs (Iceberg's tag/branch split): a tag pins a
-    * snapshot forever — no fast-forward, no appends; expiry treats tag
-    * targets exactly like branch heads. Kept in a separate flat file so
-    * pre-tag refs files parse unchanged. */
   def readTags(fs: FileSystem, tableDir: Path): Map[String, Long] =
     readMap(fs, tagsPath(tableDir))
 
@@ -223,22 +277,4 @@ object Refs {
         finally in.close()
       Entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong).toMap
     }
-
-  def write(fs: FileSystem, tableDir: Path, refs: Map[String, Long]): Unit =
-    writeMap(fs, path(tableDir), refs)
-
-  def writeTags(fs: FileSystem, tableDir: Path, tags: Map[String, Long]): Unit =
-    writeMap(fs, tagsPath(tableDir), tags)
-
-  private def writeMap(fs: FileSystem, p: Path, refs: Map[String, Long]): Unit = {
-    fs.mkdirs(p.getParent)
-    val txt = refs.toSeq.sortBy(_._1)
-      .map { case (n, id) => s""""$n":$id""" }.mkString("{", ",", "}")
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(txt.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    FileContext.getFileContext(p.toUri, fs.getConf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
-  }
 }

@@ -20,17 +20,18 @@ class CommitConcurrencySpec extends SparkSpec {
     val loc = tmpDir("cas") + "/t"
     val t = GraftTable.create(spark, loc, schema)
     t.append(Seq(1L).toDF("k"))
-    val (v, snaps) = SnapshotLog.readVersioned(t.fileSystem, t.dir)
-    assert(snaps.size == 1)
+    val (v, st) = SnapshotLog.readState(t.fileSystem, t.dir)
+    assert(st.snapshots.size == 1)
     // "another process" claims v+1 first
     val forged = Snapshot(99L, 0L, "append", Seq.empty, 0L, 0L, 0L)
-    assert(SnapshotLog.tryWrite(t.fileSystem, t.dir, v, snaps :+ forged))
+    assert(SnapshotLog.tryWriteState(t.fileSystem, t.dir, v,
+      st.copy(snapshots = st.snapshots :+ forged)))
     // our claim against the stale version must FAIL, not overwrite
-    assert(!SnapshotLog.tryWrite(t.fileSystem, t.dir, v, snaps))
+    assert(!SnapshotLog.tryWriteState(t.fileSystem, t.dir, v, st))
     // re-read sees the winner; the next claim succeeds
-    val (v2, snaps2) = SnapshotLog.readVersioned(t.fileSystem, t.dir)
-    assert(v2 == v + 1 && snaps2.map(_.snapshotId).contains(99L))
-    assert(SnapshotLog.tryWrite(t.fileSystem, t.dir, v2, snaps2))
+    val (v2, st2) = SnapshotLog.readState(t.fileSystem, t.dir)
+    assert(v2 == v + 1 && st2.snapshots.map(_.snapshotId).contains(99L))
+    assert(SnapshotLog.tryWriteState(t.fileSystem, t.dir, v2, st2))
   }
 
   test("two lock-independent writers append concurrently; every commit lands") {
@@ -93,6 +94,42 @@ class CommitConcurrencySpec extends SparkSpec {
     t2.append(Seq(2L).toDF("k")) // upgrades to a versioned claim
     assert(!t2.fileSystem.exists(legacy), "legacy file retired on commit")
     assert(t2.read.count() == 2)
-    assert(SnapshotLog.readVersioned(t2.fileSystem, t2.dir)._1 == 1L)
+    assert(SnapshotLog.readState(t2.fileSystem, t2.dir)._1 == 1L)
+  }
+
+  test("refs advance atomically with the claim: main never regresses") {
+    // With materialized refs (a branch exists), the main ref rides in
+    // the SAME claimed state file as the snapshot — two racing
+    // lock-independent writers can never write refs out of order.
+    val realParent = tmpDir("casrefs")
+    val linkParent = tmpDir("casrefslink")
+    val real = s"$realParent/t"
+    val t0 = GraftTable.create(spark, real, schema)
+    t0.append(Seq(0L).toDF("k"))
+    t0.createBranch("frozen") // materializes refs
+    Files.createSymbolicLink(Paths.get(s"$linkParent/t"), Paths.get(real))
+    val tA = GraftTable.load(spark, real)
+    val tB = GraftTable.load(spark, s"$linkParent/t")
+    assert(!(tA.lock eq tB.lock))
+
+    val n = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq((tA, 100L), (tB, 200L)).map { case (tbl, base) =>
+      new Thread(() =>
+        try (0 until n).foreach(i => tbl.append(Seq(base + i).toDF("k")))
+        catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
+
+    val t = GraftTable.load(spark, real)
+    val maxId = t.snapshots.map(_.snapshotId).max
+    assert(t.branches("main") == maxId,
+      "main must point at the newest snapshot, never a stale head")
+    assert(t.branches("frozen") == 1L, "other branches untouched")
+    assert(t.read.count() == 2 * n + 1)
+    assert(t.rowCount == 2 * n + 1,
+      "carried totals must follow the ref — no lost append")
   }
 }
