@@ -116,6 +116,49 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     readSnapshot(if (eligible.isEmpty) None else Some(eligible.maxBy(_.snapshotId)))
   }
 
+  /** Incremental append scan (Iceberg's incremental read): ONLY the rows
+    * added by snapshots in `(fromId, toId]` — the shape an incremental
+    * 100 TB pipeline consumes ("process what arrived since my last
+    * checkpoint") without rescanning the table. Planning is
+    * metadata-only: `toId`'s manifest filtered on `added_snapshot_id`.
+    * Like Iceberg, the range must be append-only — a replacement commit
+    * (optimize/overwrite/merge/delete) rewrites surviving rows into new
+    * files, which would re-surface old rows as "new"; such ranges are
+    * refused loudly. */
+  def readIncremental(fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"bad incremental range ($fromId, $toId]")
+    val all = snapshots
+    val to = all.find(_.snapshotId == toId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toId"))
+    require(fromId == 0 || all.exists(_.snapshotId == fromId),
+      s"no snapshot $fromId")
+    val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
+    require(range.forall(_.operation == "append"),
+      "incremental scan supports append-only ranges; found: " +
+        range.filterNot(_.operation == "append").map(_.operation).distinct
+          .mkString(", "))
+    if (range.isEmpty || to.manifests.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val pairs = spark.read.schema(ManifestSchema).parquet(to.manifests: _*)
+      .filter(col("added_snapshot_id") > fromId &&
+        col("added_snapshot_id") <= toId)
+      .select("path", "added_snapshot_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    readFilesAligned(pairs)
+  }
+
+  /** Roll `main` back to an earlier snapshot (Iceberg's
+    * `rollback_to_snapshot`): one atomic ref move in the claimed state —
+    * no data is touched, later snapshots stay readable by id until
+    * expiry, and the next commit chains onto the rolled-back head. */
+  def rollback(snapshotId: Long): Unit = commitLock.synchronized {
+    casState { st =>
+      require(st.snapshots.exists(_.snapshotId == snapshotId),
+        s"no snapshot $snapshotId")
+      st.copy(refs = materialize(st.snapshots, st.refs) + ("main" -> snapshotId))
+    }
+  }
+
   private def readSnapshot(snap: Option[Snapshot]): DataFrame = snap match {
     case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty =>
       readFilesAligned(filePairsOf(s))

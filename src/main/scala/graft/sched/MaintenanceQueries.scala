@@ -196,7 +196,30 @@ object MaintenanceQueries {
       .orderBy("branch")
   }
 
+  /** Incremental append scan + rollback: the checkpoint-consumer reads
+    * only what arrived since its last snapshot; rollback is one atomic
+    * ref move with later snapshots still readable by id. */
+  private def incrementalReadDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("increread"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") % 3 === 0), t0) // snapshot 1
+    t.append(df.filter(col("p_partkey") % 3 === 1), t0) // snapshot 2
+    t.append(df.filter(col("p_partkey") % 3 === 2), t0) // snapshot 3
+    val sinceCheckpoint = t.readIncremental(1L, 3L).count()
+    val full = t.rowCount
+    t.rollback(2L)
+    val afterRollback = t.rowCount
+    import spark.implicits._
+    Seq((sinceCheckpoint, full, afterRollback,
+      t.readAsOf(3L).count(), t.branches("main")))
+      .toDF("rows_added_since_snapshot1", "rows_at_snapshot3",
+        "rows_after_rollback_to_2", "rows_snapshot3_by_id", "main_head")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x09_incremental_read" -> (incrementalReadDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
