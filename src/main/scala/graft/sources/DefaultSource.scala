@@ -70,8 +70,32 @@ final class DefaultSource extends RelationProvider
           table.tags.toSeq.map { case (n, id) => (n, id, "tag") })
           .toDF("name", "snapshot_id", "kind")
       case "stats" => table.stats
+      case "history" =>
+        // Iceberg's history table: every snapshot + whether it is an
+        // ancestor of the CURRENT head (false = orphaned by rollback)
+        val all = table.snapshots
+        val byId = all.map(s => s.snapshotId -> s).toMap
+        val ancestors = Iterator
+          .iterate(table.currentSnapshot.map(_.snapshotId).getOrElse(-1L))(
+            id => byId.get(id).map(_.parentId).getOrElse(-1L))
+          .takeWhile(_ != -1L).toSet
+        all.map(s => (s.snapshotId, s.parentId, s.timestampMs, s.operation,
+            ancestors(s.snapshotId)))
+          .toDF("snapshot_id", "parent_id", "committed_at_ms", "operation",
+            "is_current_ancestor")
+      case "manifests" =>
+        // the CURRENT snapshot's manifest list (Iceberg's manifests table)
+        val fs = new org.apache.hadoop.fs.Path(table.location)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        table.currentSnapshot.map(_.manifests).getOrElse(Seq.empty)
+          .map { m =>
+            val p = new org.apache.hadoop.fs.Path(m)
+            val len = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+            (m, len)
+          }.toDF("path", "length")
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table $other (files|snapshots|refs|stats)")
+        s"unknown metadata table $other " +
+          "(files|snapshots|refs|stats|history|manifests)")
     }
     new BaseRelation with org.apache.spark.sql.sources.TableScan {
       override def sqlContext: SQLContext = ctx

@@ -52,8 +52,9 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable)
   // listFiles can be re-entered during (re)planning of the same query
   // (AQE, multiple scan nodes over one relation) — memoize per filter
   // set so each distinct predicate pays the manifest job once.
+  // Concurrent: two threads may plan queries over one shared DataFrame.
   private val listCache =
-    scala.collection.mutable.HashMap.empty[String, Seq[(String, Long)]]
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
 
   private def load(): (Seq[String], Seq[(String, Long)]) = {
     val manifests = table.currentSnapshot.map(_.manifests).getOrElse(Seq.empty)
@@ -85,7 +86,7 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable)
       if (conds.isEmpty) pinned._2
       else {
         val key = dataFilters.map(_.canonicalized.toString).sorted.mkString("&")
-        listCache.getOrElseUpdate(key,
+        listCache.computeIfAbsent(key, _ =>
           manifestDf(pinned._1).filter(conds.reduce(_ && _))
             .select("path", "size_bytes").collect().toIndexedSeq
             .map(r => (r.getString(0), r.getLong(1))))

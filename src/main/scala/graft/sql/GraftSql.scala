@@ -303,7 +303,8 @@ object GraftSql {
     * Iceberg-style metadata suffix `SELECT * FROM "t\$files"`
     * (tests/test_maintenance.py:50) — `\$snapshots`/`\$refs`/`\$stats` route
     * through the same graft-source metadata relations. */
-  private val MetaSuffixes = Set("files", "snapshots", "refs", "stats")
+  private val MetaSuffixes =
+    Set("files", "snapshots", "refs", "stats", "history", "manifests")
 
   private def select(spark: SparkSession, resolve: String => GraftTable,
                      id: String): DataFrame = {

@@ -186,6 +186,13 @@ class GraftSourceSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(refs == Map("main" -> 2L, "audit" -> 2L))
     assert(meta("stats").columns.contains("nulls_fraction"))
+    // history: both appends are current ancestors
+    val hist = meta("history").orderBy("snapshot_id").collect()
+    assert(hist.map(r => (r.getLong(0), r.getBoolean(4))).toSeq ==
+      Seq((1L, true), (2L, true)))
+    // manifests: the append chain carries two delta manifests
+    assert(meta("manifests").count() ==
+      t.currentSnapshot.get.manifests.size)
     // SQL over a metadata view
     meta("files").createOrReplaceTempView("t_files")
     assert(spark.sql("SELECT sum(record_count) FROM t_files")
