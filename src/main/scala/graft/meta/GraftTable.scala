@@ -37,9 +37,13 @@ import org.apache.spark.sql.types._
   * driver-side listing Spark's own InMemoryFileIndex performs for any
   * parquet scan.
   *
-  * Concurrency: single writer per table, enforced by a per-instance lock
-  * — the same discipline the reference imposes with its module-level
-  * RLock (__main__.py:18).
+  * Concurrency: two layers. In-process, commits serialize on a JVM-wide
+  * per-path lock — the discipline the reference imposes with its
+  * module-level RLock (__main__.py:18). ACROSS processes, every commit
+  * is an optimistic CAS on the versioned snapshot log
+  * ([[SnapshotLog.tryWriteState]]) with a read-rebuild-retry loop, so a
+  * cron maintenance job racing ad-hoc writers (the reference's
+  * deployment model) never loses a commit.
   */
 final class GraftTable(val spark: SparkSession, val location: String) {
   import GraftTable._
@@ -48,8 +52,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private val fs: FileSystem =
     tableDir.getFileSystem(spark.sessionState.newHadoopConf())
   // JVM-wide lock per table path, not per GraftTable instance — two
-  // handles on the same table must serialize commits (the reference's
-  // process-level RLock gives the same guarantee, __main__.py:18).
+  // in-process handles on the same table serialize commits here (cheap);
+  // cross-process writers are handled by the log CAS instead.
   private val commitLock = GraftTable.lockFor(location)
 
   // ---- metadata accessors ----------------------------------------------

@@ -245,11 +245,6 @@ object SnapshotLog {
     }.toSeq
 }
 
-/** Named branch refs: `_graft/refs.json`, a flat name → snapshotId map.
-  * Absent file = only the implicit "main" at the max snapshot id (the
-  * pre-branching behavior); the file is materialized by the first
-  * branch operation. Written with the same atomic overwrite-rename as
-  * the snapshot log. */
 /** MIGRATION FALLBACK readers for the standalone `refs.json` /
   * `tags.json` files earlier versions wrote beside the log. Refs and
   * tags now live INSIDE the CAS-claimed [[TableState]] (so a ref
