@@ -344,6 +344,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** The table's partition spec (empty = unpartitioned). */
   def partitionSpec: Seq[PartitionField] = PartitionSpec.read(fs, tableDir)
 
+  /** Iceberg partition evolution: replace the partition spec,
+    * metadata-only. Already-written files keep their old clustering and
+    * old transform bounds — pruning on a NEW spec field conservatively
+    * keeps them (no bounds recorded → never pruned), new appends
+    * cluster and record bounds by the new spec, and binpack optimize
+    * gradually migrates rewritten files to the new layout (it
+    * re-clusters candidates by the current spec). No data is rewritten
+    * at evolution time — the 100 TB requirement. */
+  def updatePartitionSpec(newSpec: Seq[PartitionField]): Unit =
+    commitLock.synchronized {
+      val s = schema
+      newSpec.foreach(f => require(s.fieldNames.contains(f.column),
+        s"no such column ${f.column}"))
+      PartitionSpec.write(fs, tableDir, newSpec)
+    }
+
   /** Partition-pruned scan: for each `(specFieldName, value)` predicate
     * (e.g. `"days_ts" -> lit(18000)`, `"bucket8_id" -> lit(3)`), keep
     * only the files whose manifest bounds for that TRANSFORM OUTPUT

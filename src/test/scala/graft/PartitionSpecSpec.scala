@@ -83,4 +83,41 @@ class PartitionSpecSpec extends SparkSpec {
     assert(GraftTable.load(spark, t.location).partitionSpec ==
       Seq(PartitionSpec.days("ts"), PartitionSpec.bucket(8, "user_id")))
   }
+
+  test("partition evolution: metadata-only; optimize migrates old files") {
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
+      partitionBy = Seq(PartitionSpec.days("ts")))
+    t.append(eventsDf) // files clustered + bounded by days_ts only
+    val filesBefore = t.files.select("path").collect().map(_.getString(0)).toSet
+
+    // evolve: no data rewritten, old files byte-identical
+    t.updatePartitionSpec(Seq(PartitionSpec.bucket(4, "user_id")))
+    assert(t.partitionSpec == Seq(PartitionSpec.bucket(4, "user_id")))
+    assert(t.files.select("path").collect().map(_.getString(0)).toSet
+      == filesBefore, "evolution must not touch data files")
+    intercept[IllegalArgumentException](
+      t.updatePartitionSpec(Seq(PartitionSpec.identity("nope"))))
+
+    t.append(eventsDf) // new files clustered + bounded by the NEW spec
+    val b = PartitionSpec.bucket(4, "user_id").expr(lit(3L))
+    val scan = t.readPrunedPartition("bucket4_user_id" -> b)
+    // old-spec files have no bucket bounds -> conservatively kept;
+    // new-spec files prune, so the scan is a strict subset already
+    assert(scan.filesScanned < scan.filesTotal,
+      s"new-spec files must prune (${scan.filesScanned}/${scan.filesTotal})")
+    assert(scan.df.filter($"user_id" === 3L).count() ==
+      2 * eventsDf.filter($"user_id" === 3L).count())
+
+    // binpack rewrite re-clusters by the CURRENT spec -> the migrated
+    // files now carry bucket bounds and pruning tightens
+    t.optimize(targetFileBytes = 8 * 1024)
+    val scan2 = t.readPrunedPartition("bucket4_user_id" -> b)
+    assert(scan2.filesScanned.toDouble / scan2.filesTotal <
+      scan.filesScanned.toDouble / scan.filesTotal,
+      s"optimize must migrate old files to the new layout " +
+        s"(${scan2.filesScanned}/${scan2.filesTotal} vs " +
+        s"${scan.filesScanned}/${scan.filesTotal})")
+    assert(scan2.df.filter($"user_id" === 3L).count() ==
+      2 * eventsDf.filter($"user_id" === 3L).count())
+  }
 }
