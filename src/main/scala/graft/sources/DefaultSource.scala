@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 import graft.meta.GraftTable
 
@@ -21,8 +23,31 @@ import graft.meta.GraftTable
   * so concurrent readers keep seeing the previous snapshot until the log
   * flips — never a half-written directory. */
 final class DefaultSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with DataSourceRegister
+  with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  // ---- streaming source: snapshots become micro-batches ------------------
+  // (see org.apache.spark.sql.graft.GraftStreamSource for semantics)
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a path"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    require(GraftTable.exists(ctx.sparkSession, path),
+      s"no graft table at $path")
+    ("graft", GraftTable.load(ctx.sparkSession, path).schema)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new org.apache.spark.sql.graft.GraftStreamSource(ctx, pathOf(parameters),
+      parameters.get("startingSnapshotId").map(_.toLong).getOrElse(0L))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

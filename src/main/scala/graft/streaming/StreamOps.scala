@@ -267,11 +267,47 @@ object StreamOps {
       .orderBy("bucket")
   }
 
+  /** Streaming FROM a graft table: the table IS the stream — snapshot
+    * ids are the offsets and each micro-batch is an incremental append
+    * scan (org.apache.spark.sql.graft.GraftStreamSource), planned
+    * metadata-only from the manifest. The events table is copied into a
+    * graft table as THREE append snapshots, consumed through
+    * `readStream.format("graft")`, and the hourly aggregation must
+    * match the same DuckDB oracle as the batch q18 / file-stream st01 —
+    * proof the snapshot micro-batches deliver every row exactly once. */
+  def st05GraftSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.meta.GraftTable
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_evsrc_g${math.abs(dir.hashCode)}/t"
+    val nRows = src.count()
+    val reusable = GraftTable.exists(s, loc) && {
+      val t = GraftTable.load(s, loc)
+      t.snapshots.size == 3 && t.snapshots.forall(_.operation == "append") &&
+        t.rowCount == nRows
+    }
+    if (!reusable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val t = GraftTable.create(s, loc, src.schema)
+      (0 until 3).foreach(i => t.append(src.filter(col("event_id") % 3 === i)))
+    }
+    val sink = s"st05_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = hourlyCounts(s.readStream.format("graft").load(loc))
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
+    q.processAllAvailable(); q.stop()
+    s.table(sink).orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_stream" -> (st01HourlyStream _),
     "st02_stream_dedup" -> (st02StreamDedup _),
     "st03_graft_sink" -> (st03GraftSink _),
-    "st04_stream_join" -> (st04StreamJoin _))
+    "st04_stream_join" -> (st04StreamJoin _),
+    "st05_graft_source" -> (st05GraftSource _))
 
   private val HourlyOracle =
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
@@ -288,6 +324,9 @@ object StreamOps {
     // Single-copy oracle again: batch 0 was redelivered to the sink, so
     // a hash match proves the replay committed nothing.
     "st03_graft_sink" -> HourlyOracle,
+    // Same oracle once more: the stream consumed three graft snapshots
+    // as micro-batches — a hash match proves exactly-once delivery.
+    "st05_graft_source" -> HourlyOracle,
     "st04_stream_join" ->
       """SELECT c.user_id % 10 AS bucket, count(*) AS n_pairs,
         |  count(DISTINCT c.event_id) AS n_clicks_matched

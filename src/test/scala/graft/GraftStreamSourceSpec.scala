@@ -1,0 +1,80 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.GraftTable
+
+/** The graft table as a streaming SOURCE: snapshot ids are offsets,
+  * micro-batches are incremental append scans, checkpoints resume
+  * exactly where the last run stopped. */
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+  private def batch(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id".as("k"))
+
+  /** Drain everything currently available through a checkpointed
+    * foreachBatch run (the memory sink cannot recover a checkpoint). */
+  private def runOnce(loc: String, ckpt: String): Seq[Long] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.collect().foreach((r: Row) => got.add(r.getLong(0))))
+      .start()
+    q.processAllAvailable(); q.stop()
+    got.asScala.toSeq.sorted
+  }
+
+  test("snapshots stream as micro-batches; checkpoint resumes at the delta") {
+    val loc = tmpDir("gstream") + "/t"
+    val ckpt = tmpDir("gstreamck")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 10))
+    t.append(batch(10, 30))
+    assert(runOnce(loc, ckpt) == (0L until 30L))
+
+    // appends land while no query runs; the resumed query reads ONLY them
+    t.append(batch(30, 35))
+    t.append(batch(35, 40))
+    assert(runOnce(loc, ckpt) == (30L until 40L),
+      "resume must deliver exactly the unconsumed appends")
+    // nothing new → empty drain
+    assert(runOnce(loc, ckpt).isEmpty)
+  }
+
+  test("startingSnapshotId skips already-processed history") {
+    val loc = tmpDir("gstream") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 10))  // snapshot 1
+    t.append(batch(10, 15)) // snapshot 2
+    val q = spark.readStream.format("graft")
+      .option("startingSnapshotId", "1").load(loc)
+      .writeStream.format("memory").queryName("gs3")
+      .option("checkpointLocation", tmpDir("gstreamck")).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("gs3").as[Long].collect().sorted.toSeq == (10L until 15L))
+  }
+
+  test("replacement commit in an unconsumed range fails the stream loudly") {
+    val loc = tmpDir("gstream") + "/t"
+    val ckpt = tmpDir("gstreamck")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 10).coalesce(1))
+    t.append(batch(10, 20).coalesce(1))
+    assert(runOnce(loc, ckpt) == (0L until 20L))
+
+    t.optimize() // rewrites files — NOT deliverable as an increment
+    t.append(batch(20, 25))
+    val e = intercept[Exception] { runOnce(loc, ckpt) }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("append-only")) ||
+        mentions(t.getCause))
+    assert(mentions(e), s"expected the append-only refusal, got: $e")
+  }
+}
