@@ -56,8 +56,12 @@ object ExpireSnapshots {
       }
 
       val spark = table.spark
+      // Delete manifests ride along: position-delete files live under
+      // data/ and are reclaimed by exactly the same set algebra.
+      def manifestPathsOf(s: graft.meta.Snapshot) =
+        s.manifests ++ s.deleteManifests
       def manifests(ss: Seq[graft.meta.Snapshot]) = {
-        val paths = ss.flatMap(_.manifests).distinct
+        val paths = ss.flatMap(manifestPathsOf).distinct
         if (paths.isEmpty) table.emptyManifest
         else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
       }
@@ -81,8 +85,8 @@ object ExpireSnapshots {
       }
       // Manifests are shared across append snapshots — reclaim only the
       // ones no retained snapshot still lists.
-      val retainedManifests = retained.flatMap(_.manifests).toSet
-      expired.flatMap(_.manifests).distinct
+      val retainedManifests = retained.flatMap(manifestPathsOf).toSet
+      expired.flatMap(manifestPathsOf).distinct
         .filterNot(retainedManifests)
         .foreach(p => table.fileSystem.delete(new Path(p), true))
       deleted.value

@@ -50,7 +50,9 @@ object Optimize {
           clusterBy: Seq[String] = Seq.empty): Unit =
     table.lock.synchronized {
       val current = table.currentSnapshot.getOrElse(return)
-      if (current.numFiles <= 1 && clusterBy.isEmpty) return // already compact
+      val hasDeletes = current.deleteManifests.nonEmpty
+      if (current.numFiles <= 1 && clusterBy.isEmpty && !hasDeletes)
+        return // already compact
       val spec = table.partitionSpec
       val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
 
@@ -67,25 +69,34 @@ object Optimize {
         return
       }
 
-      // ---- binpack: rewrite undersized AND oversized files ---------------
+      // ---- binpack: rewrite undersized, oversized, AND delete-laden files
       val minBytes = (targetFileBytes * MinFileSizeRatio).toLong
       val maxBytes = (targetFileBytes * MaxFileSizeRatio).toLong
-      val manifest = table.files
-      val candidate =
-        col("size_bytes") < minBytes || col("size_bytes") > maxBytes
+      // Files targeted by outstanding MOR delete entries are rewritten
+      // too (with the deletes applied) — the commit drops the delete
+      // manifests, so every entry must be materialized here (Iceberg's
+      // rewrite_position_delete_files folded into binpack).
+      val manifest = table.files.join(
+        table.deleteTargets.withColumn("has_deletes", lit(true)),
+        Seq("path"), "left")
+      val candidate = col("size_bytes") < minBytes ||
+        col("size_bytes") > maxBytes || col("has_deletes").isNotNull
       val candRows = manifest.filter(candidate)
-        .select("path", "added_snapshot_id", "size_bytes").collect()
-      val numSmall = candRows.count(_.getLong(2) < minBytes)
-      val numOversized = candRows.length - numSmall
-      // lone small files aren't worth a rewrite; any oversized file is
-      if (numSmall < MinInputFiles && numOversized == 0) return
+        .select("path", "added_snapshot_id", "size_bytes", "has_deletes")
+        .collect()
+      val numSmall = candRows.count(r => r.getLong(2) < minBytes)
+      val numForced = candRows.count(r =>
+        !r.isNullAt(3) || r.getLong(2) > maxBytes)
+      // lone small files aren't worth a rewrite; any oversized or
+      // delete-laden file always is
+      if (numSmall < MinInputFiles && numForced == 0) return
       val candPairs = candRows.map(r =>
         (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toIndexedSeq
       val candBytes = candRows.map(_.getLong(2)).sum
       val nOut = math.max(1L,
         (candBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
-      val toRewrite = table.readFilesAligned(candPairs)
+      val toRewrite = table.morReadLive(candPairs)
       val rewritten =
         if (spec.nonEmpty) {
           // keep a partitioned table clustered — a round-robin rewrite

@@ -36,7 +36,10 @@ object RemoveOrphanFiles {
       val listing = spark.createDataset(listed).toDF("path", "mtime")
 
       val referenced = {
-        val paths = table.snapshots.flatMap(_.manifests).distinct
+        // includes delete manifests — position-delete files live under
+        // data/ and are referenced storage, not orphans
+        val paths = table.snapshots
+          .flatMap(s => s.manifests ++ s.deleteManifests).distinct
         if (paths.isEmpty) table.emptyManifest
         else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
       }.select("path")

@@ -41,7 +41,7 @@ object RowLevel {
     table.lock.synchronized {
       val matched = coalesce(cond, lit(false))
       val before = table.currentSnapshot.map(_.totalRows).getOrElse(0L)
-      val withPath = table.readFilesAligned(table.liveFilePairs, Some(FP))
+      val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
       rewrite(table, "delete",
         affected = withPath.filter(matched).select(col(FP).as("path")).distinct(),
         survivorsOf = df => df.filter(!matched),
@@ -55,7 +55,7 @@ object RowLevel {
             clock: Clock): Unit =
     table.lock.synchronized {
       val srcKeys = source.select(keys.map(col): _*).distinct()
-      val withPath = table.readFilesAligned(table.liveFilePairs, Some(FP))
+      val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
       rewrite(table, "merge",
         affected = withPath.join(srcKeys, keys, "left_semi")
           .select(col(FP).as("path")).distinct(),
@@ -64,7 +64,13 @@ object RowLevel {
     }
 
   /** Shared CoW machinery: rewrite the affected files via `survivorsOf`
-    * (plus `extra` rows), keep every other file's manifest row as-is. */
+    * (plus `extra` rows), keep every other file's manifest row as-is.
+    * On a table with outstanding merge-on-read deletes, every
+    * delete-targeted file is treated as affected too: the commit drops
+    * the delete manifests (its logical row count is the physical
+    * manifest sum), so any file still carrying delete entries must have
+    * them materialized here — and untouched files are then guaranteed
+    * delete-free. */
   private def rewrite(table: GraftTable, op: String, affected: DataFrame,
                       survivorsOf: DataFrame => DataFrame,
                       extra: Option[DataFrame], clock: Clock): Unit = {
@@ -72,13 +78,14 @@ object RowLevel {
     import spark.implicits._
     val schema = table.schema
     val cols = schema.fieldNames.toSeq.map(col)
-    val affectedPaths = affected.as[String].collect().toSet
+    val affectedPaths = affected.unionByName(table.deleteTargets)
+      .as[String].collect().toSet
     // Re-used as a join input below — a tiny local relation, not a
     // re-execution of the affected-file scan.
     val affectedDf = spark.createDataset(affectedPaths.toSeq).toDF("path")
 
     val rewrittenRows = {
-      val surv = survivorsOf(table.readFilesAligned(
+      val surv = survivorsOf(table.morReadLive(
         table.liveFilePairs.filter(p => affectedPaths(p._1))))
       extra.fold(surv.select(cols: _*))(e =>
         surv.select(cols: _*).unionByName(e.select(cols: _*)))

@@ -136,7 +136,42 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 public heuristics, rescaled to this corpus):
+    * a document passes iff word count, mean word length, stopword
+    * count, and word-repetition ratio all land in their accepted
+    * ranges. Reported per (lang, source) with per-rule failure tallies
+    * — the shape a corpus-curation dashboard consumes. Entirely
+    * codegen'd built-ins over one scan; one aggregation shuffle. */
+  def t06GopherFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("mean_word_len",
+        (length($"text") - $"n_words" + 1).cast("double") / $"n_words")
+      .withColumn("n_stop",
+        size(filter($"words", w => w === "the" || w === "a")).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct($"words")).cast("double") / $"n_words")
+      .withColumn("ok_len", $"n_words" >= 20 && $"n_words" <= 1000)
+      .withColumn("ok_wordlen", $"mean_word_len" >= 4.2 && $"mean_word_len" <= 10.0)
+      .withColumn("ok_stop", $"n_stop" >= 2)
+      .withColumn("ok_rep", $"distinct_ratio" >= 0.3)
+    d.groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"ok_len" && $"ok_wordlen" && $"ok_stop" && $"ok_rep", 1))
+          .as("n_pass"),
+        count(when(!$"ok_len", 1)).as("n_fail_wordcount"),
+        count(when(!$"ok_wordlen", 1)).as("n_fail_wordlen"),
+        count(when(!$"ok_stop", 1)).as("n_fail_stop"),
+        count(when(!$"ok_rep", 1)).as("n_fail_repetition"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_gopher_filters" -> (t06GopherFilters _),
     "t01_langid" -> (t01LangId _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
@@ -149,6 +184,30 @@ object TextQueries {
   }.toMap
 
   val oracles: Map[String, String] = Map(
+    "t06_gopher_filters" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        |      / len(string_split(text, ' ')) AS mean_word_len,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, source,
+        |    (n_words >= 20 AND n_words <= 1000) AS ok_len,
+        |    (mean_word_len >= 4.2 AND mean_word_len <= 10.0) AS ok_wordlen,
+        |    (n_stop >= 2) AS ok_stop,
+        |    (distinct_ratio >= 0.3) AS ok_rep
+        |  FROM d)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_rep THEN 1 END) AS BIGINT) AS n_pass,
+        |  CAST(count(CASE WHEN NOT ok_len THEN 1 END) AS BIGINT) AS n_fail_wordcount,
+        |  CAST(count(CASE WHEN NOT ok_wordlen THEN 1 END) AS BIGINT) AS n_fail_wordlen,
+        |  CAST(count(CASE WHEN NOT ok_stop THEN 1 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(count(CASE WHEN NOT ok_rep THEN 1 END) AS BIGINT) AS n_fail_repetition
+        |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t01_langid" -> {
       val scores = markers.map { case (l, _) =>
         s"len(list_filter(string_split(text, ' '), x -> ${markerSql(l)})) AS s_$l"

@@ -97,9 +97,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
   }
 
-  /** Union of every snapshot's inventory (for orphan reconciliation). */
+  /** Union of every snapshot's inventory (for orphan reconciliation) —
+    * including position-delete files, which live under `data/` too. */
   private def allReferencedFiles: DataFrame = {
-    val paths = snapshots.flatMap(_.manifests).distinct
+    val paths = snapshots.flatMap(s => s.manifests ++ s.deleteManifests).distinct
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
     else spark.read.schema(ManifestSchema).parquet(paths: _*)
@@ -165,7 +166,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   private def readSnapshot(snap: Option[Snapshot]): DataFrame = snap match {
     case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty =>
-      readFilesAligned(filePairsOf(s))
+      morReadFiles(s, filePairsOf(s))
     case _ =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
@@ -180,6 +181,152 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private[graft] def liveFilePairs: Seq[(String, Long)] = currentSnapshot match {
     case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty => filePairsOf(s)
     case _ => Seq.empty
+  }
+
+  // ---- merge-on-read position deletes (Iceberg v2) -----------------------
+
+  /** Live position-delete file inventory of the current snapshot (the
+    * Iceberg `"t$delete_files"` analogue; empty when the table has no
+    * outstanding merge-on-read deletes). */
+  def deleteFiles: DataFrame =
+    manifestDf(currentSnapshot.map(_.deleteManifests).getOrElse(Seq.empty))
+
+  private def manifestDf(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) emptyManifest
+    else spark.read.schema(ManifestSchema).parquet(paths: _*)
+
+  /** All (file_path, pos) delete entries of a snapshot as a DataFrame. */
+  private def deleteRowsOf(s: Snapshot): DataFrame = {
+    val files = manifestDf(s.deleteManifests).select("path")
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DeleteSchema)
+    else spark.read.schema(DeleteSchema).parquet(files: _*)
+  }
+
+  /** Distinct data-file paths targeted by outstanding delete entries —
+    * replacement commits (optimize, row-level CoW) rewrite exactly these
+    * to materialize the deletes. One column: `path`. */
+  private[graft] def deleteTargets: DataFrame = currentSnapshot match {
+    case Some(s) if s.deleteManifests.nonEmpty =>
+      deleteRowsOf(s).select(col("file_path").as("path")).distinct()
+    case _ =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("path", StringType, nullable = false))))
+  }
+
+  /** Schema-aligned scan of `pairs` with the snapshot's outstanding
+    * position deletes anti-joined away. The delete application is a
+    * distributed join keyed on (source file, row ordinal) — no driver
+    * materialization, and files without delete entries stream through
+    * the join untouched. */
+  private[graft] def morReadFiles(s: Snapshot, pairs: Seq[(String, Long)],
+                                  pathCol: Option[String] = None): DataFrame = {
+    if (s.deleteManifests.isEmpty) return readFilesAligned(pairs, pathCol)
+    val p = pathCol.getOrElse(MorPathCol)
+    val df = readFilesAligned(pairs, Some(p), Some(MorPosCol))
+    val del = deleteRowsOf(s)
+    val joined = df.join(del,
+      df(p) === del("file_path") && df(MorPosCol) === del("pos"), "left_anti")
+      .drop(MorPosCol)
+    if (pathCol.isEmpty) joined.drop(p) else joined
+  }
+
+  /** [[morReadFiles]] against the current snapshot (empty-table safe). */
+  private[graft] def morReadLive(pairs: Seq[(String, Long)],
+                                 pathCol: Option[String] = None): DataFrame =
+    currentSnapshot match {
+      case Some(s) => morReadFiles(s, pairs, pathCol)
+      case None => readFilesAligned(pairs, pathCol)
+    }
+
+  /** Merge-on-read DELETE (Iceberg v2 position deletes): rather than
+    * rewriting every affected data file (the copy-on-write
+    * [[deleteWhere]]), write a small parquet delete file of
+    * (file_path, pos) for the matched rows and commit metadata-only —
+    * data files are untouched. Reads anti-join the entries away;
+    * `optimize` and the CoW row-level ops materialize and drop them.
+    *
+    * Cost is O(matched rows) regardless of how large the touched files
+    * are — the 100 TB shape for frequent, small deletes (GDPR erasure,
+    * record retraction) where CoW would rewrite terabytes to remove
+    * kilobytes. The flip side (read-time join cost) is bounded by
+    * compacting regularly.
+    *
+    * Concurrency: composes with concurrent cross-process APPENDS (the
+    * CAS retry re-carries the fresh head's manifests; positions in
+    * immutable files stay valid). A concurrent REPLACEMENT commit
+    * invalidates the scanned positions, so the CAS loop fails loudly —
+    * same validation Iceberg's serializable isolation performs.
+    *
+    * @return number of rows deleted */
+  def deleteWhereMOR(cond: Column, clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      val cur = currentSnapshot.getOrElse(return 0L)
+      if (cur.numFiles == 0) return 0L
+      val matched = coalesce(cond, lit(false))
+      val live = readFilesAligned(filePairsOf(cur), Some(MorPathCol), Some(MorPosCol))
+      val priorDel = deleteRowsOf(cur)
+      val newDeletes = live
+        .join(priorDel, live(MorPathCol) === priorDel("file_path") &&
+          live(MorPosCol) === priorDel("pos"), "left_anti")
+        .filter(matched)
+        .select(col(MorPathCol).as("file_path"), col(MorPosCol).as("pos"))
+      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+      // Cluster by target file so a reader's per-file delete lookups are
+      // contiguous; tiny deletes still produce a single small file.
+      newDeletes
+        .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+          col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(commitDir.toString)
+      fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      // inventory() emits the 6 stat columns; added_snapshot_id is
+      // stamped in commitDelete
+      val inv = inventory(commitDir)
+      val invSchema = inv.schema
+      val invRows = inv.collect().toIndexedSeq
+      val deleted = invRows.map(_.getLong(2)).sum
+      if (deleted == 0L) { fs.delete(commitDir, true); return 0L }
+      val manifest = spark.createDataFrame(
+        spark.sparkContext.parallelize(invRows, 1), invSchema)
+      commitDelete(manifest, deleted, basisId = cur.snapshotId, clock)
+      deleted
+    }
+
+  /** Commit a new delete manifest: data manifests are re-carried from
+    * the fresh head each CAS attempt (concurrent appends compose), but
+    * a replacement commit since `basisId` invalidates the scanned
+    * positions and fails the delete loudly. */
+  private def commitDelete(deleteManifest: DataFrame, deletedRows: Long,
+                           basisId: Long, clock: Clock): Unit = {
+    val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
+    deleteManifest
+      .withColumn("added_snapshot_id", lit(null).cast(LongType))
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
+    fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      require(attempt < 50, "snapshot-log CAS retry exhausted for delete")
+      val (ver, st) = SnapshotLog.readState(fs, tableDir)
+      val cur = headOf(st.snapshots, st.refs, "main").getOrElse(
+        throw new IllegalStateException("table emptied during MOR delete"))
+      val racing = st.snapshots.filter(_.snapshotId > basisId)
+      require(racing.forall(s => s.operation == "append"),
+        "concurrent non-append commit during MOR delete — positions are " +
+          s"stale; retry (saw: ${racing.map(_.operation).distinct.mkString(",")})")
+      val id = st.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(id, clock.millis(), "delete", cur.manifests,
+        cur.numFiles, cur.totalBytes, cur.totalRows - deletedRows,
+        cur.snapshotId, cur.deleteManifests :+ manifestDir.toString)
+      val newRefs =
+        if (st.refs.nonEmpty) materialize(st.snapshots, st.refs) + ("main" -> id)
+        else st.refs
+      done = SnapshotLog.tryWriteState(fs, tableDir, ver,
+        TableState(st.snapshots :+ snap, newRefs, st.tags))
+      attempt += 1
+    }
   }
 
   // ---- schema evolution --------------------------------------------------
@@ -294,19 +441,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * `pathCol` additionally exposes the (normalized) source file path as
     * a regular column — the callers that need `_metadata.file_path`
     * can't reach it through the alignment projection/union otherwise.
+    * `posCol` likewise exposes `_metadata.row_index` (the row's ordinal
+    * within its parquet file) — the position merge-on-read deletes key on.
     *
     * Un-evolved tables (≤1 schema version) take the single-scan fast
     * path — one parquet relation, full pushdown, no union. Evolved
     * tables get one scan per distinct write-schema generation (a handful
     * at most), each still a plain pushdown-friendly parquet scan. */
   private[graft] def readFilesAligned(pathsWithAdded: Seq[(String, Long)],
-                                      pathCol: Option[String] = None): DataFrame = {
+                                      pathCol: Option[String] = None,
+                                      posCol: Option[String] = None): DataFrame = {
     val cur = schema
     def pathProj(df: DataFrame): Seq[Column] =
-      pathCol.map(n => normalizeUdf(col("_metadata.file_path")).as(n)).toSeq
+      pathCol.map(n => normalizeUdf(col("_metadata.file_path")).as(n)).toSeq ++
+        posCol.map(n => col("_metadata.row_index").as(n)).toSeq
     if (pathsWithAdded.isEmpty) {
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
-      return pathCol.fold(base)(n => base.withColumn(n, lit(null).cast(StringType)))
+      val withPath = pathCol.fold(base)(n =>
+        base.withColumn(n, lit(null).cast(StringType)))
+      return posCol.fold(withPath)(n =>
+        withPath.withColumn(n, lit(null).cast(LongType)))
     }
     val vs = schemaVersions
     if (vs.size <= 1) {
@@ -469,9 +623,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     commitLock.synchronized {
       val cur = currentSnapshot.getOrElse(return 0L)
       if (cur.manifests.size <= 1) return 0L
+      // Metadata-only: outstanding MOR delete manifests ride through
+      // unchanged, and the logical row count must not be recomputed from
+      // the (physical) manifest sum.
       commit("rewrite_manifests",
         files.select((ManifestCols :+ "added_snapshot_id").map(col): _*),
-        clock, carryPrior = false)
+        clock, carryPrior = false, deletes = cur.deleteManifests,
+        rowsOverride = Some(cur.totalRows))
       cur.manifests.size.toLong
     }
 
@@ -537,7 +695,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * files assumes operational coordination (cron-style maintenance,
     * the reference's own deployment model). */
   private def commit(op: String, manifest: DataFrame, clock: Clock,
-                     carryPrior: Boolean, branch: String = "main"): Unit = {
+                     carryPrior: Boolean, branch: String = "main",
+                     deletes: Seq[String] = Seq.empty,
+                     rowsOverride: Option[Long] = None): Unit = {
     // Manifest dir named by UUID, not snapshot id: two cross-process
     // writers can compute the SAME next id before one loses the CAS —
     // id-named dirs would collide and silently swap inventories.
@@ -575,12 +735,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val parent = cur.map(_.snapshotId).getOrElse(-1L)
       val snap =
         if (carryPrior) {
+          // appends carry outstanding MOR delete manifests — the delete
+          // entries keep targeting the (immutable) prior files
           val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
           Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
-            b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows, parent)
+            b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows,
+            parent, b.deleteManifests)
         } else
+          // replacement commits drop deletes (they materialize them)
+          // unless the caller passes its own carried list
           Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
-            dnf, dbytes, drows, parent)
+            dnf, dbytes, rowsOverride.getOrElse(drows), parent, deletes)
       // the branch-ref advance rides in the SAME claimed state as the
       // snapshot (materializing main's implicit head on the way if refs
       // already exist); refs-free tables keep the implicit main == max id
@@ -858,6 +1023,18 @@ object GraftTable {
     StructField("min_values", MapType(StringType, StringType), nullable = true),
     StructField("max_values", MapType(StringType, StringType), nullable = true),
     StructField("added_snapshot_id", LongType, nullable = true)))
+
+  /** Row schema of a position-delete file (Iceberg v2 position-delete
+    * shape): the (normalized) data-file path and the row's ordinal
+    * within that file, as exposed by `_metadata.row_index`. */
+  val DeleteSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Internal helper column names for the MOR read path — prefixed so
+    * they can never collide with user schema columns. */
+  private[meta] val MorPathCol = "__graft_mor_path"
+  private[meta] val MorPosCol = "__graft_mor_pos"
 
   /** Column types whose string-encoded min/max round-trip losslessly
     * through `cast(string)` and back (Spark renders doubles/timestamps

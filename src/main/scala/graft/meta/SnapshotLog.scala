@@ -23,16 +23,25 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * @param timestampMs  commit time, epoch millis (driver clock — the
   *                     reference's two-clock split __main__.py:165 vs :174
   *                     is deliberately unified, SURVEY.md §7.7c)
+  * @param deleteManifests manifests of POSITION-DELETE files (Iceberg v2
+  *                     merge-on-read): each listed manifest inventories
+  *                     parquet files of (file_path, pos) rows that reads
+  *                     anti-join away. `totalRows` is the LOGICAL row
+  *                     count (physical minus outstanding deletes).
+  *                     Replacement commits (optimize / overwrite /
+  *                     row-level CoW) materialize and drop them; appends
+  *                     and further deletes carry them.
   */
 final case class Snapshot(
     snapshotId: Long,
     timestampMs: Long,
-    operation: String, // append | optimize | overwrite | rewrite_manifests
+    operation: String, // append | delete | optimize | overwrite | rewrite_manifests
     manifests: Seq[String],
     numFiles: Long,
     totalBytes: Long,
     totalRows: Long,
-    parentId: Long = -1L) // commit this one was based on; -1 = none/unknown
+    parentId: Long = -1L, // commit this one was based on; -1 = none/unknown
+    deleteManifests: Seq[String] = Seq.empty)
 
 /** The complete CAS-versioned table state: the snapshot list plus both
   * ref kinds. Refs live IN the claimed log file (Iceberg's
@@ -220,28 +229,36 @@ object SnapshotLog {
       TagsBlock.findFirstMatchIn(txt).map(m => parseMap(m.group(1)))
         .getOrElse(Map.empty)))
 
+  private def renderList(ps: Seq[String]): String =
+    ps.map(p => s""""$p"""").mkString("[", ",", "]")
+
   private def render(ss: Seq[Snapshot]): String =
     ss.map { s =>
-      val ms = s.manifests.map(p => s""""$p"""").mkString("[", ",", "]")
       s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},""" +
         s""""timestampMs":${s.timestampMs},""" +
-        s""""operation":"${s.operation}","manifests":$ms,""" +
+        s""""operation":"${s.operation}","manifests":${renderList(s.manifests)},""" +
+        s""""deleteManifests":${renderList(s.deleteManifests)},""" +
         s""""numFiles":${s.numFiles},"totalBytes":${s.totalBytes},"totalRows":${s.totalRows}}"""
     }.mkString("[\n", ",\n", "\n]")
 
-  // parentId is optional on parse so pre-branching logs stay readable
+  // parentId and deleteManifests are optional on parse so logs written
+  // before branching / merge-on-read stay readable
   private val Entry =
     ("""\{"snapshotId":(-?\d+),(?:"parentId":(-?\d+),)?"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
-      """"manifests":\[([^\]]*)\],"numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
+      """"manifests":\[([^\]]*)\],(?:"deleteManifests":\[([^\]]*)\],)?""" +
+      """"numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
+
+  private def parseList(inner: String): Seq[String] =
+    if (inner == null || inner.isEmpty) Seq.empty
+    else inner.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
 
   private def parse(txt: String): Seq[Snapshot] =
     Entry.findAllMatchIn(txt).map { m =>
-      val manifests =
-        if (m.group(5).isEmpty) Seq.empty[String]
-        else m.group(5).split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
       Snapshot(m.group(1).toLong, m.group(3).toLong, m.group(4),
-        manifests, m.group(6).toLong, m.group(7).toLong, m.group(8).toLong,
-        parentId = Option(m.group(2)).map(_.toLong).getOrElse(-1L))
+        parseList(m.group(5)), m.group(7).toLong, m.group(8).toLong,
+        m.group(9).toLong,
+        parentId = Option(m.group(2)).map(_.toLong).getOrElse(-1L),
+        deleteManifests = parseList(m.group(6)))
     }.toSeq
 }
 

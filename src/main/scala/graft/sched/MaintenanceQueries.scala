@@ -218,7 +218,32 @@ object MaintenanceQueries {
         "rows_after_rollback_to_2", "rows_snapshot3_by_id", "main_head")
   }
 
+  /** Merge-on-read position deletes: a delete writes a small
+    * (file_path, pos) file instead of rewriting data; reads anti-join
+    * it away; optimize materializes it and drops the delete manifests. */
+  private def morDeleteDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("mor"),
+      seed(spark, sfDir).schema)
+    t.append(seed(spark, sfDir).repartition(3), t0)
+    val filesBefore = t.files.count()
+    val rowsBefore = t.rowCount
+    val deleted = t.deleteWhereMOR(col("p_partkey") % 7 === 0, t0)
+    val filesAfterDelete = t.files.count() // unchanged: metadata-only
+    val deleteFiles = t.deleteFiles.count()
+    val rowsMor = t.read.count()
+    t.optimize(clock = t0) // materializes the deletes
+    import spark.implicits._
+    Seq((rowsBefore, deleted, rowsMor, filesBefore, filesAfterDelete,
+      deleteFiles, t.deleteFiles.count(), t.rowCount))
+      .toDF("rows_before", "rows_deleted", "rows_after_mor_delete",
+        "data_files_before", "data_files_after_delete",
+        "delete_files_outstanding", "delete_files_after_optimize",
+        "rows_after_optimize")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_mor_delete" -> (morDeleteDemo _),
     "x09_incremental_read" -> (incrementalReadDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),

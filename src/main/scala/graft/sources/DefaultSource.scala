@@ -65,6 +65,13 @@ final class DefaultSource extends RelationProvider
     require(table.schemaVersions.size <= 1,
       "the graft DataSource serves un-evolved tables; use GraftTable.read " +
         "for schema-evolved tables (per-generation aligned scans)")
+    // A HadoopFsRelation is a plain parquet scan — it cannot anti-join
+    // position-delete files, and silently serving deleted rows would be
+    // a correctness trap. Refuse loudly instead.
+    require(table.currentSnapshot.forall(_.deleteManifests.isEmpty),
+      "this graft table has outstanding merge-on-read delete files; " +
+        "read via GraftTable.read (applies deletes) or run optimize() " +
+        "to materialize them first")
     HadoopFsRelation(
       location = new GraftFileIndex(spark, table),
       partitionSchema = new org.apache.spark.sql.types.StructType(),
@@ -95,6 +102,7 @@ final class DefaultSource extends RelationProvider
           table.tags.toSeq.map { case (n, id) => (n, id, "tag") })
           .toDF("name", "snapshot_id", "kind")
       case "stats" => table.stats
+      case "delete_files" => table.deleteFiles
       case "history" =>
         // Iceberg's history table: every snapshot + whether it is an
         // ancestor of the CURRENT head (false = orphaned by rollback)
@@ -120,7 +128,7 @@ final class DefaultSource extends RelationProvider
           }.toDF("path", "length")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table $other " +
-          "(files|snapshots|refs|stats|history|manifests)")
+          "(files|snapshots|refs|stats|history|manifests|delete_files)")
     }
     new BaseRelation with org.apache.spark.sql.sources.TableScan {
       override def sqlContext: SQLContext = ctx
