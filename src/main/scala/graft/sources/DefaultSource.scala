@@ -45,9 +45,15 @@ final class DefaultSource extends RelationProvider
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    // option keys arrive as the caller typed them — accept either case
+    def opt(name: String): Option[String] =
+      parameters.get(name).orElse(parameters.get(name.toLowerCase))
     new org.apache.spark.sql.graft.GraftStreamSource(ctx, pathOf(parameters),
-      parameters.get("startingSnapshotId").map(_.toLong).getOrElse(0L))
+      opt("startingSnapshotId").map(_.toLong).getOrElse(0L),
+      maxSnapshotsPerTrigger = opt("maxSnapshotsPerTrigger").map(_.toLong),
+      maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toLong))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

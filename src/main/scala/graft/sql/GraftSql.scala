@@ -29,6 +29,9 @@ import graft.meta.GraftTable
   *   - `SELECT * FROM "t\$files"` / `SELECT * FROM t` (tests:50; __main__.py:62)
   *   - `SHOW STATS FOR t` (tests/test_maintenance.py:90)
   *   - `DROP TABLE t` (tests/test_maintenance.py:20)
+  *   - `DELETE FROM t [WHERE ...]` — not issued by the reference itself,
+  *     but part of the Trino Iceberg surface its users rely on; routes to
+  *     merge-on-read position deletes (Trino's v2 default delete mode)
   *
   * This is deliberately a STATEMENT dispatcher, not a query engine —
   * general SELECTs belong to Spark SQL over `format("graft")` relations
@@ -69,6 +72,8 @@ object GraftSql {
         None
       case InsertStmt(t, cols, values) =>
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
+      case DeleteStmt(t, where) =>
+        delete(resolve(unquote(t)), Option(where), clock); None
       case SelectAll(t) => Some(select(spark, resolve, unquote(t)))
       case other => throw new IllegalArgumentException(
         s"unsupported SQL (GraftSql handles the reference's statement " +
@@ -92,6 +97,7 @@ object GraftSql {
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
+  private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
   private val SelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
 
   /** Collapse whitespace runs OUTSIDE string literals only — `'x  y'`
@@ -297,6 +303,94 @@ object GraftSql {
       splitTop(tr.substring(1, tr.length - 1), ',').map(_.trim)
     }
 
+  // ---- DELETE -------------------------------------------------------------
+
+  /** `DELETE FROM t [WHERE <conjunction>]` — Trino's row-level DELETE on
+    * an Iceberg v2 table, whose default delete mode is merge-on-read:
+    * a predicate delete writes position-delete files
+    * ([[GraftTable.deleteWhereMOR]]) instead of rewriting data. A bare
+    * `DELETE FROM t` (truncate shape) takes the copy-on-write path — one
+    * metadata commit replacing the file list beats writing a delete
+    * entry per row. The WHERE grammar is a closed conjunction of simple
+    * comparisons (`col op literal`, `IS [NOT] NULL`, `IN (...)`) —
+    * anything richer fails loudly, like the rest of the dispatcher. */
+  private def delete(t: GraftTable, where: Option[String], clock: Clock): Unit =
+    where match {
+      case Some(w) => t.deleteWhereMOR(parseWhere(t.schema, w), clock)
+      case None => t.deleteWhere(lit(true), clock)
+    }
+
+  private def parseWhere(schema: StructType, w: String): org.apache.spark.sql.Column =
+    splitTopAnd(w).map(parseWhereTerm(schema, _)).reduce(_ && _)
+
+  private val IsNullTerm = s"""(?i)^$Ident IS NULL$$""".r
+  private val IsNotNullTerm = s"""(?i)^$Ident IS NOT NULL$$""".r
+  private val InTerm = s"""(?is)^$Ident IN ?\\((.+)\\)$$""".r
+  private val CmpTerm = s"""(?is)^$Ident ?(=|<>|!=|<=|>=|<|>) ?(.+)$$""".r
+
+  private def parseWhereTerm(schema: StructType,
+                             term: String): org.apache.spark.sql.Column = {
+    def c(id: String) = {
+      val name = unquote(id)
+      require(schema.fieldNames.contains(name),
+        s"unknown column $name in WHERE (table has " +
+          s"${schema.fieldNames.mkString(", ")})")
+      col(name) -> schema(name).dataType
+    }
+    term.trim match {
+      case IsNotNullTerm(id) => c(id)._1.isNotNull
+      case IsNullTerm(id) => c(id)._1.isNull
+      case InTerm(id, vals) =>
+        val (column, dt) = c(id)
+        val lits = splitTop(vals, ',')
+          .map(v => coerce(parseLiteral(v.trim), dt))
+        column.isin(lits: _*)
+      case CmpTerm(id, op, rawLit) =>
+        val (column, dt) = c(id)
+        val v = lit(coerce(parseLiteral(rawLit.trim), dt))
+        op match {
+          case "=" => column === v
+          case "<>" | "!=" => column =!= v
+          case "<" => column < v
+          case "<=" => column <= v
+          case ">" => column > v
+          case ">=" => column >= v
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHERE term: $other (closed grammar: col op literal, " +
+          "IS [NOT] NULL, IN (...), joined by AND)")
+    }
+  }
+
+  /** Split on top-level ` AND ` (case-insensitive, outside quotes and
+    * brackets) — OR/NOT stay unsupported loudly via parseWhereTerm. */
+  private def splitTopAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inQuote = false
+        }
+      } else if (c == '\'') { inQuote = true; cur += c }
+      else if (c == '(' || c == '[') { depth += 1; cur += c }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c }
+      else if (depth == 0 && (c == ' ') && i + 4 < s.length &&
+        s.regionMatches(true, i + 1, "AND", 0, 3) && s.charAt(i + 4) == ' ') {
+        out += cur.result(); cur.clear(); i += 4
+      } else cur += c
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   // ---- SELECT * (incl. metadata tables) -----------------------------------
 
   /** `SELECT * FROM t` (config-table full scan, __main__.py:62) and the
@@ -304,7 +398,8 @@ object GraftSql {
     * (tests/test_maintenance.py:50) — `\$snapshots`/`\$refs`/`\$stats` route
     * through the same graft-source metadata relations. */
   private val MetaSuffixes =
-    Set("files", "snapshots", "refs", "stats", "history", "manifests")
+    Set("files", "snapshots", "refs", "stats", "history", "manifests",
+      "delete_files")
 
   private def select(spark: SparkSession, resolve: String => GraftTable,
                      id: String): DataFrame = {

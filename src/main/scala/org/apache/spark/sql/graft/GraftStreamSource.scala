@@ -29,22 +29,80 @@ import graft.meta.GraftTable
   * call Spark's own FileStreamSource makes (this is the established
   * pre-DSv2 connector pattern).
   *
-  * Options: `startingSnapshotId` — first batch starts AFTER this id
-  * (default 0 = consume full history).
+  * Options:
+  *   - `startingSnapshotId` — first batch starts AFTER this id
+  *     (default 0 = consume full history).
+  *   - `maxSnapshotsPerTrigger` / `maxFilesPerTrigger` — admission
+  *     control (Delta's maxFilesPerTrigger shape): cap how many
+  *     snapshots / how many data FILES a single micro-batch may cover,
+  *     so a consumer starting against a month of backlog drains it in
+  *     bounded, checkpointed batches instead of one giant catch-up job.
+  *     The file cap is computed metadata-only from the log's cumulative
+  *     `numFiles` (appends only grow it); a single snapshot larger than
+  *     the cap still ships whole — a batch boundary cannot split a
+  *     snapshot (offsets are snapshot ids). After a restart the engine
+  *     re-hands the source its last batch via `getBatch`, which re-primes
+  *     the pacing base, so limits hold across checkpoint resumes.
   */
 final class GraftStreamSource(ctx: SQLContext, path: String,
-                              startingSnapshotId: Long) extends Source {
+                              startingSnapshotId: Long,
+                              maxSnapshotsPerTrigger: Option[Long] = None,
+                              maxFilesPerTrigger: Option[Long] = None)
+  extends Source {
   private val spark = ctx.sparkSession.asInstanceOf[SparkSession]
   private val table = GraftTable.load(spark, path)
 
   override val schema: StructType = table.schema
 
-  /** The current table head; None until the first commit. */
-  override def getOffset: Option[Offset] =
-    table.snapshots.lastOption.map(s => LongOffset(s.snapshotId))
+  /** Highest snapshot id already handed out as a batch end (or restored
+    * from the checkpoint via getBatch on restart) — the base the next
+    * trigger's admission window opens from. */
+  @volatile private var pacingBase: Long = -1L
+
+  /** The next batch's end offset: the table head, clamped by the
+    * per-trigger admission caps. */
+  override def getOffset: Option[Offset] = {
+    val snaps = table.snapshots
+    if (snaps.isEmpty) return None
+    val head = snaps.last.snapshotId
+    val base = if (pacingBase >= 0) pacingBase else startingSnapshotId
+    if (head <= base ||
+        (maxSnapshotsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)) {
+      pacingBase = math.max(pacingBase, head)
+      return Some(LongOffset(head))
+    }
+    val pending = snaps.filter(s => s.snapshotId > base).sortBy(_.snapshotId)
+    var end = head
+    maxSnapshotsPerTrigger.foreach { m =>
+      end = math.min(end, pending.take(math.max(1L, m).toInt).last.snapshotId)
+    }
+    maxFilesPerTrigger.foreach { m =>
+      // cumulative numFiles → per-snapshot file deltas, no I/O
+      var prevFiles = snaps.filter(_.snapshotId <= base)
+        .lastOption.map(_.numFiles).getOrElse(0L)
+      var budget = m
+      var chosen = -1L
+      val it = pending.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val s = it.next()
+        val delta = math.max(0L, s.numFiles - prevFiles)
+        prevFiles = s.numFiles
+        if (chosen < 0 || delta <= budget) { // always admit >= 1 snapshot
+          chosen = s.snapshotId
+          budget -= delta
+          if (budget <= 0) done = true
+        } else done = true
+      }
+      end = math.min(end, chosen)
+    }
+    pacingBase = math.max(pacingBase, end)
+    Some(LongOffset(end))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toId).getOrElse(startingSnapshotId)
+    pacingBase = math.max(pacingBase, toId(end))
     val batch = table.readIncremental(from, toId(end))
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, schema, isStreaming = true)

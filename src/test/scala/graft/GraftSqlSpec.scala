@@ -286,4 +286,35 @@ class GraftSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       fx.sql("ALTER TABLE t EXECUTE expire_snapshots(retention_threshold => '7h')"))
   }
+
+  test("DELETE FROM ... WHERE is a merge-on-read position delete") {
+    import spark.implicits._
+    val fx = fixture("sqldel")
+    fx.sql("CREATE TABLE t (k INTEGER, grp VARCHAR, v DOUBLE)")
+    fx.sql("INSERT INTO t VALUES " + (0 until 40).map(i =>
+      s"($i, 'g${i % 4}', ${i * 1.5})").mkString(", "))
+    val t = fx.resolve("t")
+    val filesBefore = t.files.select("path").collect().map(_.getString(0)).toSet
+
+    fx.sql("DELETE FROM t WHERE grp = 'g0' AND k >= 8")
+    assert(t.read.filter($"grp" === "g0" && $"k" >= 8).count() == 0)
+    assert(t.rowCount == 40 - (8 until 40).count(_ % 4 == 0))
+    // merge-on-read: the data files were not rewritten
+    assert(t.files.select("path").collect().map(_.getString(0)).toSet
+      == filesBefore)
+    assert(fx.rows("""SELECT * FROM "t$delete_files"""").length >= 1)
+
+    fx.sql("DELETE FROM t WHERE k IN (1, 3) AND v IS NOT NULL")
+    assert(t.read.filter($"k".isin(1, 3)).count() == 0)
+
+    // truncate shape takes the CoW path and empties the table
+    fx.sql("DELETE FROM t")
+    assert(t.rowCount == 0)
+
+    // outside the closed WHERE grammar -> loud failure
+    intercept[IllegalArgumentException](
+      fx.sql("DELETE FROM t WHERE k = 1 OR k = 2"))
+    intercept[IllegalArgumentException](
+      fx.sql("DELETE FROM t WHERE nosuch = 1"))
+  }
 }

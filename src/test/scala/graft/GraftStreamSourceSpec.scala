@@ -61,6 +61,52 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(spark.table("gs3").as[Long].collect().sorted.toSeq == (10L until 15L))
   }
 
+  test("maxSnapshotsPerTrigger paces backlog draining into bounded batches") {
+    val loc = tmpDir("gstream") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 10))  // snapshot 1
+    t.append(batch(10, 30)) // snapshot 2
+    t.append(batch(30, 35)) // snapshot 3
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxSnapshotsPerTrigger", "1").load(loc)
+      .writeStream.option("checkpointLocation", tmpDir("gstreamck"))
+      .foreachBatch((df: DataFrame, _: Long) => { sizes.add(df.count()); () })
+      .start()
+    q.processAllAvailable(); q.stop()
+    // one snapshot per micro-batch, in commit order
+    assert(sizes.asScala.toSeq == Seq(10L, 20L, 5L))
+  }
+
+  test("maxFilesPerTrigger caps batch size but never splits a snapshot") {
+    val loc = tmpDir("gstream") + "/t"
+    val ckpt = tmpDir("gstreamck")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 8).repartition(4))   // snapshot 1: 4 files
+    t.append(batch(8, 10).repartition(2))  // snapshot 2: 2 files
+    t.append(batch(10, 12).repartition(2)) // snapshot 3: 2 files
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "4").load(loc)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, _: Long) => { sizes.add(df.count()); () })
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    // snapshot 1 fills the 4-file budget alone; 2 and 3 fit together
+    assert(sizes.asScala.toSeq == Seq(8L, 4L))
+
+    // pacing survives a checkpoint restart (getBatch re-primes the base)
+    sizes.clear()
+    t.append(batch(12, 20).repartition(8)) // snapshot 4: 8 files > cap
+    t.append(batch(20, 22).repartition(2)) // snapshot 5
+    drain()
+    // oversized snapshot 4 still ships whole (bounded progress), alone
+    assert(sizes.asScala.toSeq == Seq(8L, 2L))
+  }
+
   test("replacement commit in an unconsumed range fails the stream loudly") {
     val loc = tmpDir("gstream") + "/t"
     val ckpt = tmpDir("gstreamck")
