@@ -88,6 +88,46 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     DataType.fromJson(txt).asInstanceOf[StructType]
   }
 
+  // ---- table properties --------------------------------------------------
+
+  /** Table properties (`_graft/properties.json`) — the Iceberg
+    * table-property surface. Recognized keys:
+    *   - `write.bloom-filter.columns`: comma-separated column names that
+    *     get a per-file bloom filter in the manifest at write time
+    *     (point-lookup file skipping on columns min/max can't prune).
+    *   - `write.bloom-filter.expected-rows`: sizing hint per file
+    *     (default 200000; 8 bits/row ⇒ ~2% false-positive rate). */
+  def properties: Map[String, String] = {
+    val p = new Path(tableDir, "_graft/properties.json")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      PropEntry.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  /** Merge properties in (null-valued keys are removed). Takes effect on
+    * the NEXT write — existing files keep whatever stats they have. */
+  def setProperties(kv: Map[String, String]): Unit =
+    commitLock.synchronized {
+      val merged = (properties ++ kv).filter(_._2 != null)
+      merged.keys.foreach(k => require(!k.contains("\"") &&
+        merged(k) != null && !merged(k).contains("\""),
+        s"property keys/values must not contain double quotes: $k"))
+      val body = merged.toSeq.sorted
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      writeAtomic(new Path(tableDir, "_graft/properties.json"), body)
+    }
+
+  /** Bloom-filter columns currently configured (∩ the given schema). */
+  private def bloomColumns(available: Seq[String]): Seq[String] =
+    properties.get("write.bloom-filter.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(available.contains)
+
   /** Metadata relation: one row per live data file — the engine-native
     * analogue of Iceberg's `"t$files"` (tests/test_maintenance.py:50). */
   def files: DataFrame = currentSnapshot match {
@@ -663,15 +703,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       array((bounded.map(lit) ++ specs.map(s => lit(s.name))): _*),
       array((bounded.map(n => f(data(n)).cast(StringType)) ++
         specs.map(s => f(s.expr(data(s.column), data.schema(s.column).dataType)).cast(StringType))): _*))
+    // Per-file bloom filters for the configured point-lookup columns
+    // (built in the same aggregation pass as the bounds — no extra scan).
+    val bloomCols = bloomColumns(names)
+    val expectedRows = properties.get("write.bloom-filter.expected-rows")
+      .map(_.toLong).getOrElse(200000L)
+    val bloomMap =
+      if (bloomCols.isEmpty)
+        lit(null).cast(MapType(StringType, BinaryType))
+      else map_from_arrays(
+        array(bloomCols.map(lit): _*),
+        array(bloomCols.map(n => org.apache.spark.sql.graft.CatalystShims
+          .bloomAgg(data(n), expectedRows, expectedRows * 8)): _*))
     val counts = data
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"),
-        boundMap(min).as("min_values"), boundMap(max).as("max_values"))
+        boundMap(min).as("min_values"), boundMap(max).as("max_values"),
+        bloomMap.as("blooms"))
       .withColumn("path", normalizeUdf(col("path")))
     fsDf.join(counts, Seq("path"), "left")
       .select(col("path"), col("size_bytes"),
         coalesce(col("record_count"), lit(0L)).as("record_count"),
-        col("null_counts"), col("min_values"), col("max_values"))
+        col("null_counts"), col("min_values"), col("max_values"),
+        col("blooms"))
   }
 
   /** Write the delta manifest parquet + appended log entry. Caller holds
@@ -722,7 +776,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       manifest
         .select(col("path"), col("size_bytes"), col("record_count"),
           col("null_counts"), col("min_values"), col("max_values"),
-          addedId.as("added_snapshot_id"))
+          col("blooms"), addedId.as("added_snapshot_id"))
         .observe(obs, count(lit(1)).as("nf"),
           coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
           coalesce(sum("record_count"), lit(0L)).as("rows"))
@@ -1005,7 +1059,7 @@ object GraftTable {
     })
 
   val ManifestCols: Seq[String] = Seq("path", "size_bytes", "record_count",
-    "null_counts", "min_values", "max_values")
+    "null_counts", "min_values", "max_values", "blooms")
   /** Per-file inventory. `null_counts` (column name → #nulls in this
     * file) is the Iceberg-manifest-style file-level statistic that lets
     * SHOW STATS derive LIVE null fractions for columns never ANALYZEd —
@@ -1022,7 +1076,12 @@ object GraftTable {
     StructField("null_counts", MapType(StringType, LongType), nullable = true),
     StructField("min_values", MapType(StringType, StringType), nullable = true),
     StructField("max_values", MapType(StringType, StringType), nullable = true),
+    // column name → serialized bloom filter over the file's values, for
+    // the columns named by `write.bloom-filter.columns` (absent = none)
+    StructField("blooms", MapType(StringType, BinaryType), nullable = true),
     StructField("added_snapshot_id", LongType, nullable = true)))
+
+  private[meta] val PropEntry = """"([^"]+)":"([^"]*)"""".r
 
   /** Row schema of a position-delete file (Iceberg v2 position-delete
     * shape): the (normalized) data-file path and the row's ordinal

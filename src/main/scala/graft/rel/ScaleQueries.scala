@@ -223,6 +223,47 @@ object ScaleQueries {
     loc
   }
 
+  /** Events staged into a graft table with `write.bloom-filter.columns`
+    * on event_id, deliberately UNSORTED (hash-repartitioned) so every
+    * file's min/max covers the whole id range and bounds pruning is
+    * useless — the shape where only blooms can skip files. */
+  private def bloomEventsLoc(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_g${math.abs(dir.hashCode)}/t"
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0)
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val tbl = GraftTable.create(s, loc, ev.schema)
+      tbl.setProperties(Map(
+        "write.bloom-filter.columns" -> "event_id",
+        "write.bloom-filter.expected-rows" -> "100000"))
+      tbl.append(ev.repartition(8, $"user_id"))
+    }
+    loc
+  }
+
+  /** Point lookups through the DataSource against the bloom-filtered
+    * table: the pushed `event_id IN (...)` probes each file's manifest
+    * bloom in the distributed listFiles job and skips files that
+    * definitely lack the ids — min/max can't (every file spans the full
+    * range). BloomScanSpec pins the scanned-file counts; here the
+    * RESULT is oracle-checked. */
+  def q35BloomScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val loc = bloomEventsLoc(s, dir)
+    s.read.format("graft").load(loc)
+      .filter($"event_id".isin(7L, 63L, 250L, 777L))
+      .select($"event_id", $"user_id", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"event_id")
+  }
+
   def q29PrunedScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.GraftTable
@@ -382,6 +423,7 @@ object ScaleQueries {
     "q34_grouping_sets" -> (q34GroupingSets _),
     "q29_pruned_scan" -> (q29PrunedScan _),
     "q30_pivot" -> (q30Pivot _),
+    "q35_bloom_scan" -> (q35BloomScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,6 +466,11 @@ object ScaleQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY mon ORDER BY mon""".stripMargin,
+    "q35_bloom_scan" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events
+        |WHERE event_id IN (7, 63, 250, 777)
+        |ORDER BY event_id""".stripMargin,
     "q32_zorder_scan" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value

@@ -152,10 +152,31 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable)
     else Some(lit(CatalystTypeConverters.createToScalaConverter(a.dataType)(v))
       .cast(a.dataType))
 
-  /** `a = v`: keep iff [min, max] covers v (missing bounds → keep). */
+  /** Deserialize-and-probe for per-file blooms. Runs once per MANIFEST
+    * row (i.e. per data file) inside the distributed listFiles job —
+    * the data files themselves are never touched. */
+  private val bloomProbe = udf((bytes: Array[Byte], hash: Long) =>
+    bytes == null || org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+      .mightContainLong(hash))
+
+  /** `a = v`: keep iff [min, max] covers v (missing bounds → keep) AND,
+    * when the file carries a bloom filter for the column
+    * (`write.bloom-filter.columns`), the bloom might contain v — the
+    * point-lookup prune min/max can't provide on unsorted
+    * high-cardinality columns (every file's range covers every probe;
+    * the bloom says "definitely not here" per file). The probe hash is
+    * computed at planning time from the same XxHash64 the write side
+    * used. */
   private def overlap(a: AttributeReference, v: Any): Option[Column] =
-    extLit(a, v).map(l =>
-      minC(a).isNull || maxC(a).isNull || (maxC(a) >= l && minC(a) <= l))
+    extLit(a, v).map { l =>
+      val bounds =
+        minC(a).isNull || maxC(a).isNull || (maxC(a) >= l && minC(a) <= l)
+      val bloom = element_at(col("blooms"), a.name)
+      val hash = org.apache.spark.sql.graft.CatalystShims
+        .xxHash64Literal(v, a.dataType)
+      bounds && (bloom.isNull || bloomProbe(bloom, lit(hash)))
+    }
 
   private def anyOverlap(a: AttributeReference, vs: Seq[Any]): Option[Column] = {
     val opts = vs.map(v => overlap(a, v))

@@ -55,6 +55,8 @@ object GraftSql {
     normalize(sql) match {
       case AlterExec(t, op, args) =>
         alterExec(resolve(unquote(t)), op, Option(args), clock); None
+      case AlterSetProps(t, props) =>
+        resolve(unquote(t)).setProperties(parseProps(props)); None
       case AnalyzeStmt(t, cols) =>
         resolve(unquote(t)).analyze(Option(cols).map(parseStringArray), clock)
         None
@@ -85,6 +87,9 @@ object GraftSql {
   private val Ident = """((?:"[^"]+")|(?:[\w.$]+))"""
   private val AlterExec =
     s"""(?i)^ALTER TABLE $Ident EXECUTE (\\w+)(?: ?\\( ?(.*?) ?\\))?$$""".r
+  // Trino: ALTER TABLE t SET PROPERTIES k = 'v'[, k2 = 'v2']
+  private val AlterSetProps =
+    s"""(?is)^ALTER TABLE $Ident SET PROPERTIES (.+)$$""".r
   private val AnalyzeStmt =
     s"""(?i)^ANALYZE $Ident(?: WITH ?\\( ?columns ?= ?ARRAY\\[(.*?)\\] ?\\))?$$""".r
   private val ShowStats = s"""(?i)^SHOW STATS FOR $Ident$$""".r
@@ -145,6 +150,18 @@ object GraftSql {
           "(optimize | expire_snapshots | remove_orphan_files)")
     }
   }
+
+  /** `k = 'v', k2 = 'v2'` (Trino SET PROPERTIES; DEFAULT removes). */
+  private def parseProps(props: String): Map[String, String] =
+    splitTop(props, ',').map { p =>
+      p.split("=", 2) match {
+        case Array(k, v) if v.trim.equalsIgnoreCase("DEFAULT") =>
+          unquote(k.trim) -> null
+        case Array(k, v) => unquote(k.trim) -> stripQuotes(v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"expected name = 'value' in SET PROPERTIES, got: $p")
+      }
+    }.toMap
 
   private def arg(kv: Map[String, String], name: String, op: String): String =
     kv.getOrElse(name,

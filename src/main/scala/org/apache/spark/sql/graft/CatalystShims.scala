@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.DataType
+
+/** Column ⇄ Expression bridging for the bloom-filter machinery, which
+  * Spark ships in catalyst (it powers its own runtime shuffle-join
+  * filters, InjectRuntimeFilter) but does not expose through public
+  * `functions._`. Lives under `org.apache.spark.sql` for the same reason
+  * as [[GraftStreamSource]]: `ExpressionUtils` is `private[sql]`.
+  *
+  * Hashing discipline: the aggregate (build side) puts XxHash64(value)
+  * longs into the filter, exactly like InjectRuntimeFilter; probes
+  * compute the same hash for the same column type, so membership tests
+  * are sound. (The probe itself goes through the PUBLIC
+  * `org.apache.spark.util.sketch.BloomFilter.mightContainLong` —
+  * catalyst's `BloomFilterMightContain` insists on a constant filter,
+  * which a per-manifest-row bloom is not.)
+  */
+object CatalystShims {
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Aggregate: build a bloom filter over a column's values, serialized
+    * with `BloomFilter.writeTo` (readable by `BloomFilter.readFrom`). */
+  def bloomAgg(child: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new BloomFilterAggregate(new XxHash64(Seq(expr(child))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** XxHash64 of one literal value (catalyst-internal representation),
+    * evaluated at planning time — the probe-side hash matching what
+    * [[bloomAgg]] put into the filter. */
+  def xxHash64Literal(value: Any, dt: DataType): Long =
+    new XxHash64(Seq(Literal(value, dt))).eval(InternalRow.empty)
+      .asInstanceOf[Long]
+}

@@ -287,6 +287,24 @@ class GraftSqlSpec extends SparkSpec {
       fx.sql("ALTER TABLE t EXECUTE expire_snapshots(retention_threshold => '7h')"))
   }
 
+  test("ALTER TABLE SET PROPERTIES round-trips; DEFAULT unsets") {
+    val fx = fixture("sqlprops")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.columns\" = 'k'," +
+      " \"write.bloom-filter.expected-rows\" = '50000'")
+    val t = fx.resolve("t")
+    assert(t.properties == Map(
+      "write.bloom-filter.columns" -> "k",
+      "write.bloom-filter.expected-rows" -> "50000"))
+    // writes after the property carry blooms in the manifest
+    fx.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    assert(t.files.filter(org.apache.spark.sql.functions
+      .element_at(org.apache.spark.sql.functions.col("blooms"), "k")
+      .isNotNull).count() == t.files.count())
+    fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.expected-rows\" = DEFAULT")
+    assert(t.properties == Map("write.bloom-filter.columns" -> "k"))
+  }
+
   test("DELETE FROM ... WHERE is a merge-on-read position delete") {
     import spark.implicits._
     val fx = fixture("sqldel")
