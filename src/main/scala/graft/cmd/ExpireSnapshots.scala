@@ -59,7 +59,7 @@ object ExpireSnapshots {
       // Delete manifests ride along: position-delete files live under
       // data/ and are reclaimed by exactly the same set algebra.
       def manifestPathsOf(s: graft.meta.Snapshot) =
-        s.manifests ++ s.deleteManifests
+        s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests
       def manifests(ss: Seq[graft.meta.Snapshot]) = {
         val paths = ss.flatMap(manifestPathsOf).distinct
         if (paths.isEmpty) table.emptyManifest

@@ -39,7 +39,8 @@ object RemoveOrphanFiles {
         // includes delete manifests — position-delete files live under
         // data/ and are referenced storage, not orphans
         val paths = table.snapshots
-          .flatMap(s => s.manifests ++ s.deleteManifests).distinct
+          .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
+          .distinct
         if (paths.isEmpty) table.emptyManifest
         else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
       }.select("path")

@@ -138,9 +138,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** Union of every snapshot's inventory (for orphan reconciliation) —
-    * including position-delete files, which live under `data/` too. */
+    * including position- and equality-delete files under `data/`. */
   private def allReferencedFiles: DataFrame = {
-    val paths = snapshots.flatMap(s => s.manifests ++ s.deleteManifests).distinct
+    val paths = snapshots
+      .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
+      .distinct
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
     else spark.read.schema(ManifestSchema).parquet(paths: _*)
@@ -178,9 +180,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(fromId == 0 || all.exists(_.snapshotId == fromId),
       s"no snapshot $fromId")
     val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
-    require(range.forall(_.operation == "append"),
+    require(range.forall(_.isAppend),
       "incremental scan supports append-only ranges; found: " +
-        range.filterNot(_.operation == "append").map(_.operation).distinct
+        range.filterNot(_.isAppend).map(_.operation).distinct
           .mkString(", "))
     if (range.isEmpty || to.manifests.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -190,6 +192,110 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .select("path", "added_snapshot_id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     readFilesAligned(pairs)
+  }
+
+  /** Row-level changelog of `(fromId, toId]` (Delta CDF / Iceberg
+    * changelog shape): one row per change event, stamped with
+    * `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`,
+    * in commit order. Append snapshots emit their added rows as
+    * inserts (planned metadata-only from `added_snapshot_id`, exactly
+    * like [[readIncremental]]); merge-on-read delete snapshots emit
+    * the rows their DELTA delete manifests removed — position entries
+    * by a semi-join at (file, pos), equality entries by a key
+    * semi-join against the strictly-older files; upserts emit both
+    * their delete and insert events under one commit id. A row
+    * appended then deleted inside the range appears twice — once per
+    * event, as CDC semantics require.
+    *
+    * Replacement commits (optimize / overwrite / CoW delete / merge)
+    * rewrite surviving rows into new files and record no row-level
+    * lineage, so ranges containing them are refused loudly — same
+    * contract as the incremental scan. Ranges must lie within retained
+    * (un-expired) history. */
+  def readChanges(fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"bad changelog range ($fromId, $toId]")
+    val all = snapshots
+    val byId = all.map(s => s.snapshotId -> s).toMap
+    require(byId.contains(toId), s"no snapshot $toId")
+    require(fromId == 0 || byId.contains(fromId), s"no snapshot $fromId")
+    val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
+      .sortBy(_.snapshotId)
+    def tracked(s: Snapshot) = s.isAppend ||
+      s.operation == "delete" || s.operation.startsWith("upsert") ||
+      s.operation.startsWith("stream_upsert")
+    require(range.forall(tracked),
+      "changelog supports append / merge-on-read delete / upsert ranges; " +
+        "found: " + range.filterNot(tracked).map(_.operation).distinct
+          .mkString(", "))
+    val changeSchema = StructType(schema.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_snapshot_id", LongType, nullable = false))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val parts = range.flatMap { s =>
+      def stamp(df: DataFrame, kind: String): DataFrame = df
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+      val parent = byId.get(s.parentId)
+
+      // inserts: rows in files this snapshot added
+      val inserts: Option[DataFrame] =
+        if (s.manifests.isEmpty) None
+        else {
+          val pairs = spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
+            .filter(col("added_snapshot_id") === s.snapshotId)
+            .select("path", "added_snapshot_id").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+          if (pairs.isEmpty) None else Some(stamp(readFilesAligned(pairs), "insert"))
+        }
+
+      // position-delete events: rows the delta pos manifests removed
+      val posDeletes: Option[DataFrame] = {
+        val prior = parent.map(_.deleteManifests.toSet).getOrElse(Set.empty)
+        val delta = s.deleteManifests.filterNot(prior)
+        val delFiles = manifestDf(delta).select("path")
+          .collect().map(_.getString(0)).toIndexedSeq
+        if (delFiles.isEmpty) None
+        else {
+          val del = spark.read.schema(DeleteSchema).parquet(delFiles: _*)
+          val data = readFilesAligned(filePairsOf(s), Some(MorPathCol),
+            Some(MorPosCol))
+          Some(stamp(data.join(del,
+              data(MorPathCol) === del("file_path") &&
+                data(MorPosCol) === del("pos"), "left_semi")
+            .drop(MorPathCol, MorPosCol), "delete"))
+        }
+      }
+
+      // equality-delete events: older rows matching the delta eq keys
+      val eqDeletes: Option[DataFrame] = {
+        val prior = parent.map(_.eqDeleteManifests.toSet).getOrElse(Set.empty)
+        val delta = s.eqDeleteManifests.filterNot(prior)
+        if (delta.isEmpty) None
+        else {
+          // view as of the PARENT (the rows the delete acted on),
+          // restricted to key matches
+          val base = parent.map(p => morReadFiles(p, filePairsOf(p)))
+            .getOrElse(empty)
+          val dfs = delta.flatMap { m =>
+            val files = manifestDf(Seq(m)).select("path")
+              .collect().map(_.getString(0)).toIndexedSeq
+            if (files.isEmpty) None
+            else {
+              val keySchema = spark.read.parquet(files.head).schema
+              val entries = spark.read.schema(keySchema).parquet(files: _*)
+              Some(base.join(entries, keySchema.fieldNames.toSeq, "left_semi"))
+            }
+          }
+          if (dfs.isEmpty) None
+          else Some(stamp(dfs.reduce(_ unionByName _), "delete"))
+        }
+      }
+      // order matters for readability only: deletes before inserts
+      posDeletes.toSeq ++ eqDeletes.toSeq ++ inserts.toSeq
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], changeSchema)
+    else parts.reduce(_ unionByName _)
   }
 
   /** Roll `main` back to an earlier snapshot (Iceberg's
@@ -244,32 +350,97 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     else spark.read.schema(DeleteSchema).parquet(files: _*)
   }
 
+  /** Live equality-delete file inventory of the current snapshot. */
+  def eqDeleteFiles: DataFrame =
+    manifestDf(currentSnapshot.map(_.eqDeleteManifests).getOrElse(Seq.empty))
+
+  /** The snapshot id that INTRODUCED each eq-delete manifest (the
+    * commit whose delete/upsert added it): eq entries apply only to
+    * data files added strictly before it — Iceberg's sequence-number
+    * rule, which is what lets a later re-insert of a deleted key
+    * survive. Computed from the log (lists are carried append-only). */
+  private def eqIntroducedBy(all: Seq[Snapshot]): Map[String, Long] =
+    all.sortBy(_.snapshotId)
+      .flatMap(s => s.eqDeleteManifests.map(_ -> s.snapshotId))
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).min }
+
   /** Distinct data-file paths targeted by outstanding delete entries —
-    * replacement commits (optimize, row-level CoW) rewrite exactly these
-    * to materialize the deletes. One column: `path`. */
-  private[graft] def deleteTargets: DataFrame = currentSnapshot match {
-    case Some(s) if s.deleteManifests.nonEmpty =>
-      deleteRowsOf(s).select(col("file_path").as("path")).distinct()
-    case _ =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("path", StringType, nullable = false))))
+    * replacement commits (optimize, row-level CoW) rewrite exactly
+    * these to materialize the deletes. Position deletes name their
+    * files; equality deletes conservatively target every file added
+    * before their introducing commit (any of them may hold a matching
+    * key). One column: `path`. */
+  private[graft] def deleteTargets: DataFrame = {
+    val none = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("path", StringType, nullable = false))))
+    currentSnapshot match {
+      case Some(s) =>
+        val pos =
+          if (s.deleteManifests.isEmpty) none
+          else deleteRowsOf(s).select(col("file_path").as("path")).distinct()
+        val eq =
+          if (s.eqDeleteManifests.isEmpty) none
+          else {
+            val maxIntro = eqIntroducedBy(snapshots)
+              .filter(kv => s.eqDeleteManifests.contains(kv._1)).values.max
+            manifestDf(s.manifests)
+              .filter(col("added_snapshot_id").isNull ||
+                col("added_snapshot_id") < maxIntro)
+              .select("path")
+          }
+        pos.unionByName(eq).distinct()
+      case _ => none
+    }
   }
 
   /** Schema-aligned scan of `pairs` with the snapshot's outstanding
-    * position deletes anti-joined away. The delete application is a
-    * distributed join keyed on (source file, row ordinal) — no driver
-    * materialization, and files without delete entries stream through
-    * the join untouched. */
+    * deletes anti-joined away — position deletes by (source file, row
+    * ordinal), equality deletes by key columns against data files added
+    * strictly before the deleting commit. All applications are
+    * distributed joins; files without delete entries stream through
+    * untouched. */
   private[graft] def morReadFiles(s: Snapshot, pairs: Seq[(String, Long)],
-                                  pathCol: Option[String] = None): DataFrame = {
-    if (s.deleteManifests.isEmpty) return readFilesAligned(pairs, pathCol)
+                                  pathCol: Option[String] = None,
+                                  posCol: Option[String] = None): DataFrame = {
+    val needPos = s.deleteManifests.nonEmpty || posCol.nonEmpty
+    val needEq = s.eqDeleteManifests.nonEmpty
+    if (!needPos && !needEq) return readFilesAligned(pairs, pathCol)
     val p = pathCol.getOrElse(MorPathCol)
-    val df = readFilesAligned(pairs, Some(p), Some(MorPosCol))
-    val del = deleteRowsOf(s)
-    val joined = df.join(del,
-      df(p) === del("file_path") && df(MorPosCol) === del("pos"), "left_anti")
-      .drop(MorPosCol)
-    if (pathCol.isEmpty) joined.drop(p) else joined
+    val pos = posCol.getOrElse(MorPosCol)
+    var df = readFilesAligned(pairs, Some(p),
+      if (needPos) Some(pos) else None)
+    if (s.deleteManifests.nonEmpty) {
+      val del = deleteRowsOf(s)
+      df = df.join(del,
+        df(p) === del("file_path") && df(pos) === del("pos"), "left_anti")
+    }
+    if (needPos && posCol.isEmpty) df = df.drop(pos)
+    if (needEq) {
+      // per-row added id via a broadcast of the (tiny) path→added map
+      import spark.implicits._
+      val pathAdded = broadcast(
+        spark.createDataset(pairs).toDF(MorJoinCol, MorAddedCol))
+      df = df.join(pathAdded, df(p) === col(MorJoinCol), "left")
+        .drop(MorJoinCol)
+      val intro = eqIntroducedBy(snapshots)
+      s.eqDeleteManifests.foreach { m =>
+        val files = manifestDf(Seq(m)).select("path")
+          .collect().map(_.getString(0)).toIndexedSeq
+        if (files.nonEmpty) {
+          // the delete file's own schema IS its key-column set
+          val keySchema = spark.read.parquet(files.head).schema
+          val entries = spark.read.schema(keySchema).parquet(files: _*)
+          val snapId = intro.getOrElse(m,
+            throw new IllegalStateException(s"eq manifest $m not in log"))
+          val keyCond = keySchema.fieldNames
+            .map(k => df(k) === entries(k)).reduce(_ && _)
+          df = df.join(entries,
+            keyCond && col(MorAddedCol) < lit(snapId), "left_anti")
+        }
+      }
+      df = df.drop(MorAddedCol)
+    }
+    if (pathCol.isEmpty) df.drop(p) else df
   }
 
   /** [[morReadFiles]] against the current snapshot (empty-table safe). */
@@ -305,11 +476,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val cur = currentSnapshot.getOrElse(return 0L)
       if (cur.numFiles == 0) return 0L
       val matched = coalesce(cond, lit(false))
-      val live = readFilesAligned(filePairsOf(cur), Some(MorPathCol), Some(MorPosCol))
-      val priorDel = deleteRowsOf(cur)
-      val newDeletes = live
-        .join(priorDel, live(MorPathCol) === priorDel("file_path") &&
-          live(MorPosCol) === priorDel("pos"), "left_anti")
+      // the live view with ALL outstanding deletes (pos + eq) applied,
+      // path and position retained for the new entries
+      val newDeletes = morReadFiles(cur, filePairsOf(cur),
+          Some(MorPathCol), Some(MorPosCol))
         .filter(matched)
         .select(col(MorPathCol).as("file_path"), col(MorPosCol).as("pos"))
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
@@ -334,6 +504,96 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       deleted
     }
 
+  /** Equality delete (Iceberg v2's second merge-on-read delete kind):
+    * drop every row whose key columns match a row of `keys` — WITHOUT
+    * locating row positions, so nothing but the key columns of
+    * bounds-pruned candidate files is ever read (the row count for the
+    * log is the only scan). The keys parquet itself becomes the delete
+    * file; its schema IS the key-column set. Entries apply only to data
+    * files added STRICTLY BEFORE this commit (Iceberg sequence-number
+    * semantics) — a later re-insert of a deleted key survives, which is
+    * exactly what makes CDC upsert streams expressible.
+    * @return rows deleted */
+  def deleteByKeys(keys: DataFrame, clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      val cur = currentSnapshot.getOrElse(return 0L)
+      if (cur.numFiles == 0) return 0L
+      val keyCols = keys.columns.toSeq
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"key column $k not in table schema"))
+      val eqDir = writeEqDeleteFile(keys)
+      var removed = 0L
+      commit("delete", emptyManifest, clock, carryPrior = true,
+        eqDeletesAdd = Seq(inventoryManifest(eqDir)),
+        rowsDelta = { b =>
+          removed = matchingRows(b, keys, keyCols); -removed
+        })
+      removed
+    }
+
+  /** One-commit UPSERT (the Flink-CDC-into-Iceberg shape): an equality
+    * delete on `keys` plus an append of `source`, atomically — readers
+    * see either the old rows or the new rows, never both, never
+    * neither. The new data files are added AT this commit, so the eq
+    * entries (strictly-before rule) do not touch them. Unlike the CoW
+    * [[merge]], no existing data file is rewritten — O(source) cost on
+    * a 100 TB table, deferred to the next optimize.
+    * @return rows replaced (matched and superseded) */
+  def upsert(source: DataFrame, keys: Seq[String],
+             clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      upsertOp(source, keys, "upsert", clock)
+    }
+
+  private[graft] def upsertOp(source: DataFrame, keys: Seq[String],
+                              op: String, clock: Clock): Long = {
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k not in table schema"))
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+    source.write.parquet(commitDir.toString)
+    fs.delete(new Path(commitDir, "_SUCCESS"), false)
+    writeSchemaIfAbsent(source.schema)
+    val eqDir = writeEqDeleteFile(srcKeys)
+    var removed = 0L
+    commit(op, inventory(commitDir), clock, carryPrior = true,
+      eqDeletesAdd = Seq(inventoryManifest(eqDir)),
+      rowsDelta = { b =>
+        removed = matchingRows(b, srcKeys, keys); -removed
+      })
+    removed
+  }
+
+  /** Rows of `b` (all MOR deletes applied) matching the key set —
+    * the exact count an eq-delete commit must subtract. */
+  private def matchingRows(b: Snapshot, keys: DataFrame,
+                           keyCols: Seq[String]): Long =
+    if (b.numFiles == 0) 0L
+    else morReadFiles(b, filePairsOf(b))
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .count()
+
+  /** Write a distinct key set as one eq-delete parquet dir. */
+  private def writeEqDeleteFile(keys: DataFrame): Path = {
+    val dir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+    keys.distinct().coalesce(1).write.parquet(dir.toString)
+    fs.delete(new Path(dir, "_SUCCESS"), false)
+    dir
+  }
+
+  /** Inventory a small metadata-ish dir into a single-file manifest on
+    * disk, returning the manifest path (used for eq-delete manifests,
+    * whose content is CAS-attempt-independent). */
+  private def inventoryManifest(dir: Path): String = {
+    val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
+    inventory(dir)
+      .withColumn("added_snapshot_id", lit(null).cast(LongType))
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
+    fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+    manifestDir.toString
+  }
+
   /** Commit a new delete manifest: data manifests are re-carried from
     * the fresh head each CAS attempt (concurrent appends compose), but
     * a replacement commit since `basisId` invalidates the scanned
@@ -353,13 +613,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val cur = headOf(st.snapshots, st.refs, "main").getOrElse(
         throw new IllegalStateException("table emptied during MOR delete"))
       val racing = st.snapshots.filter(_.snapshotId > basisId)
-      require(racing.forall(s => s.operation == "append"),
+      require(racing.forall(_.isAppend),
         "concurrent non-append commit during MOR delete — positions are " +
           s"stale; retry (saw: ${racing.map(_.operation).distinct.mkString(",")})")
       val id = st.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       val snap = Snapshot(id, clock.millis(), "delete", cur.manifests,
         cur.numFiles, cur.totalBytes, cur.totalRows - deletedRows,
-        cur.snapshotId, cur.deleteManifests :+ manifestDir.toString)
+        cur.snapshotId, cur.deleteManifests :+ manifestDir.toString,
+        cur.eqDeleteManifests)
       val newRefs =
         if (st.refs.nonEmpty) materialize(st.snapshots, st.refs) + ("main" -> id)
         else st.refs
@@ -669,7 +930,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       commit("rewrite_manifests",
         files.select((ManifestCols :+ "added_snapshot_id").map(col): _*),
         clock, carryPrior = false, deletes = cur.deleteManifests,
-        rowsOverride = Some(cur.totalRows))
+        rowsOverride = Some(cur.totalRows),
+        eqDeletes = cur.eqDeleteManifests)
       cur.manifests.size.toLong
     }
 
@@ -751,7 +1013,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def commit(op: String, manifest: DataFrame, clock: Clock,
                      carryPrior: Boolean, branch: String = "main",
                      deletes: Seq[String] = Seq.empty,
-                     rowsOverride: Option[Long] = None): Unit = {
+                     rowsOverride: Option[Long] = None,
+                     eqDeletes: Seq[String] = Seq.empty,
+                     eqDeletesAdd: Seq[String] = Seq.empty,
+                     rowsDelta: Snapshot => Long = _ => 0L): Unit = {
     // Manifest dir named by UUID, not snapshot id: two cross-process
     // writers can compute the SAME next id before one loses the CAS —
     // id-named dirs would collide and silently swap inventories.
@@ -790,16 +1055,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val snap =
         if (carryPrior) {
           // appends carry outstanding MOR delete manifests — the delete
-          // entries keep targeting the (immutable) prior files
+          // entries keep targeting the (immutable) prior files; upserts
+          // additionally add an eq-delete manifest and subtract the
+          // replaced-row count (recomputed per CAS attempt, against the
+          // fresh head)
           val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
           Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
-            b.numFiles + dnf, b.totalBytes + dbytes, b.totalRows + drows,
-            parent, b.deleteManifests)
+            b.numFiles + dnf, b.totalBytes + dbytes,
+            b.totalRows + drows + rowsDelta(b),
+            parent, b.deleteManifests, b.eqDeleteManifests ++ eqDeletesAdd)
         } else
           // replacement commits drop deletes (they materialize them)
-          // unless the caller passes its own carried list
+          // unless the caller passes its own carried lists
           Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
-            dnf, dbytes, rowsOverride.getOrElse(drows), parent, deletes)
+            dnf, dbytes, rowsOverride.getOrElse(drows), parent, deletes,
+            eqDeletes)
       // the branch-ref advance rides in the SAME claimed state as the
       // snapshot (materializing main's implicit head on the way if refs
       // already exist); refs-free tables keep the implicit main == max id
@@ -1094,6 +1364,8 @@ object GraftTable {
     * they can never collide with user schema columns. */
   private[meta] val MorPathCol = "__graft_mor_path"
   private[meta] val MorPosCol = "__graft_mor_pos"
+  private[meta] val MorJoinCol = "__graft_mor_join"
+  private[meta] val MorAddedCol = "__graft_mor_added"
 
   /** Column types whose string-encoded min/max round-trip losslessly
     * through `cast(string)` and back (Spark renders doubles/timestamps

@@ -35,13 +35,19 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 final case class Snapshot(
     snapshotId: Long,
     timestampMs: Long,
-    operation: String, // append | delete | optimize | overwrite | rewrite_manifests
+    operation: String, // append | delete | upsert | optimize | overwrite | rewrite_manifests
     manifests: Seq[String],
     numFiles: Long,
     totalBytes: Long,
     totalRows: Long,
     parentId: Long = -1L, // commit this one was based on; -1 = none/unknown
-    deleteManifests: Seq[String] = Seq.empty)
+    deleteManifests: Seq[String] = Seq.empty,
+    eqDeleteManifests: Seq[String] = Seq.empty) {
+  /** Pure data addition (plain or streaming-sink append) — the commits
+    * incremental scans and the streaming source may deliver. */
+  def isAppend: Boolean =
+    operation == "append" || operation.startsWith("stream_append")
+}
 
 /** The complete CAS-versioned table state: the snapshot list plus both
   * ref kinds. Refs live IN the claimed log file (Iceberg's
@@ -238,14 +244,16 @@ object SnapshotLog {
         s""""timestampMs":${s.timestampMs},""" +
         s""""operation":"${s.operation}","manifests":${renderList(s.manifests)},""" +
         s""""deleteManifests":${renderList(s.deleteManifests)},""" +
+        s""""eqDeleteManifests":${renderList(s.eqDeleteManifests)},""" +
         s""""numFiles":${s.numFiles},"totalBytes":${s.totalBytes},"totalRows":${s.totalRows}}"""
     }.mkString("[\n", ",\n", "\n]")
 
-  // parentId and deleteManifests are optional on parse so logs written
-  // before branching / merge-on-read stay readable
+  // parentId and the delete-manifest lists are optional on parse so
+  // logs written before branching / merge-on-read stay readable
   private val Entry =
     ("""\{"snapshotId":(-?\d+),(?:"parentId":(-?\d+),)?"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
       """"manifests":\[([^\]]*)\],(?:"deleteManifests":\[([^\]]*)\],)?""" +
+      """(?:"eqDeleteManifests":\[([^\]]*)\],)?""" +
       """"numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
 
   private def parseList(inner: String): Seq[String] =
@@ -255,10 +263,11 @@ object SnapshotLog {
   private def parse(txt: String): Seq[Snapshot] =
     Entry.findAllMatchIn(txt).map { m =>
       Snapshot(m.group(1).toLong, m.group(3).toLong, m.group(4),
-        parseList(m.group(5)), m.group(7).toLong, m.group(8).toLong,
-        m.group(9).toLong,
+        parseList(m.group(5)), m.group(8).toLong, m.group(9).toLong,
+        m.group(10).toLong,
         parentId = Option(m.group(2)).map(_.toLong).getOrElse(-1L),
-        deleteManifests = parseList(m.group(6)))
+        deleteManifests = parseList(m.group(6)),
+        eqDeleteManifests = parseList(m.group(7)))
     }.toSeq
 }
 

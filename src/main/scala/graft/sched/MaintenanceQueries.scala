@@ -242,7 +242,50 @@ object MaintenanceQueries {
         "rows_after_optimize")
   }
 
+  /** Row-level changelog: appends emit inserts, MOR deletes emit the
+    * removed rows; replaying insert∖delete reconstructs the table. */
+  private def cdcDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("cdc"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") % 2 === 0), t0) // s1
+    t.append(df.filter(col("p_partkey") % 2 === 1), t0) // s2
+    t.deleteWhereMOR(col("p_partkey") % 5 === 0, t0)    // s3
+    val ch = t.readChanges(0L, 3L)
+    ch.groupBy(col("_commit_snapshot_id"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("table_rows_now", lit(t.rowCount))
+      .orderBy(col("_commit_snapshot_id"), col("_change_type"))
+  }
+
+  /** One-commit merge-on-read UPSERT via equality deletes: matched keys
+    * replaced, new keys inserted, zero data files rewritten; a second
+    * upsert of the same key wins; optimize materializes. */
+  private def upsertDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("upsert"),
+      seed(spark, sfDir).schema)
+    t.append(seed(spark, sfDir), t0)
+    val rowsBefore = t.rowCount
+    val filesBefore = t.files.count()
+    val src = seed(spark, sfDir).filter(col("p_partkey") % 9 === 0)
+      .withColumn("p_retailprice", col("p_retailprice") + 1000.0)
+    val replaced = t.upsert(src, Seq("p_partkey"), t0)
+    val filesAfterUpsert = t.files.count()
+    val upsertedKeys = t.read.filter(col("p_partkey") % 9 === 0).count()
+    t.optimize(clock = t0)
+    import spark.implicits._
+    Seq((rowsBefore, replaced, t.rowCount, filesBefore, filesAfterUpsert,
+      upsertedKeys, t.eqDeleteFiles.count()))
+      .toDF("rows_before", "rows_replaced", "rows_after",
+        "files_before", "files_after_upsert", "rows_with_upserted_keys",
+        "eq_delete_files_after_optimize")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_upsert" -> (upsertDemo _),
+    "x11_cdc_read" -> (cdcDemo _),
     "x10_mor_delete" -> (morDeleteDemo _),
     "x09_incremental_read" -> (incrementalReadDemo _),
     "x01_optimize" -> (optimizeDemo _),

@@ -74,7 +74,8 @@ final class DefaultSource extends RelationProvider
     // A HadoopFsRelation is a plain parquet scan — it cannot anti-join
     // position-delete files, and silently serving deleted rows would be
     // a correctness trap. Refuse loudly instead.
-    require(table.currentSnapshot.forall(_.deleteManifests.isEmpty),
+    require(table.currentSnapshot.forall(s =>
+      s.deleteManifests.isEmpty && s.eqDeleteManifests.isEmpty),
       "this graft table has outstanding merge-on-read delete files; " +
         "read via GraftTable.read (applies deletes) or run optimize() " +
         "to materialize them first")
@@ -109,6 +110,7 @@ final class DefaultSource extends RelationProvider
           .toDF("name", "snapshot_id", "kind")
       case "stats" => table.stats
       case "delete_files" => table.deleteFiles
+      case "eq_delete_files" => table.eqDeleteFiles
       case "history" =>
         // Iceberg's history table: every snapshot + whether it is an
         // ancestor of the CURRENT head (false = orphaned by rollback)

@@ -76,6 +76,11 @@ object GraftSql {
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
         delete(resolve(unquote(t)), Option(where), clock); None
+      case SelectVersion(t, ver) =>
+        Some(resolve(unquote(t)).readAsOf(ver.toLong))
+      case SelectTimestamp(t, ts) =>
+        Some(resolve(unquote(t))
+          .readAsOfTime(Timestamp.valueOf(ts).getTime))
       case SelectAll(t) => Some(select(spark, resolve, unquote(t)))
       case other => throw new IllegalArgumentException(
         s"unsupported SQL (GraftSql handles the reference's statement " +
@@ -103,6 +108,12 @@ object GraftSql {
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
+  // Trino/Iceberg time travel: SELECT * FROM t FOR VERSION AS OF 3 /
+  // FOR TIMESTAMP AS OF TIMESTAMP '...'
+  private val SelectVersion =
+    s"""(?i)^SELECT \\* FROM $Ident FOR VERSION AS OF (\\d+)$$""".r
+  private val SelectTimestamp =
+    s"""(?i)^SELECT \\* FROM $Ident FOR TIMESTAMP AS OF TIMESTAMP '([^']+)'$$""".r
   private val SelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
 
   /** Collapse whitespace runs OUTSIDE string literals only — `'x  y'`

@@ -29,17 +29,19 @@ import graft.meta.GraftTable
   */
 object GraftSink {
   private val OpPrefix = "stream_append"
+  private val UpsertPrefix = "stream_upsert"
 
-  private def opFor(queryName: String, batchId: Long): String =
-    s"$OpPrefix:q=$queryName:b=$batchId"
+  private def opFor(prefix: String, queryName: String, batchId: Long): String =
+    s"$prefix:q=$queryName:b=$batchId"
 
   /** Highest batch id this query has committed to the table, if any.
     * Scans the snapshot log only (no data or manifest I/O). */
   def lastBatch(table: GraftTable, queryName: String): Option[Long] = {
-    val prefix = s"$OpPrefix:q=$queryName:b="
-    val ids = table.snapshots.flatMap(s =>
-      Option.when(s.operation.startsWith(prefix))(
-        s.operation.stripPrefix(prefix).toLong))
+    val prefixes =
+      Seq(s"$OpPrefix:q=$queryName:b=", s"$UpsertPrefix:q=$queryName:b=")
+    val ids = table.snapshots.flatMap(s => prefixes.collectFirst {
+      case p if s.operation.startsWith(p) => s.operation.stripPrefix(p).toLong
+    })
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -54,6 +56,21 @@ object GraftSink {
                  (df: DataFrame, batchId: Long): Unit =
     table.lock.synchronized {
       if (!lastBatch(table, queryName).exists(_ >= batchId))
-        table.appendOp(df, opFor(queryName, batchId), clock, branch)
+        table.appendOp(df, opFor(OpPrefix, queryName, batchId), clock, branch)
+    }
+
+  /** `foreachBatch` UPSERT function (CDC-stream-into-table): each
+    * micro-batch lands as ONE atomic equality-delete + append commit —
+    * rows in the batch replace same-keyed table rows, new keys insert
+    * ([[GraftTable.upsert]]); replayed batches no-op through the same
+    * (query, batchId) marker as the append sink. No data file is
+    * rewritten per batch, so sink cost tracks batch size, not table
+    * size — compaction is the scheduler's job, not the stream's. */
+  def upsertBatch(table: GraftTable, queryName: String, keys: Seq[String],
+                  clock: Clock = Clock.systemUTC())
+                 (df: DataFrame, batchId: Long): Unit =
+    table.lock.synchronized {
+      if (!lastBatch(table, queryName).exists(_ >= batchId))
+        table.upsertOp(df, keys, opFor(UpsertPrefix, queryName, batchId), clock)
     }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.GraftTable
+import graft.streaming.GraftSink
+
+/** Equality deletes and one-commit upserts (Iceberg v2's second
+  * merge-on-read delete kind): key-based deletes without position
+  * scans, the strictly-before sequence rule, atomic upsert commits,
+  * materialization by optimize/CoW, and the streaming upsert sink. */
+class EqDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private def rows(lo: Long, hi: Long, tag: String) =
+    spark.range(lo, hi).select($"id".as("k"),
+      concat(lit(tag), $"id").as("v"))
+
+  test("deleteByKeys removes matching rows without touching data files") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq1") + "/t", schema)
+    t.append(rows(0, 50, "a").repartition(3), clock)
+    val filesBefore = t.files.select("path").as[String].collect().toSet
+
+    val removed = t.deleteByKeys(
+      Seq(1L, 5L, 7L, 999L).toDF("k"), clock)
+    assert(removed === 3) // 999 matches nothing
+    assert(t.rowCount === 47)
+    assert(t.read.filter($"k".isin(1L, 5L, 7L)).count() === 0)
+    assert(t.files.select("path").as[String].collect().toSet === filesBefore)
+    assert(t.eqDeleteFiles.count() >= 1)
+  }
+
+  test("strictly-before rule: a re-inserted key survives the old delete") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq2") + "/t", schema)
+    t.append(rows(0, 10, "old"), clock)         // s1
+    t.deleteByKeys(Seq(3L).toDF("k"), clock)    // s2: kills old k=3
+    t.append(rows(3, 4, "new"), clock)          // s3: re-insert k=3
+    assert(t.read.filter($"k" === 3).select("v").as[String].collect().toSeq
+      === Seq("new3"))
+    assert(t.rowCount === 10)
+  }
+
+  test("upsert replaces and inserts in one atomic commit") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq3") + "/t", schema)
+    t.append(rows(0, 20, "v").repartition(2), clock) // s1
+    val snapsBefore = t.snapshots.size
+    val filesBefore = t.files.select("path").as[String].collect().toSet
+
+    val src = Seq((5L, "UP5"), (6L, "UP6"), (100L, "NEW")).toDF("k", "v")
+    val replaced = t.upsert(src, Seq("k"), clock)    // s2
+    assert(replaced === 2)
+    assert(t.snapshots.size === snapsBefore + 1)
+    assert(t.rowCount === 21)
+    assert(t.read.count() === 21)
+    val got = t.read.filter($"k".isin(5L, 6L, 100L))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(5L -> "UP5", 6L -> "UP6", 100L -> "NEW"))
+    // no existing data file rewritten
+    assert(filesBefore.subsetOf(
+      t.files.select("path").as[String].collect().toSet))
+    // time travel sees the pre-upsert values
+    assert(t.readAsOf(1L).filter($"k" === 5).select("v").as[String].head()
+      === "v5")
+    // chained upsert on the same key wins with the newest value
+    t.upsert(Seq((5L, "UP5b")).toDF("k", "v"), Seq("k"), clock) // s3
+    assert(t.read.filter($"k" === 5).select("v").as[String].collect().toSeq
+      === Seq("UP5b"))
+    assert(t.rowCount === 21)
+  }
+
+  test("optimize and CoW ops materialize eq deletes; expiry reclaims them") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq4") + "/t", schema)
+    t.append(rows(0, 40, "v").repartition(2), clock)
+    t.upsert(rows(0, 5, "up"), Seq("k"), clock)
+    t.deleteByKeys(Seq(39L).toDF("k"), clock)
+    assert(t.currentSnapshot.get.eqDeleteManifests.size === 2)
+    val eqFiles = t.eqDeleteFiles.select("path").as[String].collect()
+
+    clock.advanceDays(11)
+    t.optimize(clock = clock)
+    assert(t.currentSnapshot.get.eqDeleteManifests.isEmpty)
+    assert(t.rowCount === 39)
+    assert(t.read.count() === 39)
+    assert(t.read.filter($"k" < 5).select("v").as[String].collect()
+      .forall(_.startsWith("up")))
+    assert(t.files.agg(sum("record_count")).as[Long].head() === 39)
+
+    t.expireSnapshots(retentionDays = 5, clock = clock)
+    val fs = new org.apache.hadoop.fs.Path(t.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    eqFiles.foreach(p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
+        s"eq delete file $p should be reclaimed after expiry"))
+  }
+
+  test("pos and eq deletes compose on one table") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq5") + "/t", schema)
+    t.append(rows(0, 30, "v"), clock)
+    t.deleteWhereMOR($"k" < 5, clock)              // pos: 0-4
+    t.deleteByKeys(Seq(10L, 11L).toDF("k"), clock) // eq: 10,11
+    // a pos-delete predicate over the live view must not see eq-deleted rows
+    assert(t.deleteWhereMOR($"k" >= 10 && $"k" < 12, clock) === 0)
+    assert(t.rowCount === 23)
+    assert(t.read.count() === 23)
+    val merged = t.read.select("k").as[Long].collect().sorted.toSeq
+    assert(merged === ((5L until 10L) ++ (12L until 30L)))
+  }
+
+  test("changelog emits upsert delete+insert events under one commit") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq6") + "/t", schema)
+    t.append(rows(0, 10, "v"), clock)                          // s1
+    t.upsert(Seq((3L, "U3"), (42L, "U42")).toDF("k", "v"),
+      Seq("k"), clock)                                         // s2
+    val ch = t.readChanges(0L, 2L)
+    val events = ch.groupBy($"_commit_snapshot_id", $"_change_type")
+      .count().as[(Long, String, Long)].collect().toSet
+    assert(events === Set((1L, "insert", 10L),
+      (2L, "delete", 1L), (2L, "insert", 2L)))
+    assert(ch.filter($"_change_type" === "delete").select("v")
+      .as[String].collect().toSeq === Seq("v3"))
+  }
+
+  test("streaming upsert sink: replayed batches no-op, keys replace") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq7") + "/t", schema)
+    val f = GraftSink.upsertBatch(t, "cdcq", Seq("k"), clock) _
+    f(rows(0, 10, "a"), 0L)
+    f(Seq((3L, "b3"), (20L, "b20")).toDF("k", "v"), 1L)
+    f(Seq((3L, "b3"), (20L, "b20")).toDF("k", "v"), 1L) // replay → no-op
+    assert(t.snapshots.size === 2)
+    assert(t.rowCount === 11)
+    assert(t.read.filter($"k" === 3).select("v").as[String].head() === "b3")
+    assert(GraftSink.lastBatch(t, "cdcq").contains(1L))
+  }
+
+  test("stream_append commits stay incrementally readable") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eq8") + "/t", schema)
+    val f = GraftSink.appendBatch(t, "q", clock) _
+    f(rows(0, 10, "a"), 0L)
+    f(rows(10, 15, "a"), 1L)
+    // the sink's tagged ops are appends — incremental scans accept them
+    assert(t.readIncremental(1L, 2L).count() === 5)
+    assert(t.readChanges(0L, 2L).filter($"_change_type" === "insert").count()
+      === 15)
+  }
+}

@@ -305,6 +305,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.properties == Map("write.bloom-filter.columns" -> "k"))
   }
 
+  test("SELECT ... FOR VERSION/TIMESTAMP AS OF time travel") {
+    val fx = fixture("sqltt")
+    fx.sql("CREATE TABLE t (k INTEGER)")
+    fx.sql("INSERT INTO t VALUES (1), (2)") // snapshot 1
+    fx.clock.advanceDays(1)
+    fx.sql("INSERT INTO t VALUES (3)")      // snapshot 2
+    assert(fx.rows("SELECT * FROM t FOR VERSION AS OF 1").length == 2)
+    assert(fx.rows("SELECT * FROM t FOR VERSION AS OF 2").length == 3)
+    assert(fx.rows(
+      "SELECT * FROM t FOR TIMESTAMP AS OF TIMESTAMP '2026-01-01 12:00:00'")
+      .length == 2)
+    assert(fx.rows("SELECT * FROM t").length == 3)
+  }
+
   test("DELETE FROM ... WHERE is a merge-on-read position delete") {
     import spark.implicits._
     val fx = fixture("sqldel")
