@@ -34,26 +34,32 @@ final class DefaultSource extends RelationProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
 
+  // option keys arrive as the caller typed them — accept either case
+  private def opt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.get(name).orElse(parameters.get(name.toLowerCase))
+
+  private def isChangeFeed(parameters: Map[String, String]): Boolean =
+    opt(parameters, "readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val path = pathOf(parameters)
     require(GraftTable.exists(ctx.sparkSession, path),
       s"no graft table at $path")
-    ("graft", GraftTable.load(ctx.sparkSession, path).schema)
+    ("graft", org.apache.spark.sql.graft.GraftStreamSource.schemaFor(
+      GraftTable.load(ctx.sparkSession, path), isChangeFeed(parameters)))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source = {
-    // option keys arrive as the caller typed them — accept either case
-    def opt(name: String): Option[String] =
-      parameters.get(name).orElse(parameters.get(name.toLowerCase))
+                            parameters: Map[String, String]): Source =
     new org.apache.spark.sql.graft.GraftStreamSource(ctx, pathOf(parameters),
-      opt("startingSnapshotId").map(_.toLong).getOrElse(0L),
-      maxSnapshotsPerTrigger = opt("maxSnapshotsPerTrigger").map(_.toLong),
-      maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toLong))
-  }
+      opt(parameters, "startingSnapshotId").map(_.toLong).getOrElse(0L),
+      maxSnapshotsPerTrigger =
+        opt(parameters, "maxSnapshotsPerTrigger").map(_.toLong),
+      maxFilesPerTrigger = opt(parameters, "maxFilesPerTrigger").map(_.toLong),
+      changeFeed = isChangeFeed(parameters))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

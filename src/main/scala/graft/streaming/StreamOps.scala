@@ -302,12 +302,59 @@ object StreamOps {
     s.table(sink).orderBy("hour", "event_type")
   }
 
+  /** Streaming CHANGE FEED consumption: the graft table receives two
+    * appends and then a merge-on-read DELETE of every 'error' event;
+    * the stream consumes the row-level changelog and maintains the net
+    * state with signed aggregation (insert = +1, delete = -1). The
+    * oracle is the batch query over events EXCLUDING errors — a hash
+    * match proves the delete events arrived exactly once and cancelled
+    * precisely the deleted rows. */
+  def st06CdcFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_cdcfeed_g${math.abs(dir.hashCode)}/t"
+    val nLive = src.filter($"event_type" =!= "error").count()
+    val reusable = GraftTable.exists(s, loc) && {
+      val t = GraftTable.load(s, loc)
+      t.snapshots.size == 3 && t.rowCount == nLive
+    }
+    if (!reusable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val t = GraftTable.create(s, loc, src.schema)
+      t.append(src.filter($"event_id" % 2 === 0))
+      t.append(src.filter($"event_id" % 2 === 1))
+      t.deleteWhereMOR($"event_type" === "error")
+    }
+    val sink = s"st06_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft").option("readChangeFeed", "true")
+      .load(loc)
+      .withColumn("sgn", when($"_change_type" === "insert", 1L).otherwise(-1L))
+      .groupBy(date_trunc("hour", $"ts").cast("string").as("hour"),
+        $"event_type")
+      .agg(sum($"sgn").as("n_events"),
+        sum($"value" * $"sgn").as("raw_value"))
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
+    q.processAllAvailable(); q.stop()
+    s.table(sink)
+      .filter($"n_events" > 0)
+      .select($"hour", $"event_type", $"n_events",
+        round($"raw_value", 2).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_stream" -> (st01HourlyStream _),
     "st02_stream_dedup" -> (st02StreamDedup _),
     "st03_graft_sink" -> (st03GraftSink _),
     "st04_stream_join" -> (st04StreamJoin _),
-    "st05_graft_source" -> (st05GraftSource _))
+    "st05_graft_source" -> (st05GraftSource _),
+    "st06_cdc_feed" -> (st06CdcFeed _))
 
   private val HourlyOracle =
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
@@ -334,5 +381,15 @@ object StreamOps {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Net state from the change feed = the batch query minus the
+    // MOR-deleted error events; a hash match proves the delete events
+    // cancelled exactly the deleted rows.
+    "st06_cdc_feed" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE event_type <> 'error'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
 }

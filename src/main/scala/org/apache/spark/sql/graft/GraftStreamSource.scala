@@ -32,6 +32,12 @@ import graft.meta.GraftTable
   * Options:
   *   - `startingSnapshotId` — first batch starts AFTER this id
   *     (default 0 = consume full history).
+  *   - `readChangeFeed` — stream the row-level CHANGELOG instead of
+  *     the raw appends (Delta CDF shape): each micro-batch is
+  *     `readChanges(lastSeen, head]`, rows stamped with `_change_type`
+  *     ('insert' | 'delete') and `_commit_snapshot_id`. Merge-on-read
+  *     delete and upsert commits stream as their exact change events —
+  *     the consumption path for tables written by the CDC upsert sink.
   *   - `maxSnapshotsPerTrigger` / `maxFilesPerTrigger` — admission
   *     control (Delta's maxFilesPerTrigger shape): cap how many
   *     snapshots / how many data FILES a single micro-batch may cover,
@@ -47,12 +53,13 @@ import graft.meta.GraftTable
 final class GraftStreamSource(ctx: SQLContext, path: String,
                               startingSnapshotId: Long,
                               maxSnapshotsPerTrigger: Option[Long] = None,
-                              maxFilesPerTrigger: Option[Long] = None)
+                              maxFilesPerTrigger: Option[Long] = None,
+                              changeFeed: Boolean = false)
   extends Source {
   private val spark = ctx.sparkSession.asInstanceOf[SparkSession]
   private val table = GraftTable.load(spark, path)
 
-  override val schema: StructType = table.schema
+  override val schema: StructType = GraftStreamSource.schemaFor(table, changeFeed)
 
   /** Highest snapshot id already handed out as a batch end (or restored
     * from the checkpoint via getBatch on restart) — the base the next
@@ -103,7 +110,9 @@ final class GraftStreamSource(ctx: SQLContext, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toId).getOrElse(startingSnapshotId)
     pacingBase = math.max(pacingBase, toId(end))
-    val batch = table.readIncremental(from, toId(end))
+    val batch =
+      if (changeFeed) table.readChanges(from, toId(end))
+      else table.readIncremental(from, toId(end))
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, schema, isStreaming = true)
   }
@@ -112,4 +121,14 @@ final class GraftStreamSource(ctx: SQLContext, path: String,
   private def toId(o: Offset): Long = o.json.trim.toLong
 
   override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+  def schemaFor(table: GraftTable, changeFeed: Boolean): StructType =
+    if (!changeFeed) table.schema
+    else StructType(table.schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
 }

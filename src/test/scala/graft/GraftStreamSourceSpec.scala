@@ -107,6 +107,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(sizes.asScala.toSeq == Seq(8L, 2L))
   }
 
+  test("readChangeFeed streams inserts AND merge-on-read delete events") {
+    val loc = tmpDir("gstream") + "/t"
+    val ckpt = tmpDir("gstreamck")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 10))
+    t.deleteWhereMOR(col("k") < 3)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(loc)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.collect().foreach((r: Row) =>
+            got.add((r.getLong(0), r.getString(1), r.getLong(2)))))
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    val events = got.asScala.toSeq
+    assert(events.count(_._2 == "insert") == 10)
+    assert(events.filter(_._2 == "delete").map(_._1).sorted == Seq(0L, 1L, 2L))
+    // checkpoint resume: an upsert streams as delete+insert
+    got.clear()
+    t.upsert(batch(5, 6), Seq("k"))
+    drain()
+    val resumed = got.asScala.toSeq
+    assert(resumed.map(e => (e._1, e._2)).sorted ==
+      Seq((5L, "delete"), (5L, "insert")))
+  }
+
   test("replacement commit in an unconsumed range fails the stream loudly") {
     val loc = tmpDir("gstream") + "/t"
     val ckpt = tmpDir("gstreamck")
