@@ -407,15 +407,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     if (!needPos && !needEq) return readFilesAligned(pairs, pathCol)
     val p = pathCol.getOrElse(MorPathCol)
     val pos = posCol.getOrElse(MorPosCol)
-    var df = readFilesAligned(pairs, Some(p),
-      if (needPos) Some(pos) else None)
+    var df = applyDeletes(s,
+      readFilesAligned(pairs, Some(p), if (needPos) Some(pos) else None),
+      p, pos, pairs)
+    if (needPos && posCol.isEmpty) df = df.drop(pos)
+    if (pathCol.isEmpty) df.drop(p) else df
+  }
+
+  /** Apply `s`'s outstanding deletes (both kinds) to `df0`, which must
+    * expose the normalized source path in column `p` and — whenever
+    * position deletes exist — the row ordinal in column `pos`. `pairs`
+    * supplies the per-file added ids the equality strictly-before rule
+    * compares against. */
+  private def applyDeletes(s: Snapshot, df0: DataFrame, p: String,
+                           pos: String, pairs: Seq[(String, Long)]): DataFrame = {
+    var df = df0
     if (s.deleteManifests.nonEmpty) {
       val del = deleteRowsOf(s)
       df = df.join(del,
         df(p) === del("file_path") && df(pos) === del("pos"), "left_anti")
     }
-    if (needPos && posCol.isEmpty) df = df.drop(pos)
-    if (needEq) {
+    if (s.eqDeleteManifests.nonEmpty) {
       // per-row added id via a broadcast of the (tiny) path→added map
       import spark.implicits._
       val pathAdded = broadcast(
@@ -440,7 +452,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
       df = df.drop(MorAddedCol)
     }
-    if (pathCol.isEmpty) df.drop(p) else df
+    df
   }
 
   /** [[morReadFiles]] against the current snapshot (empty-table safe). */
@@ -476,12 +488,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val cur = currentSnapshot.getOrElse(return 0L)
       if (cur.numFiles == 0) return 0L
       val matched = coalesce(cond, lit(false))
+      val pairs = filePairsOf(cur)
       // the live view with ALL outstanding deletes (pos + eq) applied,
       // path and position retained for the new entries
-      val newDeletes = morReadFiles(cur, filePairsOf(cur),
-          Some(MorPathCol), Some(MorPosCol))
-        .filter(matched)
-        .select(col(MorPathCol).as("file_path"), col(MorPosCol).as("pos"))
+      val newDeletes = {
+        if (schemaVersions.size <= 1) {
+          // pruned fast path: scanning through the registered source
+          // lets Catalyst push `cond` into the FileIndex — manifest
+          // bounds, null counts, and blooms SKIP non-matching files
+          // before a single row is read, so a selective delete on a
+          // 100 TB table scans only candidate files. (The relation
+          // serves the raw rows; the delete joins are applied here.)
+          val base = spark.read.format("graft")
+            .option("graft.internal.allowDeletes", "true").load(location)
+          val cols = base.columns.toSeq.map(col)
+          val df = base.filter(matched)
+            .select(cols :+
+              normalizeUdf(col("_metadata.file_path")).as(MorPathCol) :+
+              col("_metadata.row_index").as(MorPosCol): _*)
+          applyDeletes(cur, df, MorPathCol, MorPosCol, pairs)
+        } else // evolved tables: aligned multi-generation scan
+          morReadFiles(cur, pairs, Some(MorPathCol), Some(MorPosCol))
+            .filter(matched)
+      }.select(col(MorPathCol).as("file_path"), col(MorPosCol).as("pos"))
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
       // Cluster by target file so a reader's per-file delete lookups are
       // contiguous; tiny deletes still produce a single small file.
@@ -983,6 +1012,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         boundMap(min).as("min_values"), boundMap(max).as("max_values"),
         bloomMap.as("blooms"))
       .withColumn("path", normalizeUdf(col("path")))
+    // NOT broadcast: with blooms configured the counts side carries
+    // filter bytes per file — a shuffle of manifest-sized rows is the
+    // scale-safe shape (AQE coalesces the tiny case anyway)
     fsDf.join(counts, Seq("path"), "left")
       .select(col("path"), col("size_bytes"),
         coalesce(col("record_count"), lit(0L)).as("record_count"),

@@ -79,9 +79,12 @@ final class DefaultSource extends RelationProvider
         "for schema-evolved tables (per-generation aligned scans)")
     // A HadoopFsRelation is a plain parquet scan — it cannot anti-join
     // position-delete files, and silently serving deleted rows would be
-    // a correctness trap. Refuse loudly instead.
-    require(table.currentSnapshot.forall(s =>
-      s.deleteManifests.isEmpty && s.eqDeleteManifests.isEmpty),
+    // a correctness trap. Refuse loudly instead. (GraftTable's own MOR
+    // machinery sets the internal flag: it applies the delete joins
+    // itself and only wants the pruned raw scan.)
+    require(parameters.get("graft.internal.allowDeletes").exists(_.toBoolean) ||
+      table.currentSnapshot.forall(s =>
+        s.deleteManifests.isEmpty && s.eqDeleteManifests.isEmpty),
       "this graft table has outstanding merge-on-read delete files; " +
         "read via GraftTable.read (applies deletes) or run optimize() " +
         "to materialize them first")

@@ -97,6 +97,47 @@ class CommitConcurrencySpec extends SparkSpec {
     assert(SnapshotLog.readState(t2.fileSystem, t2.dir)._1 == 1L)
   }
 
+  test("upserts race appends: both land, logical row count stays exact") {
+    // One lock-independent writer streams appends while the other
+    // upserts overlapping keys — the upsert's replaced-row count is
+    // recomputed against the fresh head on every CAS retry, so
+    // rowCount never drifts from the actual table content.
+    val realParent = tmpDir("casup")
+    val linkParent = tmpDir("casuplink")
+    val real = s"$realParent/t"
+    val t0 = GraftTable.create(spark, real, schema)
+    t0.append(spark.range(0, 50).select($"id".as("k")))
+    Files.createSymbolicLink(Paths.get(s"$linkParent/t"), Paths.get(real))
+    val tA = GraftTable.load(spark, real)
+    val tB = GraftTable.load(spark, s"$linkParent/t")
+    assert(!(tA.lock eq tB.lock))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() =>
+      try (0 until 3).foreach(i =>
+        tA.append(spark.range(1000L + i * 10, 1000L + i * 10 + 10)
+          .select($"id".as("k"))))
+      catch { case e: Throwable => errors.add(e) })
+    val upserter = new Thread(() =>
+      try (0 until 3).foreach(i =>
+        tB.upsert(spark.range(i * 5, i * 5 + 10).select($"id".as("k")),
+          Seq("k")))
+      catch { case e: Throwable => errors.add(e) })
+    appender.start(); upserter.start()
+    appender.join(); upserter.join()
+    assert(errors.isEmpty, s"racing upsert/append failed: ${errors.peek()}")
+
+    val t = GraftTable.load(spark, real)
+    assert(t.snapshots.size == 7, "all six commits + seed must land")
+    // exactness: the metadata count equals the actual distinct content
+    assert(t.rowCount == t.read.count(),
+      "logical row count must match the merged content exactly")
+    assert(t.read.filter($"k" < 50).count() == 50,
+      "every original key survives exactly once (upserts replace, not drop)")
+    assert(t.read.groupBy("k").count().filter($"count" > 1).count() == 0,
+      "no key may be duplicated by a lost eq-delete")
+  }
+
   test("refs advance atomically with the claim: main never regresses") {
     // With materialized refs (a branch exists), the main ref rides in
     // the SAME claimed state file as the snapshot — two racing

@@ -65,4 +65,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 3,
       s"salting must not add extra shuffles (${shuffles.size})")
   }
+
+  test("MOR read: the position-delete anti-join broadcasts the delete side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = graft.meta.GraftTable.create(spark, tmpDir("planmor") + "/t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    t.append(spark.range(10000).select($"id".as("k")))
+    t.deleteWhereMOR($"k" % 100 === 0)
+    val nodes = allNodes(t.read)
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.exists(_.joinType.toString.contains("LeftAnti")),
+      "small delete files must broadcast — a sort-merge anti join would " +
+        "shuffle the whole table at scale")
+    assert(t.read.count() == 9900)
+  }
 }
