@@ -1298,6 +1298,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** SHOW STATS-shaped relation (tests/test_maintenance.py:90-92). */
   def stats: DataFrame = graft.cmd.Analyze.statsRelation(this)
 
+  /** Drop all collected statistics (Trino Iceberg's
+    * `ALTER TABLE t EXECUTE drop_extended_stats`): the ANALYZE store
+    * and the incremental sketch store are removed; SHOW STATS falls
+    * back to the live manifest-derived values. */
+  def dropExtendedStats(): Unit = commitLock.synchronized {
+    fs.delete(new Path(tableDir, "_graft/stats"), true)
+    fs.delete(new Path(tableDir, "_graft/stats_inc"), true)
+  }
+
   /** Copy-on-write row-level DELETE; rewrites only affected files.
     * @return rows deleted */
   def deleteWhere(cond: Column, clock: Clock = Clock.systemUTC()): Long =

@@ -156,9 +156,12 @@ object GraftSql {
         t.expireSnapshots(parseDays(arg(kv, "retention_threshold", op)), clock)
       case "remove_orphan_files" =>
         t.removeOrphanFiles(parseDays(arg(kv, "retention_threshold", op)), clock)
+      case "drop_extended_stats" => // Trino Iceberg's stats reset
+        t.dropExtendedStats()
       case other => throw new IllegalArgumentException(
         s"unsupported table procedure: $other " +
-          "(optimize | expire_snapshots | remove_orphan_files)")
+          "(optimize | expire_snapshots | remove_orphan_files | " +
+          "drop_extended_stats)")
     }
   }
 

@@ -305,6 +305,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.properties == Map("write.bloom-filter.columns" -> "k"))
   }
 
+  test("ALTER TABLE EXECUTE drop_extended_stats resets to live stats") {
+    val fx = fixture("sqldropstats")
+    fx.sql("CREATE TABLE t (a VARCHAR, b INTEGER)")
+    fx.sql("INSERT INTO t VALUES ('x', NULL), (NULL, 2)")
+    fx.sql("ANALYZE t")
+    // pinned: nulls_fraction for a = 0.5 from the ANALYZE store
+    def fraction(colName: String): Any =
+      fx.rows("SHOW STATS FOR t").find(_.getString(0) == colName).get.get(3)
+    assert(fraction("a") == 0.5)
+    fx.sql("INSERT INTO t VALUES ('y', 3)")
+    assert(fraction("a") == 0.5) // still pinned, stale by design
+    fx.sql("ALTER TABLE t EXECUTE drop_extended_stats")
+    // live manifest fallback: 1 null of 3 rows
+    assert(math.abs(fraction("a").asInstanceOf[Double] - 1.0 / 3.0) < 1e-9)
+  }
+
   test("SELECT ... FOR VERSION/TIMESTAMP AS OF time travel") {
     val fx = fixture("sqltt")
     fx.sql("CREATE TABLE t (k INTEGER)")

@@ -46,6 +46,47 @@ class RowLevelPropertySpec extends SparkSpec {
     }
   }
 
+  test("MOR delete complement property: matches CoW semantics exactly") {
+    cases(rowsGen, 4).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("id", "v")
+      val t = GraftTable.create(spark, tmpDir("morprop") + "/t", df.schema)
+      t.append(df.repartitionByRange(4, $"id"))
+      val threshold = 20L + i * 15L
+      val deleted = t.deleteWhereMOR($"v" < threshold)
+      val expectSurvivors = rows.filterNot(_._2.exists(_ < threshold))
+      assert(deleted == rows.size - expectSurvivors.size)
+      assert(t.read.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet == expectSurvivors.toSet)
+      assert(t.rowCount == expectSurvivors.size)
+      // materialization preserves the survivors bit-for-bit
+      t.optimize()
+      assert(t.read.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet == expectSurvivors.toSet)
+      assert(t.rowCount == expectSurvivors.size)
+    }
+  }
+
+  test("eq-upsert property: result == source ∪ (table ∖ source keys)") {
+    val srcGen = Gen.choose(3, 15).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 500L)
+      v <- Gen.option(Gen.choose(500L, 600L))
+    } yield (id, v))).map(_.distinctBy(_._1))
+    cases(Gen.zip(rowsGen, srcGen), 4).foreach { case (rows, src) =>
+      val t = GraftTable.create(spark, tmpDir("equprop") + "/t",
+        rows.toDF("id", "v").schema)
+      t.append(rows.toDF("id", "v").repartitionByRange(4, $"id"))
+      t.upsert(src.toDF("id", "v"), Seq("id"))
+      val expect = (src ++ rows.filterNot(r => src.exists(_._1 == r._1))).toSet
+      assert(t.read.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet == expect)
+      assert(t.rowCount == expect.size)
+      assert(t.read.groupBy("id").count().filter($"count" > 1).count() == 0)
+    }
+  }
+
   test("merge upsert property: result == source ∪ (table ∖ source keys)") {
     val srcGen = Gen.choose(3, 15).flatMap(n => Gen.listOfN(n, for {
       id <- Gen.choose(0L, 700L) // overlaps table ids AND new ids
