@@ -50,7 +50,8 @@ object Optimize {
           clusterBy: Seq[String] = Seq.empty): Unit =
     table.lock.synchronized {
       val current = table.currentSnapshot.getOrElse(return)
-      val hasDeletes = current.deleteManifests.nonEmpty
+      val hasDeletes =
+        current.deleteManifests.nonEmpty || current.eqDeleteManifests.nonEmpty
       if (current.numFiles <= 1 && clusterBy.isEmpty && !hasDeletes)
         return // already compact
       val spec = table.partitionSpec

@@ -367,9 +367,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Distinct data-file paths targeted by outstanding delete entries —
     * replacement commits (optimize, row-level CoW) rewrite exactly
     * these to materialize the deletes. Position deletes name their
-    * files; equality deletes conservatively target every file added
-    * before their introducing commit (any of them may hold a matching
-    * key). One column: `path`. */
+    * files. Equality deletes are pruned metadata-only: a data file is
+    * a target only if it was added before the introducing commit AND
+    * its manifest bounds overlap the delete file's bounds on EVERY key
+    * column (necessary for any entry to match; missing bounds keep the
+    * file conservatively) — an upsert touching one key range does not
+    * force a whole-table rewrite. One column: `path`. */
   private[graft] def deleteTargets: DataFrame = {
     val none = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("path", StringType, nullable = false))))
@@ -381,12 +384,35 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val eq =
           if (s.eqDeleteManifests.isEmpty) none
           else {
-            val maxIntro = eqIntroducedBy(snapshots)
-              .filter(kv => s.eqDeleteManifests.contains(kv._1)).values.max
-            manifestDf(s.manifests)
-              .filter(col("added_snapshot_id").isNull ||
-                col("added_snapshot_id") < maxIntro)
-              .select("path")
+            val intro = eqIntroducedBy(snapshots)
+            val data = manifestDf(s.manifests)
+            val tableSchema = schema
+            s.eqDeleteManifests.map { m =>
+              val eqFiles = manifestDf(Seq(m))
+              val keyPaths = eqFiles.select("path")
+                .collect().map(_.getString(0)).toIndexedSeq
+              if (keyPaths.isEmpty) none
+              else {
+                val keyCols = spark.read.parquet(keyPaths.head)
+                  .schema.fieldNames.toSeq
+                def b(side: DataFrame, which: String, k: String) = {
+                  val dt = tableSchema(k).dataType
+                  element_at(side(which), k).cast(dt)
+                }
+                val overlap = keyCols.map { k =>
+                  val (dmin, dmax) = (b(data, "min_values", k),
+                    b(data, "max_values", k))
+                  val (emin, emax) = (b(eqFiles, "min_values", k),
+                    b(eqFiles, "max_values", k))
+                  (dmin.isNull || emax.isNull || dmin <= emax) &&
+                    (dmax.isNull || emin.isNull || dmax >= emin)
+                }.reduce(_ && _)
+                val older = data("added_snapshot_id").isNull ||
+                  data("added_snapshot_id") < lit(intro(m))
+                data.join(eqFiles, overlap && older, "left_semi")
+                  .select(data("path"))
+              }
+            }.reduce(_ unionByName _)
           }
         pos.unionByName(eq).distinct()
       case _ => none
@@ -435,20 +461,33 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       df = df.join(pathAdded, df(p) === col(MorJoinCol), "left")
         .drop(MorJoinCol)
       val intro = eqIntroducedBy(snapshots)
-      s.eqDeleteManifests.foreach { m =>
+      // ONE anti-join per distinct key set, not per manifest: an upsert
+      // stream accumulates one eq manifest per micro-batch, and a plan
+      // with hundreds of anti-joins would not survive — all same-keyed
+      // delete files are read as one scan, each entry stamped with its
+      // introducing snapshot via a broadcast of the file→intro map.
+      val infos = s.eqDeleteManifests.flatMap { m =>
         val files = manifestDf(Seq(m)).select("path")
           .collect().map(_.getString(0)).toIndexedSeq
-        if (files.nonEmpty) {
-          // the delete file's own schema IS its key-column set
-          val keySchema = spark.read.parquet(files.head).schema
-          val entries = spark.read.schema(keySchema).parquet(files: _*)
-          val snapId = intro.getOrElse(m,
-            throw new IllegalStateException(s"eq manifest $m not in log"))
-          val keyCond = keySchema.fieldNames
-            .map(k => df(k) === entries(k)).reduce(_ && _)
-          df = df.join(entries,
-            keyCond && col(MorAddedCol) < lit(snapId), "left_anti")
+        if (files.isEmpty) None
+        else Some((files, spark.read.parquet(files.head).schema,
+          intro.getOrElse(m,
+            throw new IllegalStateException(s"eq manifest $m not in log"))))
+      }
+      infos.groupBy(_._2.fieldNames.toSeq).foreach { case (keyNames, group) =>
+        val keySchema = group.head._2
+        val fileIntro = group.flatMap { case (files, _, snapId) =>
+          files.map(f => (f, snapId))
         }
+        val introDf = broadcast(
+          spark.createDataset(fileIntro).toDF(MorJoinCol, MorEqSnapCol))
+        val entries = spark.read.schema(keySchema)
+          .parquet(group.flatMap(_._1): _*)
+          .withColumn(MorJoinCol, normalizeUdf(col("_metadata.file_path")))
+          .join(introDf, Seq(MorJoinCol)).drop(MorJoinCol)
+        val keyCond = keyNames.map(k => df(k) === entries(k)).reduce(_ && _)
+        df = df.join(entries,
+          keyCond && col(MorAddedCol) < entries(MorEqSnapCol), "left_anti")
       }
       df = df.drop(MorAddedCol)
     }
@@ -550,6 +589,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val keyCols = keys.columns.toSeq
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"key column $k not in table schema"))
+      if (keys.isEmpty) return 0L // no keys, no commit
       val eqDir = writeEqDeleteFile(keys)
       var removed = 0L
       commit("delete", emptyManifest, clock, carryPrior = true,
@@ -1407,6 +1447,7 @@ object GraftTable {
   private[meta] val MorPosCol = "__graft_mor_pos"
   private[meta] val MorJoinCol = "__graft_mor_join"
   private[meta] val MorAddedCol = "__graft_mor_added"
+  private[meta] val MorEqSnapCol = "__graft_mor_eq_snap"
 
   /** Column types whose string-encoded min/max round-trip losslessly
     * through `cast(string)` and back (Spark renders doubles/timestamps

@@ -102,6 +102,48 @@ class EqDeleteSpec extends SparkSpec {
         s"eq delete file $p should be reclaimed after expiry"))
   }
 
+  test("bounds-pruned eq targets: optimize rewrites only overlapping files") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eqprune") + "/t", schema)
+    // 4 range-clustered files over k ∈ [0, 400)
+    t.append(rows(0, 400, "v").repartitionByRange(4, $"k"), clock)
+    val before = t.files.select("path", "size_bytes")
+      .as[(String, Long)].collect().toMap
+    assert(before.size === 4)
+
+    // upsert touches ONLY the lowest key range — the delete file's key
+    // bounds ([1, 2]) overlap a single clustered file
+    t.upsert(Seq((1L, "U1"), (2L, "U2")).toDF("k", "v"), Seq("k"), clock)
+
+    // pick a target that makes every ORIGINAL file "in-band" by size
+    // (0.75t <= size <= 1.8t), so the only rewrite candidates are the
+    // bounds-overlapping delete targets (+ the tiny upsert file)
+    val sizes = before.values.toSeq
+    assert(sizes.max < 1.8 * sizes.min, "test files must be similar sizes")
+    t.optimize(targetFileBytes = sizes.min, clock = clock)
+
+    val after = t.files.select("path").as[String].collect().toSet
+    val untouched = before.keySet intersect after
+    assert(untouched.size >= 3,
+      s"non-overlapping clustered files must be carried, not rewritten " +
+        s"(kept ${untouched.size} of ${before.size})")
+    assert(t.currentSnapshot.get.eqDeleteManifests.isEmpty)
+    assert(t.read.count() === 400)
+    assert(t.read.filter($"k" === 1).select("v").as[String].head() === "U1")
+    assert(t.rowCount === 400)
+  }
+
+  test("optimize materializes eq deletes even on a single-file table") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eqsingle") + "/t", schema)
+    t.append(rows(0, 20, "v").coalesce(1), clock)
+    assert(t.deleteByKeys(Seq(7L).toDF("k"), clock) === 1)
+    t.optimize(clock = clock)
+    assert(t.currentSnapshot.get.eqDeleteManifests.isEmpty)
+    assert(t.read.count() === 19)
+    assert(t.rowCount === 19)
+  }
+
   test("pos and eq deletes compose on one table") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("eq5") + "/t", schema)
