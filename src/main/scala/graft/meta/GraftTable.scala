@@ -180,10 +180,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(fromId == 0 || all.exists(_.snapshotId == fromId),
       s"no snapshot $fromId")
     val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
-    require(range.forall(_.isAppend),
+    require(range.forall(s => s.isAppend || s.isRowNeutral),
       "incremental scan supports append-only ranges; found: " +
-        range.filterNot(_.isAppend).map(_.operation).distinct
-          .mkString(", "))
+        range.filterNot(s => s.isAppend || s.isRowNeutral)
+          .map(_.operation).distinct.mkString(", "))
     if (range.isEmpty || to.manifests.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val pairs = spark.read.schema(ManifestSchema).parquet(to.manifests: _*)
@@ -220,7 +220,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(fromId == 0 || byId.contains(fromId), s"no snapshot $fromId")
     val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
       .sortBy(_.snapshotId)
-    def tracked(s: Snapshot) = s.isAppend ||
+    def tracked(s: Snapshot) = s.isAppend || s.isRowNeutral ||
       s.operation == "delete" || s.operation.startsWith("upsert") ||
       s.operation.startsWith("stream_upsert")
     require(range.forall(tracked),
@@ -232,6 +232,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       StructField("_commit_snapshot_id", LongType, nullable = false))
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val parts = range.flatMap { s =>
+      // row-neutral reshuffles (rewrite_manifests / rewrite_deletes)
+      // replace manifest LISTS without changing logical rows — their
+      // "delta" manifests are re-packagings, not new events
+      if (s.isRowNeutral) Seq.empty else {
       def stamp(df: DataFrame, kind: String): DataFrame = df
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
@@ -292,6 +296,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
       // order matters for readability only: deletes before inserts
       posDeletes.toSeq ++ eqDeletes.toSeq ++ inserts.toSeq
+      }
     }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], changeSchema)
@@ -662,6 +667,60 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     fs.delete(new Path(manifestDir, "_SUCCESS"), false)
     manifestDir.toString
   }
+
+  /** Compact accumulated position-delete files into one clustered
+    * delete file (Iceberg's `rewrite_position_delete_files`): a delete
+    * or upsert stream leaves one small delete file per commit; this
+    * merges them WITHOUT touching data files, so reads are back to one
+    * small anti-join input while the expensive data rewrite stays
+    * deferred to optimize. Positions are absolute (file, ordinal)
+    * coordinates, so merging is order-free and safe — unlike equality
+    * deletes, whose per-file applicability windows cannot be merged
+    * without tracking per-entry sequence numbers.
+    * @return number of delete files merged (0 = nothing to do) */
+  def rewriteDeleteFiles(clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      val cur = currentSnapshot.getOrElse(return 0L)
+      val delRows = manifestDf(cur.deleteManifests)
+        .select("path", "size_bytes").collect()
+      val delFiles = delRows.map(_.getString(0)).toIndexedSeq
+      if (delFiles.size <= 1) return 0L
+      val merged = spark.read.schema(DeleteSchema).parquet(delFiles: _*)
+      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+      // size the output from the manifest: delete sets are small, so
+      // this is typically ONE file (which also makes the op idempotent)
+      val nOut = math.max(1L,
+        (delRows.map(_.getLong(1)).sum + (64L << 20) - 1) / (64L << 20)).toInt
+      merged
+        .repartitionByRange(nOut, col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(commitDir.toString)
+      fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      val manifest = inventoryManifest(commitDir)
+      var done = false
+      var attempt = 0
+      while (!done) {
+        require(attempt < 50, "CAS retry exhausted for rewrite_deletes")
+        val (ver, st) = SnapshotLog.readState(fs, tableDir)
+        val head = headOf(st.snapshots, st.refs, "main").getOrElse(
+          throw new IllegalStateException("table emptied during rewrite"))
+        require(st.snapshots.filter(_.snapshotId > cur.snapshotId)
+          .forall(_.isAppend),
+          "concurrent non-append commit during delete-file rewrite")
+        val id = st.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+        val snap = Snapshot(id, clock.millis(), "rewrite_deletes",
+          head.manifests, head.numFiles, head.totalBytes, head.totalRows,
+          head.snapshotId, Seq(manifest), head.eqDeleteManifests)
+        val newRefs =
+          if (st.refs.nonEmpty)
+            materialize(st.snapshots, st.refs) + ("main" -> id)
+          else st.refs
+        done = SnapshotLog.tryWriteState(fs, tableDir, ver,
+          TableState(st.snapshots :+ snap, newRefs, st.tags))
+        attempt += 1
+      }
+      delFiles.size.toLong
+    }
 
   /** Commit a new delete manifest: data manifests are re-carried from
     * the fresh head each CAS attempt (concurrent appends compose), but

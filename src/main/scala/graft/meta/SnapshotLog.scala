@@ -47,6 +47,12 @@ final case class Snapshot(
     * incremental scans and the streaming source may deliver. */
   def isAppend: Boolean =
     operation == "append" || operation.startsWith("stream_append")
+
+  /** Metadata reshuffles that change NO logical rows and preserve
+    * `added_snapshot_id` lineage — transparent to incremental scans
+    * and the changelog (they plan from lineage, which survives). */
+  def isRowNeutral: Boolean =
+    operation == "rewrite_manifests" || operation == "rewrite_deletes"
 }
 
 /** The complete CAS-versioned table state: the snapshot list plus both

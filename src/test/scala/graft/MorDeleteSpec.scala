@@ -78,6 +78,39 @@ class MorDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("rewriteDeleteFiles compacts delete files without touching data") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("morrw") + "/t", schema)
+    t.append(seed(100).repartition(2), clock)          // s1
+    t.deleteWhereMOR(col("id") < 10, clock)            // s2
+    t.deleteWhereMOR(col("id") >= 90, clock)           // s3
+    t.append(seed(10).withColumn("id", col("id") + 500), clock) // s4
+    t.deleteWhereMOR(col("id") === 50, clock)          // s5
+    val dataFiles = t.files.select("path").as[String].collect().toSet
+    assert(t.deleteFiles.count() >= 3)
+
+    val merged = t.rewriteDeleteFiles(clock)           // s6
+    assert(merged >= 3)
+    assert(t.deleteFiles.count() === 1)
+    assert(t.currentSnapshot.get.deleteManifests.size === 1)
+    // data untouched, logical content identical
+    assert(t.files.select("path").as[String].collect().toSet === dataFiles)
+    assert(t.rowCount === 89)
+    assert(t.read.count() === 89)
+    assert(t.read.filter(col("id") < 10 || (col("id") >= 90 && col("id") < 500)
+      || col("id") === 50).count() === 0)
+    // idempotent: one file left -> nothing to merge
+    assert(t.rewriteDeleteFiles(clock) === 0)
+
+    // row-neutral: incremental and changelog consumers read through it
+    assert(t.readIncremental(5L, 6L).count() === 0)
+    assert(t.readChanges(5L, 6L).count() === 0)
+    t.append(seed(5).withColumn("id", col("id") + 900), clock) // s7
+    assert(t.readIncremental(5L, 7L).count() === 5)
+    assert(t.readChanges(4L, 7L)
+      .filter(col("_change_type") === "delete").count() === 1) // only s5's
+  }
+
   test("optimize materializes deletes and drops the delete manifests") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("mor4") + "/t", schema)
