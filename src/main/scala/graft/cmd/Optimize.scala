@@ -76,10 +76,14 @@ object Optimize {
       // Files targeted by outstanding MOR delete entries are rewritten
       // too (with the deletes applied) — the commit drops the delete
       // manifests, so every entry must be materialized here (Iceberg's
-      // rewrite_position_delete_files folded into binpack).
-      val manifest = table.files.join(
-        table.deleteTargets.withColumn("has_deletes", lit(true)),
-        Seq("path"), "left")
+      // rewrite_position_delete_files folded into binpack). Tables
+      // without deletes skip the target join entirely.
+      val manifest =
+        if (!hasDeletes)
+          table.files.withColumn("has_deletes", lit(null).cast("boolean"))
+        else table.files.join(
+          table.deleteTargets.withColumn("has_deletes", lit(true)),
+          Seq("path"), "left")
       val candidate = col("size_bytes") < minBytes ||
         col("size_bytes") > maxBytes || col("has_deletes").isNotNull
       val candRows = manifest.filter(candidate)
