@@ -228,18 +228,20 @@ object MaintenanceQueries {
     t.append(seed(spark, sfDir).repartition(3), t0)
     val filesBefore = t.files.count()
     val rowsBefore = t.rowCount
-    val deleted = t.deleteWhereMOR(col("p_partkey") % 7 === 0, t0)
+    val deleted = t.deleteWhereMOR(col("p_partkey") % 7 === 0, t0) +
+      t.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
     val filesAfterDelete = t.files.count() // unchanged: metadata-only
+    val merged = t.rewriteDeleteFiles(t0)  // compact delete files, no data I/O
     val deleteFiles = t.deleteFiles.count()
     val rowsMor = t.read.count()
     t.optimize(clock = t0) // materializes the deletes
     import spark.implicits._
     Seq((rowsBefore, deleted, rowsMor, filesBefore, filesAfterDelete,
-      deleteFiles, t.deleteFiles.count(), t.rowCount))
+      merged, deleteFiles, t.deleteFiles.count(), t.rowCount))
       .toDF("rows_before", "rows_deleted", "rows_after_mor_delete",
         "data_files_before", "data_files_after_delete",
-        "delete_files_outstanding", "delete_files_after_optimize",
-        "rows_after_optimize")
+        "delete_files_merged", "delete_files_after_merge",
+        "delete_files_after_optimize", "rows_after_optimize")
   }
 
   /** Row-level changelog: appends emit inserts, MOR deletes emit the
