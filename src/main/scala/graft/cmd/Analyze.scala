@@ -149,13 +149,16 @@ object Analyze {
     // One tiny aggregate over the current manifest: total rows + per-file
     // null-count sums for columns lacking pinned stats.
     val manifest = table.files
-    val liveAggs = liveAggRow(manifest, liveNeeded)
+    val (liveAggs, physicalRows) = liveAggRow(manifest, liveNeeded)
     val totalRows = table.currentSnapshot.map(_.totalRows).getOrElse(0L)
 
     val rows = fields.map { f =>
       byName.getOrElse(f.name, {
+        // fraction over PHYSICAL rows: manifest null counts are physical,
+        // so on a table with outstanding merge-on-read deletes dividing
+        // by the logical count would overstate (even exceed 1.0)
         val fraction: Any = liveAggs.get(f.name) match {
-          case Some(nulls) if totalRows > 0 => nulls.toDouble / totalRows
+          case Some(nulls) if physicalRows > 0 => nulls.toDouble / physicalRows
           case _ => null
         }
         Row(f.name, null, null, fraction, null, null, null)
@@ -164,15 +167,17 @@ object Analyze {
     table.spark.createDataFrame(rows.asJava, StatsSchema)
   }
 
-  /** Sum each named column's null_counts across the live manifest. */
-  private def liveAggRow(manifest: DataFrame, names: Seq[String]): Map[String, Long] = {
-    if (names.isEmpty) return Map.empty
+  /** Sum each named column's null_counts across the live manifest, plus
+    * the physical row total (one aggregation pass). */
+  private def liveAggRow(manifest: DataFrame,
+                         names: Seq[String]): (Map[String, Long], Long) = {
+    if (names.isEmpty) return (Map.empty, 0L)
     val aggs = names.zipWithIndex.map { case (n, i) =>
       sum(coalesce(element_at(col("null_counts"), n), lit(0L))).as(s"c$i")
-    }
+    } :+ coalesce(sum(col("record_count")), lit(0L)).as("physical")
     val row = manifest.agg(aggs.head, aggs.tail: _*).collect()(0)
-    names.zipWithIndex.collect {
+    (names.zipWithIndex.collect {
       case (n, i) if !row.isNullAt(i) => n -> row.getLong(i)
-    }.toMap
+    }.toMap, row.getLong(names.size))
   }
 }

@@ -228,6 +228,22 @@ class MorDeleteSpec extends SparkSpec {
     assert(spark.read.format("graft").load(loc).count() === 19)
   }
 
+  test("live SHOW STATS fractions stay physical on delete-laden tables") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("morstats") + "/t", schema)
+    // 10 of 40 rows have NULL v
+    t.append(seed(40).withColumn("v",
+      when(col("id") < 10, lit(null)).otherwise(col("v"))), clock)
+    def fraction: Double = t.stats
+      .filter(col("column_name") === "v").head().getDouble(3)
+    assert(math.abs(fraction - 0.25) < 1e-9)
+    // MOR-delete 20 non-null rows: physical nulls/rows unchanged at
+    // 10/40 — the fraction must not jump to 10/20 (or past 1.0)
+    t.deleteWhereMOR(col("id") >= 20, clock)
+    assert(t.rowCount === 20)
+    assert(math.abs(fraction - 0.25) < 1e-9)
+  }
+
   test("MOR delete on an evolved table (renamed column) is id-aligned") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("mor10") + "/t", schema)
