@@ -264,6 +264,71 @@ object ScaleQueries {
       .orderBy($"event_id")
   }
 
+  /** Merge-on-read DELETE under the oracle gate: events staged into a
+    * graft table, every 'error' event removed via a position-delete
+    * commit (no data file rewritten), then aggregated through the
+    * MOR-applying read. The oracle excludes errors with a WHERE — a
+    * hash match proves the anti-join removed exactly those rows. */
+  def q36MorRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_morread_g${math.abs(dir.hashCode)}/t"
+    val nLive = src.filter($"event_type" =!= "error").count()
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).rowCount == nLive
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val t = GraftTable.create(s, loc, src.schema)
+      t.append(src.repartition(4))
+      t.deleteWhereMOR($"event_type" === "error")
+    }
+    GraftTable.load(s, loc).read
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** One-commit merge-on-read UPSERT under the oracle gate: part staged
+    * into a graft table, every 10th key's price bumped and a shifted
+    * key range inserted via ONE upsert commit (equality delete +
+    * append, zero files rewritten), then aggregated through the read.
+    * Same oracle shape as the CoW a02 — a hash match proves MOR upsert
+    * and CoW merge agree exactly. */
+  def q37UpsertRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val part = t(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_upsread_g${math.abs(dir.hashCode)}/t"
+    val nRows = part.count() + part.filter($"p_partkey" % 100 === 1).count()
+    val usable = GraftTable.exists(s, loc) &&
+      GraftTable.load(s, loc).rowCount == nRows
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val tbl = GraftTable.create(s, loc, part.schema)
+      tbl.append(part.repartitionByRange(8, $"p_partkey"))
+      val updates = part.filter($"p_partkey" % 10 === 0)
+        .withColumn("p_retailprice", $"p_retailprice" + 100.0)
+      val inserts = part.filter($"p_partkey" % 100 === 1)
+        .select(($"p_partkey" + 1000000L).as("p_partkey"),
+          $"p_brand", $"p_retailprice")
+      tbl.upsert(updates.unionByName(inserts), Seq("p_partkey"))
+    }
+    GraftTable.load(s, loc).read
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"p_retailprice"), 2).as("total"))
+      .orderBy($"p_brand")
+  }
+
   def q29PrunedScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.GraftTable
@@ -424,6 +489,8 @@ object ScaleQueries {
     "q29_pruned_scan" -> (q29PrunedScan _),
     "q30_pivot" -> (q30Pivot _),
     "q35_bloom_scan" -> (q35BloomScan _),
+    "q36_mor_read" -> (q36MorRead _),
+    "q37_upsert_read" -> (q37UpsertRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,6 +538,25 @@ object ScaleQueries {
         |FROM events
         |WHERE event_id IN (7, 63, 250, 777)
         |ORDER BY event_id""".stripMargin,
+    "q36_mor_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q37_upsert_read" ->
+      """WITH upd AS (
+        |  SELECT p_partkey, p_brand,
+        |    CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 100.0
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM part),
+        |ins AS (
+        |  SELECT p_partkey + 1000000 AS p_partkey, p_brand, p_retailprice
+        |  FROM part WHERE p_partkey % 100 = 1),
+        |final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT p_brand, count(*) AS n,
+        |  round(sum(p_retailprice), 2) AS total
+        |FROM final GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q32_zorder_scan" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
