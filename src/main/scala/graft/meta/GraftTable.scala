@@ -640,13 +640,39 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** Rows of `b` (all MOR deletes applied) matching the key set —
-    * the exact count an eq-delete commit must subtract. */
+    * the exact count an eq-delete commit must subtract. The scan is
+    * bounds-pruned first: one tiny aggregate computes the key set's
+    * min/max per key column, and only data files whose manifest bounds
+    * overlap are read — an upsert touching one key range counts
+    * against overlapping files, not the table. */
   private def matchingRows(b: Snapshot, keys: DataFrame,
-                           keyCols: Seq[String]): Long =
-    if (b.numFiles == 0) 0L
-    else morReadFiles(b, filePairsOf(b))
-      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .count()
+                           keyCols: Seq[String]): Long = {
+    if (b.numFiles == 0) return 0L
+    val kd = keys.select(keyCols.map(col): _*).distinct()
+    val statAggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+    val stats = kd.agg(statAggs.head, statAggs.tail: _*).head()
+    if (keyCols.indices.exists(i => stats.isNullAt(2 * i)))
+      return 0L // a key column with no non-null values matches nothing
+    val tableSchema = schema
+    val keep = keyCols.zipWithIndex.map { case (k, i) =>
+      val dt = tableSchema(k).dataType
+      if (!boundable(dt)) lit(true)
+      else {
+        val smin = lit(stats.get(2 * i)).cast(dt)
+        val smax = lit(stats.get(2 * i + 1)).cast(dt)
+        val dmin = element_at(col("min_values"), k).cast(dt)
+        val dmax = element_at(col("max_values"), k).cast(dt)
+        (dmin.isNull || dmin <= smax) && (dmax.isNull || dmax >= smin)
+      }
+    }.reduce(_ && _)
+    val pairs = manifestDf(b.manifests).filter(keep)
+      .select("path", "added_snapshot_id").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toIndexedSeq
+    if (pairs.isEmpty) 0L
+    else morReadFiles(b, pairs).join(kd, keyCols, "left_semi").count()
+  }
 
   /** Write a distinct key set as one eq-delete parquet dir. */
   private def writeEqDeleteFile(keys: DataFrame): Path = {
