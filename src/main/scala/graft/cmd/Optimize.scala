@@ -41,6 +41,52 @@ object Optimize {
     * (a single oversized file is always worth splitting). */
   private val MinInputFiles = 2
 
+  /** Partition-scoped binpack: like [[run]], but only files inside the
+    * partition scope are candidates; everything else is carried
+    * untouched with its lineage. See
+    * [[graft.meta.GraftTable.optimizePartitions]] for semantics. */
+  def runScoped(table: GraftTable, preds: Seq[(String, org.apache.spark.sql.Column)],
+                targetFileBytes: Long, clock: Clock): Unit =
+    table.lock.synchronized {
+      val current = table.currentSnapshot.getOrElse(return)
+      require(current.deleteManifests.isEmpty &&
+        current.eqDeleteManifests.isEmpty,
+        "scoped optimize on a table with outstanding merge-on-read " +
+          "deletes would drop delete entries for out-of-scope files; " +
+          "run optimize() or rewriteDeleteFiles() first")
+      val spec = table.partitionSpec
+      val minBytes = (targetFileBytes * MinFileSizeRatio).toLong
+      val maxBytes = (targetFileBytes * MaxFileSizeRatio).toLong
+      val manifest = table.files
+      val candidate = table.partitionScope(preds) &&
+        (col("size_bytes") < minBytes || col("size_bytes") > maxBytes)
+      val candRows = manifest.filter(candidate)
+        .select("path", "added_snapshot_id", "size_bytes").collect()
+      val numSmall = candRows.count(_.getLong(2) < minBytes)
+      if (numSmall < MinInputFiles && candRows.length == numSmall) return
+      val candPairs = candRows.map(r =>
+        (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toIndexedSeq
+      val candBytes = candRows.map(_.getLong(2)).sum
+      val nOut = math.max(1L,
+        (candBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
+      val toRewrite = table.readFilesAligned(candPairs)
+      val rewritten =
+        if (spec.nonEmpty) {
+          val exprs = spec.map(f =>
+            f.expr(toRewrite(f.column), toRewrite.schema(f.column).dataType))
+          toRewrite.repartitionByRange(nOut, exprs: _*)
+            .sortWithinPartitions(exprs: _*)
+        } else toRewrite.repartition(nOut)
+      rewritten.write.parquet(commitDir.toString)
+      table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
+      val untouched = manifest.filter(!candidate)
+        .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
+      val fresh = table.inventory(commitDir)
+        .withColumn("added_snapshot_id", lit(null).cast("long"))
+      table.doCommit("optimize", untouched.unionByName(fresh), clock)
+    }
+
   /** @param clusterBy when non-empty, the rewrite range-partitions and
     *   sorts by these columns instead of bin-packing — sort-order
     *   compaction (Iceberg's rewrite_data_files `sort` strategy). Sort

@@ -980,15 +980,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def readPrunedPartition(preds: (String, Column)*): PrunedScan =
     currentSnapshot match {
       case Some(s) if s.numFiles > 0 =>
-        val spec = partitionSpec
-        val keep = preds.foldLeft(files) { case (acc, (name, v)) =>
-          val f = spec.find(_.name == name).getOrElse(throw
-            new IllegalArgumentException(s"no partition field named $name"))
-          val dt = f.outputType(schema(f.column).dataType)
-          val minC = element_at(col("min_values"), name).cast(dt)
-          val maxC = element_at(col("max_values"), name).cast(dt)
-          acc.filter(minC.isNull || maxC.isNull || (maxC >= v && minC <= v))
-        }
+        val keep = files.filter(partitionScope(preds))
         val pa = keep.select("path", "added_snapshot_id").collect()
           .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
           .toIndexedSeq
@@ -997,6 +989,35 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         PrunedScan(
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), 0L, 0L)
     }
+
+  /** Manifest-row predicate: might this file hold rows where each named
+    * partition-transform output equals the given value? (missing bounds
+    * keep the file — superset guarantee, like all pruning here). */
+  private[graft] def partitionScope(preds: Seq[(String, Column)]): Column = {
+    require(preds.nonEmpty, "partition scope requires at least one predicate")
+    val spec = partitionSpec
+    preds.map { case (name, v) =>
+      val f = spec.find(_.name == name).getOrElse(throw
+        new IllegalArgumentException(s"no partition field named $name"))
+      val dt = f.outputType(schema(f.column).dataType)
+      val minC = element_at(col("min_values"), name).cast(dt)
+      val maxC = element_at(col("max_values"), name).cast(dt)
+      minC.isNull || maxC.isNull || (maxC >= v && minC <= v)
+    }.reduce(_ && _)
+  }
+
+  /** Partition-scoped binpack compaction (Iceberg's rewrite_data_files
+    * with a filter): only files whose transform bounds cover the given
+    * partition values are compaction candidates — the nightly "compact
+    * yesterday's partition" shape, which on a 100 TB table must not
+    * even LIST the other partitions' files as rewrite work. Refused on
+    * tables with outstanding merge-on-read deletes (a scoped rewrite
+    * would drop delete entries targeting out-of-scope files): compact
+    * deletes or run the full optimize first. */
+  def optimizePartitions(preds: Seq[(String, Column)],
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         clock: Clock = Clock.systemUTC()): Unit =
+    graft.cmd.Optimize.runScoped(this, preds, targetFileBytes, clock)
 
   def readPruned(column: String, lo: Column, hi: Column): PrunedScan =
     currentSnapshot match {

@@ -63,6 +63,35 @@ class PartitionSpecSpec extends SparkSpec {
     assert(scan.df.filter(to_date($"ts") === "2026-01-03").count() == 150)
   }
 
+  test("partition-scoped optimize compacts one partition, carries the rest") {
+    val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
+      partitionBy = Seq(PartitionSpec.days("ts")))
+    // three small appends → several files per day partition
+    (0 until 3).foreach(i =>
+      t.append(eventsDf.filter($"event_id" % 3 === i)))
+    val day = PartitionSpec.days("ts")
+      .expr(lit("2026-01-02 00:00:00").cast("timestamp"))
+    val beforeAll = t.files.select("path").as[String].collect().toSet
+    val dayFilesBefore = t.readPrunedPartition("days_ts" -> day).filesScanned
+    assert(dayFilesBefore >= 3)
+
+    t.optimizePartitions(Seq("days_ts" -> day))
+    val afterAll = t.files.select("path").as[String].collect().toSet
+    // the scoped day got compacted; files outside the scope are carried
+    val dayFilesAfter = t.readPrunedPartition("days_ts" -> day).filesScanned
+    assert(dayFilesAfter < dayFilesBefore)
+    assert((beforeAll intersect afterAll).nonEmpty,
+      "out-of-scope files must be carried untouched")
+    assert(t.read.count() === 400)
+    assert(t.rowCount === 400)
+
+    // refused while merge-on-read deletes are outstanding
+    t.deleteWhereMOR($"user_id" === 3L)
+    val e = intercept[IllegalArgumentException](
+      t.optimizePartitions(Seq("days_ts" -> day)))
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
   test("string truncate transform is a prefix; pruning works on it") {
     import org.apache.spark.sql.types.StringType
     val docs = (for (p <- Seq("aa", "bb", "cc", "dd"); i <- 0 until 50)
