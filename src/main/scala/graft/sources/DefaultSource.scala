@@ -120,6 +120,26 @@ final class DefaultSource extends RelationProvider
       case "stats" => table.stats
       case "delete_files" => table.deleteFiles
       case "eq_delete_files" => table.eqDeleteFiles
+      case "partitions" =>
+        // Iceberg's partitions table: per-partition-tuple file/row/byte
+        // totals, derived from the manifest's transform bounds. A file
+        // whose bounds straddle several transform values (pre-evolution
+        // or un-clustered data) reports as partition NULL ("mixed").
+        import org.apache.spark.sql.functions._
+        val spec = table.partitionSpec
+        require(spec.nonEmpty, "partitions: table has no partition spec")
+        val tupleCols = spec.map { f =>
+          val mn = element_at(col("min_values"), f.name)
+          val mx = element_at(col("max_values"), f.name)
+          when(mn === mx, mn).as(f.name)
+        }
+        table.files
+          .select((tupleCols :+ col("record_count") :+ col("size_bytes")): _*)
+          .groupBy(spec.map(f => col(f.name)): _*)
+          .agg(count(lit(1)).as("file_count"),
+            sum("record_count").as("record_count"),
+            sum("size_bytes").as("total_size_bytes"))
+          .orderBy(spec.map(f => col(f.name)): _*)
       case "history" =>
         // Iceberg's history table: every snapshot + whether it is an
         // ancestor of the CURRENT head (false = orphaned by rollback)
@@ -144,8 +164,8 @@ final class DefaultSource extends RelationProvider
             (m, len)
           }.toDF("path", "length")
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table $other " +
-          "(files|snapshots|refs|stats|history|manifests|delete_files)")
+        s"unknown metadata table $other (files|snapshots|refs|stats|" +
+          "history|manifests|delete_files|eq_delete_files|partitions)")
     }
     new BaseRelation with org.apache.spark.sql.sources.TableScan {
       override def sqlContext: SQLContext = ctx

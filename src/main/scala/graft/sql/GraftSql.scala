@@ -430,7 +430,7 @@ object GraftSql {
     * through the same graft-source metadata relations. */
   private val MetaSuffixes =
     Set("files", "snapshots", "refs", "stats", "history", "manifests",
-      "delete_files")
+      "delete_files", "eq_delete_files", "partitions")
 
   private def select(spark: SparkSession, resolve: String => GraftTable,
                      id: String): DataFrame = {

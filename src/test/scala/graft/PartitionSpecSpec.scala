@@ -106,6 +106,28 @@ class PartitionSpecSpec extends SparkSpec {
     assert(scan.df.filter($"doc_key".startsWith("cc")).count() == 50)
   }
 
+  test("the partitions metadata table reports per-partition totals") {
+    val loc = tmpDir("pspec") + "/t"
+    // 4 days over 4 shuffle partitions → range clustering can give each
+    // file a single day (mixed-day files report as partition NULL)
+    val df4 = (for (d <- 0 until 4; i <- 0 until 50) yield
+      (d * 50L + i, Timestamp.valueOf(f"2026-01-${d + 1}%02d 12:00:00"),
+        i % 7L, i * 1.5))
+      .toDF("event_id", "ts", "user_id", "value")
+      .repartition(4, $"event_id")
+    val t = GraftTable.create(spark, loc, df4.schema,
+      partitionBy = Seq(PartitionSpec.days("ts")))
+    t.append(df4)
+    val p = spark.read.format("graft").option("metadata", "partitions")
+      .load(loc)
+    assert(p.columns.toSeq ==
+      Seq("days_ts", "file_count", "record_count", "total_size_bytes"))
+    val rows = p.collect()
+    assert(rows.map(_.getLong(2)).sum === 200)
+    assert(rows.count(!_.isNullAt(0)) >= 2,
+      "clustered single-day files must report their partition value")
+  }
+
   test("spec round-trips through the metadata file") {
     val t = GraftTable.create(spark, tmpDir("pspec") + "/t", eventsDf.schema,
       partitionBy = Seq(PartitionSpec.days("ts"), PartitionSpec.bucket(8, "user_id")))
