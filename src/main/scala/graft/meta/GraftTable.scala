@@ -363,11 +363,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * commit whose delete/upsert added it): eq entries apply only to
     * data files added strictly before it — Iceberg's sequence-number
     * rule, which is what lets a later re-insert of a deleted key
-    * survive. Computed from the log (lists are carried append-only). */
+    * survive. Log derivation is the LEGACY fallback only: once the
+    * introducing snapshot expires, the minimum-lister id drifts upward
+    * and could swallow re-inserted keys, so new eq manifests stamp the
+    * intro id durably in their own `added_snapshot_id` column. */
   private def eqIntroducedBy(all: Seq[Snapshot]): Map[String, Long] =
     all.sortBy(_.snapshotId)
       .flatMap(s => s.eqDeleteManifests.map(_ -> s.snapshotId))
       .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).min }
+
+  /** Per eq-delete manifest: (delete-file paths, introducing snapshot
+    * id) — the stamped id when present, else the log-derived legacy. */
+  private def eqManifestInfo(s: Snapshot): Seq[(Seq[String], Long)] = {
+    lazy val fromLog = eqIntroducedBy(snapshots)
+    s.eqDeleteManifests.map { m =>
+      val rows = manifestDf(Seq(m))
+        .select("path", "added_snapshot_id").collect()
+      val files = rows.map(_.getString(0)).toIndexedSeq
+      val stamped = rows.headOption.filterNot(_.isNullAt(1)).map(_.getLong(1))
+      (files, stamped.getOrElse(fromLog.getOrElse(m,
+        throw new IllegalStateException(s"eq manifest $m not in log"))))
+    }
+  }
 
   /** Distinct data-file paths targeted by outstanding delete entries —
     * replacement commits (optimize, row-level CoW) rewrite exactly
@@ -389,13 +406,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val eq =
           if (s.eqDeleteManifests.isEmpty) none
           else {
-            val intro = eqIntroducedBy(snapshots)
+            val introById = s.eqDeleteManifests.zip(eqManifestInfo(s)).toMap
             val data = manifestDf(s.manifests)
             val tableSchema = schema
             s.eqDeleteManifests.map { m =>
               val eqFiles = manifestDf(Seq(m))
-              val keyPaths = eqFiles.select("path")
-                .collect().map(_.getString(0)).toIndexedSeq
+              val (keyPaths, introId) = introById(m)
               if (keyPaths.isEmpty) none
               else {
                 val keyCols = spark.read.parquet(keyPaths.head)
@@ -413,7 +429,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                     (dmax.isNull || emin.isNull || dmax >= emin)
                 }.reduce(_ && _)
                 val older = data("added_snapshot_id").isNull ||
-                  data("added_snapshot_id") < lit(intro(m))
+                  data("added_snapshot_id") < lit(introId)
                 data.join(eqFiles, overlap && older, "left_semi")
                   .select(data("path"))
               }
@@ -465,19 +481,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         spark.createDataset(pairs).toDF(MorJoinCol, MorAddedCol))
       df = df.join(pathAdded, df(p) === col(MorJoinCol), "left")
         .drop(MorJoinCol)
-      val intro = eqIntroducedBy(snapshots)
       // ONE anti-join per distinct key set, not per manifest: an upsert
       // stream accumulates one eq manifest per micro-batch, and a plan
       // with hundreds of anti-joins would not survive — all same-keyed
       // delete files are read as one scan, each entry stamped with its
       // introducing snapshot via a broadcast of the file→intro map.
-      val infos = s.eqDeleteManifests.flatMap { m =>
-        val files = manifestDf(Seq(m)).select("path")
-          .collect().map(_.getString(0)).toIndexedSeq
+      val infos = eqManifestInfo(s).flatMap { case (files, snapId) =>
         if (files.isEmpty) None
-        else Some((files, spark.read.parquet(files.head).schema,
-          intro.getOrElse(m,
-            throw new IllegalStateException(s"eq manifest $m not in log"))))
+        else Some((files, spark.read.parquet(files.head).schema, snapId))
       }
       infos.groupBy(_._2.fieldNames.toSeq).foreach { case (keyNames, group) =>
         val keySchema = group.head._2
@@ -598,7 +609,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val eqDir = writeEqDeleteFile(keys)
       var removed = 0L
       commit("delete", emptyManifest, clock, carryPrior = true,
-        eqDeletesAdd = Seq(inventoryManifest(eqDir)),
+        eqDeleteSource = Some(inventory(eqDir)),
         rowsDelta = { b =>
           removed = matchingRows(b, keys, keyCols); -removed
         })
@@ -632,7 +643,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val eqDir = writeEqDeleteFile(srcKeys)
     var removed = 0L
     commit(op, inventory(commitDir), clock, carryPrior = true,
-      eqDeletesAdd = Seq(inventoryManifest(eqDir)),
+      eqDeleteSource = Some(inventory(eqDir)),
       rowsDelta = { b =>
         removed = matchingRows(b, srcKeys, keys); -removed
       })
@@ -1193,12 +1204,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                      deletes: Seq[String] = Seq.empty,
                      rowsOverride: Option[Long] = None,
                      eqDeletes: Seq[String] = Seq.empty,
-                     eqDeletesAdd: Seq[String] = Seq.empty,
+                     eqDeleteSource: Option[DataFrame] = None,
                      rowsDelta: Snapshot => Long = _ => 0L): Unit = {
     // Manifest dir named by UUID, not snapshot id: two cross-process
     // writers can compute the SAME next id before one loses the CAS —
     // id-named dirs would collide and silently swap inventories.
     val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
+    val eqManifestDir = eqDeleteSource.map(_ =>
+      new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}"))
     var attempt = 0
     var done = false
     while (!done) {
@@ -1229,6 +1242,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val m = obs.get
       val (dnf, dbytes, drows) = (m("nf").asInstanceOf[Long],
         m("bytes").asInstanceOf[Long], m("rows").asInstanceOf[Long])
+      // the eq-delete manifest stamps the INTRODUCING snapshot id in
+      // its added_snapshot_id column — durable against expiry of the
+      // introducing snapshot (per-attempt rewrite, like the data
+      // manifest, since the id changes on CAS retry)
+      eqDeleteSource.foreach { src =>
+        src.withColumn("added_snapshot_id", lit(id))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(eqManifestDir.get.toString)
+        fs.delete(new Path(eqManifestDir.get, "_SUCCESS"), false)
+      }
+      val eqAdd = eqManifestDir.map(_.toString).toSeq
       val parent = cur.map(_.snapshotId).getOrElse(-1L)
       val snap =
         if (carryPrior) {
@@ -1241,7 +1265,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
             b.numFiles + dnf, b.totalBytes + dbytes,
             b.totalRows + drows + rowsDelta(b),
-            parent, b.deleteManifests, b.eqDeleteManifests ++ eqDeletesAdd)
+            parent, b.deleteManifests, b.eqDeleteManifests ++ eqAdd)
         } else
           // replacement commits drop deletes (they materialize them)
           // unless the caller passes its own carried lists

@@ -47,6 +47,24 @@ class EqDeleteSpec extends SparkSpec {
     assert(t.rowCount === 10)
   }
 
+  test("eq-delete intro id survives expiry of the introducing snapshot") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eqexp") + "/t", schema)
+    t.append(rows(0, 10, "old"), clock)         // s1
+    t.deleteByKeys(Seq(3L).toDF("k"), clock)    // s2: intro stamped = 2
+    t.append(rows(3, 4, "new"), clock)          // s3: re-insert k=3
+    clock.advanceDays(11)
+    t.append(rows(100, 101, "x"), clock)        // s4 (retained)
+    t.expireSnapshots(retentionDays = 5, clock = clock) // drops s1..s3
+    assert(t.snapshots.map(_.snapshotId) === Seq(4L))
+    // without the durable stamp the log-derived intro would drift to 4
+    // and swallow the re-inserted key (added at 3 < 4)
+    assert(t.read.filter($"k" === 3).select("v").as[String].collect().toSeq
+      === Seq("new3"))
+    assert(t.read.count() === 11)
+    assert(t.rowCount === 11)
+  }
+
   test("upsert replaces and inserts in one atomic commit") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("eq3") + "/t", schema)
