@@ -637,7 +637,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(keys.nonEmpty, "upsert requires at least one key column")
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-    source.write.parquet(commitDir.toString)
+    // partitioned tables keep their clustering through upserts, exactly
+    // like appends — otherwise upsert files span every transform value
+    // and degrade partition pruning
+    clusterBySpec(source).write.parquet(commitDir.toString)
     fs.delete(new Path(commitDir, "_SUCCESS"), false)
     writeSchemaIfAbsent(source.schema)
     val eqDir = writeEqDeleteFile(srcKeys)
@@ -1067,23 +1070,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                               branch: String = "main"): Unit =
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      val spec = partitionSpec
-      val toWrite =
-        if (spec.isEmpty) df
-        else {
-          // Explicit partition count: without it AQE coalesces the range
-          // shuffle (often to ONE partition on small batches), merging
-          // every transform value into one file and defeating pruning.
-          val exprs = spec.map(f => f.expr(df(f.column), df.schema(f.column).dataType))
-          df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
-              exprs: _*)
-            .sortWithinPartitions(exprs: _*)
-        }
-      toWrite.write.parquet(commitDir.toString)
+      clusterBySpec(df).write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
       commit(op, inventory(commitDir), clock, carryPrior = true, branch)
     }
+
+  /** Range-cluster a batch by the partition spec's transform outputs
+    * (no-op for unpartitioned tables) so every written file covers a
+    * tight transform range and partition pruning can skip it. Explicit
+    * partition count: without it AQE coalesces the range shuffle (often
+    * to ONE partition on small batches), merging every transform value
+    * into one file and defeating pruning. */
+  private def clusterBySpec(df: DataFrame): DataFrame = {
+    val spec = partitionSpec
+    if (spec.isEmpty) df
+    else {
+      val exprs = spec.map(f => f.expr(df(f.column), df.schema(f.column).dataType))
+      df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+          exprs: _*)
+        .sortWithinPartitions(exprs: _*)
+    }
+  }
 
   /** Metadata-only COUNT(*): answered from the snapshot log without
     * touching a single data file (the Iceberg manifest-count shape). */
