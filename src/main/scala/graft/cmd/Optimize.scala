@@ -84,7 +84,8 @@ object Optimize {
         .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
       val fresh = table.inventory(commitDir)
         .withColumn("added_snapshot_id", lit(null).cast("long"))
-      table.doCommit("optimize", untouched.unionByName(fresh), clock)
+      table.doCommit("optimize", untouched.unionByName(fresh), clock,
+        basis = Some(current))
     }
 
   /** @param clusterBy when non-empty, the rewrite range-partitions and
@@ -112,7 +113,8 @@ object Optimize {
           .sortWithinPartitions(clusterBy.map(col): _*)
           .write.parquet(commitDir.toString)
         table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
-        table.doCommit("optimize", table.inventory(commitDir), clock)
+        table.doCommit("optimize", table.inventory(commitDir), clock,
+          basis = Some(current))
         return
       }
 
@@ -167,6 +169,7 @@ object Optimize {
         .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
       val fresh = table.inventory(commitDir)
         .withColumn("added_snapshot_id", lit(null).cast("long"))
-      table.doCommit("optimize", untouched.unionByName(fresh), clock)
+      table.doCommit("optimize", untouched.unionByName(fresh), clock,
+        basis = Some(current))
     }
 }

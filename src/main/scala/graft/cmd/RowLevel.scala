@@ -36,13 +36,16 @@ object RowLevel {
 
   /** DELETE WHERE cond. SQL semantics: a row is deleted only where the
     * predicate is TRUE — rows where it evaluates NULL survive (a bare
-    * `!cond` filter would silently drop them). @return rows deleted. */
+    * `!cond` filter would silently drop them). Commits op `cow_delete`,
+    * NOT `delete`: the MOR delete's op name would make the changelog
+    * treat this replacement commit as row-level-tracked and emit the
+    * rewritten survivors as spurious inserts. @return rows deleted. */
   def delete(table: GraftTable, cond: Column, clock: Clock): Long =
     table.lock.synchronized {
       val matched = coalesce(cond, lit(false))
       val before = table.currentSnapshot.map(_.totalRows).getOrElse(0L)
       val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
-      rewrite(table, "delete",
+      rewrite(table, "cow_delete",
         affected = withPath.filter(matched).select(col(FP).as("path")).distinct(),
         survivorsOf = df => df.filter(!matched),
         extra = None, clock)
@@ -76,6 +79,7 @@ object RowLevel {
                       extra: Option[DataFrame], clock: Clock): Unit = {
     val spark = table.spark
     import spark.implicits._
+    val basis = table.currentSnapshot
     val schema = table.schema
     val cols = schema.fieldNames.toSeq.map(col)
     val affectedPaths = affected.unionByName(table.deleteTargets)
@@ -101,6 +105,7 @@ object RowLevel {
       .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
     val delta = table.inventory(commitDir)
       .withColumn("added_snapshot_id", lit(null).cast("long")) // commit stamps
-    table.doCommit(op, kept.unionByName(delta), clock, carryPrior = false)
+    table.doCommit(op, kept.unionByName(delta), clock, carryPrior = false,
+      basis = basis)
   }
 }

@@ -95,6 +95,7 @@ object ZOrder {
       .drop("__graft_z")
       .write.parquet(commitDir.toString)
     table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
-    table.doCommit("optimize_zorder", table.inventory(commitDir), clock)
+    table.doCommit("optimize_zorder", table.inventory(commitDir), clock,
+      basis = Some(current))
   }
 }

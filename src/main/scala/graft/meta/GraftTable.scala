@@ -227,6 +227,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       "changelog supports append / merge-on-read delete / upsert ranges; " +
         "found: " + range.filterNot(tracked).map(_.operation).distinct
           .mkString(", "))
+    // Deltas are computed against each snapshot's PARENT — an expired
+    // parent would make carried delete manifests look fresh (spurious
+    // delete events) and silently omit expired inserts. Applies to the
+    // fromId == 0 whole-history read too: its chain must resolve to a
+    // genesis commit (parentId -1), not to an expiry hole.
+    range.foreach { s =>
+      require(s.parentId == -1L || byId.contains(s.parentId),
+        s"changelog range reaches expired history: snapshot " +
+          s"${s.snapshotId}'s parent ${s.parentId} is no longer retained")
+    }
+    // Structural defense against replacement commits that reuse a
+    // tracked op name (legacy logs): MOR delete/upsert commits always
+    // CARRY the parent's data manifests (append-only list growth); a
+    // replacement rewrites the list from scratch and has no row-level
+    // lineage to emit.
+    range.filterNot(s => s.isAppend || s.isRowNeutral).foreach { s =>
+      require(byId.get(s.parentId)
+          .exists(p => s.manifests.startsWith(p.manifests)),
+        s"snapshot ${s.snapshotId} (${s.operation}) is a replacement " +
+          "commit — it rewrote data files without row-level lineage; " +
+          "changelog ranges containing it are not expressible")
+    }
     val changeSchema = StructType(schema.fields :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_snapshot_id", LongType, nullable = false))
@@ -1125,7 +1147,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         files.select((ManifestCols :+ "added_snapshot_id").map(col): _*),
         clock, carryPrior = false, deletes = cur.deleteManifests,
         rowsOverride = Some(cur.totalRows),
-        eqDeletes = cur.eqDeleteManifests)
+        eqDeletes = cur.eqDeleteManifests, basis = Some(cur))
       cur.manifests.size.toLong
     }
 
@@ -1201,19 +1223,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * redone against the new head, so a concurrent writer in ANOTHER
     * process never gets its commit overwritten. Appends compose fully
     * (the carried manifest list is re-derived from the fresh head each
-    * attempt). Replacement commits (optimize / rewrite / overwrite /
-    * row-level CoW) re-claim correctly too, but their CONTENT is
-    * derived from the manifest state their caller scanned — like
-    * Iceberg's rewrite validation, concurrent replacement of the same
-    * files assumes operational coordination (cron-style maintenance,
-    * the reference's own deployment model). */
+    * attempt). Replacement commits (optimize / rewrite / row-level
+    * CoW) pass their planning `basis` and FAIL LOUDLY if any commit
+    * landed since — their content is derived from the scanned state,
+    * so composing silently would drop the racing commit's files or
+    * delete manifests (Iceberg's rewrite validation). `overwrite`
+    * passes no basis: replacing the whole table is last-writer-wins
+    * by definition. */
   private def commit(op: String, manifest: DataFrame, clock: Clock,
                      carryPrior: Boolean, branch: String = "main",
                      deletes: Seq[String] = Seq.empty,
                      rowsOverride: Option[Long] = None,
                      eqDeletes: Seq[String] = Seq.empty,
                      eqDeleteSource: Option[DataFrame] = None,
-                     rowsDelta: Snapshot => Long = _ => 0L): Unit = {
+                     rowsDelta: Snapshot => Long = _ => 0L,
+                     basis: Option[Snapshot] = None): Unit = {
     // Manifest dir named by UUID, not snapshot id: two cross-process
     // writers can compute the SAME next id before one loses the CAS —
     // id-named dirs would collide and silently swap inventories.
@@ -1230,6 +1254,20 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       require(branch == "main" || refsNow.contains(branch),
         s"no branch named $branch — createBranch first")
       val cur = headOf(prior, refsNow, branch)
+      // Replacement commits (carryPrior = false) derive their CONTENT —
+      // the carried manifest rows, delete lists, row counts — from the
+      // state their caller scanned. Unlike appends, a CAS retry cannot
+      // recompute that content here, so ANY commit landing after the
+      // planning basis (a cross-process append, MOR delete, or upsert)
+      // would be silently dropped by the replacement: fail loudly
+      // instead, exactly like Iceberg's rewrite validation.
+      basis.foreach { b =>
+        val headId = cur.map(_.snapshotId).getOrElse(-1L)
+        require(headId == b.snapshotId,
+          s"concurrent commit during $op — the rewrite was planned " +
+            s"against snapshot ${b.snapshotId} but the head is now " +
+            s"$headId; rerun the operation")
+      }
       val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       val obs = new org.apache.spark.sql.Observation(
         s"manifest-${manifestDir.getName}-$attempt")
@@ -1515,8 +1553,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private[graft] def dir: Path = tableDir
   private[graft] def lock: Object = commitLock
   private[graft] def doCommit(op: String, manifest: DataFrame, clock: Clock,
-                              carryPrior: Boolean = false): Unit =
-    commit(op, manifest, clock, carryPrior)
+                              carryPrior: Boolean = false,
+                              basis: Option[Snapshot] = None): Unit =
+    commit(op, manifest, clock, carryPrior, basis = basis)
   private[graft] def emptyManifest: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
 }

@@ -81,7 +81,10 @@ final class GraftStreamSource(ctx: SQLContext, path: String,
     val pending = snaps.filter(s => s.snapshotId > base).sortBy(_.snapshotId)
     var end = head
     maxSnapshotsPerTrigger.foreach { m =>
-      end = math.min(end, pending.take(math.max(1L, m).toInt).last.snapshotId)
+      // clamp BEFORE toInt: a cap above Int.MaxValue would overflow
+      // negative and make take() return an empty list
+      val n = math.min(math.max(1L, m), pending.length.toLong).toInt
+      end = math.min(end, pending.take(n).last.snapshotId)
     }
     maxFilesPerTrigger.foreach { m =>
       // cumulative numFiles → per-snapshot file deltas, no I/O

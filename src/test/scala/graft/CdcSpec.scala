@@ -72,4 +72,44 @@ class CdcSpec extends SparkSpec {
     assert(t.readChanges(1L, 1L).count() == 0)
     intercept[IllegalArgumentException](t.readChanges(1L, 9L))
   }
+
+  test("copy-on-write DELETE (and truncate) in the range is refused") {
+    // CoW deleteWhere is a replacement commit — the survivors are
+    // REWRITTEN into new files with no row-level lineage. It must not
+    // share the MOR delete's op name, or the changelog would emit the
+    // rewritten survivors as spurious inserts and no delete events.
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc4") + "/t", schema)
+    t.append(rows(0, 10).repartition(2), clock)
+    t.deleteWhere($"id" < 3, clock) // s2: CoW replacement, op cow_delete
+    t.append(rows(10, 12), clock)   // s3
+    val e = intercept[IllegalArgumentException](t.readChanges(0L, 3L))
+    assert(e.getMessage.contains("cow_delete"))
+    // a range past the CoW commit works, and emits only the append
+    assert(t.readChanges(2L, 3L).count() == 2)
+
+    // bare truncate (DELETE FROM t) takes the same CoW path
+    val t2 = GraftTable.create(spark, tmpDir("cdc5") + "/t", schema)
+    t2.append(rows(0, 5), clock)
+    t2.deleteWhere(lit(true), clock)
+    t2.append(rows(5, 8), clock)
+    intercept[IllegalArgumentException](t2.readChanges(0L, 3L))
+  }
+
+  test("ranges reaching expired history are refused, including from 0") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc6") + "/t", schema)
+    t.append(rows(0, 5), clock)   // s1
+    t.append(rows(5, 10), clock)  // s2
+    clock.advanceDays(10)
+    t.append(rows(10, 15), clock) // s3 (head, pinned)
+    t.expireSnapshots(5, clock) // s1, s2 drop out of the log
+    assert(t.snapshots.map(_.snapshotId) == Seq(3L))
+    // s3's parent (s2) is expired: a whole-history read would emit s3's
+    // carried state wrong — refuse instead of silently mis-reporting
+    val e = intercept[IllegalArgumentException](t.readChanges(0L, 3L))
+    assert(e.getMessage.contains("expired"))
+    // an empty in-retention range still works
+    assert(t.readChanges(3L, 3L).count() == 0)
+  }
 }

@@ -138,6 +138,26 @@ class CommitConcurrencySpec extends SparkSpec {
       "no key may be duplicated by a lost eq-delete")
   }
 
+  test("a replacement commit planned against a stale head fails loudly") {
+    // Replacement commits (optimize / CoW row-level / rewrite_manifests)
+    // derive their manifest content from the state they scanned; a
+    // commit landing in between (here: a lock-independent writer's MOR
+    // delete) would be silently dropped — the basis check must refuse.
+    val loc = tmpDir("casbasis") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq(1L, 2L, 3L).toDF("k"))
+    val basis = t.currentSnapshot.get // the rewrite plans against s1
+    t.deleteWhereMOR(col("k") === 2L) // "another process" commits s2
+    val manifest = t.files
+      .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
+    val e = intercept[IllegalArgumentException](
+      t.doCommit("optimize", manifest, java.time.Clock.systemUTC(),
+        carryPrior = false, basis = Some(basis)))
+    assert(e.getMessage.contains("concurrent commit during optimize"))
+    // the table is untouched: the MOR delete still applies
+    assert(t.read.count() == 2)
+  }
+
   test("refs advance atomically with the claim: main never regresses") {
     // With materialized refs (a branch exists), the main ref rides in
     // the SAME claimed state file as the snapshot — two racing

@@ -204,6 +204,132 @@ class EqDeleteSpec extends SparkSpec {
     assert(GraftSink.lastBatch(t, "cdcq").contains(1L))
   }
 
+  test("null keys match null rows (Iceberg null-safe eq-delete semantics)") {
+    val clock = new TestClock
+    val nullableSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", StringType, nullable = true)))
+    val t = GraftTable.create(spark, tmpDir("eqnull") + "/t", nullableSchema)
+    t.append(Seq((Some(1L), "a"), (None, "n1"), (None, "n2"), (Some(2L), "b"))
+      .toDF("k", "v"), clock)
+    // a null key deletes the null-key rows, not nothing
+    val removed = t.deleteByKeys(Seq(Option.empty[Long]).toDF("k"), clock)
+    assert(removed === 2)
+    assert(t.rowCount === 2)
+    assert(t.read.select("v").as[String].collect().sorted.toSeq
+      === Seq("a", "b"))
+    // strictly-before still applies: a re-inserted null-key row survives
+    t.append(Seq((Option.empty[Long], "n3")).toDF("k", "v"), clock)
+    assert(t.read.filter($"k".isNull).select("v").as[String].collect().toSeq
+      === Seq("n3"))
+    // and an upsert keyed on the nullable column replaces, not duplicates
+    val replaced = t.upsert(
+      Seq((Option.empty[Long], "n4"), (Some(2L), "b2")).toDF("k", "v"),
+      Seq("k"), clock)
+    assert(replaced === 2)
+    assert(t.rowCount === 3)
+    assert(t.read.select("v").as[String].collect().sorted.toSeq
+      === Seq("a", "b2", "n4"))
+  }
+
+  test("eq-delete planning is O(1) manifest jobs, not O(#upsert batches)") {
+    // A CDC upsert stream accumulates one eq manifest per micro-batch;
+    // read PLANNING must read them all in one manifest scan — per-batch
+    // driver jobs would cost tens of seconds of plan time on a
+    // long-running stream between compactions.
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eqjobs") + "/t", schema)
+    t.append(rows(0, 50, "v").coalesce(1), clock)
+    (0 until 20).foreach { i =>
+      t.upsert(Seq((i.toLong, s"up$i")).toDF("k", "v"), Seq("k"), clock)
+    }
+    assert(t.currentSnapshot.get.eqDeleteManifests.size === 20)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(t.read.count() === 50)
+    } finally {
+      // the listener bus is async — let it drain before reading the count
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val n = jobs.get
+    assert(n <= 15,
+      s"read over 20 accumulated eq manifests launched $n jobs — " +
+        "planning must not scale with the manifest count")
+  }
+
+  test("rewriteEqDeleteFiles compacts a 20-batch upsert stream to one manifest") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eqcompact") + "/t", schema)
+    t.append(rows(0, 50, "v").coalesce(1), clock)          // s1
+    (0 until 20).foreach { i =>
+      t.upsert(Seq((i.toLong, s"up$i")).toDF("k", "v"), Seq("k"), clock)
+    }
+    t.append(rows(3, 4, "re"), clock) // re-insert k=3 AFTER its delete
+    val before = t.read.select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq
+    val headBefore = t.currentSnapshot.get.snapshotId
+
+    val mergedCount = t.rewriteEqDeleteFiles(clock)
+    assert(mergedCount === 20)
+    assert(t.currentSnapshot.get.eqDeleteManifests.size === 1)
+    assert(t.currentSnapshot.get.operation === "rewrite_eq_deletes")
+
+    // reads are identical before/after; the strictly-before windows of
+    // every batch survive the merge (k=3 keeps BOTH values: the upsert
+    // one is eq-deleted, the later re-insert is not)
+    val after = t.read.select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(after === before)
+    assert(t.rowCount === t.read.count())
+    assert(t.read.filter($"k" === 3).select("v").as[String].collect().sorted
+      .toSeq === Seq("re3", "up3"))
+
+    // row-neutral: incremental consumers read straight through it
+    t.append(rows(100, 103, "x"), clock)
+    val head = t.currentSnapshot.get.snapshotId
+    assert(t.readIncremental(headBefore, head).count() === 3)
+    assert(t.readChanges(headBefore, head)
+      .filter($"_change_type" === "insert").count() === 3)
+
+    // idempotent: a second compaction is a no-op
+    assert(t.rewriteEqDeleteFiles(clock) === 0L)
+
+    // a LATER upsert composes with the compacted manifest, and a second
+    // compaction folds it back in
+    t.upsert(Seq((5L, "up5b"), (200L, "new")).toDF("k", "v"), Seq("k"), clock)
+    assert(t.read.filter($"k" === 5).select("v").as[String].collect().toSeq
+      === Seq("up5b"))
+    assert(t.rewriteEqDeleteFiles(clock) === 2L)
+    assert(t.currentSnapshot.get.eqDeleteManifests.size === 1)
+    assert(t.read.filter($"k" === 5).select("v").as[String].collect().toSeq
+      === Seq("up5b"))
+    assert(t.rowCount === t.read.count())
+  }
+
+  test("compacted eq manifests still materialize through optimize") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("eqcompopt") + "/t", schema)
+    t.append(rows(0, 40, "v").repartition(2), clock)
+    (0 until 5).foreach { i =>
+      t.upsert(Seq((i.toLong, s"up$i")).toDF("k", "v"), Seq("k"), clock)
+    }
+    t.rewriteEqDeleteFiles(clock)
+    t.optimize(clock = clock)
+    assert(t.currentSnapshot.get.eqDeleteManifests.isEmpty)
+    assert(t.read.count() === 40)
+    assert(t.rowCount === 40)
+    assert(t.read.filter($"k" < 5).select("v").as[String].collect()
+      .forall(_.startsWith("up")))
+  }
+
   test("stream_append commits stay incrementally readable") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("eq8") + "/t", schema)

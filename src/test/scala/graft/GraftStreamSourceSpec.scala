@@ -153,4 +153,18 @@ class GraftStreamSourceSpec extends SparkSpec {
         mentions(t.getCause))
     assert(mentions(e), s"expected the append-only refusal, got: $e")
   }
+
+  test("a snapshot cap above Int.MaxValue clamps instead of overflowing") {
+    val loc = tmpDir("gstream") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 3))
+    t.append(batch(3, 6))
+    // 3e9.toInt is negative — an unclamped take() would return an empty
+    // list and .last would throw; the admission window must instead
+    // admit everything pending
+    val src = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, loc, -1L, Some(3000000000L), None)
+    val off = src.getOffset
+    assert(off.map(_.json).contains("2"), s"expected head offset 2, got $off")
+  }
 }
