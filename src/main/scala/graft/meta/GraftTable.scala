@@ -299,19 +299,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         if (delta.isEmpty) None
         else {
           // view as of the PARENT (the rows the delete acted on),
-          // restricted to key matches
+          // restricted to key matches — null-safe, one scan over the
+          // delta manifests, one semi-join per key set
           val base = parent.map(p => morReadFiles(p, filePairsOf(p)))
             .getOrElse(empty)
-          val dfs = delta.flatMap { m =>
-            val files = manifestDf(Seq(m)).select("path")
-              .collect().map(_.getString(0)).toIndexedSeq
-            if (files.isEmpty) None
-            else {
-              val keySchema = spark.read.parquet(files.head).schema
-              val entries = spark.read.schema(keySchema).parquet(files: _*)
-              Some(base.join(entries, keySchema.fieldNames.toSeq, "left_semi"))
+          val dfs = eqFileInfos(delta).groupBy(_.keys).toSeq
+            .map { case (keyNames, group) =>
+              val entries = eqEntriesOf(group)
+              val cond = keyNames.map(k => base(k) <=> entries(k))
+                .reduce(_ && _)
+              base.join(entries, cond, "left_semi")
             }
-          }
           if (dfs.isEmpty) None
           else Some(stamp(dfs.reduce(_ unionByName _), "delete"))
         }
@@ -394,18 +392,63 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .flatMap(s => s.eqDeleteManifests.map(_ -> s.snapshotId))
       .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).min }
 
-  /** Per eq-delete manifest: (delete-file paths, introducing snapshot
-    * id) — the stamped id when present, else the log-derived legacy. */
-  private def eqManifestInfo(s: Snapshot): Seq[(Seq[String], Long)] = {
-    lazy val fromLog = eqIntroducedBy(snapshots)
-    s.eqDeleteManifests.map { m =>
-      val rows = manifestDf(Seq(m))
-        .select("path", "added_snapshot_id").collect()
-      val files = rows.map(_.getString(0)).toIndexedSeq
-      val stamped = rows.headOption.filterNot(_.isNullAt(1)).map(_.getLong(1))
-      (files, stamped.getOrElse(fromLog.getOrElse(m,
-        throw new IllegalStateException(s"eq manifest $m not in log"))))
+  /** One row per eq-delete FILE across the given manifests: (file path,
+    * introducing snapshot id, key column names) — read in ONE Spark job
+    * over all manifests, NOT one per manifest. An upsert stream
+    * accumulates one eq manifest per micro-batch; per-manifest driver
+    * jobs would cost O(#batches) sequential plan time between
+    * compactions. The key columns come from the manifest row itself:
+    * `null_counts` keys every column of the file, and an eq-delete
+    * file's columns ARE its key set (minus the embedded intro column of
+    * compacted files). The intro id is the durable per-file stamp
+    * (`added_snapshot_id`); log derivation is the legacy fallback. */
+  private def eqFileInfos(manifests: Seq[String]): Seq[EqFileInfo] = {
+    if (manifests.isEmpty) return Seq.empty
+    val rows = manifestDf(manifests)
+      .select(col("path"), col("added_snapshot_id"),
+        map_keys(col("null_counts")).as("keys"),
+        col("_metadata.file_path").as("mfile"))
+      .collect()
+    lazy val fromLog = eqIntroducedBy(snapshots).map { case (m, id) =>
+      new Path(m).toUri.getPath -> id
     }
+    rows.toIndexedSeq.map { r =>
+      val keyNames = r.getSeq[String](2).filterNot(_ == EqIntroCol).sorted
+      val intro =
+        if (!r.isNullAt(1)) r.getLong(1)
+        else {
+          val mdir = new Path(r.getString(3)).getParent.toUri.getPath
+          fromLog.getOrElse(mdir, throw new IllegalStateException(
+            s"eq manifest $mdir not in log"))
+        }
+      EqFileInfo(r.getString(0), intro, keyNames)
+    }
+  }
+
+  /** Key-column schema for a group of same-keyed eq-delete files: field
+    * types from ONE file footer (per key set, not per manifest), plus
+    * the nullable embedded intro column compacted files carry — files
+    * written without it read as null there. */
+  private def eqKeySchema(info: EqFileInfo): StructType = {
+    val fileSchema = spark.read.parquet(info.path).schema
+    StructType(info.keys.map(k => fileSchema(k)) :+
+      StructField(EqIntroCol, LongType, nullable = true))
+  }
+
+  /** Scan a group of same-keyed eq-delete files as (key columns,
+    * [[MorEqSnapCol]]): the per-entry intro of compacted files when
+    * present, else the per-file stamp broadcast in. */
+  private def eqEntriesOf(group: Seq[EqFileInfo]): DataFrame = {
+    import spark.implicits._
+    val introDf = broadcast(
+      spark.createDataset(group.map(g => (g.path, g.intro)))
+        .toDF(MorJoinCol, MorEqSnapCol))
+    spark.read.schema(eqKeySchema(group.head)).parquet(group.map(_.path): _*)
+      .withColumn(MorJoinCol, normalizeUdf(col("_metadata.file_path")))
+      .join(introDf, Seq(MorJoinCol))
+      .withColumn(MorEqSnapCol,
+        coalesce(col(EqIntroCol), col(MorEqSnapCol)))
+      .drop(MorJoinCol, EqIntroCol)
   }
 
   /** Distinct data-file paths targeted by outstanding delete entries —
@@ -428,16 +471,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val eq =
           if (s.eqDeleteManifests.isEmpty) none
           else {
-            val introById = s.eqDeleteManifests.zip(eqManifestInfo(s)).toMap
-            val data = manifestDf(s.manifests)
-            val tableSchema = schema
-            s.eqDeleteManifests.map { m =>
-              val eqFiles = manifestDf(Seq(m))
-              val (keyPaths, introId) = introById(m)
-              if (keyPaths.isEmpty) none
-              else {
-                val keyCols = spark.read.parquet(keyPaths.head)
-                  .schema.fieldNames.toSeq
+            // ONE overlap join per distinct key set, not per manifest:
+            // all eq manifests are read in a single scan (eqFileInfos),
+            // and each group's files join the data manifest once.
+            import spark.implicits._
+            val infos = eqFileInfos(s.eqDeleteManifests)
+            if (infos.isEmpty) none
+            else {
+              val data = manifestDf(s.manifests)
+              val tableSchema = schema
+              val introDf = broadcast(spark
+                .createDataset(infos.map(i => (i.path, i.intro)))
+                .toDF("path", "__graft_intro"))
+              val eqAll = manifestDf(s.eqDeleteManifests)
+                .drop("added_snapshot_id").join(introDf, Seq("path"))
+              infos.groupBy(_.keys).map { case (keyCols, group) =>
+                val eqFiles =
+                  eqAll.filter(col("path").isin(group.map(_.path): _*))
                 def b(side: DataFrame, which: String, k: String) = {
                   val dt = tableSchema(k).dataType
                   element_at(side(which), k).cast(dt)
@@ -447,15 +497,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                     b(data, "max_values", k))
                   val (emin, emax) = (b(eqFiles, "min_values", k),
                     b(eqFiles, "max_values", k))
-                  (dmin.isNull || emax.isNull || dmin <= emax) &&
-                    (dmax.isNull || emin.isNull || dmax >= emin)
+                  val boundsHit =
+                    (dmin.isNull || emax.isNull || dmin <= emax) &&
+                      (dmax.isNull || emin.isNull || dmax >= emin)
+                  // null-safe equality: a null key entry matches rows
+                  // with null in k — a file pair can also hit when BOTH
+                  // sides hold nulls (missing counts keep the file)
+                  val dNulls = element_at(data("null_counts"), k)
+                  val eNulls = element_at(eqFiles("null_counts"), k)
+                  val nullHit = (dNulls.isNull || dNulls > 0) &&
+                    (eNulls.isNull || eNulls > 0)
+                  boundsHit || nullHit
                 }.reduce(_ && _)
+                // per-file intro (max-of-file for compacted files) —
+                // a conservative upper bound keeps the target SUPERSET
+                // guarantee; exact windows are applied at read time
                 val older = data("added_snapshot_id").isNull ||
-                  data("added_snapshot_id") < lit(introId)
+                  data("added_snapshot_id") < eqFiles("__graft_intro")
                 data.join(eqFiles, overlap && older, "left_semi")
                   .select(data("path"))
-              }
-            }.reduce(_ unionByName _)
+              }.reduce(_ unionByName _)
+            }
           }
         pos.unionByName(eq).distinct()
       case _ => none
@@ -503,30 +565,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         spark.createDataset(pairs).toDF(MorJoinCol, MorAddedCol))
       df = df.join(pathAdded, df(p) === col(MorJoinCol), "left")
         .drop(MorJoinCol)
-      // ONE anti-join per distinct key set, not per manifest: an upsert
-      // stream accumulates one eq manifest per micro-batch, and a plan
-      // with hundreds of anti-joins would not survive — all same-keyed
-      // delete files are read as one scan, each entry stamped with its
-      // introducing snapshot via a broadcast of the file→intro map.
-      val infos = eqManifestInfo(s).flatMap { case (files, snapId) =>
-        if (files.isEmpty) None
-        else Some((files, spark.read.parquet(files.head).schema, snapId))
-      }
-      infos.groupBy(_._2.fieldNames.toSeq).foreach { case (keyNames, group) =>
-        val keySchema = group.head._2
-        val fileIntro = group.flatMap { case (files, _, snapId) =>
-          files.map(f => (f, snapId))
+      // ONE anti-join per distinct key set, not per manifest — and ONE
+      // manifest scan for the whole planning step (eqFileInfos): an
+      // upsert stream accumulates one eq manifest per micro-batch, and
+      // either per-manifest jobs or per-manifest anti-joins would not
+      // survive a 500-batch backlog. Key equality is null-safe (<=>):
+      // Iceberg eq-delete semantics match null keys to null rows.
+      eqFileInfos(s.eqDeleteManifests).groupBy(_.keys)
+        .foreach { case (keyNames, group) =>
+          val entries = eqEntriesOf(group)
+          val keyCond = keyNames.map(k => df(k) <=> entries(k)).reduce(_ && _)
+          df = df.join(entries,
+            keyCond && col(MorAddedCol) < entries(MorEqSnapCol), "left_anti")
         }
-        val introDf = broadcast(
-          spark.createDataset(fileIntro).toDF(MorJoinCol, MorEqSnapCol))
-        val entries = spark.read.schema(keySchema)
-          .parquet(group.flatMap(_._1): _*)
-          .withColumn(MorJoinCol, normalizeUdf(col("_metadata.file_path")))
-          .join(introDf, Seq(MorJoinCol)).drop(MorJoinCol)
-        val keyCond = keyNames.map(k => df(k) === entries(k)).reduce(_ && _)
-        df = df.join(entries,
-          keyCond && col(MorAddedCol) < entries(MorEqSnapCol), "left_anti")
-      }
       df = df.drop(MorAddedCol)
     }
     df
@@ -618,7 +669,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * file; its schema IS the key-column set. Entries apply only to data
     * files added STRICTLY BEFORE this commit (Iceberg sequence-number
     * semantics) — a later re-insert of a deleted key survives, which is
-    * exactly what makes CDC upsert streams expressible.
+    * exactly what makes CDC upsert streams expressible. Key equality is
+    * NULL-SAFE (Iceberg eq-delete semantics): a null key matches rows
+    * with null in that column.
     * @return rows deleted */
   def deleteByKeys(keys: DataFrame, clock: Clock = Clock.systemUTC()): Long =
     commitLock.synchronized {
@@ -685,21 +738,31 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                            keyCols: Seq[String]): Long = {
     if (b.numFiles == 0) return 0L
     val kd = keys.select(keyCols.map(col): _*).distinct()
+    // per key column: value bounds over the non-null keys AND whether
+    // any key is null — null keys match null rows (null-safe eq-delete
+    // semantics), so a file qualifies if its value range overlaps OR it
+    // may contain nulls while the key set does
     val statAggs = keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k"),
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"nn_$k")))
     val stats = kd.agg(statAggs.head, statAggs.tail: _*).head()
-    if (keyCols.indices.exists(i => stats.isNullAt(2 * i)))
-      return 0L // a key column with no non-null values matches nothing
     val tableSchema = schema
     val keep = keyCols.zipWithIndex.map { case (k, i) =>
       val dt = tableSchema(k).dataType
       if (!boundable(dt)) lit(true)
       else {
-        val smin = lit(stats.get(2 * i)).cast(dt)
-        val smax = lit(stats.get(2 * i + 1)).cast(dt)
+        val mn = stats.get(3 * i)
         val dmin = element_at(col("min_values"), k).cast(dt)
         val dmax = element_at(col("max_values"), k).cast(dt)
-        (dmin.isNull || dmin <= smax) && (dmax.isNull || dmax >= smin)
+        val valuesHit =
+          if (mn == null) lit(false) // no non-null key values
+          else (dmin.isNull || dmin <= lit(stats.get(3 * i + 1)).cast(dt)) &&
+            (dmax.isNull || dmax >= lit(mn).cast(dt))
+        val fNulls = element_at(col("null_counts"), k)
+        val nullHit =
+          if (stats.getLong(3 * i + 2) == 0L) lit(false)
+          else fNulls.isNull || fNulls > 0
+        valuesHit || nullHit
       }
     }.reduce(_ && _)
     val pairs = manifestDf(b.manifests).filter(keep)
@@ -707,7 +770,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toIndexedSeq
     if (pairs.isEmpty) 0L
-    else morReadFiles(b, pairs).join(kd, keyCols, "left_semi").count()
+    else {
+      val live = morReadFiles(b, pairs)
+      val cond = keyCols.map(k => live(k) <=> kd(k)).reduce(_ && _)
+      live.join(kd, cond, "left_semi").count()
+    }
   }
 
   /** Write a distinct key set as one eq-delete parquet dir. */
@@ -736,9 +803,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * merges them WITHOUT touching data files, so reads are back to one
     * small anti-join input while the expensive data rewrite stays
     * deferred to optimize. Positions are absolute (file, ordinal)
-    * coordinates, so merging is order-free and safe — unlike equality
-    * deletes, whose per-file applicability windows cannot be merged
-    * without tracking per-entry sequence numbers.
+    * coordinates, so merging is order-free and safe; equality deletes
+    * have their own compaction ([[rewriteEqDeleteFiles]]), which
+    * preserves each entry's applicability window in an embedded intro
+    * column.
     * @return number of delete files merged (0 = nothing to do) */
   def rewriteDeleteFiles(clock: Clock = Clock.systemUTC()): Long =
     commitLock.synchronized {
@@ -782,6 +850,81 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         attempt += 1
       }
       delFiles.size.toLong
+    }
+
+  /** Compact accumulated equality-delete files AND their manifests
+    * (the eq half of Iceberg's delete-file maintenance, reached by the
+    * reference transitively via `optimize`, __main__.py:161-177): a
+    * long-running upsert stream leaves one eq manifest + one tiny
+    * delete file per micro-batch; this merges each key-column set's
+    * files into ONE file listed by ONE manifest, without touching data
+    * files. Each entry's applicability window (its introducing
+    * snapshot's strictly-before rule) is preserved EXACTLY by writing
+    * the per-entry intro id into an embedded [[EqIntroCol]] column —
+    * reads prefer it over the per-file stamp, so a key deleted at
+    * batch 7 and re-inserted at batch 12 behaves identically before
+    * and after compaction. A key deleted at several intros keeps only
+    * the max (the wider window subsumes the narrower). Row-neutral:
+    * incremental scans and the changelog read straight through it,
+    * like `rewrite_deletes`.
+    * @return number of eq-delete files merged (0 = nothing to do) */
+  def rewriteEqDeleteFiles(clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      val cur = currentSnapshot.getOrElse(return 0L)
+      if (cur.eqDeleteManifests.isEmpty) return 0L
+      val infos = eqFileInfos(cur.eqDeleteManifests)
+      // already compact: one manifest holding one file per key set
+      if (cur.eqDeleteManifests.size <= 1 &&
+        infos.groupBy(_.keys).forall(_._2.size <= 1)) return 0L
+      val groups = infos.groupBy(_.keys).toSeq
+      val mergedDirs = groups.map { case (keyNames, group) =>
+        val entries = eqEntriesOf(group)
+          .withColumnRenamed(MorEqSnapCol, EqIntroCol)
+        // same key at several intros → keep the max window only
+        val merged = entries.groupBy(keyNames.map(col): _*)
+          .agg(max(EqIntroCol).as(EqIntroCol))
+        val dir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+        merged.coalesce(1).write.parquet(dir.toString)
+        fs.delete(new Path(dir, "_SUCCESS"), false)
+        (dir, group.map(_.intro).max)
+      }
+      val manifestDir = new Path(tableDir,
+        s"_graft/manifests/${UUID.randomUUID()}")
+      mergedDirs.map { case (dir, maxIntro) =>
+        // file-level stamp = max intro of the folded files: only a
+        // conservative pruning bound — reads use the embedded per-entry
+        // intro column
+        inventory(dir).withColumn("added_snapshot_id", lit(maxIntro))
+      }.reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
+      fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+      var done = false
+      var attempt = 0
+      while (!done) {
+        require(attempt < 50, "CAS retry exhausted for rewrite_eq_deletes")
+        val (ver, st) = SnapshotLog.readState(fs, tableDir)
+        val head = headOf(st.snapshots, st.refs, "main").getOrElse(
+          throw new IllegalStateException("table emptied during rewrite"))
+        // appends compose (they never touch the eq list); any other
+        // racing commit could have added or materialized eq manifests
+        // the merged set does not reflect
+        require(st.snapshots.filter(_.snapshotId > cur.snapshotId)
+          .forall(_.isAppend) &&
+          head.eqDeleteManifests == cur.eqDeleteManifests,
+          "concurrent non-append commit during eq-delete-file rewrite")
+        val id = st.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+        val snap = Snapshot(id, clock.millis(), "rewrite_eq_deletes",
+          head.manifests, head.numFiles, head.totalBytes, head.totalRows,
+          head.snapshotId, head.deleteManifests, Seq(manifestDir.toString))
+        val newRefs =
+          if (st.refs.nonEmpty)
+            materialize(st.snapshots, st.refs) + ("main" -> id)
+          else st.refs
+        done = SnapshotLog.tryWriteState(fs, tableDir, ver,
+          TableState(st.snapshots :+ snap, newRefs, st.tags))
+        attempt += 1
+      }
+      infos.size.toLong
     }
 
   /** Commit a new delete manifest: data manifests are re-carried from
@@ -1617,6 +1760,19 @@ object GraftTable {
   val DeleteSchema: StructType = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
+
+  /** One live equality-delete file: its path, the snapshot that
+    * introduced it (per-file stamp or legacy log derivation), and its
+    * key column names (sorted; derived from the manifest's null_counts
+    * keys, minus the embedded intro column of compacted files). */
+  private[meta] final case class EqFileInfo(path: String, intro: Long,
+                                            keys: Seq[String])
+
+  /** Per-ENTRY introducing-snapshot column embedded in COMPACTED
+    * eq-delete files ([[GraftTable.rewriteEqDeleteFiles]]): merging
+    * files from different commits must preserve each entry's
+    * strictly-before window, which a single per-file stamp cannot. */
+  private[meta] val EqIntroCol = "__graft_eq_intro"
 
   /** Internal helper column names for the MOR read path — prefixed so
     * they can never collide with user schema columns. */

@@ -52,7 +52,8 @@ final case class Snapshot(
     * `added_snapshot_id` lineage — transparent to incremental scans
     * and the changelog (they plan from lineage, which survives). */
   def isRowNeutral: Boolean =
-    operation == "rewrite_manifests" || operation == "rewrite_deletes"
+    operation == "rewrite_manifests" || operation == "rewrite_deletes" ||
+      operation == "rewrite_eq_deletes"
 }
 
 /** The complete CAS-versioned table state: the snapshot list plus both
