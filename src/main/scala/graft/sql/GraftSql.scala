@@ -76,6 +76,18 @@ object GraftSql {
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
         delete(resolve(unquote(t)), Option(where), clock); None
+      case MergeStmt(t, tAlias, s, sAlias, on, set, insCols, insVals) =>
+        merge(resolve(unquote(t)), resolve(unquote(s)),
+          Option(tAlias).getOrElse(unquote(t)),
+          Option(sAlias).getOrElse(unquote(s)),
+          on, set, Option(insCols), insVals, clock)
+        None
+      case AlterAddCol(t, c, tpe) =>
+        resolve(unquote(t)).addColumn(unquote(c), parseType(tpe.trim)); None
+      case AlterRenameCol(t, from, to) =>
+        resolve(unquote(t)).renameColumn(unquote(from), unquote(to)); None
+      case AlterDropCol(t, c) =>
+        resolve(unquote(t)).dropColumn(unquote(c)); None
       case SelectVersion(t, ver) =>
         Some(resolve(unquote(t)).readAsOf(ver.toLong))
       case SelectTimestamp(t, ts) =>
@@ -108,6 +120,18 @@ object GraftSql {
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
+  // Trino Iceberg MERGE, restricted to the upsert shape (see merge())
+  private val MergeStmt =
+    (s"""(?is)^MERGE INTO $Ident(?: AS (\\w+))? USING $Ident(?: AS (\\w+))?""" +
+      """ ON (.+?) WHEN MATCHED THEN UPDATE SET (.+?)""" +
+      """ WHEN NOT MATCHED THEN INSERT(?: ?\(([^)]*)\))? VALUES ?\((.+)\)$""").r
+  // Trino schema evolution DDL → the field-id evolution API
+  private val AlterAddCol =
+    s"""(?i)^ALTER TABLE $Ident ADD COLUMN $Ident (.+)$$""".r
+  private val AlterRenameCol =
+    s"""(?i)^ALTER TABLE $Ident RENAME COLUMN $Ident TO $Ident$$""".r
+  private val AlterDropCol =
+    s"""(?i)^ALTER TABLE $Ident DROP COLUMN $Ident$$""".r
   // Trino/Iceberg time travel: SELECT * FROM t FOR VERSION AS OF 3 /
   // FOR TIMESTAMP AS OF TIMESTAMP '...'
   private val SelectVersion =
@@ -350,6 +374,84 @@ object GraftSql {
       case Some(w) => t.deleteWhereMOR(parseWhere(t.schema, w), clock)
       case None => t.deleteWhere(lit(true), clock)
     }
+
+  // ---- MERGE --------------------------------------------------------------
+
+  /** `MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
+    *  WHEN MATCHED THEN UPDATE SET c = b.c, ...
+    *  WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (b.c, ...)`
+    * — Trino's Iceberg MERGE, accepted ONLY in the full-row upsert
+    * shape (every ON term equates same-named key columns, the UPDATE
+    * sets every non-key column from the source's same-named column,
+    * the INSERT writes every column from the source). That shape is
+    * exactly [[GraftTable.upsert]] — one atomic eq-delete + append
+    * commit, O(source) on a 100 TB table. Anything richer (filtered
+    * WHEN clauses, expressions, partial updates, DELETE actions) fails
+    * loudly, matching the dispatcher's closed-grammar philosophy. */
+  private def merge(t: GraftTable, s: GraftTable, tAlias: String,
+                    sAlias: String, on: String, set: String,
+                    insCols: Option[String], insVals: String,
+                    clock: Clock): Unit = {
+    val schema = t.schema
+    val names = schema.fieldNames.toSeq
+    // `a.k` → (qualifier, column); a bare `k` has no qualifier
+    def ref(e: String): (Option[String], String) = {
+      val tr = unquote(e.trim)
+      tr.lastIndexOf('.') match {
+        case -1 => (None, tr)
+        case i => (Some(tr.substring(0, i)), tr.substring(i + 1))
+      }
+    }
+    def requireSide(q: Option[String], side: String, what: String): Unit =
+      require(q.forall(_.equalsIgnoreCase(side)),
+        s"$what must reference $side, got ${q.getOrElse("")}")
+
+    // ON: conjunction of targetKey = sourceKey with equal column names
+    val keys = splitTopAnd(on).map { term =>
+      val sides = term.split("=", 2)
+      require(sides.length == 2, s"unsupported ON term: $term " +
+        "(closed grammar: t.key = s.key joined by AND)")
+      val (q1, c1) = ref(sides(0))
+      val (q2, c2) = ref(sides(1))
+      val (tq, tc, sq, sc) =
+        if (q1.exists(_.equalsIgnoreCase(sAlias))) (q2, c2, q1, c1)
+        else (q1, c1, q2, c2)
+      requireSide(tq, tAlias, "the ON target side")
+      requireSide(sq, sAlias, "the ON source side")
+      require(tc == sc, s"ON must equate same-named columns, got $tc = $sc")
+      require(names.contains(tc), s"unknown key column $tc")
+      tc
+    }
+    // UPDATE SET: every non-key column, each set from the source's
+    // same-named column — the full-row replacement upsert performs
+    val setCols = splitTop(set, ',').map { a =>
+      val sides = a.split("=", 2)
+      require(sides.length == 2, s"bad SET assignment: $a")
+      val (tq, tc) = ref(sides(0))
+      val (sq, sc) = ref(sides(1))
+      requireSide(tq, tAlias, "a SET target")
+      requireSide(sq, sAlias, "a SET value")
+      require(tc == sc, s"MERGE supports only the upsert shape: " +
+        s"SET $tc = $sAlias.$tc (got $sAlias.$sc)")
+      tc
+    }
+    require(setCols.toSet == names.filterNot(keys.contains).toSet,
+      s"MERGE supports only the full-row upsert shape: UPDATE must SET " +
+        s"every non-key column (${names.filterNot(keys.contains)
+          .mkString(", ")}), got ${setCols.mkString(", ")}")
+    // INSERT: every table column, values = the source's same columns
+    val insNames = insCols.map(_.split(",").map(c => unquote(c.trim)).toSeq)
+      .getOrElse(names)
+    val insRefs = splitTop(insVals, ',').map { v =>
+      val (q, c) = ref(v)
+      requireSide(q, sAlias, "an INSERT value")
+      c
+    }
+    require(insNames == insRefs && insNames.toSet == names.toSet,
+      "MERGE supports only the full-row upsert shape: INSERT must write " +
+        s"every column from the source (expected ${names.mkString(", ")})")
+    t.upsert(s.read.select(names.map(col): _*), keys, clock)
+  }
 
   private def parseWhere(schema: StructType, w: String): org.apache.spark.sql.Column =
     splitTopAnd(w).map(parseWhereTerm(schema, _)).reduce(_ && _)

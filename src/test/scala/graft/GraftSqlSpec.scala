@@ -365,4 +365,85 @@ class GraftSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       fx.sql("DELETE FROM t WHERE nosuch = 1"))
   }
+
+  test("MERGE INTO in the upsert shape is exactly GraftTable.upsert") {
+    import spark.implicits._
+    val fx = fixture("sqlmerge")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES " + (0 until 20).map(i =>
+      s"($i, 'v$i')").mkString(", "))
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO src VALUES (5, 'UP5'), (6, 'UP6'), (100, 'NEW')")
+
+    // the same upsert through the API, on a twin table — MERGE must be
+    // row-for-row identical
+    fx.sql("CREATE TABLE twin (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO twin VALUES " + (0 until 20).map(i =>
+      s"($i, 'v$i')").mkString(", "))
+    fx.resolve("twin").upsert(fx.resolve("src").read, Seq("k"), fx.clock)
+
+    fx.sql("""MERGE INTO t USING src ON t.k = src.k
+      WHEN MATCHED THEN UPDATE SET v = src.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""")
+    val t = fx.resolve("t")
+    assert(t.currentSnapshot.get.operation == "upsert")
+    val got = t.read.as[(Long, String)].collect().sorted.toSeq
+    assert(got == fx.resolve("twin").read.as[(Long, String)]
+      .collect().sorted.toSeq)
+    assert(got.toMap.view.filterKeys(Seq(5L, 6L, 100L).contains).toMap ==
+      Map(5L -> "UP5", 6L -> "UP6", 100L -> "NEW"))
+    assert(t.rowCount == 21)
+
+    // aliases and a bare INSERT column list work too
+    fx.sql("INSERT INTO src VALUES (7, 'UP7')")
+    fx.sql("""MERGE INTO t AS a USING src AS b ON a.k = b.k
+      WHEN MATCHED THEN UPDATE SET a.v = b.v
+      WHEN NOT MATCHED THEN INSERT VALUES (b.k, b.v)""")
+    assert(t.read.filter($"k" === 7).select("v").as[String].head() == "UP7")
+
+    // anything outside the full-row upsert shape fails loudly
+    intercept[IllegalArgumentException](fx.sql(
+      """MERGE INTO t USING src ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET v = 'constant'
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"""))
+    intercept[IllegalArgumentException](fx.sql(
+      """MERGE INTO t USING src ON t.k = src.v
+        WHEN MATCHED THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"""))
+    intercept[IllegalArgumentException](fx.sql(
+      """MERGE INTO t USING src ON t.k = src.k
+        WHEN MATCHED THEN DELETE"""))
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN route to field-id evolution") {
+    import spark.implicits._
+    val fx = fixture("sqlddl")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+
+    fx.sql("ALTER TABLE t ADD COLUMN score DOUBLE")
+    val t = fx.resolve("t")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    // existing rows read as NULL in the added column
+    assert(t.read.filter($"score".isNull).count() == 2)
+    fx.sql("INSERT INTO t VALUES (3, 'c', 1.5)")
+
+    // rename is metadata-only: old files resolve through the field id
+    fx.sql("ALTER TABLE t RENAME COLUMN v TO label")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "label", "score"))
+    assert(t.read.filter($"k" === 1).select("label").as[String].head() == "a")
+
+    fx.sql("ALTER TABLE t DROP COLUMN score")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(t.read.count() == 3)
+
+    // evolved table stays fully readable and writable through SQL
+    fx.sql("INSERT INTO t VALUES (4, 'd')")
+    assert(fx.rows("SELECT * FROM t").length == 4)
+
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t ADD COLUMN x NOSUCHTYPE"))
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t RENAME COLUMN nosuch TO y"))
+  }
 }
