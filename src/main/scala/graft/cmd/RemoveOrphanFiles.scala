@@ -16,10 +16,17 @@ import graft.meta.GraftTable
   * (trino_iceberg_maintenance/__main__.py:141-148).
   *
   * The orphan set is `listing(data/) ∖ union(all manifests)` as a
-  * left-anti join. The FS listing here is a recursive driver listing
-  * parallelized into a DataFrame — on object storage at 100 TB this
-  * would swap in a prefix-sharded distributed listing, while the join,
-  * mtime filter, and fan-out deletion below are already distributed.
+  * left-anti join; the join, mtime filter, and fan-out deletion are
+  * distributed. The listing itself has two modes:
+  *   - default: one recursive driver listing, parallelized into a
+  *     DataFrame — right for the table counts the reference
+  *     contemplates;
+  *   - `spark.graft.removeOrphans.distributedListing=true`:
+  *     prefix-sharded — the driver lists only the first-level commit
+  *     directories under `data/` (O(#commits) entries), and executors
+  *     list each shard recursively in parallel. The 100 TB object-store
+  *     shape, where a single-threaded recursive listing of millions of
+  *     files is the wall.
   *
   * @return number of orphan files deleted
   */
@@ -28,12 +35,19 @@ object RemoveOrphanFiles {
     table.lock.synchronized {
       val spark = table.spark
       val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
-      val listed = GraftTable
-        .listFiles(table.fileSystem, new Path(table.dir, "data"))
-        .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
-      if (listed.isEmpty) return 0L
+      val distributed = spark.conf
+        .getOption("spark.graft.removeOrphans.distributedListing")
+        .exists(_.toBoolean)
       import spark.implicits._
-      val listing = spark.createDataset(listed).toDF("path", "mtime")
+      val listing =
+        if (distributed) shardedListing(table)
+        else {
+          val listed = GraftTable
+            .listFiles(table.fileSystem, new Path(table.dir, "data"))
+            .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
+          spark.createDataset(listed).toDF("path", "mtime")
+        }
+      if (listing.isEmpty) return 0L
 
       val referenced = {
         // includes delete manifests — position-delete files live under
@@ -65,4 +79,44 @@ object RemoveOrphanFiles {
       }
       deleted.value
     }
+
+  /** Prefix-sharded listing of `data/`: the driver sees only the
+    * first-level entries (commit directories); each shard's recursive
+    * listing runs on an executor. Stray files directly under `data/`
+    * (not in any commit dir) are picked up driver-side — there are at
+    * most a handful by construction. */
+  private def shardedListing(table: GraftTable)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    val root = new Path(table.dir, "data")
+    val fs = table.fileSystem
+    val empty = Seq.empty[(String, Long)].toDF("path", "mtime")
+    if (!fs.exists(root)) return empty
+    val entries = fs.listStatus(root).toSeq
+      .filterNot(e => e.getPath.getName.startsWith("_") ||
+        e.getPath.getName.startsWith("."))
+    val (dirs, files) = entries.partition(_.isDirectory)
+    val loose = files.map(f =>
+      (GraftTable.normalize(f.getPath), f.getModificationTime))
+    if (dirs.isEmpty) return loose.toDF("path", "mtime")
+    // only the Hadoop conf crosses the closure — never the table handle
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val shards = dirs.map(_.getPath.toString)
+    val sharded = spark.createDataset(shards)
+      .repartition(math.min(shards.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val conf = confB.value.value
+        it.flatMap { d =>
+          val p = new Path(d)
+          GraftTable.listFiles(p.getFileSystem(conf), p)
+            .map(f => (GraftTable.normalize(f.getPath),
+              f.getModificationTime))
+        }
+      }.toDF("path", "mtime")
+    sharded.unionByName(loose.toDF("path", "mtime"))
+  }
 }

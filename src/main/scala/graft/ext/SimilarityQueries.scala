@@ -150,7 +150,13 @@ object SimilarityQueries {
     import s.implicits._
     import graft.meta.{GraftTable, PartitionSpec}
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g${math.abs(dir.hashCode)}/t"
+    // keyed by a CONTENT hash of the source path, not String.hashCode:
+    // two different source dirs with colliding hashCodes would thrash
+    // staleness-triggered rebuilds against each other
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g$dirKey/t"
     val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     val cents = e.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cell_id"), $"embedding".as("ce"), $"nrm".as("cn"))

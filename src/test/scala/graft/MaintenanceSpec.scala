@@ -283,6 +283,50 @@ class MaintenanceSpec extends SparkSpec {
     assert(fx.table("t").read.count() == 1)
   }
 
+  test("distributed orphan listing finds exactly the driver listing's set") {
+    // two identical tables, same orphans planted; one reconciled with the
+    // default driver listing, one with the prefix-sharded executor
+    // listing — deleted counts and surviving files must match
+    def build(tag: String): Fx = {
+      val fx = fixture(tag)
+      fx.createTable("t")
+      (0 until 4).foreach(i => fx.insert("t", (s"a$i", s"b$i"))) // 4 commit dirs
+      val dataDir = java.nio.file.Paths.get(s"${fx.dir}/t/data")
+      // orphans: one loose under data/, one inside a fake commit dir
+      val strayDir = dataDir.resolve("stray-commit")
+      java.nio.file.Files.createDirectories(strayDir)
+      Seq(dataDir.resolve("stray-loose.parquet"),
+        strayDir.resolve("part-0.parquet")).foreach { p =>
+        java.nio.file.Files.write(p, "junk".getBytes)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            fx.clock.millis() - 10L * 86400000L))
+      }
+      fx
+    }
+    def survivors(fx: Fx): Set[String] =
+      GraftTable.listFiles(fx.table("t").fileSystem,
+        new org.apache.hadoop.fs.Path(s"${fx.dir}/t/data"))
+        .map(_.getPath.getName).toSet
+
+    val fxDriver = build("orphdrv")
+    val fxDist = build("orphdist")
+    val dDriver = fxDriver.table("t").removeOrphanFiles(3, fxDriver.clock)
+    spark.conf.set("spark.graft.removeOrphans.distributedListing", "true")
+    val dDist =
+      try fxDist.table("t").removeOrphanFiles(3, fxDist.clock)
+      finally spark.conf.unset("spark.graft.removeOrphans.distributedListing")
+    assert(dDriver == 2 && dDist == 2)
+    // same structural outcome: both strays gone, every live file kept
+    // (live part-file names differ by write UUID, so compare shape)
+    Seq(fxDriver, fxDist).foreach { fx =>
+      val left = survivors(fx)
+      assert(left.size == 4, s"expected the 4 live files, got $left")
+      assert(!left.exists(_.startsWith("stray")), s"stray survived: $left")
+      assert(fx.table("t").read.count() == 4)
+    }
+  }
+
   // ---- scheduler: concurrency + failure isolation ----------------------
 
   test("scheduler maintains many tables on a bounded pool") {
