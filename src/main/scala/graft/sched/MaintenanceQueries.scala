@@ -285,7 +285,40 @@ object MaintenanceQueries {
         "eq_delete_files_after_optimize")
   }
 
+  /** Partition-scoped optimize + the `"t$partitions"` metadata table:
+    * a skewed hot partition arrives as several small files; compacting
+    * names ONLY that partition — other partitions' files are carried
+    * with their lineage, never listed as rewrite work (the nightly
+    * "compact yesterday's partition" shape a 100 TB table needs). */
+  private def partitionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val df = graft.rel.Tables.load(spark, sfDir, "events") // ns→µs ts
+    val loc = freshDir("partitions")
+    val t = GraftTable.create(spark, loc, df.schema,
+      partitionBy = Seq(graft.meta.PartitionSpec.days("ts")))
+    val dayCol = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+    val minDay = df.agg(min(dayCol)).head().getInt(0)
+    // cold days in one commit; the hot day in 4 skewed micro-appends
+    t.append(df.filter(dayCol =!= minDay), t0)
+    val hot = df.filter(dayCol === minDay)
+    (0 until 4).foreach(i =>
+      t.append(hot.filter(pmod(hash(col("event_id")), lit(4)) === i), t0))
+    val filesBefore = t.files.count()
+    val hotFilesBefore = t.files.filter(t.partitionScope(
+      Seq("days_ts" -> lit(minDay)))).count()
+    t.optimizePartitions(Seq("days_ts" -> lit(minDay)), clock = t0)
+    val hotFilesAfter = t.files.filter(t.partitionScope(
+      Seq("days_ts" -> lit(minDay)))).count()
+    spark.read.format("graft").option("metadata", "partitions").load(loc)
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("hot_partition_files_before", lit(hotFilesBefore))
+      .withColumn("hot_partition_files_after", lit(hotFilesAfter))
+      .withColumn("files_after", lit(t.files.count()))
+      .orderBy(col("days_ts").asc_nulls_last, col("record_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_partitions" -> (partitionDemo _),
     "x12_upsert" -> (upsertDemo _),
     "x11_cdc_read" -> (cdcDemo _),
     "x10_mor_delete" -> (morDeleteDemo _),
