@@ -11,6 +11,10 @@ object DevTrace {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // int64-micros timestamps (Iceberg's mandated encoding): footer
+      // stats exist, unlike deprecated INT96 — enables the footer-
+      // inventory commit fast path (GraftTable.footerInventory)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("INFO")

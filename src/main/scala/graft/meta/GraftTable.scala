@@ -640,24 +640,30 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             .filter(matched)
       }.select(col(MorPathCol).as("file_path"), col(MorPosCol).as("pos"))
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      // Cluster by target file so a reader's per-file delete lookups are
-      // contiguous; tiny deletes still produce a single small file.
+      // HASH-cluster by target file: every file's entries land in exactly
+      // one output file (contiguous after the sort), empty partitions
+      // write nothing — so tiny deletes still produce one small file —
+      // and unlike a range shuffle there is no boundary-sampling pass.
+      // The deleted-row count rides on the same write via observe,
+      // not a separate count job.
+      val obs = new org.apache.spark.sql.Observation(
+        s"mor-delete-${commitDir.getName}")
       newDeletes
-        .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        .observe(obs, count(lit(1)).as("n"))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
           col("file_path"))
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
-      // inventory() emits the 6 stat columns; added_snapshot_id is
-      // stamped in commitDelete
-      val inv = inventory(commitDir)
-      val invSchema = inv.schema
-      val invRows = inv.collect().toIndexedSeq
-      val deleted = invRows.map(_.getLong(2)).sum
+      // a predicate matching nothing can run ZERO tasks (AQE collapses
+      // the empty shuffle) — no task, no accumulator update, empty
+      // observation map
+      val deleted = obs.get.getOrElse("n", 0L).asInstanceOf[Long]
       if (deleted == 0L) { fs.delete(commitDir, true); return 0L }
-      val manifest = spark.createDataFrame(
-        spark.sparkContext.parallelize(invRows, 1), invSchema)
-      commitDelete(manifest, deleted, basisId = cur.snapshotId, clock)
+      // inventory() stays lazy — the manifest write inside commitDelete
+      // is the one job that executes it
+      commitDelete(inventory(commitDir), deleted,
+        basisId = cur.snapshotId, clock)
       deleted
     }
 
@@ -681,12 +687,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"key column $k not in table schema"))
       if (keys.isEmpty) return 0L // no keys, no commit
-      val eqDir = writeEqDeleteFile(keys)
+      val (eqDir, keyStats) = writeEqDeleteFile(keys)
       var removed = 0L
       commit("delete", emptyManifest, clock, carryPrior = true,
         eqDeleteSource = Some(inventory(eqDir)),
         rowsDelta = { b =>
-          removed = matchingRows(b, keys, keyCols); -removed
+          removed = matchingRows(b, keys, keyCols, keyStats); -removed
         })
       removed
     }
@@ -718,12 +724,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     clusterBySpec(source).write.parquet(commitDir.toString)
     fs.delete(new Path(commitDir, "_SUCCESS"), false)
     writeSchemaIfAbsent(source.schema)
-    val eqDir = writeEqDeleteFile(srcKeys)
+    val (eqDir, keyStats) = writeEqDeleteFile(srcKeys)
     var removed = 0L
     commit(op, inventory(commitDir), clock, carryPrior = true,
       eqDeleteSource = Some(inventory(eqDir)),
       rowsDelta = { b =>
-        removed = matchingRows(b, srcKeys, keys); -removed
+        removed = matchingRows(b, srcKeys, keys, keyStats); -removed
       })
     removed
   }
@@ -735,17 +741,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * overlap are read — an upsert touching one key range counts
     * against overlapping files, not the table. */
   private def matchingRows(b: Snapshot, keys: DataFrame,
-                           keyCols: Seq[String]): Long = {
+                           keyCols: Seq[String], stats: Row): Long = {
     if (b.numFiles == 0) return 0L
     val kd = keys.select(keyCols.map(col): _*).distinct()
     // per key column: value bounds over the non-null keys AND whether
     // any key is null — null keys match null rows (null-safe eq-delete
     // semantics), so a file qualifies if its value range overlaps OR it
-    // may contain nulls while the key set does
-    val statAggs = keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k"),
-        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"nn_$k")))
-    val stats = kd.agg(statAggs.head, statAggs.tail: _*).head()
+    // may contain nulls while the key set does. `stats` was computed
+    // during the eq-file write ([[writeEqDeleteFile]]) — no extra scan.
     val tableSchema = schema
     val keep = keyCols.zipWithIndex.map { case (k, i) =>
       val dt = tableSchema(k).dataType
@@ -759,8 +762,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           else (dmin.isNull || dmin <= lit(stats.get(3 * i + 1)).cast(dt)) &&
             (dmax.isNull || dmax >= lit(mn).cast(dt))
         val fNulls = element_at(col("null_counts"), k)
+        // sum over an empty key set observes null — treat as zero
+        val nullKeys = Option(stats.get(3 * i + 2))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val nullHit =
-          if (stats.getLong(3 * i + 2) == 0L) lit(false)
+          if (nullKeys == 0L) lit(false)
           else fNulls.isNull || fNulls > 0
         valuesHit || nullHit
       }
@@ -777,12 +783,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
-  /** Write a distinct key set as one eq-delete parquet dir. */
-  private def writeEqDeleteFile(keys: DataFrame): Path = {
+  /** Write a distinct key set as one eq-delete parquet dir, computing
+    * the per-key-column (min, max, null-count) stats DURING the write
+    * via observe — [[matchingRows]] bounds-prunes with them, so the key
+    * set is never scanned a second time just for statistics. Returned
+    * stats are laid out `(mn_0, mx_0, nn_0, mn_1, ...)` per key column
+    * in `keys.columns` order. */
+  private def writeEqDeleteFile(keys: DataFrame): (Path, Row) = {
     val dir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-    keys.distinct().coalesce(1).write.parquet(dir.toString)
+    val keyCols = keys.columns.toSeq
+    val obs = new org.apache.spark.sql.Observation(s"eq-${dir.getName}")
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k"),
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"nn_$k")))
+    keys.distinct().observe(obs, aggs.head, aggs.tail: _*)
+      .coalesce(1).write.parquet(dir.toString)
     fs.delete(new Path(dir, "_SUCCESS"), false)
-    dir
+    // an empty key write can run zero tasks → empty observation map;
+    // null mins/maxes + zero null-count is what an empty set observes
+    val m = obs.get
+    val stats = Row(keyCols.flatMap(k =>
+      Seq(m.getOrElse(s"mn_$k", null), m.getOrElse(s"mx_$k", null),
+        m.getOrElse(s"nn_$k", 0L))): _*)
+    (dir, stats)
   }
 
   /** Inventory a small metadata-ish dir into a single-file manifest on
@@ -822,7 +845,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val nOut = math.max(1L,
         (delRows.map(_.getLong(1)).sum + (64L << 20) - 1) / (64L << 20)).toInt
       merged
-        .repartitionByRange(nOut, col("file_path"))
+        .repartition(nOut, col("file_path"))
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
@@ -1310,6 +1333,30 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
     val data = spark.read.parquet(commitDir.toString)
     val names = data.schema.fieldNames.toSeq
+    // Small flat commits take the FOOTER path: row counts, null counts,
+    // and min/max come from the parquet footers the write already
+    // produced — exact, driver-side, no second read of the data. The
+    // distributed aggregation below stays for what footers can't give:
+    // partition-transform bounds, bloom filters, non-atomic columns
+    // (footer null counts are per-LEAF, not per-field), decimals, and
+    // large commits (a thousand-file rewrite shouldn't serialize footer
+    // reads on the driver).
+    if (listed.size <= FooterInventoryMaxFiles &&
+        partitionSpec.forall(s => !data.columns.contains(s.column)) &&
+        bloomColumns(names).isEmpty &&
+        data.schema.fields.forall(f => f.dataType match {
+          case _: DecimalType => false
+          case _: NumericType | StringType | BinaryType | BooleanType |
+               DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        })) {
+      footerInventory(listed, data.schema) match {
+        case Some(df) =>
+          GraftTable.footerInventoryHits.incrementAndGet()
+          return df
+        case None => () // stats unavailable — fall through to the scan
+      }
+    }
     val bounded = data.schema.fields.filter(f => boundable(f.dataType))
       .map(_.name).toSeq
     // Partition-transform outputs get their own manifest bounds (e.g.
@@ -1350,6 +1397,130 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         coalesce(col("record_count"), lit(0L)).as("record_count"),
         col("null_counts"), col("min_values"), col("max_values"),
         col("blooms"))
+  }
+
+  /** Driver-side inventory fast path: per-file row counts, null counts,
+    * and min/max bounds read from the parquet FOOTERS the write itself
+    * just produced — exact, no second Spark job over the data. Bounds
+    * are rendered so that `cast(string as columnType)` on the consumer
+    * side ([[graft.sources.GraftFileIndex]], [[matchingRows]]) yields
+    * exactly the file's true min/max — the same contract the
+    * distributed path's `cast(StringType)` provides.
+    *
+    * Returns None — and [[inventory]] falls back to the distributed
+    * aggregation — whenever any footer statistic is unusable: unset
+    * null counts, INT96 timestamps (no footer stats by spec),
+    * non-MICROS timestamp encodings, or a chunk with rows but dropped
+    * bounds (float/double containing NaN, oversized binary values).
+    * Fallback keeps pruning parity; this path is purely a plan-time
+    * optimization for small flat commits (eq-delete key files,
+    * position-delete files, config-table appends — the per-commit
+    * floor of maintenance demos). */
+  private def footerInventory(listed: Seq[(String, Long)],
+                              schema: StructType): Option[DataFrame] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def microsOf(pt: PrimitiveType): Boolean = pt.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == TimeUnit.MICROS
+      case _ => false
+    }
+    // A footer statistic value → the string Spark's cast-to-string
+    // contract round-trips. Numerics use Java's shortest-round-trip
+    // rendering (exact on cast-back); timestamps format epoch-micros in
+    // the session zone at full precision.
+    def render(v: AnyRef, dt: DataType, pt: PrimitiveType): Option[String] =
+      (dt, pt.getPrimitiveTypeName) match {
+        case (ByteType | ShortType | IntegerType, INT32) => Some(v.toString)
+        case (LongType, INT64) => Some(v.toString)
+        case (FloatType, FLOAT) => Some(v.toString)
+        case (DoubleType, DOUBLE) => Some(v.toString)
+        case (StringType, BINARY) =>
+          Some(new String(v.asInstanceOf[Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8))
+        case (DateType, INT32) =>
+          Some(java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Number].longValue).toString)
+        case (TimestampType, INT64) if microsOf(pt) =>
+          val us = v.asInstanceOf[Number].longValue
+          Some(java.time.Instant
+            .ofEpochSecond(Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L)
+            .atZone(zone).toLocalDateTime.format(tsFmt))
+        case (TimestampNTZType, INT64) if microsOf(pt) =>
+          val us = v.asInstanceOf[Number].longValue
+          Some(java.time.LocalDateTime
+            .ofEpochSecond(Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC).format(tsFmt))
+        case _ => None
+      }
+    val boundedNames = schema.fields.filter(f => boundable(f.dataType))
+      .map(_.name).toSeq
+    val rows = listed.map { case (p, size) =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        if (n == 0L) {
+          // mirror the distributed path's left-join miss: zero rows,
+          // null stat maps
+          Row(p, size, 0L, null, null, null, null)
+        } else {
+          val byName = blocks.flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+          val nulls = schema.fields.map { f =>
+            val chunks = byName.getOrElse(f.name, return None)
+            f.name -> chunks.map { c =>
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              st.getNumNulls
+            }.sum
+          }.toMap
+          def bound(wantMax: Boolean): Map[String, String] =
+            boundedNames.map { name =>
+              val dt = schema(name).dataType
+              val chunks = byName(name)
+              val pt = chunks.head.getPrimitiveType
+              val cmp = pt.comparator()
+                .asInstanceOf[java.util.Comparator[AnyRef]]
+              val vals = chunks.flatMap { c =>
+                val st = c.getStatistics
+                if (st.hasNonNullValue)
+                  Some(if (wantMax) st.genericGetMax else st.genericGetMin)
+                else if (st.getNumNulls == c.getValueCount) None
+                else return null // rows present, bounds dropped → fall back
+              }.map(_.asInstanceOf[AnyRef])
+              val v =
+                if (vals.isEmpty) null // all-null column: null bound
+                else {
+                  val best = vals.reduce((a, b) =>
+                    if ((cmp.compare(a, b) >= 0) == wantMax) a else b)
+                  render(best, dt, pt).getOrElse(return null)
+                }
+              name -> v
+            }.toMap
+          val mins = bound(wantMax = false)
+          if (mins == null) return None
+          val maxs = bound(wantMax = true)
+          if (maxs == null) return None
+          Row(p, size, n, nulls, mins, maxs, null)
+        }
+      } finally reader.close()
+    }
+    Some(spark.createDataFrame(rows.asJava,
+      StructType(ManifestSchema.fields.dropRight(1))))
   }
 
   /** Write the delta manifest parquet + appended log entry. Caller holds
@@ -1740,6 +1911,19 @@ object GraftTable {
     * `min_values`/`max_values` (column name → string-encoded bound over
     * this file's rows) are the Iceberg `lower_bounds`/`upper_bounds`
     * analogue that [[GraftTable.readPruned]] uses for file skipping. */
+  /** Commits at or below this many files may take the driver-side
+    * footer-statistics inventory path ([[GraftTable.footerInventory]]);
+    * larger commits always aggregate distributedly — a thousand-file
+    * rewrite must not serialize footer reads on the driver. */
+  private[meta] val FooterInventoryMaxFiles = 64
+
+  /** Test hook: count of inventories served from parquet footers, so
+    * specs can pin that the fast path actually FIRES (a silent
+    * fall-through to the distributed aggregation would still be
+    * correct, just slower — exactly the regression worth catching). */
+  private[graft] val footerInventoryHits =
+    new java.util.concurrent.atomic.AtomicLong
+
   val ManifestSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),

@@ -37,7 +37,7 @@ object MaintenanceQueries {
     val df = seed(spark, sfDir)
     t.append(df.filter(col("p_partkey") % 2 === 0).repartition(4), t0)
     t.append(df.filter(col("p_partkey") % 2 === 1).repartition(4), t0)
-    val before = t.files.count()
+    val before = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
     t.optimize(clock = t0)
     t.files.select(lit(before).as("files_before"), col("path"),
       col("size_bytes"), col("record_count"), col("added_snapshot_id"))
@@ -104,12 +104,19 @@ object MaintenanceQueries {
     // alpha stages TWO FILES IN ONE COMMIT (repartition(2)) so optimize
     // visibly compacts without paying a second commit; beta one file.
     // Both config rows go in a single INSERT — one commit, not two.
-    Seq("alpha", "beta").foreach { n =>
-      val t = GraftTable.create(spark, base.resolve(n).toString,
-        seed(spark, sfDir).schema)
-      if (n == "alpha") t.append(seed(spark, sfDir).limit(160).repartition(2), t0)
-      else t.append(seed(spark, sfDir).limit(80), t0)
+    // the two tables are independent — seed them concurrently, exactly
+    // like the bounded worker pool the scheduler itself runs with
+    val seedThreads = Seq("alpha", "beta").map { n =>
+      new Thread(() => {
+        val t = GraftTable.create(spark, base.resolve(n).toString,
+          seed(spark, sfDir).schema)
+        if (n == "alpha")
+          t.append(seed(spark, sfDir).limit(160).repartition(2), t0)
+        else t.append(seed(spark, sfDir).limit(80), t0)
+      })
     }
+    seedThreads.foreach(_.start())
+    seedThreads.foreach(_.join())
     store.insert(Seq("alpha", "beta").map { n =>
       MaintenanceConfig(n,
         should_analyze = if (n == "alpha") Some(1) else None,
@@ -226,11 +233,13 @@ object MaintenanceQueries {
     val t = GraftTable.create(spark, freshDir("mor"),
       seed(spark, sfDir).schema)
     t.append(seed(spark, sfDir).repartition(3), t0)
-    val filesBefore = t.files.count()
+    // file counts from the snapshot summary — metadata-only, no scan
+    def nFiles = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
+    val filesBefore = nFiles
     val rowsBefore = t.rowCount
     val deleted = t.deleteWhereMOR(col("p_partkey") % 7 === 0, t0) +
       t.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
-    val filesAfterDelete = t.files.count() // unchanged: metadata-only
+    val filesAfterDelete = nFiles // unchanged: metadata-only
     val merged = t.rewriteDeleteFiles(t0)  // compact delete files, no data I/O
     val deleteFiles = t.deleteFiles.count()
     val rowsMor = t.read.count()
@@ -270,11 +279,13 @@ object MaintenanceQueries {
       seed(spark, sfDir).schema)
     t.append(seed(spark, sfDir), t0)
     val rowsBefore = t.rowCount
-    val filesBefore = t.files.count()
+    // file counts from the snapshot summary — metadata-only, no scan
+    def nFiles = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
+    val filesBefore = nFiles
     val src = seed(spark, sfDir).filter(col("p_partkey") % 9 === 0)
       .withColumn("p_retailprice", col("p_retailprice") + 1000.0)
     val replaced = t.upsert(src, Seq("p_partkey"), t0)
-    val filesAfterUpsert = t.files.count()
+    val filesAfterUpsert = nFiles
     val upsertedKeys = t.read.filter(col("p_partkey") % 9 === 0).count()
     t.optimize(clock = t0)
     import spark.implicits._

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.meta.GraftTable
+
+/** The footer-statistics commit fast path: small flat commits build
+  * their manifest from the parquet footers the write just produced —
+  * no second Spark job over the data — and MUST emit byte-identical
+  * stats to the distributed aggregation (same null counts, same
+  * string-rendered min/max), or file-skipping semantics would drift
+  * between the two paths. */
+class FooterInventorySpec extends SparkSpec {
+
+  private def statsOf(t: GraftTable): Seq[Row] =
+    t.files
+      .select("record_count", "null_counts", "min_values", "max_values")
+      .collect().toSeq
+
+  private def mixed = {
+    import spark.implicits._
+    Seq(
+      (1L, Option("alpha"), 1.5, Option(Timestamp.valueOf("2024-01-01 10:00:00.123456")),
+        Option(Date.valueOf("2024-01-01")), Option(10)),
+      (2L, Option("omega"), -2.75, Option(Timestamp.valueOf("2025-06-30 23:59:59.999999")),
+        Option(Date.valueOf("2025-12-31")), None),
+      (3L, None, 0.0, None, None, Option(-4))
+    ).toDF("id", "name", "score", "ts", "d", "opt")
+  }
+
+  test("footer path fires on a flat commit and matches the distributed stats") {
+    val df = mixed
+    val before = GraftTable.footerInventoryHits.get
+
+    val fast = GraftTable.create(spark, tmpDir("fi_fast") + "/t", df.schema)
+    fast.append(df.repartition(1))
+    assert(GraftTable.footerInventoryHits.get == before + 1,
+      "footer fast path did not fire on a flat micros-timestamp commit")
+
+    // Same rows plus an array column → guard rejects, distributed path.
+    val slowDf = df.withColumn("arr", array(col("id")))
+    val slow = GraftTable.create(spark, tmpDir("fi_slow") + "/t", slowDf.schema)
+    slow.append(slowDf.repartition(1))
+    assert(GraftTable.footerInventoryHits.get == before + 1,
+      "array column must force the distributed inventory")
+
+    val Seq(f) = statsOf(fast)
+    val Seq(s) = statsOf(slow)
+    assert(f.getLong(0) == 3 && s.getLong(0) == 3)
+    val cols = Seq("id", "name", "score", "ts", "d", "opt")
+    for (c <- cols) {
+      assert(f.getMap[String, Long](1).get(c) == s.getMap[String, Long](1).get(c),
+        s"null count drift on $c")
+      assert(f.getMap[String, String](2).get(c) == s.getMap[String, String](2).get(c),
+        s"min drift on $c: footer=${f.getMap[String, String](2).get(c)} " +
+          s"distributed=${s.getMap[String, String](2).get(c)}")
+      assert(f.getMap[String, String](3).get(c) == s.getMap[String, String](3).get(c),
+        s"max drift on $c")
+    }
+    // spot-pin the exact renderings the pruning layer casts back
+    val mins = f.getMap[String, String](2)
+    val maxs = f.getMap[String, String](3)
+    assert(mins("ts") == "2024-01-01 10:00:00.123456")
+    assert(maxs("ts") == "2025-06-30 23:59:59.999999")
+    assert(mins("d") == "2024-01-01" && maxs("d") == "2025-12-31")
+    assert(mins("score") == "-2.75" && maxs("score") == "1.5")
+    assert(mins("name") == "alpha" && maxs("name") == "omega")
+    assert(f.getMap[String, Long](1)("name") == 1L)
+  }
+
+  test("NaN doubles force fallback; bounds still come from the distributed path") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, -5.0)).toDF("id", "v")
+    val before = GraftTable.footerInventoryHits.get
+    val t = GraftTable.create(spark, tmpDir("fi_nan") + "/t", df.schema)
+    t.append(df.repartition(1))
+    // parquet drops float bounds when a chunk contains NaN → must not
+    // serve half-stats from the footer
+    assert(GraftTable.footerInventoryHits.get == before,
+      "NaN chunk must fall back to the distributed inventory")
+    val Seq(r) = statsOf(t)
+    assert(r.getMap[String, String](2)("id") == "1")
+    assert(r.getMap[String, String](3)("id") == "3")
+  }
+
+  test("all-null column gets null bounds; skipping still keeps answers exact") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, None), (3L, None))
+      .toDF("id", "s")
+    val before = GraftTable.footerInventoryHits.get
+    val t = GraftTable.create(spark, tmpDir("fi_null") + "/t", df.schema)
+    t.append(df.repartition(1))
+    assert(GraftTable.footerInventoryHits.get == before + 1)
+    val Seq(r) = statsOf(t)
+    assert(r.getMap[String, Long](1)("s") == 3L)
+    assert(r.getMap[String, String](2).get("s").contains(null))
+    assert(r.getMap[String, String](3).get("s").contains(null))
+  }
+
+  test("file skipping prunes identically over footer-built bounds") {
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") * 2).as("v"))
+    val before = GraftTable.footerInventoryHits.get
+    val t = GraftTable.create(spark, tmpDir("fi_prune") + "/t", df.schema)
+    t.append(df.repartitionByRange(8, col("id")))
+    assert(GraftTable.footerInventoryHits.get == before + 1,
+      "8-file range-clustered append should take the footer path")
+    val scan = t.readPruned("id", lit(100L), lit(199L))
+    assert(scan.filesTotal == 8)
+    assert(scan.filesScanned < scan.filesTotal,
+      s"expected skipping, scanned ${scan.filesScanned}/${scan.filesTotal}")
+    val got = scan.df.filter(col("id").between(100, 199))
+      .agg(sum("v")).collect()(0).getLong(0)
+    val want = df.filter(col("id").between(100, 199))
+      .agg(sum("v")).collect()(0).getLong(0)
+    assert(got == want)
+  }
+}
