@@ -1341,8 +1341,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // (footer null counts are per-LEAF, not per-field), decimals, and
     // large commits (a thousand-file rewrite shouldn't serialize footer
     // reads on the driver).
-    if (listed.size <= FooterInventoryMaxFiles &&
-        partitionSpec.forall(s => !data.columns.contains(s.column)) &&
+    // A partition field is footer-eligible when its transform output
+    // bounds DERIVE from the source column's footer bounds: identity
+    // over a boundable column (the column's own entry serves), and the
+    // monotonic non-decreasing transforms days / truncate, where
+    // transform(min)..transform(max) are exact output bounds. bucket
+    // (a hash) is not monotonic — only the distributed path can bound it.
+    val specFields = partitionSpec.filter(s => data.columns.contains(s.column))
+    val specsDerivable = specFields.forall { s =>
+      val dt = data.schema(s.column).dataType
+      s.transform match {
+        case "identity" => boundable(dt)
+        case "days" => dt == DateType || dt == TimestampType ||
+          dt == TimestampNTZType
+        case "truncate" => dt match {
+          case StringType | ByteType | ShortType | IntegerType |
+               LongType => true
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    if (listed.size <= FooterInventoryMaxFiles && specsDerivable &&
         bloomColumns(names).isEmpty &&
         data.schema.fields.forall(f => f.dataType match {
           case _: DecimalType => false
@@ -1350,7 +1370,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                DateType | TimestampType | TimestampNTZType => true
           case _ => false
         })) {
-      footerInventory(listed, data.schema) match {
+      footerInventory(listed, data.schema, specFields) match {
         case Some(df) =>
           GraftTable.footerInventoryHits.incrementAndGet()
           return df
@@ -1415,9 +1435,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * Fallback keeps pruning parity; this path is purely a plan-time
     * optimization for small flat commits (eq-delete key files,
     * position-delete files, config-table appends — the per-commit
-    * floor of maintenance demos). */
+    * floor of maintenance demos).
+    *
+    * `specs` are the partition fields whose transform-output bounds
+    * must be derived alongside (pre-checked monotonic by the caller):
+    * for a monotonic non-decreasing transform f, f(min)..f(max) are
+    * exact bounds of f over the file's values. */
   private def footerInventory(listed: Seq[(String, Long)],
-                              schema: StructType): Option[DataFrame] = {
+                              schema: StructType,
+                              specs: Seq[PartitionField]): Option[DataFrame] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -1465,32 +1491,75 @@ final class GraftTable(val spark: SparkSession, val location: String) {
               java.time.ZoneOffset.UTC).format(tsFmt))
         case _ => None
       }
+    // epoch-micros → epoch-day IN THE SESSION ZONE — identical to the
+    // distributed path's `datediff(ts.cast(date), '1970-01-01')`
+    def epochDay(us: Long): Long = java.time.Instant
+      .ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+      .atZone(zone).toLocalDate.toEpochDay
+    def epochDayNtz(us: Long): Long =
+      Math.floorDiv(Math.floorDiv(us, 1000000L), 86400L)
+    // derived transform-output bound, rendered like the distributed
+    // path's `f(expr).cast(string)`; None = underivable → fall back
+    def derive(s: PartitionField, v: AnyRef, dt: DataType): Option[String] =
+      s.transform match {
+        case "days" => dt match {
+          case DateType => Some(v.toString) // int32 IS epoch days
+          case TimestampType =>
+            Some(epochDay(v.asInstanceOf[Number].longValue).toString)
+          case TimestampNTZType =>
+            Some(epochDayNtz(v.asInstanceOf[Number].longValue).toString)
+          case _ => None
+        }
+        case "truncate" => dt match {
+          case StringType => Some(new String(
+            v.asInstanceOf[Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8).take(s.param))
+          // floor(v/w)*w via double, mirroring the Catalyst expr
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some((Math.floor(
+              v.asInstanceOf[Number].longValue.toDouble / s.param)
+              * s.param).toLong.toString)
+          case _ => None
+        }
+        case _ => None // identity: the column's own entry serves
+      }
     val boundedNames = schema.fields.filter(f => boundable(f.dataType))
       .map(_.name).toSeq
-    val rows = listed.map { case (p, size) =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(p), conf))
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        val n = blocks.map(_.getRowCount).sum
-        if (n == 0L) {
-          // mirror the distributed path's left-join miss: zero rows,
-          // null stat maps
-          Row(p, size, 0L, null, null, null, null)
-        } else {
-          val byName = blocks.flatMap(_.getColumns.asScala)
-            .groupBy(_.getPath.toDotString)
-          val nulls = schema.fields.map { f =>
-            val chunks = byName.getOrElse(f.name, return None)
-            f.name -> chunks.map { c =>
-              val st = c.getStatistics
-              if (st == null || !st.isNumNullsSet) return None
-              st.getNumNulls
-            }.sum
-          }.toMap
-          def bound(wantMax: Boolean): Map[String, String] =
-            boundedNames.map { name =>
-              val dt = schema(name).dataType
+    // spec entries the distributed path would emit separately: transform
+    // outputs not already covered by the source column's own entry
+    val specEntries = specs.filter(s => !boundedNames.contains(s.name))
+    // any unusable statistic aborts the WHOLE fast path (never serve
+    // half-stats): signalled from arbitrarily deep in the per-column
+    // walk with a stackless control throwable
+    object Fallback extends Exception with scala.util.control.NoStackTrace
+    def fallback(): Nothing = throw Fallback
+    try {
+      val rows = listed.map { case (p, size) =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(p), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val n = blocks.map(_.getRowCount).sum
+          if (n == 0L) {
+            // mirror the distributed path's left-join miss: zero rows,
+            // null stat maps
+            Row(p, size, 0L, null, null, null, null)
+          } else {
+            val byName = blocks.flatMap(_.getColumns.asScala)
+              .groupBy(_.getPath.toDotString)
+            val nulls = schema.fields.map { f =>
+              val chunks = byName.getOrElse(f.name, fallback())
+              f.name -> chunks.map { c =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet) fallback()
+                st.getNumNulls
+              }.sum
+            }.toMap
+            // raw footer bound of a column: Some(value), or None when
+            // every value is null; aborts when bounds were dropped
+            // despite non-null rows (NaN, oversized binary)
+            def raw(name: String, wantMax: Boolean): Option[AnyRef] = {
               val chunks = byName(name)
               val pt = chunks.head.getPrimitiveType
               val cmp = pt.comparator()
@@ -1500,27 +1569,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                 if (st.hasNonNullValue)
                   Some(if (wantMax) st.genericGetMax else st.genericGetMin)
                 else if (st.getNumNulls == c.getValueCount) None
-                else return null // rows present, bounds dropped → fall back
+                else fallback()
               }.map(_.asInstanceOf[AnyRef])
-              val v =
-                if (vals.isEmpty) null // all-null column: null bound
-                else {
-                  val best = vals.reduce((a, b) =>
-                    if ((cmp.compare(a, b) >= 0) == wantMax) a else b)
-                  render(best, dt, pt).getOrElse(return null)
-                }
-              name -> v
-            }.toMap
-          val mins = bound(wantMax = false)
-          if (mins == null) return None
-          val maxs = bound(wantMax = true)
-          if (maxs == null) return None
-          Row(p, size, n, nulls, mins, maxs, null)
-        }
-      } finally reader.close()
-    }
-    Some(spark.createDataFrame(rows.asJava,
-      StructType(ManifestSchema.fields.dropRight(1))))
+              if (vals.isEmpty) Option.empty[AnyRef]
+              else Some(vals.reduce((a, b) =>
+                if ((cmp.compare(a, b) >= 0) == wantMax) a else b))
+            }
+            def bound(wantMax: Boolean): Map[String, String] = {
+              val own = boundedNames.map { name =>
+                val dt = schema(name).dataType
+                val pt = byName(name).head.getPrimitiveType
+                name -> raw(name, wantMax).map(v =>
+                  render(v, dt, pt).getOrElse(fallback())).orNull
+              }
+              val derived = specEntries.map { s =>
+                val dt = schema(s.column).dataType
+                s.name -> raw(s.column, wantMax).map(v =>
+                  derive(s, v, dt).getOrElse(fallback())).orNull
+              }
+              (own ++ derived).toMap
+            }
+            Row(p, size, n, nulls,
+              bound(wantMax = false), bound(wantMax = true), null)
+          }
+        } finally reader.close()
+      }
+      Some(spark.createDataFrame(rows.asJava,
+        StructType(ManifestSchema.fields.dropRight(1))))
+    } catch { case Fallback => None }
   }
 
   /** Write the delta manifest parquet + appended log entry. Caller holds

@@ -153,6 +153,10 @@ final class DefaultSource extends RelationProvider
             ancestors(s.snapshotId)))
           .toDF("snapshot_id", "parent_id", "committed_at_ms", "operation",
             "is_current_ancestor")
+      case "properties" =>
+        // Trino/Iceberg's `"t$properties"`: current table properties as
+        // (key, value) rows
+        table.properties.toSeq.sortBy(_._1).toDF("key", "value")
       case "manifests" =>
         // the CURRENT snapshot's manifest list (Iceberg's manifests table)
         val fs = new org.apache.hadoop.fs.Path(table.location)
@@ -165,7 +169,8 @@ final class DefaultSource extends RelationProvider
           }.toDF("path", "length")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table $other (files|snapshots|refs|stats|" +
-          "history|manifests|delete_files|eq_delete_files|partitions)")
+          "history|manifests|delete_files|eq_delete_files|partitions|" +
+          "properties)")
     }
     new BaseRelation with org.apache.spark.sql.sources.TableScan {
       override def sqlContext: SQLContext = ctx

@@ -94,6 +94,8 @@ object GraftSql {
         Some(resolve(unquote(t))
           .readAsOfTime(Timestamp.valueOf(ts).getTime))
       case SelectAll(t) => Some(select(spark, resolve, unquote(t)))
+      case CallRollback(t, id) =>
+        resolve(unquote(stripQuotes(t))).rollback(id.toLong); None
       case other => throw new IllegalArgumentException(
         s"unsupported SQL (GraftSql handles the reference's statement " +
           s"dialect only): $other")
@@ -139,6 +141,12 @@ object GraftSql {
   private val SelectTimestamp =
     s"""(?i)^SELECT \\* FROM $Ident FOR TIMESTAMP AS OF TIMESTAMP '([^']+)'$$""".r
   private val SelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
+  // Trino Iceberg's rollback procedure: CALL system.rollback_to_snapshot
+  // ('t', 3). The reference's connector spells the table as
+  // ('schema', 'table', id) — the resolver owns that mapping here, so
+  // the table is one name argument.
+  private val CallRollback =
+    """(?i)^CALL system\.rollback_to_snapshot ?\( ?('[^']+') ?, ?(\d+) ?\)$""".r
 
   /** Collapse whitespace runs OUTSIDE string literals only — `'x  y'`
     * and literals containing tabs/newlines pass through byte-exact
@@ -532,7 +540,7 @@ object GraftSql {
     * through the same graft-source metadata relations. */
   private val MetaSuffixes =
     Set("files", "snapshots", "refs", "stats", "history", "manifests",
-      "delete_files", "eq_delete_files", "partitions")
+      "delete_files", "eq_delete_files", "partitions", "properties")
 
   private def select(spark: SparkSession, resolve: String => GraftTable,
                      id: String): DataFrame = {

@@ -100,6 +100,68 @@ class FooterInventorySpec extends SparkSpec {
     assert(r.getMap[String, String](3).get("s").contains(null))
   }
 
+  test("partitioned commits derive transform bounds from footers, matching distributed") {
+    import spark.implicits._
+    import graft.meta.PartitionSpec
+    val df = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 01:00:00"), "alpha-one"),
+      (2L, Timestamp.valueOf("2026-01-02 23:59:59"), "alpha-two"),
+      (3L, Timestamp.valueOf("2026-01-04 12:00:00"), "omega-xyz"),
+      (4L, Timestamp.valueOf("2026-01-04 18:30:00"), "omega-abc")
+    ).toDF("id", "ts", "name").repartition(2, $"id")
+    val specs = Seq(PartitionSpec.days("ts"), PartitionSpec.truncate(4, "name"),
+      PartitionSpec.identity("id"))
+
+    val before = GraftTable.footerInventoryHits.get
+    val fast = GraftTable.create(spark, tmpDir("fi_part") + "/t", df.schema, specs)
+    fast.append(df)
+    assert(GraftTable.footerInventoryHits.get == before + 1,
+      "days/truncate/identity specs must be footer-derivable")
+
+    // same data + an array column → guard rejects → distributed path
+    val slowDf = df.withColumn("arr", array($"id"))
+    val slow = GraftTable.create(spark, tmpDir("fi_part_slow") + "/t",
+      slowDf.schema, specs)
+    slow.append(slowDf)
+    assert(GraftTable.footerInventoryHits.get == before + 1)
+
+    def bounds(t: GraftTable): Map[(String, String), (String, String)] =
+      t.files.select("min_values", "max_values").collect().toSeq.map { r =>
+        val mn = r.getMap[String, String](0)
+        val mx = r.getMap[String, String](1)
+        (mn("id"), mx("id")) ->
+          ((s"${mn("days_ts")}..${mx("days_ts")}"),
+            (s"${mn("trunc4_name")}..${mx("trunc4_name")}"))
+      }.toMap
+    // keyed by each file's id range (stable across both tables: same
+    // clustering), the derived transform bounds must match exactly
+    assert(bounds(fast) == bounds(slow))
+
+    // and partition pruning over the footer-built bounds stays exact
+    val day = PartitionSpec.days("ts")
+      .expr(lit("2026-01-04 00:00:00").cast("timestamp"))
+    val scan = fast.readPrunedPartition("days_ts" -> day)
+    assert(scan.filesScanned < scan.filesTotal,
+      s"pruning must skip (${scan.filesScanned}/${scan.filesTotal})")
+    assert(scan.df.filter(to_date($"ts") === "2026-01-04").count() == 2)
+  }
+
+  test("bucket-partitioned commits fall back to the distributed inventory") {
+    import spark.implicits._
+    import graft.meta.PartitionSpec
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val before = GraftTable.footerInventoryHits.get
+    val t = GraftTable.create(spark, tmpDir("fi_bucket") + "/t", df.schema,
+      Seq(PartitionSpec.bucket(4, "id")))
+    t.append(df)
+    // a hash transform's output bounds cannot derive from value bounds
+    assert(GraftTable.footerInventoryHits.get == before)
+    val rs = t.files.select("min_values").collect().toSeq
+    assert(rs.nonEmpty && rs.forall(
+      _.getMap[String, String](0).contains("bucket4_id")),
+      "distributed path must still bound the bucket output")
+  }
+
   test("file skipping prunes identically over footer-built bounds") {
     val df = spark.range(0, 1000)
       .select(col("id"), (col("id") * 2).as("v"))

@@ -335,6 +335,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(fx.rows("SELECT * FROM t").length == 3)
   }
 
+  test("CALL system.rollback_to_snapshot moves main; later snapshots stay by id") {
+    val fx = fixture("sqlrb")
+    fx.sql("CREATE TABLE t (k INTEGER)")
+    fx.sql("INSERT INTO t VALUES (1), (2)") // snapshot 1
+    fx.sql("INSERT INTO t VALUES (3)")      // snapshot 2
+    fx.sql("CALL system.rollback_to_snapshot('t', 1)")
+    assert(fx.rows("SELECT * FROM t").length == 2)
+    // the rolled-past snapshot remains readable by explicit version
+    assert(fx.rows("SELECT * FROM t FOR VERSION AS OF 2").length == 3)
+    intercept[IllegalArgumentException] {
+      fx.sql("CALL system.other_procedure('t', 1)")
+    }
+  }
+
+  test("\"t$properties\" lists current table properties as key/value rows") {
+    val fx = fixture("sqlprops")
+    fx.sql("CREATE TABLE t (k INTEGER)")
+    fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.columns\" = 'k'")
+    val rows = fx.rows("SELECT * FROM \"t$properties\"")
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("write.bloom-filter.columns") == "k")
+  }
+
   test("DELETE FROM ... WHERE is a merge-on-read position delete") {
     import spark.implicits._
     val fx = fixture("sqldel")
