@@ -53,8 +53,9 @@ object GraftSql {
   def exec(spark: SparkSession, sql: String, resolve: String => GraftTable,
            clock: Clock = Clock.systemUTC()): Option[DataFrame] =
     normalize(sql) match {
-      case AlterExec(t, op, args) =>
-        alterExec(resolve(unquote(t)), op, Option(args), clock); None
+      case AlterExec(t, op, args, where) =>
+        alterExec(resolve(unquote(t)), op, Option(args), Option(where), clock)
+        None
       case AlterSetProps(t, props) =>
         resolve(unquote(t)).setProperties(parseProps(props)); None
       case AnalyzeStmt(t, cols) =>
@@ -104,8 +105,10 @@ object GraftSql {
   // ---- statement grammar (whitespace-normalized input) -------------------
 
   private val Ident = """((?:"[^"]+")|(?:[\w.$]+))"""
+  // optional WHERE: Trino's partition-scoped optimize
+  // (ALTER TABLE t EXECUTE optimize WHERE days_ts = 123)
   private val AlterExec =
-    s"""(?i)^ALTER TABLE $Ident EXECUTE (\\w+)(?: ?\\( ?(.*?) ?\\))?$$""".r
+    s"""(?is)^ALTER TABLE $Ident EXECUTE (\\w+)(?: ?\\( ?(.*?) ?\\))?(?: WHERE (.+))?$$""".r
   // Trino: ALTER TABLE t SET PROPERTIES k = 'v'[, k2 = 'v2']
   private val AlterSetProps =
     s"""(?is)^ALTER TABLE $Ident SET PROPERTIES (.+)$$""".r
@@ -177,13 +180,19 @@ object GraftSql {
   // ---- maintenance ops ----------------------------------------------------
 
   private def alterExec(t: GraftTable, op: String, args: Option[String],
-                        clock: Clock): Unit = {
+                        where: Option[String], clock: Clock): Unit = {
     val kv = parseArgs(args)
+    require(where.isEmpty || op.equalsIgnoreCase("optimize"),
+      s"WHERE is only supported for optimize (got $op)")
     op.toLowerCase match {
       case "optimize" =>
         val target = kv.get("file_size_threshold").map(parseDataSize)
           .getOrElse(128L * 1024 * 1024)
-        t.optimize(targetFileBytes = target, clock = clock)
+        where match {
+          case None => t.optimize(targetFileBytes = target, clock = clock)
+          case Some(w) => // partition-scoped rewrite, metadata-pruned
+            t.optimizePartitions(parsePartitionPreds(t, w), target, clock)
+        }
       case "expire_snapshots" =>
         t.expireSnapshots(parseDays(arg(kv, "retention_threshold", op)), clock)
       case "remove_orphan_files" =>
@@ -196,6 +205,29 @@ object GraftSql {
           "drop_extended_stats)")
     }
   }
+
+  /** `days_ts = 123 AND trunc4_name = 'alph'` — the optimize WHERE
+    * partition predicate: equality conjunctions over partition-FIELD
+    * names (transform outputs), coerced to each transform's output
+    * type. Anything richer fails loudly — scoping is exact bounds
+    * cover on point values ([[GraftTable.partitionScope]]). */
+  private def parsePartitionPreds(t: GraftTable,
+                                  w: String): Seq[(String, org.apache.spark.sql.Column)] =
+    splitTopAnd(w).map { term =>
+      term.trim match {
+        case CmpTerm(id, "=", rawLit) =>
+          val name = unquote(id)
+          val f = t.partitionSpec.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"optimize WHERE takes partition field names (got $name; " +
+                s"fields: ${t.partitionSpec.map(_.name).mkString(", ")})"))
+          val dt = f.outputType(t.schema(f.column).dataType)
+          name -> lit(coerce(parseLiteral(rawLit.trim), dt))
+        case other => throw new IllegalArgumentException(
+          "optimize WHERE supports only partition_field = literal " +
+            s"conjunctions, got: $other")
+      }
+    }
 
   /** `k = 'v', k2 = 'v2'` (Trino SET PROPERTIES; DEFAULT removes). */
   private def parseProps(props: String): Map[String, String] =

@@ -335,6 +335,53 @@ class GraftSqlSpec extends SparkSpec {
     assert(fx.rows("SELECT * FROM t").length == 3)
   }
 
+  test("ALTER TABLE EXECUTE optimize WHERE compacts only the named partition") {
+    import spark.implicits._
+    import graft.meta.PartitionSpec
+    val fx = fixture("sqloptwhere")
+    val df = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        s"2026-01-0${1 + i % 4} 0${i % 10}:00:00"), i * 1.5)
+    }.toDF("id", "ts", "v")
+    val t = GraftTable.create(spark, s"${fx.dir}/t", df.schema,
+      partitionBy = Seq(PartitionSpec.days("ts")))
+    val hotDay = PartitionSpec.days("ts")
+      .expr(org.apache.spark.sql.functions.lit("2026-01-01 00:00:00")
+        .cast("timestamp"))
+    // the hot day arrives as 3 micro-appends, other days in one commit
+    t.append(df.filter(org.apache.spark.sql.functions
+      .to_date($"ts") =!= "2026-01-01"))
+    (0 until 3).foreach(i => t.append(df.filter(
+      org.apache.spark.sql.functions.to_date($"ts") === "2026-01-01" &&
+        $"id" % 3 === i)))
+    val hotBefore = t.files.filter(t.partitionScope(
+      Seq("days_ts" -> hotDay))).count()
+    val totalBefore = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
+    val day = df.filter(org.apache.spark.sql.functions
+        .to_date($"ts") === "2026-01-01")
+      .select(org.apache.spark.sql.functions.datediff(
+        $"ts".cast("date"),
+        org.apache.spark.sql.functions.lit("1970-01-01").cast("date")))
+      .head().getInt(0)
+    fx.sql(s"ALTER TABLE t EXECUTE optimize WHERE days_ts = $day")
+    val hotAfter = t.files.filter(t.partitionScope(
+      Seq("days_ts" -> hotDay))).count()
+    assert(hotBefore == 3 && hotAfter == 1,
+      s"hot partition must compact 3 -> 1 (got $hotBefore -> $hotAfter)")
+    assert(t.currentSnapshot.map(_.numFiles).getOrElse(0L) ==
+      totalBefore - hotBefore + hotAfter,
+      "cold partitions must be carried untouched")
+    assert(t.read.count() == 200)
+    // non-partition column and non-optimize ops fail loudly
+    intercept[IllegalArgumentException] {
+      fx.sql("ALTER TABLE t EXECUTE optimize WHERE id = 3")
+    }
+    intercept[IllegalArgumentException] {
+      fx.sql("ALTER TABLE t EXECUTE expire_snapshots(retention_threshold " +
+        "=> '7d') WHERE days_ts = 3")
+    }
+  }
+
   test("CALL system.rollback_to_snapshot moves main; later snapshots stay by id") {
     val fx = fixture("sqlrb")
     fx.sql("CREATE TABLE t (k INTEGER)")
