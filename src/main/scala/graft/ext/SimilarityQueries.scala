@@ -213,7 +213,74 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
+  // ---- s05: random-hyperplane LSH near-dup (label-free) -------------------
+
+  private val NumPlanes = 16
+  private val PlaneBits = 8  // bits per band → 256 buckets/band
+  private val PlaneBands = NumPlanes / PlaneBits
+  private val LshThreshold = 0.4
+  private val EmbeddingDim = 64
+
+  /** Deterministic low-discrepancy hyperplanes in [-1,1): golden-ratio
+    * sequence. Generated ONCE here and baked as literal arrays into
+    * BOTH the Spark plan and the DuckDB oracle — the two engines
+    * compute sign bits over bit-identical constants, so bucket keys
+    * (and therefore the candidate set) agree exactly. */
+  private val planes: Seq[Seq[Double]] = (0 until NumPlanes).map { j =>
+    (0 until EmbeddingDim).map { d =>
+      2.0 * (((j * EmbeddingDim + d + 1) * 0.6180339887498949) % 1.0) - 1.0
+    }
+  }
+
+  /** Label-FREE embedding near-dup via random-hyperplane LSH (SimHash
+    * over floats): each vector's 16 sign bits — sign of the dot with a
+    * fixed hyperplane — split into 2 bands of 8 bits; vectors sharing a
+    * band key are candidates; candidates verify with exact cosine.
+    * Where [[s03EmbeddingNearDup]] blocks on a curated label, this is
+    * the shape for a corpus with NO labels: the signature stage is a
+    * pure projection (no shuffle), the band equi-join is the only wide
+    * stage, and its width tracks near-dup density, not corpus². */
+  def s05LshNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // feeds the signature stage and both verify sides — compute once
+    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bitCols = (0 until NumPlanes).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      (aggregate(zip_with($"embedding", plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (a, x) => a + x) >= 0).cast("int").as(s"b$j")
+    }
+    val sig = e.select(($"vec_id" +: bitCols): _*)
+    val bandKeys = array((0 until PlaneBands).map { b =>
+      (0 until PlaneBits).map(r => col(s"b${b * PlaneBits + r}") * (1 << r))
+        .reduce(_ + _)
+    }: _*)
+    val bands = sig.select($"vec_id",
+      posexplode(bandKeys).as(Seq("band", "key")))
+    // bucket-local pair expansion (one heavy-subtree execution, not a
+    // self-join) — see DedupQueries.d03 for the pattern
+    val cand = bands.groupBy($"band", $"key")
+      .agg(collect_list($"vec_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> filter(transform(ids, b -> array(a, b)), " +
+          "p -> p[0] < p[1])))")).as("p"))
+      .select($"p" (0).as("vec_a"), $"p" (1).as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        $"nrm".as("na")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+        $"nrm".as("nb")), "vec_b")
+      .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
+      .filter($"cos" >= LshThreshold)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s05_lsh_neardup" -> (s05LshNearDup _),
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_embedding_neardup" -> (s03EmbeddingNearDup _),
@@ -318,5 +385,37 @@ object SimilarityQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "s05_lsh_neardup" -> {
+      // the hyperplanes as DuckDB list literals — the same doubles the
+      // Spark plan bakes in (Double.toString round-trips exactly)
+      def planeLit(j: Int): String =
+        planes(j).map(_.toString).mkString("[", ", ", "]")
+      val bitExprs = (0 until NumPlanes).map { j =>
+        s"(${dotSql.format("embedding", planeLit(j))} >= 0)::INT AS b$j"
+      }.mkString(",\n        |    ")
+      val bandSelects = (0 until PlaneBands).map { b =>
+        val key = (0 until PlaneBits)
+          .map(r => s"b${b * PlaneBits + r} * ${1 << r}").mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM sig"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id,
+        |    $bitExprs
+        |  FROM e),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+        |SELECT vec_a, vec_b,
+        |  round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+        |FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+        |WHERE round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $LshThreshold
+        |ORDER BY vec_a, vec_b""".stripMargin
+    },
   )
 }
