@@ -641,11 +641,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }.select(col(MorPathCol).as("file_path"), col(MorPosCol).as("pos"))
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
       // HASH-cluster by target file: every file's entries land in exactly
-      // one output file (contiguous after the sort), empty partitions
-      // write nothing — so tiny deletes still produce one small file —
-      // and unlike a range shuffle there is no boundary-sampling pass.
-      // The deleted-row count rides on the same write via observe,
-      // not a separate count job.
+      // one output file (contiguous after the sort), and unlike a range
+      // shuffle there is no boundary-sampling pass. Schema-only files
+      // from empty tasks are pruned after the write (pruneEmptyFiles),
+      // so tiny deletes still commit one small file. The deleted-row
+      // count rides on the same write via observe, not a separate
+      // count job.
       val obs = new org.apache.spark.sql.Observation(
         s"mor-delete-${commitDir.getName}")
       newDeletes
@@ -660,10 +661,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // observation map
       val deleted = obs.get.getOrElse("n", 0L).asInstanceOf[Long]
       if (deleted == 0L) { fs.delete(commitDir, true); return 0L }
+      pruneEmptyFiles(commitDir) // shuffle writes emit schema-only files
       // inventory() stays lazy — the manifest write inside commitDelete
       // is the one job that executes it
       commitDelete(inventory(commitDir), deleted,
-        basisId = cur.snapshotId, clock)
+        basisId = cur.snapshotId, clock,
+        filesAdded = GraftTable.listFiles(fs, commitDir).size.toLong)
       deleted
     }
 
@@ -691,6 +694,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       var removed = 0L
       commit("delete", emptyManifest, clock, carryPrior = true,
         eqDeleteSource = Some(inventory(eqDir)),
+        eqFilesAdded = GraftTable.listFiles(fs, eqDir).size.toLong,
         rowsDelta = { b =>
           removed = matchingRows(b, keys, keyCols, keyStats); -removed
         })
@@ -728,6 +732,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     var removed = 0L
     commit(op, inventory(commitDir), clock, carryPrior = true,
       eqDeleteSource = Some(inventory(eqDir)),
+      eqFilesAdded = GraftTable.listFiles(fs, eqDir).size.toLong,
       rowsDelta = { b =>
         removed = matchingRows(b, srcKeys, keys, keyStats); -removed
       })
@@ -780,6 +785,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val live = morReadFiles(b, pairs)
       val cond = keyCols.map(k => live(k) <=> kd(k)).reduce(_ && _)
       live.join(kd, cond, "left_semi").count()
+    }
+  }
+
+  /** Remove zero-row parquet files from a freshly written commit dir:
+    * a shuffle write emits a schema-only file for an empty task (and
+    * always at least one file), which would otherwise ride into the
+    * manifest as a junk entry per commit — a long-running delete
+    * stream would accumulate hundreds. Row counts come from the
+    * footers, driver-side; the file count is bounded by the shuffle
+    * partition count. */
+  private def pruneEmptyFiles(dir: Path): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    GraftTable.listFiles(fs, dir).foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(f.getPath, conf))
+      val n = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+      if (n == 0L) fs.delete(f.getPath, false)
     }
   }
 
@@ -849,6 +875,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      pruneEmptyFiles(commitDir) // shuffle writes emit schema-only files
+      val mergedCount = GraftTable.listFiles(fs, commitDir).size.toLong
       val manifest = inventoryManifest(commitDir)
       var done = false
       var attempt = 0
@@ -863,7 +891,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val id = st.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
         val snap = Snapshot(id, clock.millis(), "rewrite_deletes",
           head.manifests, head.numFiles, head.totalBytes, head.totalRows,
-          head.snapshotId, Seq(manifest), head.eqDeleteManifests)
+          head.snapshotId, Seq(manifest), head.eqDeleteManifests,
+          deleteFileCount = Some(mergedCount),
+          eqDeleteFileCount = head.eqDeleteFileCount)
         val newRefs =
           if (st.refs.nonEmpty)
             materialize(st.snapshots, st.refs) + ("main" -> id)
@@ -938,7 +968,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val id = st.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
         val snap = Snapshot(id, clock.millis(), "rewrite_eq_deletes",
           head.manifests, head.numFiles, head.totalBytes, head.totalRows,
-          head.snapshotId, head.deleteManifests, Seq(manifestDir.toString))
+          head.snapshotId, head.deleteManifests, Seq(manifestDir.toString),
+          deleteFileCount = head.deleteFileCount,
+          eqDeleteFileCount = Some(mergedDirs.map { case (d, _) =>
+            GraftTable.listFiles(fs, d).size.toLong }.sum))
         val newRefs =
           if (st.refs.nonEmpty)
             materialize(st.snapshots, st.refs) + ("main" -> id)
@@ -955,7 +988,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * a replacement commit since `basisId` invalidates the scanned
     * positions and fails the delete loudly. */
   private def commitDelete(deleteManifest: DataFrame, deletedRows: Long,
-                           basisId: Long, clock: Clock): Unit = {
+                           basisId: Long, clock: Clock,
+                           filesAdded: Long): Unit = {
     val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
     deleteManifest
       .withColumn("added_snapshot_id", lit(null).cast(LongType))
@@ -976,7 +1010,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val snap = Snapshot(id, clock.millis(), "delete", cur.manifests,
         cur.numFiles, cur.totalBytes, cur.totalRows - deletedRows,
         cur.snapshotId, cur.deleteManifests :+ manifestDir.toString,
-        cur.eqDeleteManifests)
+        cur.eqDeleteManifests,
+        deleteFileCount = cur.deleteFileCount.map(_ + filesAdded),
+        eqDeleteFileCount = cur.eqDeleteFileCount)
       val newRefs =
         if (st.refs.nonEmpty) materialize(st.snapshots, st.refs) + ("main" -> id)
         else st.refs
@@ -1313,7 +1349,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         files.select((ManifestCols :+ "added_snapshot_id").map(col): _*),
         clock, carryPrior = false, deletes = cur.deleteManifests,
         rowsOverride = Some(cur.totalRows),
-        eqDeletes = cur.eqDeleteManifests, basis = Some(cur))
+        eqDeletes = cur.eqDeleteManifests, basis = Some(cur),
+        deletesCount = cur.deleteFileCount,
+        eqDeletesCount = cur.eqDeleteFileCount)
       cur.manifests.size.toLong
     }
 
@@ -1627,7 +1665,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                      eqDeletes: Seq[String] = Seq.empty,
                      eqDeleteSource: Option[DataFrame] = None,
                      rowsDelta: Snapshot => Long = _ => 0L,
-                     basis: Option[Snapshot] = None): Unit = {
+                     basis: Option[Snapshot] = None,
+                     eqFilesAdded: Long = 0L,
+                     deletesCount: Option[Long] = Some(0L),
+                     eqDeletesCount: Option[Long] = Some(0L)): Unit = {
     // Manifest dir named by UUID, not snapshot id: two cross-process
     // writers can compute the SAME next id before one loses the CAS —
     // id-named dirs would collide and silently swap inventories.
@@ -1697,17 +1738,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           // additionally add an eq-delete manifest and subtract the
           // replaced-row count (recomputed per CAS attempt, against the
           // fresh head)
-          val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L))
+          val b = cur.getOrElse(Snapshot(0L, 0L, "", Seq.empty, 0L, 0L, 0L,
+            deleteFileCount = Some(0L), eqDeleteFileCount = Some(0L)))
           Snapshot(id, clock.millis(), op, b.manifests :+ manifestDir.toString,
             b.numFiles + dnf, b.totalBytes + dbytes,
             b.totalRows + drows + rowsDelta(b),
-            parent, b.deleteManifests, b.eqDeleteManifests ++ eqAdd)
+            parent, b.deleteManifests, b.eqDeleteManifests ++ eqAdd,
+            // summary counts accumulate; unknown (legacy) stays unknown
+            deleteFileCount = b.deleteFileCount,
+            eqDeleteFileCount =
+              if (eqAdd.isEmpty) b.eqDeleteFileCount
+              else b.eqDeleteFileCount.map(_ + eqFilesAdded))
         } else
           // replacement commits drop deletes (they materialize them)
-          // unless the caller passes its own carried lists
+          // unless the caller passes its own carried lists + counts
           Snapshot(id, clock.millis(), op, Seq(manifestDir.toString),
             dnf, dbytes, rowsOverride.getOrElse(drows), parent, deletes,
-            eqDeletes)
+            eqDeletes, deleteFileCount = deletesCount,
+            eqDeleteFileCount = eqDeletesCount)
       // the branch-ref advance rides in the SAME claimed state as the
       // snapshot (materializing main's implicit head on the way if refs
       // already exist); refs-free tables keep the implicit main == max id

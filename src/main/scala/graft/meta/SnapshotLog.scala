@@ -42,7 +42,15 @@ final case class Snapshot(
     totalRows: Long,
     parentId: Long = -1L, // commit this one was based on; -1 = none/unknown
     deleteManifests: Seq[String] = Seq.empty,
-    eqDeleteManifests: Seq[String] = Seq.empty) {
+    eqDeleteManifests: Seq[String] = Seq.empty,
+    // Iceberg snapshot-summary analogue (total-delete-files /
+    // total-equality-deletes): how many POSITION-delete / eq-delete
+    // FILES the delete manifests list — monitoring a 100 TB table's
+    // outstanding MOR debt must not scan manifests. None = unknown
+    // (log written before these fields existed); maintained
+    // incrementally by every commit path, never recounted.
+    deleteFileCount: Option[Long] = None,
+    eqDeleteFileCount: Option[Long] = None) {
   /** Pure data addition (plain or streaming-sink append) — the commits
     * incremental scans and the streaming source may deliver. */
   def isAppend: Boolean =
@@ -247,20 +255,25 @@ object SnapshotLog {
 
   private def render(ss: Seq[Snapshot]): String =
     ss.map { s =>
+      val counts =
+        s.deleteFileCount.map(n => s""""deleteFileCount":$n,""").getOrElse("") +
+          s.eqDeleteFileCount.map(n => s""""eqDeleteFileCount":$n,""").getOrElse("")
       s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},""" +
         s""""timestampMs":${s.timestampMs},""" +
         s""""operation":"${s.operation}","manifests":${renderList(s.manifests)},""" +
         s""""deleteManifests":${renderList(s.deleteManifests)},""" +
-        s""""eqDeleteManifests":${renderList(s.eqDeleteManifests)},""" +
+        s""""eqDeleteManifests":${renderList(s.eqDeleteManifests)},""" + counts +
         s""""numFiles":${s.numFiles},"totalBytes":${s.totalBytes},"totalRows":${s.totalRows}}"""
     }.mkString("[\n", ",\n", "\n]")
 
-  // parentId and the delete-manifest lists are optional on parse so
-  // logs written before branching / merge-on-read stay readable
+  // parentId, the delete-manifest lists, and the delete-file counts are
+  // optional on parse so logs written before branching / merge-on-read /
+  // summary counts stay readable
   private val Entry =
     ("""\{"snapshotId":(-?\d+),(?:"parentId":(-?\d+),)?"timestampMs":(-?\d+),"operation":"([^"]*)",""" +
       """"manifests":\[([^\]]*)\],(?:"deleteManifests":\[([^\]]*)\],)?""" +
       """(?:"eqDeleteManifests":\[([^\]]*)\],)?""" +
+      """(?:"deleteFileCount":(-?\d+),)?(?:"eqDeleteFileCount":(-?\d+),)?""" +
       """"numFiles":(\d+),"totalBytes":(\d+),"totalRows":(\d+)\}""").r
 
   private def parseList(inner: String): Seq[String] =
@@ -270,11 +283,13 @@ object SnapshotLog {
   private def parse(txt: String): Seq[Snapshot] =
     Entry.findAllMatchIn(txt).map { m =>
       Snapshot(m.group(1).toLong, m.group(3).toLong, m.group(4),
-        parseList(m.group(5)), m.group(8).toLong, m.group(9).toLong,
-        m.group(10).toLong,
+        parseList(m.group(5)), m.group(10).toLong, m.group(11).toLong,
+        m.group(12).toLong,
         parentId = Option(m.group(2)).map(_.toLong).getOrElse(-1L),
         deleteManifests = parseList(m.group(6)),
-        eqDeleteManifests = parseList(m.group(7)))
+        eqDeleteManifests = parseList(m.group(7)),
+        deleteFileCount = Option(m.group(8)).map(_.toLong),
+        eqDeleteFileCount = Option(m.group(9)).map(_.toLong))
     }.toSeq
 }
 

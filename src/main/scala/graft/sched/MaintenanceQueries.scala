@@ -241,12 +241,15 @@ object MaintenanceQueries {
       t.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
     val filesAfterDelete = nFiles // unchanged: metadata-only
     val merged = t.rewriteDeleteFiles(t0)  // compact delete files, no data I/O
-    val deleteFiles = t.deleteFiles.count()
+    // snapshot-summary count (Iceberg total-delete-files): no manifest scan
+    def nDeleteFiles = t.currentSnapshot
+      .flatMap(_.deleteFileCount).getOrElse(-1L)
+    val deleteFiles = nDeleteFiles
     val rowsMor = t.read.count()
     t.optimize(clock = t0) // materializes the deletes
     import spark.implicits._
     Seq((rowsBefore, deleted, rowsMor, filesBefore, filesAfterDelete,
-      merged, deleteFiles, t.deleteFiles.count(), t.rowCount))
+      merged, deleteFiles, nDeleteFiles, t.rowCount))
       .toDF("rows_before", "rows_deleted", "rows_after_mor_delete",
         "data_files_before", "data_files_after_delete",
         "delete_files_merged", "delete_files_after_merge",
@@ -289,8 +292,10 @@ object MaintenanceQueries {
     val upsertedKeys = t.read.filter(col("p_partkey") % 9 === 0).count()
     t.optimize(clock = t0)
     import spark.implicits._
+    // snapshot-summary count (Iceberg total-equality-deletes)
     Seq((rowsBefore, replaced, t.rowCount, filesBefore, filesAfterUpsert,
-      upsertedKeys, t.eqDeleteFiles.count()))
+      upsertedKeys, t.currentSnapshot.flatMap(_.eqDeleteFileCount)
+        .getOrElse(-1L)))
       .toDF("rows_before", "rows_replaced", "rows_after",
         "files_before", "files_after_upsert", "rows_with_upserted_keys",
         "eq_delete_files_after_optimize")

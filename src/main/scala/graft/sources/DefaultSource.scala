@@ -113,6 +113,10 @@ final class DefaultSource extends RelationProvider
           .withColumnRenamed("numFiles", "num_files")
           .withColumnRenamed("totalBytes", "total_bytes")
           .withColumnRenamed("totalRows", "total_rows")
+          // summary counts (null on logs predating them) — MOR debt
+          // monitoring without a manifest scan
+          .withColumnRenamed("deleteFileCount", "delete_file_count")
+          .withColumnRenamed("eqDeleteFileCount", "eq_delete_file_count")
       case "refs" =>
         (table.branches.toSeq.map { case (n, id) => (n, id, "branch") } ++
           table.tags.toSeq.map { case (n, id) => (n, id, "tag") })
