@@ -136,6 +136,12 @@ class CommitConcurrencySpec extends SparkSpec {
       "every original key survives exactly once (upserts replace, not drop)")
     assert(t.read.groupBy("k").count().filter($"count" > 1).count() == 0,
       "no key may be duplicated by a lost eq-delete")
+    // the snapshot-summary eq-delete count must survive the CAS races
+    // too: recomputed against the fresh head per attempt, it has to
+    // equal what the eq manifests actually list
+    assert(t.currentSnapshot.flatMap(_.eqDeleteFileCount)
+      .contains(t.eqDeleteFiles.count()),
+      "summary eq-delete file count drifted under concurrent commits")
   }
 
   test("a replacement commit planned against a stale head fails loudly") {
