@@ -66,6 +66,30 @@ class PlanShapeSpec extends SparkSpec {
       s"salting must not add extra shuffles (${shuffles.size})")
   }
 
+  test("s05: the LSH signature stage is a pure projection — no shuffle below the band explode") {
+    val df = SimilarityQueries.queries("s05_lsh_neardup")(spark, sf)
+    df.collect()
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(all)
+    val nodes = all(df.queryExecution.executedPlan)
+    // the plan holds TWO Generates: the pair-expansion explode (above
+    // the band groupBy) and, at the bottom, the posexplode of band
+    // keys over the 16 sign bits. Below the BOTTOM one there must be
+    // no exchange — the signature computation is a pure projection
+    val generates = nodes.filter(_.getClass.getSimpleName.contains("Generate"))
+    assert(generates.nonEmpty, "expected Generate (posexplode) nodes")
+    val bottom = generates.filter(g =>
+      !kids(g).flatMap(all).exists(_.getClass.getSimpleName.contains("Generate")))
+    assert(bottom.nonEmpty)
+    val below = bottom.flatMap(g => kids(g).flatMap(all))
+    assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "signature computation must not shuffle — sign bits are a projection")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
