@@ -408,6 +408,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .select(col("path"), col("added_snapshot_id"),
         map_keys(col("null_counts")).as("keys"),
         col("_metadata.file_path").as("mfile"))
+      // defense against zero-row eq files (writers no longer commit
+      // them, but a legacy manifest may carry one): no rows → deletes
+      // nothing → skip, instead of reading its NULL key record
+      .filter(col("keys").isNotNull)
       .collect()
     lazy val fromLog = eqIntroducedBy(snapshots).map { case (m, id) =>
       new Path(m).toUri.getPath -> id
@@ -689,8 +693,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val keyCols = keys.columns.toSeq
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"key column $k not in table schema"))
-      if (keys.isEmpty) return 0L // no keys, no commit
-      val (eqDir, keyStats) = writeEqDeleteFile(keys)
+      val (eqDir, keyStats, nKeys) = writeEqDeleteFile(keys)
+      // the key count rode on the eq write (no separate isEmpty scan);
+      // an empty key set must not commit — its zero-row eq file would
+      // carry a null key-schema record, poisoning read planning
+      if (nKeys == 0L) { fs.delete(eqDir, true); return 0L }
       var removed = 0L
       commit("delete", emptyManifest, clock, carryPrior = true,
         eqDeleteSource = Some(inventory(eqDir)),
@@ -728,7 +735,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     clusterBySpec(source).write.parquet(commitDir.toString)
     fs.delete(new Path(commitDir, "_SUCCESS"), false)
     writeSchemaIfAbsent(source.schema)
-    val (eqDir, keyStats) = writeEqDeleteFile(srcKeys)
+    val (eqDir, keyStats, nKeys) = writeEqDeleteFile(srcKeys)
+    // empty source → nothing to delete, nothing to insert: no commit.
+    // Without this, the zero-row eq file's manifest row has a NULL
+    // key-schema record (null_counts) and poisons every later read's
+    // eq planning — one empty upsert must never brick the table.
+    if (nKeys == 0L) {
+      fs.delete(eqDir, true); fs.delete(commitDir, true); return 0L
+    }
     var removed = 0L
     commit(op, inventory(commitDir), clock, carryPrior = true,
       eqDeleteSource = Some(inventory(eqDir)),
@@ -815,11 +829,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * set is never scanned a second time just for statistics. Returned
     * stats are laid out `(mn_0, mx_0, nn_0, mn_1, ...)` per key column
     * in `keys.columns` order. */
-  private def writeEqDeleteFile(keys: DataFrame): (Path, Row) = {
+  private def writeEqDeleteFile(keys: DataFrame): (Path, Row, Long) = {
     val dir = new Path(tableDir, s"data/${UUID.randomUUID()}")
     val keyCols = keys.columns.toSeq
     val obs = new org.apache.spark.sql.Observation(s"eq-${dir.getName}")
-    val aggs = keyCols.flatMap(k =>
+    val aggs = count(lit(1)).as("cnt") +: keyCols.flatMap(k =>
       Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k"),
         sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"nn_$k")))
     keys.distinct().observe(obs, aggs.head, aggs.tail: _*)
@@ -831,7 +845,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val stats = Row(keyCols.flatMap(k =>
       Seq(m.getOrElse(s"mn_$k", null), m.getOrElse(s"mx_$k", null),
         m.getOrElse(s"nn_$k", 0L))): _*)
-    (dir, stats)
+    (dir, stats, m.getOrElse("cnt", 0L).asInstanceOf[Long])
   }
 
   /** Inventory a small metadata-ish dir into a single-file manifest on

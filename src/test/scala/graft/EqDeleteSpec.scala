@@ -36,6 +36,25 @@ class EqDeleteSpec extends SparkSpec {
     assert(t.eqDeleteFiles.count() >= 1)
   }
 
+  test("empty-source upsert and empty-key delete are no-ops, never poison reads") {
+    val t = GraftTable.create(spark, tmpDir("eqempty") + "/t", schema)
+    t.append(rows(0, 20, "a"))
+    val head = t.currentSnapshot.get.snapshotId
+
+    assert(t.upsert(rows(0, 0, "x"), Seq("k")) == 0L)
+    assert(t.deleteByKeys(rows(0, 0, "x").select("k")) == 0L)
+    // no commit happened: an empty upsert's zero-row eq file would
+    // carry a NULL key-schema record and brick every later read
+    assert(t.currentSnapshot.get.snapshotId == head)
+    assert(t.currentSnapshot.get.eqDeleteManifests.isEmpty)
+
+    // the table stays fully readable and writable
+    assert(t.read.count() == 20)
+    assert(t.upsert(rows(5, 10, "b"), Seq("k")) == 5L)
+    assert(t.read.count() == 20)
+    assert(t.read.filter($"v" === "b7").count() == 1)
+  }
+
   test("strictly-before rule: a re-inserted key survives the old delete") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("eq2") + "/t", schema)
