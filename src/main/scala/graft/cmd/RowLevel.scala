@@ -97,8 +97,20 @@ object RowLevel {
     if (affectedPaths.isEmpty && extra.isEmpty) return // nothing matched
 
     val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
-    rewrittenRows.write.parquet(commitDir.toString)
+    // count the rewrite output on the write itself: an empty-source
+    // MERGE touching no files must not land a junk empty commit
+    val obs = new org.apache.spark.sql.Observation(
+      s"cow-${commitDir.getName}")
+    rewrittenRows.observe(obs, count(lit(1)).as("n"))
+      .write.parquet(commitDir.toString)
     table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
+    if (affectedPaths.isEmpty &&
+        obs.get.getOrElse("n", 0L).asInstanceOf[Long] == 0L) {
+      table.fileSystem.delete(commitDir, true); return
+    }
+    // shuffle writes emit schema-only files for empty tasks — junk
+    // manifest entries at one per rewrite
+    table.pruneEmptyFiles(commitDir)
 
     val kept = table.files // manifest rows of files we did NOT touch
       .join(affectedDf, Seq("path"), "left_anti")

@@ -809,7 +809,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * stream would accumulate hundreds. Row counts come from the
     * footers, driver-side; the file count is bounded by the shuffle
     * partition count. */
-  private def pruneEmptyFiles(dir: Path): Unit = {
+  private[graft] def pruneEmptyFiles(dir: Path): Unit = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._

@@ -53,6 +53,26 @@ class RowLevelSpec extends SparkSpec {
     assert(t.currentSnapshot.get.snapshotId == snapBefore)
   }
 
+  test("merge with an empty source commits nothing") {
+    val t = freshTable()
+    val head = t.currentSnapshot.get.snapshotId
+    t.merge(spark.range(0, 0)
+      .select(col("id"), lit("z").as("tag")), Seq("id"))
+    assert(t.currentSnapshot.get.snapshotId == head,
+      "an empty MERGE must not land a junk commit")
+    assert(t.read.count() == 1000)
+  }
+
+  test("deleteWhere matching everything leaves zero data files, no empties") {
+    val t = freshTable()
+    assert(t.deleteWhere(lit(true)) == 1000L)
+    assert(t.read.count() == 0)
+    // the rewrite's schema-only empty outputs are pruned — the manifest
+    // must not carry junk zero-row files
+    assert(t.files.count() == 0,
+      "delete-everything must leave an empty manifest")
+  }
+
   test("merge upserts: updates replace by key, inserts append, one commit") {
     val t = freshTable()
     val snapBefore = t.currentSnapshot.get.snapshotId
