@@ -169,9 +169,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * checkpoint") without rescanning the table. Planning is
     * metadata-only: `toId`'s manifest filtered on `added_snapshot_id`.
     * Like Iceberg, the range must be append-only — a replacement commit
-    * (optimize/overwrite/merge/delete) rewrites surviving rows into new
-    * files, which would re-surface old rows as "new"; such ranges are
-    * refused loudly. */
+    * (overwrite/merge/delete) rewrites surviving rows into new files,
+    * which would re-surface old rows as "new"; such ranges are refused
+    * loudly. Compactions (optimize / z-order) are TRANSPARENT for a
+    * caught-up consumer: they add no logical rows, so the scan skips
+    * their rewritten files — a nightly optimize no longer breaks every
+    * checkpointed stream. The one unrecoverable shape is an UNCONSUMED
+    * append that a later in-range compaction already rewrote (its rows
+    * were folded into compaction-stamped files, indistinguishable from
+    * older rows); that is still refused. */
   def readIncremental(fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"bad incremental range ($fromId, $toId]")
     val all = snapshots
@@ -180,15 +186,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(fromId == 0 || all.exists(_.snapshotId == fromId),
       s"no snapshot $fromId")
     val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
-    require(range.forall(s => s.isAppend || s.isRowNeutral),
+    def compaction(s: Snapshot) = s.operation.startsWith("optimize")
+    require(range.forall(s => s.isAppend || s.isRowNeutral || compaction(s)),
       "incremental scan supports append-only ranges; found: " +
-        range.filterNot(s => s.isAppend || s.isRowNeutral)
+        range.filterNot(s => s.isAppend || s.isRowNeutral || compaction(s))
           .map(_.operation).distinct.mkString(", "))
+    range.filter(compaction).foreach { c =>
+      val lost = range.filter(s =>
+        s.snapshotId < c.snapshotId && s.isAppend)
+      require(lost.isEmpty, "incremental scan cannot cross compaction " +
+        s"${c.snapshotId}: unconsumed appends " +
+        s"${lost.map(_.snapshotId).mkString(", ")} were compacted into " +
+        "it and their row lineage is lost")
+    }
     if (range.isEmpty || to.manifests.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val compactionIds = range.filter(compaction).map(_.snapshotId)
     val pairs = spark.read.schema(ManifestSchema).parquet(to.manifests: _*)
       .filter(col("added_snapshot_id") > fromId &&
-        col("added_snapshot_id") <= toId)
+        col("added_snapshot_id") <= toId &&
+        !col("added_snapshot_id").isin(compactionIds: _*))
       .select("path", "added_snapshot_id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     readFilesAligned(pairs)
@@ -207,11 +224,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * appended then deleted inside the range appears twice — once per
     * event, as CDC semantics require.
     *
-    * Replacement commits (optimize / overwrite / CoW delete / merge)
-    * rewrite surviving rows into new files and record no row-level
-    * lineage, so ranges containing them are refused loudly — same
-    * contract as the incremental scan. Ranges must lie within retained
-    * (un-expired) history. */
+    * Copy-on-write delete/merge commits emit their NET changes by
+    * multiset-diffing the files they removed against the files they
+    * added (carry-over elimination, the Iceberg
+    * `create_changelog_view` shape) — cost scales with the rewritten
+    * file set. Compactions (optimize / z-order) move bytes, not
+    * logical rows, and emit nothing. Overwrites record no row-level
+    * lineage at all and are refused loudly. Ranges must lie within
+    * retained (un-expired) history. */
   def readChanges(fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"bad changelog range ($fromId, $toId]")
     val all = snapshots
@@ -220,13 +240,32 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(fromId == 0 || byId.contains(fromId), s"no snapshot $fromId")
     val range = all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
       .sortBy(_.snapshotId)
+    // Copy-on-write replacement commits with row-level semantics: their
+    // net changes are recoverable by diffing the removed files against
+    // the rewritten ones (carry-over elimination, Iceberg's
+    // create_changelog_view shape) — cost scales with the REWRITTEN
+    // file set, never the table.
+    def cowTracked(s: Snapshot) =
+      s.operation == "cow_delete" || s.operation == "merge"
+    // Compactions rewrite bytes but change no logical rows — zero
+    // events, the way Iceberg's incremental scans skip REPLACE
+    // snapshots. (A compaction that materializes merge-on-read deletes
+    // is still neutral here: those delete events were emitted at the
+    // delete's own snapshot.)
+    def compaction(s: Snapshot) = s.operation.startsWith("optimize")
     def tracked(s: Snapshot) = s.isAppend || s.isRowNeutral ||
       s.operation == "delete" || s.operation.startsWith("upsert") ||
-      s.operation.startsWith("stream_upsert")
+      s.operation.startsWith("stream_upsert") || cowTracked(s) ||
+      compaction(s)
     require(range.forall(tracked),
-      "changelog supports append / merge-on-read delete / upsert ranges; " +
-        "found: " + range.filterNot(tracked).map(_.operation).distinct
-          .mkString(", "))
+      "changelog supports append / merge-on-read delete / upsert / " +
+        "copy-on-write delete+merge / compaction ranges; found: " +
+        range.filterNot(tracked).map(_.operation).distinct.mkString(", "))
+    if (range.exists(cowTracked))
+      require(schema.fields.forall(f => groupableType(f.dataType)),
+        "changelog over copy-on-write commits diffs whole rows, which " +
+          "requires every column to be comparable — map-typed columns " +
+          "are not; use merge-on-read deletes/upserts on this table")
     // Deltas are computed against each snapshot's PARENT — an expired
     // parent would make carried delete manifests look fresh (spurious
     // delete events) and silently omit expired inserts. Applies to the
@@ -241,8 +280,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // tracked op name (legacy logs): MOR delete/upsert commits always
     // CARRY the parent's data manifests (append-only list growth); a
     // replacement rewrites the list from scratch and has no row-level
-    // lineage to emit.
-    range.filterNot(s => s.isAppend || s.isRowNeutral).foreach { s =>
+    // lineage to emit. (CoW and compaction commits are replacements by
+    // design and are handled by diff / skipped above.)
+    range.filterNot(s => s.isAppend || s.isRowNeutral || cowTracked(s) ||
+        compaction(s)).foreach { s =>
       require(byId.get(s.parentId)
           .exists(p => s.manifests.startsWith(p.manifests)),
         s"snapshot ${s.snapshotId} (${s.operation}) is a replacement " +
@@ -256,12 +297,40 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val parts = range.flatMap { s =>
       // row-neutral reshuffles (rewrite_manifests / rewrite_deletes)
       // replace manifest LISTS without changing logical rows — their
-      // "delta" manifests are re-packagings, not new events
-      if (s.isRowNeutral) Seq.empty else {
+      // "delta" manifests are re-packagings, not new events; ditto
+      // compactions (optimize / z-order), which only move bytes
+      if (s.isRowNeutral || compaction(s)) Seq.empty else {
       def stamp(df: DataFrame, kind: String): DataFrame = df
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
       val parent = byId.get(s.parentId)
+
+      if (cowTracked(s)) {
+        // Net row-level changes of a copy-on-write rewrite: diff the
+        // removed files (as of the PARENT, its merge-on-read deletes
+        // applied) against the files this commit added. Survivor rows
+        // the rewrite carried over cancel in the multiset diff; what
+        // remains is exactly the deleted rows (cow_delete) or the
+        // delete+insert pairs of replaced keys plus new-key inserts
+        // (merge).
+        val pPairs = parent.map(filePairsOf).getOrElse(Seq.empty)
+        val sPairs =
+          if (s.manifests.isEmpty || s.numFiles == 0) Seq.empty
+          else filePairsOf(s)
+        val pPaths = pPairs.map(_._1).toSet
+        val sPaths = sPairs.map(_._1).toSet
+        val removed = pPairs.filterNot(p => sPaths(p._1))
+        val added = sPairs.filterNot(p => pPaths(p._1))
+        val names = schema.fieldNames.toSeq
+        val before =
+          if (removed.isEmpty || parent.isEmpty) empty
+          else morReadFiles(parent.get, removed).select(names.map(col): _*)
+        val after =
+          if (added.isEmpty) empty
+          else readFilesAligned(added).select(names.map(col): _*)
+        val (dels, ins) = netRowDiff(before, after)
+        Seq(stamp(dels, "delete"), stamp(ins, "insert"))
+      } else {
 
       // inserts: rows in files this snapshot added
       val inserts: Option[DataFrame] =
@@ -317,10 +386,47 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // order matters for readability only: deletes before inserts
       posDeletes.toSeq ++ eqDeletes.toSeq ++ inserts.toSeq
       }
+      }
     }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], changeSchema)
     else parts.reduce(_ unionByName _)
+  }
+
+  /** Net multiset row difference (before∖after, after∖before) — the
+    * carry-over elimination Iceberg's `create_changelog_view` performs
+    * for copy-on-write commits. One hash aggregation per side keyed on
+    * every column, one null-safe full-outer join; duplicate rows diff
+    * by COUNT, so a table holding N identical copies deletes exactly
+    * as many events as copies removed. Cost scales with the rewritten
+    * file set handed in, never the table. */
+  private def netRowDiff(before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
+    val names = schema.fieldNames.toSeq
+    val b = before.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cb"))
+    val a = after.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("__graft_ca"))
+      .select(names.map(n => col(n).as(s"__graft_a_$n")) :+
+        col("__graft_ca"): _*)
+    val merged = b.join(a,
+        names.map(n => col(n) <=> col(s"__graft_a_$n")).reduce(_ && _),
+        "full_outer")
+      .select(names.map(n => coalesce(col(n), col(s"__graft_a_$n")).as(n)) :+
+        (coalesce(col("__graft_cb"), lit(0L)) -
+          coalesce(col("__graft_ca"), lit(0L))).as("__graft_delta"): _*)
+    def dup(df: DataFrame, times: Column) = df
+      .withColumn("__graft_dup", explode(sequence(lit(1L), times)))
+      .select(names.map(col): _*)
+    (dup(merged.filter(col("__graft_delta") > 0), col("__graft_delta")),
+      dup(merged.filter(col("__graft_delta") < 0), -col("__graft_delta")))
+  }
+
+  /** Whole-row grouping (netRowDiff) works for every type except maps. */
+  private def groupableType(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case ArrayType(e, _) => groupableType(e)
+    case StructType(fs) => fs.forall(f => groupableType(f.dataType))
+    case _ => true
   }
 
   /** Roll `main` back to an earlier snapshot (Iceberg's

@@ -6,8 +6,10 @@ import org.apache.spark.sql.types._
 import graft.meta.GraftTable
 
 /** Row-level changelog (readChanges): appends emit inserts, MOR
-  * deletes emit the removed rows, commit order is stamped, replacement
-  * commits are refused. */
+  * deletes emit the removed rows, commit order is stamped; CoW
+  * delete/merge commits emit their NET changes via multiset diff
+  * (carry-over elimination), compactions emit nothing, and replacement
+  * commits without recoverable lineage are refused. */
 class CdcSpec extends SparkSpec {
   import spark.implicits._
 
@@ -52,17 +54,34 @@ class CdcSpec extends SparkSpec {
       t.read.select("id").as[Long].collect().sorted.toSeq)
   }
 
-  test("replacement commits in the range are refused loudly") {
+  test("compactions in the range emit zero events") {
+    // optimize rewrites bytes, not logical rows — the changelog reads
+    // through it the way Iceberg's incremental scans skip REPLACE
+    // snapshots; only the real appends surface
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("cdc2") + "/t", schema)
     t.append(rows(0, 10).repartition(2), clock)
     t.append(rows(10, 20).repartition(2), clock)
-    t.optimize(clock = clock) // s3: replacement
+    t.optimize(clock = clock) // s3: replacement, row-neutral
     t.append(rows(20, 25), clock)
-    val e = intercept[IllegalArgumentException](t.readChanges(0L, 4L))
-    assert(e.getMessage.contains("changelog supports"))
-    // a range past the rewrite works
+    val byCommit = t.readChanges(0L, 4L)
+      .groupBy($"_commit_snapshot_id", $"_change_type")
+      .count().as[(Long, String, Long)].collect().toSet
+    assert(byCommit == Set(
+      (1L, "insert", 10L), (2L, "insert", 10L), (4L, "insert", 5L)))
     assert(t.readChanges(3L, 4L).count() == 5)
+  }
+
+  test("overwrites in the range are refused loudly") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc2b") + "/t", schema)
+    t.append(rows(0, 10), clock)
+    t.overwrite(rows(20, 25), clock) // s2: no recoverable lineage
+    t.append(rows(10, 12), clock)
+    val e = intercept[IllegalArgumentException](t.readChanges(0L, 3L))
+    assert(e.getMessage.contains("changelog supports"))
+    // a range past the overwrite works
+    assert(t.readChanges(2L, 3L).count() == 2)
   }
 
   test("empty ranges and no-op boundaries") {
@@ -73,27 +92,75 @@ class CdcSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readChanges(1L, 9L))
   }
 
-  test("copy-on-write DELETE (and truncate) in the range is refused") {
-    // CoW deleteWhere is a replacement commit — the survivors are
-    // REWRITTEN into new files with no row-level lineage. It must not
-    // share the MOR delete's op name, or the changelog would emit the
-    // rewritten survivors as spurious inserts and no delete events.
+  test("copy-on-write DELETE (and truncate) emits the deleted rows") {
+    // CoW deleteWhere is a replacement commit: survivors are REWRITTEN
+    // into new files. The changelog recovers the net changes by multiset
+    // diff of removed-vs-added files — rewritten survivors cancel, the
+    // deleted rows remain as delete events, and no spurious inserts leak.
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("cdc4") + "/t", schema)
     t.append(rows(0, 10).repartition(2), clock)
     t.deleteWhere($"id" < 3, clock) // s2: CoW replacement, op cow_delete
     t.append(rows(10, 12), clock)   // s3
-    val e = intercept[IllegalArgumentException](t.readChanges(0L, 3L))
-    assert(e.getMessage.contains("cow_delete"))
-    // a range past the CoW commit works, and emits only the append
-    assert(t.readChanges(2L, 3L).count() == 2)
+    val ch = t.readChanges(0L, 3L)
+    val byCommit = ch.groupBy($"_commit_snapshot_id", $"_change_type")
+      .count().as[(Long, String, Long)].collect().toSet
+    assert(byCommit == Set(
+      (1L, "insert", 10L), (2L, "delete", 3L), (3L, "insert", 2L)))
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // the deleted events carry the full pre-delete rows
+    assert(ch.filter($"_change_type" === "delete" && $"id" === 2)
+      .select("v").as[String].head() == "v2")
+    // replaying insert∖delete reconstructs the table
+    val replayed = ch.filter($"_change_type" === "insert").select("id")
+      .except(ch.filter($"_change_type" === "delete").select("id"))
+    assert(replayed.as[Long].collect().sorted.toSeq ==
+      t.read.select("id").as[Long].collect().sorted.toSeq)
 
-    // bare truncate (DELETE FROM t) takes the same CoW path
+    // bare truncate (DELETE FROM t) takes the same CoW path: every row
+    // out as a delete event
     val t2 = GraftTable.create(spark, tmpDir("cdc5") + "/t", schema)
     t2.append(rows(0, 5), clock)
     t2.deleteWhere(lit(true), clock)
     t2.append(rows(5, 8), clock)
-    intercept[IllegalArgumentException](t2.readChanges(0L, 3L))
+    val ch2 = t2.readChanges(0L, 3L)
+    assert(ch2.filter($"_change_type" === "delete").count() == 5)
+    assert(ch2.filter($"_change_type" === "insert").count() == 8)
+  }
+
+  test("copy-on-write MERGE emits net delete+insert pairs, carry-overs cancel") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc7") + "/t", schema)
+    t.append(rows(0, 10).repartition(2), clock) // s1
+    // replace ids 5-9, insert 10-12, and "update" id 0 to its IDENTICAL
+    // current row — a no-op update must produce no events (net semantics)
+    val src = spark.range(5, 13)
+      .select($"id", concat(lit("UP"), $"id").as("v"))
+      .unionByName(Seq((0L, "v0")).toDF("id", "v"))
+    t.merge(src, Seq("id"), clock)              // s2: CoW replacement
+    val ch = t.readChanges(1L, 2L)
+    val dels = ch.filter($"_change_type" === "delete")
+    val ins = ch.filter($"_change_type" === "insert")
+    // deletes: the OLD rows of replaced keys 5-9 (id 0 cancelled)
+    assert(dels.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 6L, 7L, 8L, 9L))
+    assert(dels.filter($"id" === 5).select("v").as[String].head() == "v5")
+    // inserts: the NEW rows of keys 5-12 (id 0 cancelled, 0-4 carried)
+    assert(ins.select("id").as[Long].collect().sorted.toSeq ==
+      (5L to 12L).toSeq)
+    assert(ins.filter($"id" === 5).select("v").as[String].head() == "UP5")
+  }
+
+  test("net diff is multiset-exact on duplicate rows") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc8") + "/t", schema)
+    t.append(Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v"), clock)
+    t.deleteWhere($"id" === 1, clock)
+    val ch = t.readChanges(1L, 2L)
+    // BOTH identical copies deleted → exactly two delete events
+    assert(ch.filter($"_change_type" === "delete").count() == 2)
+    assert(ch.filter($"_change_type" === "insert").count() == 0)
   }
 
   test("ranges reaching expired history are refused, including from 0") {

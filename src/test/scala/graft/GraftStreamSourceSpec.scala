@@ -137,7 +137,7 @@ class GraftStreamSourceSpec extends SparkSpec {
       Seq((5L, "delete"), (5L, "insert")))
   }
 
-  test("replacement commit in an unconsumed range fails the stream loudly") {
+  test("a nightly optimize is transparent to a caught-up stream") {
     val loc = tmpDir("gstream") + "/t"
     val ckpt = tmpDir("gstreamck")
     val t = GraftTable.create(spark, loc, schema)
@@ -145,13 +145,29 @@ class GraftStreamSourceSpec extends SparkSpec {
     t.append(batch(10, 20).coalesce(1))
     assert(runOnce(loc, ckpt) == (0L until 20L))
 
-    t.optimize() // rewrites files — NOT deliverable as an increment
+    // the stream consumed everything the compaction rewrites — it must
+    // read straight through the maintenance commit and deliver exactly
+    // the post-compaction append
+    t.optimize()
     t.append(batch(20, 25))
+    assert(runOnce(loc, ckpt) == (20L until 25L),
+      "a caught-up stream must survive optimize")
+  }
+
+  test("a compaction burying an unconsumed append fails the stream loudly") {
+    val loc = tmpDir("gstream") + "/t"
+    val ckpt = tmpDir("gstreamck")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(batch(0, 10).coalesce(1))
+    assert(runOnce(loc, ckpt) == (0L until 10L))
+
+    t.append(batch(10, 20).coalesce(1)) // unconsumed
+    t.optimize() // folds the unconsumed rows into compaction-stamped files
     val e = intercept[Exception] { runOnce(loc, ckpt) }
     def mentions(t: Throwable): Boolean =
-      t != null && (Option(t.getMessage).exists(_.contains("append-only")) ||
-        mentions(t.getCause))
-    assert(mentions(e), s"expected the append-only refusal, got: $e")
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("cannot cross compaction")) || mentions(t.getCause))
+    assert(mentions(e), s"expected the lost-lineage refusal, got: $e")
   }
 
   test("a snapshot cap above Int.MaxValue clamps instead of overflowing") {

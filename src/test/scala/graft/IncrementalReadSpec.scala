@@ -30,17 +30,28 @@ class IncrementalReadSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readIncremental(2, 1))
   }
 
-  test("replacement commits in the range are refused loudly") {
+  test("compactions are transparent to a caught-up consumer, refused otherwise") {
     val t = GraftTable.create(spark, tmpDir("inc") + "/t", schema)
     t.append(batch(0, 10).coalesce(1))  // snapshot 1
     t.append(batch(10, 20).coalesce(1)) // snapshot 2
     t.optimize()                        // snapshot 3 rewrites files
+    // snapshot 2's rows were folded into compaction-stamped files — an
+    // unconsumed append crossing the compaction is unrecoverable
     val e = intercept[IllegalArgumentException](t.readIncremental(1, 3))
-    assert(e.getMessage.contains("append-only"))
-    // appends AFTER the replacement still scan incrementally
+    assert(e.getMessage.contains("cannot cross compaction"))
+    // a caught-up consumer (checkpoint ≥ every pre-compaction append)
+    // reads straight through the nightly optimize: zero new rows at the
+    // compaction itself, later appends delivered exactly
+    assert(t.readIncremental(2, 3).count() == 0)
     t.append(batch(20, 25)) // snapshot 4
+    assert(t.readIncremental(2, 4).as[Long].collect().sorted.toSeq ==
+      (20L until 25L))
     assert(t.readIncremental(3, 4).as[Long].collect().sorted.toSeq ==
       (20L until 25L))
+    // a genuine replacement (overwrite) is still refused loudly
+    t.overwrite(batch(30, 35))          // snapshot 5
+    val e2 = intercept[IllegalArgumentException](t.readIncremental(4, 5))
+    assert(e2.getMessage.contains("append-only"))
   }
 
   test("rollback: one atomic ref move; next commit chains from there") {
