@@ -333,7 +333,80 @@ object MaintenanceQueries {
       .orderBy(col("days_ts").asc_nulls_last, col("record_count"))
   }
 
+  /** MERGE INTO (Trino's Iceberg upsert spelling) + equality-delete
+    * compaction: three MERGE batches land three eq-delete files against
+    * a table that never rewrites a data file; `rewriteEqDeleteFiles`
+    * folds them into one per key set with ZERO data I/O; reads are
+    * identical before/after and the snapshot summary tracks the
+    * outstanding MOR debt metadata-only — the nightly "bound the
+    * delete-file backlog a CDC stream accumulated" shape. */
+  private def sqlMergeDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val base = Files.createTempDirectory("graft_sqlmerge")
+    val resolve: String => GraftTable =
+      n => GraftTable.load(spark, base.resolve(n).toString)
+    def sql(s: String) = graft.sql.GraftSql.exec(spark, s, resolve, t0)
+    val df = seed(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    val t = GraftTable.create(spark, base.resolve("t").toString, df.schema)
+    t.append(df, t0)
+    val rowsBefore = t.rowCount
+    val src = GraftTable.create(spark, base.resolve("src").toString, df.schema)
+    src.append(df.filter(col("p_partkey") % 9 === 0)
+      .withColumn("p_retailprice", col("p_retailprice") + 1000.0), t0)
+    val mergeStmt =
+      """MERGE INTO t USING src ON t.p_partkey = src.p_partkey
+        |WHEN MATCHED THEN UPDATE SET p_name = src.p_name,
+        |  p_retailprice = src.p_retailprice
+        |WHEN NOT MATCHED THEN INSERT (p_partkey, p_name, p_retailprice)
+        |  VALUES (src.p_partkey, src.p_name, src.p_retailprice)""".stripMargin
+    (0 until 3).foreach(_ => sql(mergeStmt))
+    // outstanding eq-delete debt from the snapshot summary — no scan
+    def eqFiles = t.currentSnapshot.flatMap(_.eqDeleteFileCount).getOrElse(-1L)
+    val eqBefore = eqFiles
+    val merged = t.rewriteEqDeleteFiles(t0)
+    val bumped = t.read.filter(col("p_retailprice") > 1000.0 &&
+      col("p_partkey") % 9 === 0).count()
+    import spark.implicits._
+    Seq((rowsBefore, 3L, eqBefore, merged, eqFiles, t.rowCount, bumped))
+      .toDF("rows_before", "merge_batches", "eq_delete_files_before",
+        "eq_files_merged", "eq_delete_files_after", "rows_after",
+        "rows_with_merged_price")
+  }
+
+  /** Schema evolution through the SQL dispatcher: ADD / RENAME / DROP
+    * COLUMN are metadata-only commits (no data rewritten at any scale);
+    * files written before the evolution resolve through stable field
+    * ids, so renamed columns read back and pre-evolution rows surface
+    * NULL for added columns; time travel to a pre-evolution snapshot
+    * still works. */
+  private def schemaDdlDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val base = Files.createTempDirectory("graft_ddl")
+    val resolve: String => GraftTable =
+      n => GraftTable.load(spark, base.resolve(n).toString)
+    def sql(s: String) = graft.sql.GraftSql.exec(spark, s, resolve, t0)
+    sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')") // snapshot 1
+    sql("ALTER TABLE t ADD COLUMN score DOUBLE")
+    sql("INSERT INTO t VALUES (4, 'd', 0.5), (5, 'e', 0.9)") // snapshot 2
+    sql("ALTER TABLE t RENAME COLUMN v TO label")
+    sql("ALTER TABLE t ADD COLUMN scratch INTEGER")
+    sql("ALTER TABLE t DROP COLUMN scratch")
+    val t = resolve("t")
+    val v1 = sql("SELECT * FROM t FOR VERSION AS OF 1").get
+    import spark.implicits._
+    Seq((t.schema.fieldNames.mkString(","), t.rowCount,
+      t.read.filter(col("score").isNull).count(),
+      t.read.filter(col("label") === "a").count(),
+      v1.count()))
+      .toDF("columns_now", "rows_now", "pre_evolution_rows_null_score",
+        "renamed_column_reads_old_files", "rows_at_version_1")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_schema_ddl" -> (schemaDdlDemo _),
+    "x14_sql_merge" -> (sqlMergeDemo _),
     "x13_partitions" -> (partitionDemo _),
     "x12_upsert" -> (upsertDemo _),
     "x11_cdc_read" -> (cdcDemo _),
