@@ -1322,8 +1322,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def updatePartitionSpec(newSpec: Seq[PartitionField]): Unit =
     commitLock.synchronized {
       val s = schema
-      newSpec.foreach(f => require(s.fieldNames.contains(f.column),
-        s"no such column ${f.column}"))
+      newSpec.foreach { f =>
+        require(s.fieldNames.contains(f.column), s"no such column ${f.column}")
+        require(f.transform != "bucket" || f.param > 0,
+          "bucket requires a positive bucket count")
+        require(f.transform != "truncate" || f.param > 0,
+          "truncate requires a positive width")
+        f.outputType(s(f.column).dataType) // validates the transform name
+      }
+      require(newSpec.map(_.name).distinct.size == newSpec.size,
+        "duplicate partition fields")
       PartitionSpec.write(fs, tableDir, newSpec)
     }
 
@@ -1418,6 +1426,39 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
       commit(op, inventory(commitDir), clock, carryPrior = true, branch)
+    }
+
+  /** Adopt EXISTING parquet files into the table without copying a
+    * byte (Iceberg's `add_files`; Trino: `ALTER TABLE t EXECUTE
+    * add_files(location => '...', format => 'PARQUET')`): list the
+    * location, build the manifest from footer statistics, and commit
+    * ONE append snapshot referencing the files in place — the adoption
+    * path for a directory where copy-based ingestion would move 100 TB
+    * to say nothing new. The files become TABLE-MANAGED (Iceberg
+    * semantics): optimize may rewrite them and expire_snapshots may
+    * reclaim them once they leave retained history. The files' schema
+    * must equal the table's (names and types, in order); already-
+    * referenced paths are refused — adopting the same directory twice
+    * would double-count every row. @return files adopted. */
+  def addFiles(location: String, clock: Clock = Clock.systemUTC()): Long =
+    commitLock.synchronized {
+      val src = new Path(location)
+      require(fs.exists(src), s"add_files: no such location $location")
+      val srcSchema = spark.read.parquet(location).schema
+      val cur = schema
+      require(srcSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        cur.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"add_files: schema mismatch — table ${cur.simpleString}, " +
+          s"files ${srcSchema.simpleString}")
+      val inv = inventory(src)
+      val paths = inv.select("path").collect().map(_.getString(0))
+      require(paths.nonEmpty, s"add_files: no parquet files under $location")
+      val live = currentSnapshot.toSeq.flatMap(filePairsOf).map(_._1).toSet
+      val dup = paths.filter(live)
+      require(dup.isEmpty, "add_files: already referenced by the table: " +
+        dup.take(3).mkString(", "))
+      commit("append", inv, clock, carryPrior = true)
+      paths.length.toLong
     }
 
   /** Range-cluster a batch by the partition spec's transform outputs

@@ -364,6 +364,28 @@ object ScaleQueries {
       .orderBy($"mon")
   }
 
+  /** In-place parquet adoption (Iceberg `add_files`; Trino `ALTER
+    * TABLE t EXECUTE add_files(location => ..., format => 'PARQUET')`):
+    * the sf part file is adopted into a graft table METADATA-ONLY —
+    * zero data bytes copied, one footer-built manifest commit — then
+    * aggregated through the DataSource. The oracle reads the same
+    * parquet directly, so adoption must be observationally invisible. */
+  def q38AddFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val part = t(s, dir, "part")
+    val loc = Files.createTempDirectory("graft_addfiles").resolve("t").toString
+    val tbl = GraftTable.create(s, loc, part.schema)
+    graft.sql.GraftSql.exec(s, "ALTER TABLE t EXECUTE add_files(" +
+      s"location => '$dir/part.parquet', format => 'PARQUET')", _ => tbl)
+    s.read.format("graft").load(loc)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg($"p_retailprice"), 2).as("avg_price"),
+        max($"p_size").as("max_size"))
+      .orderBy($"p_brand")
+  }
+
   /** Copy-on-write MERGE (upsert): part is loaded into a graft table,
     * a source of updates (price bump on every 10th key) and inserts
     * (new keys) is merged in ONE commit, and the post-merge table must
@@ -491,6 +513,7 @@ object ScaleQueries {
     "q35_bloom_scan" -> (q35BloomScan _),
     "q36_mor_read" -> (q36MorRead _),
     "q37_upsert_read" -> (q37UpsertRead _),
+    "q38_add_files" -> (q38AddFiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,6 +561,11 @@ object ScaleQueries {
         |FROM events
         |WHERE event_id IN (7, 63, 250, 777)
         |ORDER BY event_id""".stripMargin,
+    "q38_add_files" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  round(avg(p_retailprice), 2) AS avg_price,
+        |  max(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q36_mor_read" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value

@@ -404,7 +404,39 @@ object MaintenanceQueries {
         "renamed_column_reads_old_files", "rows_at_version_1")
   }
 
+  /** Partition EVOLUTION (Trino spelling: `SET PROPERTIES partitioning
+    * = ARRAY[...]`): a daily-partitioned events table switches to
+    * bucket partitioning on the user key WITHOUT rewriting a byte —
+    * on a 100 TB table the alternative is rewriting 100 TB. Old files
+    * keep their lineage and day bounds; appends after the evolution
+    * cluster by — and prune on — the new spec; pre-evolution files are
+    * conservatively kept (superset guarantee). */
+  private def partitionEvolutionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val df = graft.rel.Tables.load(spark, sfDir, "events")
+    val t = GraftTable.create(spark, freshDir("pevolve"), df.schema,
+      partitionBy = Seq(graft.meta.PartitionSpec.days("ts")))
+    t.append(df, t0)
+    val specBefore = t.partitionSpec.map(_.name).mkString(",")
+    val filesBefore = t.files.select("path").collect().map(_.getString(0)).toSet
+    graft.sql.GraftSql.exec(spark,
+      "ALTER TABLE t SET PROPERTIES partitioning = ARRAY['bucket(user_id, 4)']",
+      _ => t, t0)
+    val untouched = t.files.select("path").collect()
+      .map(_.getString(0)).toSet == filesBefore
+    t.append(df, t0) // clusters by the NEW spec
+    val b = graft.meta.PartitionSpec.bucket(4, "user_id").expr(lit(3L))
+    val scan = t.readPrunedPartition("bucket4_user_id" -> b)
+    import spark.implicits._
+    Seq((specBefore, t.partitionSpec.map(_.name).mkString(","), untouched,
+      scan.filesScanned, scan.filesTotal,
+      scan.df.filter(col("user_id") === 3L).count()))
+      .toDF("spec_before", "spec_after", "evolution_left_files_untouched",
+        "files_scanned_bucket_of_user3", "files_total", "rows_user_3")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_partition_evolution" -> (partitionEvolutionDemo _),
     "x15_schema_ddl" -> (schemaDdlDemo _),
     "x14_sql_merge" -> (sqlMergeDemo _),
     "x13_partitions" -> (partitionDemo _),

@@ -57,7 +57,16 @@ object GraftSql {
         alterExec(resolve(unquote(t)), op, Option(args), Option(where), clock)
         None
       case AlterSetProps(t, props) =>
-        resolve(unquote(t)).setProperties(parseProps(props)); None
+        props.trim match {
+          // Trino's Iceberg partition-evolution spelling:
+          // ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(ts)']
+          case PartitioningProp(items) =>
+            resolve(unquote(t)).updatePartitionSpec(
+              "'([^']*)'".r.findAllMatchIn(items)
+                .map(m => parsePartitionField(m.group(1))).toSeq)
+          case _ => resolve(unquote(t)).setProperties(parseProps(props))
+        }
+        None
       case AnalyzeStmt(t, cols) =>
         resolve(unquote(t)).analyze(Option(cols).map(parseStringArray), clock)
         None
@@ -199,10 +208,15 @@ object GraftSql {
         t.removeOrphanFiles(parseDays(arg(kv, "retention_threshold", op)), clock)
       case "drop_extended_stats" => // Trino Iceberg's stats reset
         t.dropExtendedStats()
+      case "add_files" => // Trino Iceberg's in-place parquet adoption
+        val fmt = kv.getOrElse("format", "PARQUET")
+        require(fmt.equalsIgnoreCase("PARQUET"),
+          s"add_files supports format => 'PARQUET' only, got $fmt")
+        t.addFiles(arg(kv, "location", op), clock)
       case other => throw new IllegalArgumentException(
         s"unsupported table procedure: $other " +
           "(optimize | expire_snapshots | remove_orphan_files | " +
-          "drop_extended_stats)")
+          "drop_extended_stats | add_files)")
     }
   }
 
@@ -240,6 +254,35 @@ object GraftSql {
           s"expected name = 'value' in SET PROPERTIES, got: $p")
       }
     }.toMap
+
+  /** The `partitioning` property value: `ARRAY['day(ts)', 'c']`. */
+  private val PartitioningProp =
+    """(?is)^partitioning ?= ?ARRAY ?\[(.*)\]$""".r
+
+  /** One Trino partition-transform string — `c` (identity), `day(c)`,
+    * `bucket(c, n)`, `truncate(c, w)` (Trino's column-first argument
+    * order). Unknown transforms fail loudly. */
+  private[sql] def parsePartitionField(s: String): graft.meta.PartitionField = {
+    val Call = """(?i)^(\w+) ?\( ?([^,()]+?) ?(?:, ?(\d+) ?)?\)$""".r
+    import graft.meta.PartitionSpec
+    s.trim match {
+      case Call(fn, c, num) =>
+        val column = unquote(c.trim)
+        (fn.toLowerCase, Option(num).map(_.toInt)) match {
+          case ("day" | "days", None) => PartitionSpec.days(column)
+          case ("identity", None) => PartitionSpec.identity(column)
+          case ("bucket", Some(n)) => PartitionSpec.bucket(n, column)
+          case ("truncate", Some(w)) => PartitionSpec.truncate(w, column)
+          case _ => throw new IllegalArgumentException(
+            s"unsupported partition transform: $s (supported: column, " +
+              "day(column), bucket(column, n), truncate(column, w))")
+        }
+      case bare if bare.nonEmpty && !bare.contains("(") =>
+        PartitionSpec.identity(unquote(bare))
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other")
+    }
+  }
 
   private def arg(kv: Map[String, String], name: String, op: String): String =
     kv.getOrElse(name,

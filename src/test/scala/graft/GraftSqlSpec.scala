@@ -305,6 +305,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.properties == Map("write.bloom-filter.columns" -> "k"))
   }
 
+  test("SET PROPERTIES partitioning evolves the partition spec (Trino spelling)") {
+    import graft.meta.PartitionSpec
+    val fx = fixture("sqlpart")
+    fx.sql("CREATE TABLE t (id BIGINT, ts TIMESTAMP(6), cat VARCHAR)")
+    fx.sql("ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(ts)', 'cat']")
+    assert(fx.resolve("t").partitionSpec ==
+      Seq(PartitionSpec.days("ts"), PartitionSpec.identity("cat")))
+    // Trino's column-first bucket/truncate argument order; evolving
+    // again is metadata-only and replaces the whole spec
+    fx.sql("ALTER TABLE t SET PROPERTIES " +
+      "partitioning = ARRAY['bucket(id, 8)', 'truncate(cat, 2)']")
+    assert(fx.resolve("t").partitionSpec ==
+      Seq(PartitionSpec.bucket(8, "id"), PartitionSpec.truncate(2, "cat")))
+    // unknown column / unsupported transform fail loudly
+    intercept[IllegalArgumentException](fx.sql(
+      "ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(nope)']"))
+    intercept[IllegalArgumentException](fx.sql(
+      "ALTER TABLE t SET PROPERTIES partitioning = ARRAY['hour(ts)']"))
+    // ordinary properties still route to the key/value store
+    fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.columns\" = 'id'")
+    assert(fx.resolve("t").properties ==
+      Map("write.bloom-filter.columns" -> "id"))
+  }
+
   test("ALTER TABLE EXECUTE drop_extended_stats resets to live stats") {
     val fx = fixture("sqldropstats")
     fx.sql("CREATE TABLE t (a VARCHAR, b INTEGER)")
