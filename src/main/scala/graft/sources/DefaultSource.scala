@@ -77,19 +77,47 @@ final class DefaultSource extends RelationProvider
     require(table.schemaVersions.size <= 1,
       "the graft DataSource serves un-evolved tables; use GraftTable.read " +
         "for schema-evolved tables (per-generation aligned scans)")
+    // Time travel (Iceberg Spark's option shape): pin the scan — with
+    // pushdown and file skipping intact — to a snapshot id, a branch
+    // or tag head, or the newest snapshot at a timestamp. At most one.
+    val asOf: Option[graft.meta.Snapshot] = {
+      val picks = Seq(
+        opt(parameters, "snapshotId").map { v =>
+          table.snapshots.find(_.snapshotId == v.toLong).getOrElse(
+            throw new IllegalArgumentException(s"no snapshot $v"))
+        },
+        opt(parameters, "branch").map { b =>
+          val id = table.branches.getOrElse(b,
+            throw new IllegalArgumentException(s"no branch $b"))
+          table.snapshots.find(_.snapshotId == id).get
+        },
+        opt(parameters, "tag").map { tg =>
+          val id = table.tags.getOrElse(tg,
+            throw new IllegalArgumentException(s"no tag $tg"))
+          table.snapshots.find(_.snapshotId == id).get
+        },
+        opt(parameters, "asOfTimestamp").map { ts =>
+          val snaps = table.snapshots.filter(_.timestampMs <= ts.toLong)
+          require(snaps.nonEmpty, s"no snapshot at or before $ts")
+          snaps.maxBy(_.timestampMs)
+        }).flatten
+      require(picks.size <= 1, "at most one of snapshotId / branch / " +
+        "tag / asOfTimestamp may be set")
+      picks.headOption
+    }
     // A HadoopFsRelation is a plain parquet scan — it cannot anti-join
     // position-delete files, and silently serving deleted rows would be
     // a correctness trap. Refuse loudly instead. (GraftTable's own MOR
     // machinery sets the internal flag: it applies the delete joins
     // itself and only wants the pruned raw scan.)
     require(parameters.get("graft.internal.allowDeletes").exists(_.toBoolean) ||
-      table.currentSnapshot.forall(s =>
+      asOf.orElse(table.currentSnapshot).forall(s =>
         s.deleteManifests.isEmpty && s.eqDeleteManifests.isEmpty),
       "this graft table has outstanding merge-on-read delete files; " +
         "read via GraftTable.read (applies deletes) or run optimize() " +
         "to materialize them first")
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, table),
+      location = new GraftFileIndex(spark, table, asOf),
       partitionSchema = new org.apache.spark.sql.types.StructType(),
       dataSchema = table.schema,
       bucketSpec = None,

@@ -44,7 +44,8 @@ import graft.meta.GraftTable
   * (one schema generation). [[GraftTable.read]] handles evolved tables
   * via per-generation aligned scans.
   */
-final class GraftFileIndex(spark: SparkSession, table: GraftTable)
+final class GraftFileIndex(spark: SparkSession, table: GraftTable,
+                           asOf: Option[graft.meta.Snapshot] = None)
   extends FileIndex {
 
   /** (manifest parquet paths of the pinned snapshot, live (path, size)). */
@@ -57,7 +58,10 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable)
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
 
   private def load(): (Seq[String], Seq[(String, Long)]) = {
-    val manifests = table.currentSnapshot.map(_.manifests).getOrElse(Seq.empty)
+    // time travel pins the index to a named snapshot; refresh() then
+    // deliberately re-pins to the SAME one (an as-of read never moves)
+    val manifests = asOf.orElse(table.currentSnapshot)
+      .map(_.manifests).getOrElse(Seq.empty)
     val entries = manifestDf(manifests).select("path", "size_bytes")
       .collect().toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
     (manifests, entries)

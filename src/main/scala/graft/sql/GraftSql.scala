@@ -100,6 +100,10 @@ object GraftSql {
         resolve(unquote(t)).dropColumn(unquote(c)); None
       case SelectVersion(t, ver) =>
         Some(resolve(unquote(t)).readAsOf(ver.toLong))
+      case SelectVersionRef(t, ref) => // Trino: branch/tag name version
+        val tbl = resolve(unquote(t))
+        Some(if (tbl.branches.contains(ref)) tbl.readBranch(ref)
+          else tbl.readTag(ref))
       case SelectTimestamp(t, ts) =>
         Some(resolve(unquote(t))
           .readAsOfTime(Timestamp.valueOf(ts).getTime))
@@ -150,6 +154,9 @@ object GraftSql {
   // FOR TIMESTAMP AS OF TIMESTAMP '...'
   private val SelectVersion =
     s"""(?i)^SELECT \\* FROM $Ident FOR VERSION AS OF (\\d+)$$""".r
+  // Trino also takes a branch or tag NAME as the version
+  private val SelectVersionRef =
+    s"""(?i)^SELECT \\* FROM $Ident FOR VERSION AS OF '([^']+)'$$""".r
   private val SelectTimestamp =
     s"""(?i)^SELECT \\* FROM $Ident FOR TIMESTAMP AS OF TIMESTAMP '([^']+)'$$""".r
   private val SelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
