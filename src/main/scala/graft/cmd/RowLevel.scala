@@ -52,6 +52,34 @@ object RowLevel {
       before - table.currentSnapshot.map(_.totalRows).getOrElse(0L)
     }
 
+  /** UPDATE ... SET col = expr WHERE cond (Trino's general row-level
+    * UPDATE): copy-on-write over ONLY the files containing matches —
+    * each matched row has every SET column replaced by its expression
+    * (evaluated against the OLD row, SQL semantics), survivors in the
+    * same files are carried byte-equal. Commits op `update`, which the
+    * changelog recovers as net delete+insert pairs. @return matched
+    * rows. */
+  def update(table: GraftTable, cond: Column, sets: Map[String, Column],
+             clock: Clock): Long =
+    table.lock.synchronized {
+      require(sets.nonEmpty, "UPDATE requires at least one SET column")
+      sets.keys.foreach(c => require(table.schema.fieldNames.contains(c),
+        s"no such column $c"))
+      val matched = coalesce(cond, lit(false))
+      val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
+      val hit = withPath.filter(matched)
+      val n = hit.count()
+      if (n > 0) rewrite(table, "update",
+        affected = hit.select(col(FP).as("path")).distinct(),
+        // withColumns applies all SETs against the OLD row at once —
+        // `SET a = b, b = a` swaps, like SQL requires
+        survivorsOf = df => df.withColumns(sets.map { case (c, e) =>
+          c -> when(matched, e).otherwise(col(c))
+        }),
+        extra = None, clock)
+      n
+    }
+
   /** MERGE (upsert): rows in `source` replace table rows with the same
     * key; unmatched source rows are inserted. One commit. */
   def merge(table: GraftTable, source: DataFrame, keys: Seq[String],

@@ -246,7 +246,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // create_changelog_view shape) — cost scales with the REWRITTEN
     // file set, never the table.
     def cowTracked(s: Snapshot) =
-      s.operation == "cow_delete" || s.operation == "merge"
+      s.operation == "cow_delete" || s.operation == "merge" ||
+        s.operation == "update"
     // Compactions rewrite bytes but change no logical rows — zero
     // events, the way Iceberg's incremental scans skip REPLACE
     // snapshots. (A compaction that materializes merge-on-read deletes
@@ -2126,6 +2127,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * @return rows deleted */
   def deleteWhere(cond: Column, clock: Clock = Clock.systemUTC()): Long =
     graft.cmd.RowLevel.delete(this, cond, clock)
+
+  /** Row-level UPDATE (copy-on-write): matched rows get each SET column
+    * replaced by its expression, evaluated against the old row. Only
+    * files containing matches are rewritten. @return matched rows. */
+  def updateWhere(cond: Column, sets: Map[String, Column],
+                  clock: Clock = Clock.systemUTC()): Long =
+    graft.cmd.RowLevel.update(this, cond, sets, clock)
 
   /** Copy-on-write MERGE (upsert by key); rewrites only affected files. */
   def merge(source: DataFrame, keys: Seq[String],

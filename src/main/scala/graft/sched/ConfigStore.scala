@@ -93,15 +93,10 @@ final class ConfigStore(spark: SparkSession, location: String) {
     val t = table
     t.lock.synchronized {
       val now = new Timestamp(clock.millis())
-      val updated = t.read.withColumn(column,
-        when(col("table_name") === tableName, lit(now).cast(TimestampType))
-          .otherwise(col(column)))
-      // .collect-free would re-read the files being overwritten mid-job;
-      // the config table is tiny, so materialize before the CoW commit.
-      val rows = updated.collect().toIndexedSeq
-      import scala.jdk.CollectionConverters._
-      t.overwrite(spark.createDataFrame(rows.asJava, MaintenanceConfig.schema),
-        clock)
+      // affected-file CoW — nothing materialized on the driver, and the
+      // same plan whether the config table has 15 rows or a billion
+      t.updateWhere(col("table_name") === tableName,
+        Map(column -> lit(now).cast(TimestampType)), clock)
     }
   }
 }

@@ -71,12 +71,16 @@ object GraftSql {
         resolve(unquote(t)).analyze(Option(cols).map(parseStringArray), clock)
         None
       case ShowStats(t) => Some(resolve(unquote(t)).stats)
-      case UpdateStmt(t, setCol, setVal, whereCol, whereVal) =>
-        update(spark, resolve(unquote(t)), setCol, setVal.trim,
-          whereCol, whereVal.trim, clock)
+      case DescribeStmt(t) => Some(describe(spark, resolve(unquote(t))))
+      case ShowCreate(t) =>
+        Some(showCreate(spark, resolve(unquote(t)), unquote(t)))
+      case UpdateStmt(t, sets, where) =>
+        update(resolve(unquote(t)), sets.trim, where.trim, clock)
         None
-      case CreateStmt(ifNotExists, t, colDefs) =>
-        create(spark, resolve(unquote(t)), ifNotExists != null, colDefs); None
+      case CreateStmt(ifNotExists, t, colDefs, withProps) =>
+        create(spark, resolve(unquote(t)), ifNotExists != null, colDefs,
+          Option(withProps))
+        None
       case DropStmt(ifExists, t) =>
         val table = resolve(unquote(t))
         if (GraftTable.exists(spark, table.location)) table.drop()
@@ -128,12 +132,15 @@ object GraftSql {
   private val AnalyzeStmt =
     s"""(?i)^ANALYZE $Ident(?: WITH ?\\( ?columns ?= ?ARRAY\\[(.*?)\\] ?\\))?$$""".r
   private val ShowStats = s"""(?i)^SHOW STATS FOR $Ident$$""".r
+  private val DescribeStmt =
+    s"""(?i)^(?:DESCRIBE|DESC|SHOW COLUMNS FROM) $Ident$$""".r
+  private val ShowCreate = s"""(?i)^SHOW CREATE TABLE $Ident$$""".r
   // (?s): SET/WHERE/VALUES literals may legitimately contain newlines
   // (normalize preserves whitespace inside quotes)
   private val UpdateStmt =
-    s"""(?is)^UPDATE $Ident SET (\\w+) ?= ?(.+?) WHERE (\\w+) ?= ?(.+)$$""".r
+    s"""(?is)^UPDATE $Ident SET (.+?) WHERE (.+)$$""".r
   private val CreateStmt =
-    s"""(?i)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+)\\)$$""".r
+    s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+?)\\)(?: WITH ?\\((.+)\\))?$$""".r
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
@@ -215,6 +222,8 @@ object GraftSql {
         t.removeOrphanFiles(parseDays(arg(kv, "retention_threshold", op)), clock)
       case "drop_extended_stats" => // Trino Iceberg's stats reset
         t.dropExtendedStats()
+      case "optimize_manifests" => // Trino Iceberg's manifest rewrite
+        t.rewriteManifests(clock)
       case "add_files" => // Trino Iceberg's in-place parquet adoption
         val fmt = kv.getOrElse("format", "PARQUET")
         require(fmt.equalsIgnoreCase("PARQUET"),
@@ -223,7 +232,7 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"unsupported table procedure: $other " +
           "(optimize | expire_snapshots | remove_orphan_files | " +
-          "drop_extended_stats | add_files)")
+          "drop_extended_stats | optimize_manifests | add_files)")
     }
   }
 
@@ -335,54 +344,92 @@ object GraftSql {
     if (inner.trim.isEmpty) Seq.empty
     else splitTop(inner, ',').map(v => stripQuotes(v.trim))
 
-  // ---- UPDATE (point, copy-on-write) --------------------------------------
+  // ---- UPDATE (row-level, copy-on-write) ----------------------------------
 
-  /** Above this row count an UPDATE routes through the affected-file CoW
-    * ([[GraftTable.merge]]) instead of the full-table rewrite — the
-    * driver-materializing path is only ever the faithful analogue of the
-    * reference's config-table stamp (O(#maintained tables) rows), never
-    * a path a billion-row data table can reach. */
-  private val FullRewriteMaxRows = 100000L
-
-  /** `UPDATE t SET c = current_timestamp(6) | <literal> WHERE k = <literal>`
-    * — the reference's stamp statements (__main__.py:172-176,194-198).
-    * CoW under the table lock. Small (config-sized) tables take the
-    * faithful full-rewrite; larger tables take the Iceberg CoW shape —
-    * only files containing a matching row are rewritten, nothing is
-    * collected to the driver. `current_timestamp(6)` stamps with µs
-    * precision, matching the reference's TIMESTAMP(6) contract. */
-  private def update(spark: SparkSession, t: GraftTable, setCol: String,
-                     setVal: String, whereCol: String, whereVal: String,
+  /** `UPDATE t SET c = <rhs>[, c2 = <rhs>] WHERE <conjunction>` — the
+    * reference's stamp statements (__main__.py:172-176,194-198) plus
+    * Trino's general row-level UPDATE. Each rhs is a literal,
+    * `current_timestamp(6)` (µs precision, the TIMESTAMP(6) contract),
+    * a column, or one `operand (+|-|*|/) operand` arithmetic step —
+    * richer expressions fail loudly, like the rest of the dispatcher.
+    * The WHERE clause takes the same closed conjunction grammar as
+    * DELETE. Routes to [[GraftTable.updateWhere]]: affected-file CoW,
+    * SETs evaluated against the OLD row, nothing collected to the
+    * driver — the same plan at 15 config rows and at 100 TB. */
+  private def update(t: GraftTable, setsRaw: String, whereRaw: String,
                      clock: Clock): Unit =
     t.lock.synchronized {
       val schema = t.schema
-      val setType = schema(setCol).dataType
-      val newVal: Any =
-        if (setVal.matches("""(?i)current_timestamp ?\( ?6 ?\)"""))
-          Timestamp.from(clock.instant())
-        else coerce(parseLiteral(setVal), setType)
-      val whereV = coerce(parseLiteral(whereVal), schema(whereCol).dataType)
-      if (t.rowCount > FullRewriteMaxRows) {
-        // affected-file CoW: replace only the matching rows, via merge on
-        // the point-predicate key — rewrites only files containing it
-        val updated = t.read.filter(col(whereCol) === lit(whereV))
-          .withColumn(setCol, lit(newVal).cast(setType))
-          .select(schema.fieldNames.toSeq.map(col): _*)
-        t.merge(updated, Seq(whereCol), clock)
-      } else {
-        val updated = t.read.withColumn(setCol,
-          when(col(whereCol) === lit(whereV), lit(newVal).cast(setType))
-            .otherwise(col(setCol)))
-        // the CoW overwrite would otherwise re-read the files it replaces
-        val rows = updated.collect().toIndexedSeq
-        t.overwrite(spark.createDataFrame(rows.asJava, schema), clock)
-      }
+      val sets = splitTop(setsRaw, ',').map { a =>
+        val sides = a.split("=", 2)
+        require(sides.length == 2, s"bad SET assignment: $a")
+        val name = unquote(sides(0).trim)
+        require(schema.fieldNames.contains(name), s"no such column $name")
+        val dt = schema(name).dataType
+        // cast the whole rhs to the column's declared type — literal
+        // parsing yields decimals, columns keep their own types
+        name -> parseSetExpr(schema, sides(1).trim, clock).cast(dt)
+      }.toMap
+      t.updateWhere(parseWhere(schema, whereRaw), sets, clock)
     }
+
+  /** One SET rhs: operand, or `operand op operand` (op outside quotes). */
+  private def parseSetExpr(schema: StructType, e: String,
+                           clock: Clock): org.apache.spark.sql.Column = {
+    def operand(s: String): org.apache.spark.sql.Column = {
+      val tr = s.trim
+      val un = unquote(tr)
+      if (schema.fieldNames.contains(un)) col(un)
+      else if (tr.matches("""(?i)current_timestamp ?\( ?6 ?\)"""))
+        lit(Timestamp.from(clock.instant()))
+      else lit(parseLiteral(tr) match {
+        case bd: BigDecimal => // keep integral literals integral
+          if (bd.isValidLong && !tr.contains('.')) bd.toLongExact else bd.toDouble
+        case other => other
+      })
+    }
+    splitTopOperator(e) match {
+      case Some((a, op, b)) =>
+        val (l, r) = (operand(a), operand(b))
+        op match {
+          case '+' => l + r
+          case '-' => l - r
+          case '*' => l * r
+          case '/' => l / r
+        }
+      case None => operand(e)
+    }
+  }
+
+  /** Find one top-level arithmetic operator (outside quotes/parens;
+    * never at position 0, so negative literals parse as operands). */
+  private def splitTopOperator(s: String): Option[(String, Char, String)] = {
+    var inQ = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '+' | '*' | '/' if depth == 0 =>
+          return Some((s.substring(0, i), ch, s.substring(i + 1)))
+        case '-' if depth == 0 && i > 0 =>
+          return Some((s.substring(0, i), ch, s.substring(i + 1)))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
 
   // ---- CREATE / INSERT -----------------------------------------------------
 
   private def create(spark: SparkSession, t: GraftTable,
-                     ifNotExists: Boolean, colDefs: String): Unit = {
+                     ifNotExists: Boolean, colDefs: String,
+                     withProps: Option[String] = None): Unit = {
     if (GraftTable.exists(spark, t.location)) {
       require(ifNotExists, s"graft table exists: ${t.location}")
       return
@@ -396,10 +443,79 @@ object GraftSql {
       StructField(unquote(core.substring(0, sp)),
         parseType(core.substring(sp + 1).trim), nullable = !notNull)
     }
-    GraftTable.create(spark, t.location, StructType(fields))
+    val created = GraftTable.create(spark, t.location, StructType(fields))
+    // Trino's WITH clause: `partitioning` becomes the partition spec,
+    // everything else is a table property — SHOW CREATE TABLE output
+    // round-trips through here
+    withProps.map(_.trim).filter(_.nonEmpty).foreach { raw =>
+      val (partitioning, plain) = splitTop(raw, ',')
+        .partition(p => PartitioningProp.findFirstIn(p.trim).isDefined)
+      partitioning.foreach { p =>
+        val PartitioningProp(items) = p.trim: @unchecked
+        created.updatePartitionSpec("'([^']*)'".r.findAllMatchIn(items)
+          .map(m => parsePartitionField(m.group(1))).toSeq)
+      }
+      if (plain.nonEmpty)
+        created.setProperties(parseProps(plain.mkString(",")))
+    }
   }
 
   /** The reference DDL's types (__main__.py:43-54) plus the obvious kin. */
+  /** Spark type → Trino type name (the inverse of [[parseType]]). */
+  private[sql] def typeName(dt: DataType): String = dt match {
+    case StringType => "VARCHAR"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case BinaryType => "VARBINARY"
+    case TimestampType | TimestampNTZType => "TIMESTAMP(6)"
+    case ArrayType(e, _) => s"ARRAY(${typeName(e)})"
+    case other => other.sql
+  }
+
+  /** `DESCRIBE t` / `SHOW COLUMNS FROM t` (Trino's column listing). */
+  private def describe(spark: SparkSession, t: GraftTable): DataFrame = {
+    import spark.implicits._
+    t.schema.fields.toSeq
+      .map(f => (f.name, typeName(f.dataType),
+        if (f.nullable) "" else "NOT NULL"))
+      .toDF("column", "type", "extra")
+  }
+
+  /** `SHOW CREATE TABLE t`: reconstructed DDL — columns in Trino types,
+    * the partition spec as the `partitioning` property (Trino's
+    * column-first transform strings), and table properties. */
+  private def showCreate(spark: SparkSession, t: GraftTable,
+                         name: String): DataFrame = {
+    import spark.implicits._
+    val cols = t.schema.fields.map(f =>
+      s"   ${f.name} ${typeName(f.dataType)}" +
+        (if (f.nullable) "" else " NOT NULL"))
+    val partitioning = t.partitionSpec match {
+      case Seq() => None
+      case spec => Some("partitioning = ARRAY[" + spec.map { f =>
+        f.transform match {
+          case "identity" => s"'${f.column}'"
+          case "days" => s"'day(${f.column})'"
+          case "bucket" => s"'bucket(${f.column}, ${f.param})'"
+          case "truncate" => s"'truncate(${f.column}, ${f.param})'"
+        }
+      }.mkString(", ") + "]")
+    }
+    val props = t.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k = '$v'" }
+    val withClause = (partitioning.toSeq ++ props) match {
+      case Seq() => ""
+      case entries => entries.mkString("\nWITH (\n   ", ",\n   ", "\n)")
+    }
+    Seq(s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)$withClause")
+      .toDF("create_table")
+  }
+
   private def parseType(t: String): DataType = {
     val up = t.toUpperCase
     up match {

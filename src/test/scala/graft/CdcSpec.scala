@@ -152,6 +152,39 @@ class CdcSpec extends SparkSpec {
     assert(ins.filter($"id" === 5).select("v").as[String].head() == "UP5")
   }
 
+  test("copy-on-write UPDATE emits net delete+insert pairs") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc10") + "/t", schema)
+    t.append(rows(0, 6).repartition(2), clock)       // s1
+    assert(t.updateWhere($"id" < 2,
+      Map("v" -> concat($"v", lit("!"))), clock) == 2) // s2
+    val ch = t.readChanges(1L, 2L)
+    val dels = ch.filter($"_change_type" === "delete")
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    val ins = ch.filter($"_change_type" === "insert")
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(dels == Seq((0L, "v0"), (1L, "v1")), "old rows out")
+    assert(ins == Seq((0L, "v0!"), (1L, "v1!")), "new rows in")
+  }
+
+  test("CoW net diff aligns files written before schema evolution") {
+    val clock = new TestClock
+    val t = GraftTable.create(spark, tmpDir("cdc11") + "/t", schema)
+    t.append(rows(0, 6), clock)         // s1: old-generation files
+    t.renameColumn("v", "label")
+    t.addColumn("score", DoubleType)
+    t.deleteWhere($"id" < 2, clock)     // s2: CoW over old files
+    val ch = t.readChanges(1L, 2L)
+    assert(ch.columns.toSeq ==
+      Seq("id", "label", "score", "_change_type", "_commit_snapshot_id"))
+    val dels = ch.filter($"_change_type" === "delete")
+    assert(dels.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    // renamed column resolves through field ids; added column reads NULL
+    assert(dels.select("label").as[String].collect().sorted.toSeq ==
+      Seq("v0", "v1"))
+    assert(dels.filter($"score".isNull).count() == 2)
+  }
+
   test("net diff is multiset-exact on duplicate rows") {
     val clock = new TestClock
     val t = GraftTable.create(spark, tmpDir("cdc8") + "/t", schema)

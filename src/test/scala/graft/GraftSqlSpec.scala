@@ -266,8 +266,8 @@ class GraftSqlSpec extends SparkSpec {
     val before = t.files.select("path").collect().map(_.getString(0)).toSet
     assert(before.size >= 4)
     fx.sql("UPDATE big SET v = 'y' WHERE k = 5")
-    assert(t.snapshots.maxBy(_.snapshotId).operation == "merge",
-      "large-table UPDATE must be a merge commit, not a full-table overwrite")
+    assert(t.snapshots.maxBy(_.snapshotId).operation == "update",
+      "large-table UPDATE must be a CoW update commit, not a full rewrite")
     val after = t.files.select("path").collect().map(_.getString(0)).toSet
     assert((before intersect after).size >= 3,
       "untouched files must be carried, not rewritten")
@@ -327,6 +327,81 @@ class GraftSqlSpec extends SparkSpec {
     fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.columns\" = 'id'")
     assert(fx.resolve("t").properties ==
       Map("write.bloom-filter.columns" -> "id"))
+  }
+
+  test("CREATE TABLE WITH (...) sets spec and properties; DDL round-trips") {
+    import graft.meta.PartitionSpec
+    val fx = fixture("sqlcreatewith")
+    fx.sql("CREATE TABLE t (id BIGINT, ts TIMESTAMP(6), cat VARCHAR) " +
+      "WITH (partitioning = ARRAY['day(ts)', 'bucket(id, 4)'], " +
+      "\"write.bloom-filter.columns\" = 'id')")
+    val t = fx.resolve("t")
+    assert(t.partitionSpec ==
+      Seq(PartitionSpec.days("ts"), PartitionSpec.bucket(4, "id")))
+    assert(t.properties == Map("write.bloom-filter.columns" -> "id"))
+    // SHOW CREATE TABLE output re-executes to an identical table
+    val ddl = fx.rows("SHOW CREATE TABLE t").head.getString(0)
+      .replaceFirst("CREATE TABLE t", "CREATE TABLE t2")
+    fx.sql(ddl)
+    assert(fx.resolve("t2").partitionSpec == t.partitionSpec)
+    assert(fx.resolve("t2").properties == t.properties)
+    assert(fx.resolve("t2").schema == t.schema)
+  }
+
+  test("UPDATE with expressions, multi-SET, and a general WHERE") {
+    val fx = fixture("sqlupdexpr")
+    import spark.implicits._
+    fx.sql("CREATE TABLE t (k BIGINT, price DOUBLE, seg VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1, 10.0, 'gold'), (2, 20.0, 'gold'), " +
+      "(3, 30.0, 'iron'), (4, 40.0, 'gold')")
+    // arithmetic against the OLD row, conjunction WHERE
+    fx.sql("UPDATE t SET price = price * 1.1 WHERE seg = 'gold' AND k > 1")
+    val t = fx.resolve("t")
+    assert(t.snapshots.maxBy(_.snapshotId).operation == "update")
+    val prices = t.read.select($"k", $"price").as[(Long, Double)]
+      .collect().toMap
+    assert(prices == Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0, 4L -> 44.0))
+    // multi-SET applies simultaneously; IN (...) WHERE
+    fx.sql("UPDATE t SET price = price + 1, seg = 'moved' WHERE k IN (1, 3)")
+    val rows = t.read.orderBy($"k").as[(Long, Double, String)].collect().toSeq
+    assert(rows == Seq((1L, 11.0, "moved"), (2L, 22.0, "gold"),
+      (3L, 31.0, "moved"), (4L, 44.0, "gold")))
+    // column-to-column assignment
+    fx.sql("UPDATE t SET price = k WHERE seg = 'moved'")
+    assert(t.read.filter($"k" === 3).select("price").as[Double].head() == 3.0)
+    // unknown SET column / unsupported rhs fail loudly
+    intercept[IllegalArgumentException](
+      fx.sql("UPDATE t SET nope = 1 WHERE k = 1"))
+    intercept[Exception](
+      fx.sql("UPDATE t SET price = sqrt(price) WHERE k = 1"))
+  }
+
+  test("DESCRIBE, SHOW COLUMNS, SHOW CREATE TABLE, optimize_manifests") {
+    val fx = fixture("sqldescribe")
+    fx.sql("CREATE TABLE t (k BIGINT NOT NULL, v VARCHAR, ts TIMESTAMP(6))")
+    val desc = fx.rows("DESCRIBE t").map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(desc == Seq(("k", "BIGINT", "NOT NULL"), ("v", "VARCHAR", ""),
+      ("ts", "TIMESTAMP(6)", "")))
+    assert(fx.rows("SHOW COLUMNS FROM t").length == 3)
+
+    fx.sql("ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(ts)']")
+    fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.columns\" = 'k'")
+    val ddl = fx.rows("SHOW CREATE TABLE t").head.getString(0)
+    assert(ddl.contains("k BIGINT NOT NULL"))
+    assert(ddl.contains("partitioning = ARRAY['day(ts)']"))
+    assert(ddl.contains("write.bloom-filter.columns = 'k'"))
+
+    // manifest rewrite through the procedure spelling: three delta
+    // manifests fold to one, same files and rows
+    fx.sql("INSERT INTO t VALUES (1, 'a', TIMESTAMP '2026-01-01 00:00:00')")
+    fx.sql("INSERT INTO t VALUES (2, 'b', TIMESTAMP '2026-01-02 00:00:00')")
+    fx.sql("INSERT INTO t VALUES (3, 'c', TIMESTAMP '2026-01-03 00:00:00')")
+    val t = fx.resolve("t")
+    assert(t.currentSnapshot.get.manifests.size == 3)
+    fx.sql("ALTER TABLE t EXECUTE optimize_manifests")
+    assert(t.currentSnapshot.get.manifests.size == 1)
+    assert(t.rowCount == 3)
   }
 
   test("ALTER TABLE EXECUTE drop_extended_stats resets to live stats") {
