@@ -71,15 +71,17 @@ object Optimize {
         (candBytes + targetFileBytes - 1) / targetFileBytes).toInt
       val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
       val toRewrite = table.readFilesAligned(candPairs)
+      val exprs = spec.map(f =>
+        f.expr(toRewrite(f.column), toRewrite.schema(f.column).dataType)) ++
+        table.sortExprs(toRewrite)
       val rewritten =
-        if (spec.nonEmpty) {
-          val exprs = spec.map(f =>
-            f.expr(toRewrite(f.column), toRewrite.schema(f.column).dataType))
+        if (exprs.nonEmpty)
           toRewrite.repartitionByRange(nOut, exprs: _*)
             .sortWithinPartitions(exprs: _*)
-        } else toRewrite.repartition(nOut)
+        else toRewrite.repartition(nOut)
       rewritten.write.parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
+      if (exprs.nonEmpty) table.pruneEmptyFiles(commitDir)
       val untouched = manifest.filter(!candidate)
         .select((GraftTable.ManifestCols :+ "added_snapshot_id").map(col): _*)
       val fresh = table.inventory(commitDir)
@@ -113,6 +115,7 @@ object Optimize {
           .sortWithinPartitions(clusterBy.map(col): _*)
           .write.parquet(commitDir.toString)
         table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
+        table.pruneEmptyFiles(commitDir)
         table.doCommit("optimize", table.inventory(commitDir), clock,
           basis = Some(current))
         return
@@ -150,17 +153,19 @@ object Optimize {
         (candBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
       val toRewrite = table.morReadLive(candPairs)
+      // keep partitioned/sorted tables clustered — a round-robin rewrite
+      // would widen every file's transform/sort bounds and kill pruning
+      val exprs = spec.map(f =>
+        f.expr(toRewrite(f.column), toRewrite.schema(f.column).dataType)) ++
+        table.sortExprs(toRewrite)
       val rewritten =
-        if (spec.nonEmpty) {
-          // keep a partitioned table clustered — a round-robin rewrite
-          // would widen every file's transform bounds and kill pruning
-          val exprs = spec.map(f =>
-            f.expr(toRewrite(f.column), toRewrite.schema(f.column).dataType))
+        if (exprs.nonEmpty)
           toRewrite.repartitionByRange(nOut, exprs: _*)
             .sortWithinPartitions(exprs: _*)
-        } else toRewrite.repartition(nOut)
+        else toRewrite.repartition(nOut)
       rewritten.write.parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
+      if (exprs.nonEmpty) table.pruneEmptyFiles(commitDir)
 
       // New manifest = untouched entries (original lineage preserved, never
       // collected) ∪ the freshly written files (stamped with the new id by

@@ -136,6 +136,49 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** BM25 keyword retrieval terms and parameters (Robertson/Spärck
+    * Jones; k1/b are the standard defaults). Fixed query terms, mirrored
+    * verbatim in the oracle. */
+  private val bm25Terms = Seq("hash", "join", "window")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** BM25 keyword search: score every document against a fixed term set
+    * and return the top 20 (score DESC, doc_id tie-break). Plan shape:
+    * per-document term frequencies are a pure projection over one scan;
+    * corpus statistics (N, avgdl, per-term document frequency) are ONE
+    * single-row aggregate broadcast back onto the scored rows; the
+    * top-k is TakeOrdered, never a full sort. Scales as one pass over
+    * the corpus plus a constant-size broadcast — the retrieval shape a
+    * 100 TB corpus needs. */
+  def t07Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("dl", size($"words").cast("double"))
+      .select(($"doc_id" +: $"dl" +: bm25Terms.zipWithIndex.map {
+        case (tm, i) =>
+          size(filter($"words", w => w === tm)).cast("double").as(s"tf_$i")
+      }): _*)
+    val statExprs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg($"dl").as("avgdl") +:
+        bm25Terms.indices.map(i =>
+          count(when(col(s"tf_$i") > 0, 1)).cast("double").as(s"df_$i"))
+    val stats = d.agg(statExprs.head, statExprs.tail: _*)
+    val score = bm25Terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val df = col(s"df_$i")
+      val idf = log(($"n_docs" - df + 0.5) / (df + 0.5) + 1)
+      idf * (tf * (bm25K1 + 1)) /
+        (tf + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * $"dl" / $"avgdl"))
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .select($"doc_id", round(score, 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
     * Language Models" §A1.1 public heuristics, rescaled to this corpus):
     * a document passes iff word count, mean word length, stopword
@@ -177,6 +220,7 @@ object TextQueries {
     "t03_token_count" -> (t03TokenCount _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_prep_pipeline" -> (t05PrepPipeline _),
+    "t07_bm25" -> (t07Bm25 _),
   )
 
   private val markerSql: Map[String, String] = markers.map { case (l, ws) =>
@@ -255,6 +299,30 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_bm25" -> {
+      // constants interpolated from the SAME Scala values the Spark plan
+      // uses (shortest round-trip repr) — both engines see identical
+      // doubles, so the per-row arithmetic agrees bit-for-bit
+      val tfs = bm25Terms.zipWithIndex.map { case (tm, i) =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$tm'))::DOUBLE AS tf_$i"
+      }.mkString(",\n        ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"count(CASE WHEN tf_$i > 0 THEN 1 END)::DOUBLE AS df_$i")
+        .mkString(", ")
+      val terms = bm25Terms.indices.map { i =>
+        s"ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1) * " +
+          s"(tf_$i * ${bm25K1 + 1}) / (tf_$i + $bm25K1 * " +
+          s"(${1 - bm25B} + $bm25B * dl / avgdl))"
+      }.mkString("\n          + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+        |    $tfs
+        |  FROM documents),
+        |s AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, $dfs FROM d)
+        |SELECT doc_id, round($terms, 6) AS bm25
+        |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
     "t05_prep_pipeline" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, text,

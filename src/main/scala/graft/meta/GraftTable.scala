@@ -128,6 +128,31 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .filter(available.contains)
 
+  /** Write sort order from the `sorted_by` table property (Trino
+    * Iceberg's `sorted_by = ARRAY['a', 'b DESC']`, canonicalized by the
+    * SQL layer to `a, b DESC`): (column, descending) pairs. Appends and
+    * compactions range-cluster by these columns so every data file
+    * covers a tight value range and min/max file skipping works on the
+    * sort columns — Iceberg's write.distribution-mode=range + local
+    * sort. Empty when the property is unset. */
+  def sortOrder: Seq[(String, Boolean)] =
+    properties.get("sorted_by").toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty).map { e =>
+        val parts = e.split("\\s+").toSeq
+        require(parts.length == 1 ||
+          (parts.length == 2 && (parts(1).equalsIgnoreCase("ASC") ||
+            parts(1).equalsIgnoreCase("DESC"))),
+          s"bad sorted_by entry: $e")
+        (parts.head, parts.length == 2 && parts(1).equalsIgnoreCase("DESC"))
+      }
+
+  /** [[sortOrder]] as sort expressions over `df`'s columns. */
+  private[graft] def sortExprs(df: DataFrame): Seq[Column] =
+    sortOrder.map { case (c, desc) =>
+      require(df.columns.contains(c), s"sorted_by column $c not in schema")
+      if (desc) df(c).desc else df(c).asc
+    }
+
   /** Metadata relation: one row per live data file — the engine-native
     * analogue of Iceberg's `"t$files"` (tests/test_maintenance.py:50). */
   def files: DataFrame = currentSnapshot match {
@@ -1423,8 +1448,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                               branch: String = "main"): Unit =
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      clusterBySpec(df).write.parquet(commitDir.toString)
+      val clustered = clusterBySpec(df)
+      clustered.write.parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      // range-clustered writes leave schema-only zero-row files behind
+      // for empty shuffle tasks — junk manifest entries otherwise
+      if (clustered ne df) pruneEmptyFiles(commitDir)
       writeSchemaIfAbsent(df.schema)
       commit(op, inventory(commitDir), clock, carryPrior = true, branch)
     }
@@ -1470,9 +1499,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * into one file and defeating pruning. */
   private def clusterBySpec(df: DataFrame): DataFrame = {
     val spec = partitionSpec
-    if (spec.isEmpty) df
+    // partition transforms first (coarse grouping), sort order within —
+    // the Iceberg range-distribution write shape
+    val exprs = spec.map(f =>
+      f.expr(df(f.column), df.schema(f.column).dataType)) ++ sortExprs(df)
+    if (exprs.isEmpty) df
     else {
-      val exprs = spec.map(f => f.expr(df(f.column), df.schema(f.column).dataType))
       df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
           exprs: _*)
         .sortWithinPartitions(exprs: _*)

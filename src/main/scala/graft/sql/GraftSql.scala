@@ -64,6 +64,10 @@ object GraftSql {
             resolve(unquote(t)).updatePartitionSpec(
               "'([^']*)'".r.findAllMatchIn(items)
                 .map(m => parsePartitionField(m.group(1))).toSeq)
+          // Trino's write sort order: sorted_by = ARRAY['a', 'b DESC']
+          case SortedByProp(items) =>
+            val tbl = resolve(unquote(t))
+            tbl.setProperties(Map("sorted_by" -> parseSortedBy(tbl, items)))
           case _ => resolve(unquote(t)).setProperties(parseProps(props))
         }
         None
@@ -112,6 +116,9 @@ object GraftSql {
         Some(resolve(unquote(t))
           .readAsOfTime(Timestamp.valueOf(ts).getTime))
       case SelectAll(t) => Some(select(spark, resolve, unquote(t)))
+      case TableChangesFn(t, from, to) =>
+        Some(resolve(unquote(stripQuotes(t)))
+          .readChanges(from.toLong, to.toLong))
       case CallRollback(t, id) =>
         resolve(unquote(stripQuotes(t))).rollback(id.toLong); None
       case other => throw new IllegalArgumentException(
@@ -173,6 +180,11 @@ object GraftSql {
   // the table is one name argument.
   private val CallRollback =
     """(?i)^CALL system\.rollback_to_snapshot ?\( ?('[^']+') ?, ?(\d+) ?\)$""".r
+  // Trino Iceberg's change feed table function: SELECT * FROM TABLE(
+  // system.table_changes('t', from_snapshot, to_snapshot)) — same
+  // one-name-argument convention as rollback_to_snapshot.
+  private val TableChangesFn =
+    """(?i)^SELECT \* FROM TABLE ?\( ?system\.table_changes ?\( ?('[^']+') ?, ?(\d+) ?, ?(\d+) ?\) ?\)$""".r
 
   /** Collapse whitespace runs OUTSIDE string literals only — `'x  y'`
     * and literals containing tabs/newlines pass through byte-exact
@@ -274,6 +286,30 @@ object GraftSql {
   /** The `partitioning` property value: `ARRAY['day(ts)', 'c']`. */
   private val PartitioningProp =
     """(?is)^partitioning ?= ?ARRAY ?\[(.*)\]$""".r
+
+  /** The `sorted_by` property value: `ARRAY['a', 'b DESC']`. */
+  private val SortedByProp =
+    """(?is)^sorted_by ?= ?ARRAY ?\[(.*)\]$""".r
+
+  /** Validate a `sorted_by` ARRAY body against the table's schema and
+    * canonicalize it to the stored property form (`a, b DESC`). */
+  private def parseSortedBy(t: GraftTable, items: String): String = {
+    val entries = "'([^']*)'".r.findAllMatchIn(items)
+      .map(_.group(1).trim).filter(_.nonEmpty).toSeq
+    require(entries.nonEmpty, "sorted_by requires at least one column")
+    entries.map { e =>
+      val parts = e.split("\\s+").toSeq
+      val name = unquote(parts.head)
+      require(t.schema.fieldNames.contains(name),
+        s"sorted_by: no such column $name")
+      parts.map(_.toUpperCase).drop(1) match {
+        case Seq() | Seq("ASC") => name
+        case Seq("DESC") => s"$name DESC"
+        case _ => throw new IllegalArgumentException(
+          s"bad sorted_by entry: $e (expected 'col' or 'col DESC')")
+      }
+    }.mkString(", ")
+  }
 
   /** One Trino partition-transform string — `c` (identity), `day(c)`,
     * `bucket(c, n)`, `truncate(c, w)` (Trino's column-first argument
@@ -448,13 +484,16 @@ object GraftSql {
     // everything else is a table property — SHOW CREATE TABLE output
     // round-trips through here
     withProps.map(_.trim).filter(_.nonEmpty).foreach { raw =>
-      val (partitioning, plain) = splitTop(raw, ',')
-        .partition(p => PartitioningProp.findFirstIn(p.trim).isDefined)
-      partitioning.foreach { p =>
-        val PartitioningProp(items) = p.trim: @unchecked
-        created.updatePartitionSpec("'([^']*)'".r.findAllMatchIn(items)
-          .map(m => parsePartitionField(m.group(1))).toSeq)
-      }
+      val plain = scala.collection.mutable.ArrayBuffer.empty[String]
+      splitTop(raw, ',').foreach(_.trim match {
+        case PartitioningProp(items) =>
+          created.updatePartitionSpec("'([^']*)'".r.findAllMatchIn(items)
+            .map(m => parsePartitionField(m.group(1))).toSeq)
+        case SortedByProp(items) =>
+          created.setProperties(
+            Map("sorted_by" -> parseSortedBy(created, items)))
+        case p => plain += p
+      })
       if (plain.nonEmpty)
         created.setProperties(parseProps(plain.mkString(",")))
     }
@@ -506,9 +545,12 @@ object GraftSql {
         }
       }.mkString(", ") + "]")
     }
-    val props = t.properties.toSeq.sortBy(_._1)
+    val sortedBy = t.properties.get("sorted_by").map(v =>
+      "sorted_by = ARRAY[" + v.split(",").map(_.trim)
+        .map(e => s"'$e'").mkString(", ") + "]")
+    val props = (t.properties - "sorted_by").toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k = '$v'" }
-    val withClause = (partitioning.toSeq ++ props) match {
+    val withClause = (partitioning.toSeq ++ sortedBy.toSeq ++ props) match {
       case Seq() => ""
       case entries => entries.mkString("\nWITH (\n   ", ",\n   ", "\n)")
     }

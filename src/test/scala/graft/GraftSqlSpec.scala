@@ -376,6 +376,40 @@ class GraftSqlSpec extends SparkSpec {
       fx.sql("UPDATE t SET price = sqrt(price) WHERE k = 1"))
   }
 
+  test("sorted_by DDL: CREATE WITH, SHOW CREATE round-trip, validation") {
+    val fx = fixture("sqlsorted")
+    fx.sql("CREATE TABLE t (k BIGINT, price DOUBLE) " +
+      "WITH (sorted_by = ARRAY['price DESC', 'k'])")
+    val t = fx.resolve("t")
+    assert(t.properties("sorted_by") == "price DESC, k")
+    assert(t.sortOrder == Seq(("price", true), ("k", false)))
+    val ddl = fx.rows("SHOW CREATE TABLE t").head.getString(0)
+    assert(ddl.contains("sorted_by = ARRAY['price DESC', 'k']"))
+    // the emitted DDL re-executes to the same sort order
+    fx.sql(ddl.replaceFirst("CREATE TABLE t", "CREATE TABLE t2"))
+    assert(fx.resolve("t2").sortOrder == t.sortOrder)
+    // unknown column / bad direction fail loudly
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t SET PROPERTIES sorted_by = ARRAY['nope']"))
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t SET PROPERTIES sorted_by = ARRAY['k SIDEWAYS']"))
+    fx.sql("ALTER TABLE t SET PROPERTIES sorted_by = ARRAY['k']")
+    assert(fx.resolve("t").sortOrder == Seq(("k", false)))
+  }
+
+  test("table_changes function returns the changelog between snapshots") {
+    val fx = fixture("sqlchanges")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')") // s1
+    fx.sql("INSERT INTO t VALUES (3, 'c')")           // s2
+    val ch = fx.rows("SELECT * FROM TABLE(system.table_changes('t', 1, 2))")
+    assert(ch.length == 1)
+    val r = ch.head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[String]("v") == "c")
+    assert(r.getAs[String]("_change_type") == "insert")
+    assert(r.getAs[Long]("_commit_snapshot_id") == 2L)
+  }
+
   test("DESCRIBE, SHOW COLUMNS, SHOW CREATE TABLE, optimize_manifests") {
     val fx = fixture("sqldescribe")
     fx.sql("CREATE TABLE t (k BIGINT NOT NULL, v VARCHAR, ts TIMESTAMP(6))")

@@ -59,6 +59,17 @@ class PlanShapeSpec extends SparkSpec {
       "the 16xN similarity join must be computed once and reused")
   }
 
+  test("t07: BM25 corpus stats broadcast; top-k is TakeOrdered, not a sort") {
+    val nodes = allNodes(graft.ext.TextQueries.t07Bm25(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]) ||
+      nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "single-row corpus stats must broadcast back onto the scored rows")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrdered")),
+      "top-20 must be TakeOrderedAndProject, not a global sort")
+    assert(!nodes.exists(_.getClass.getSimpleName == "SortExec"),
+      "no full sort anywhere in the BM25 plan")
+  }
+
   test("q23: salted join keeps the shuffle count bounded") {
     val nodes = allNodes(ScaleQueries.queries("q23_salted_join")(spark, sf))
     val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
