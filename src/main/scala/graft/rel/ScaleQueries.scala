@@ -495,7 +495,46 @@ object ScaleQueries {
       .orderBy($"event_type")
   }
 
+  /** Runtime join file skipping: lineitem adopted once into a graft
+    * table range-clustered on l_orderkey (`sorted_by`), then joined to
+    * a narrow filtered orders slice through [[graft.operators.JoinPrune]]
+    * — the build side's key [min, max] (two scalars) prunes lineitem
+    * FILES via the manifest before the join, Iceberg Spark's runtime
+    * min/max filter shape. JoinPruneSpec pins the skip counters; here
+    * the hash match proves the pruned join is exact. */
+  def q39JoinPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.GraftTable
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_joinprune_g${math.abs(dir.hashCode)}/t"
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    val usable = GraftTable.exists(s, loc) && {
+      val tb = GraftTable.load(s, loc)
+      tb.properties.get("sorted_by").contains("l_orderkey") &&
+        tb.currentSnapshot.exists(_.numFiles > 0)
+    }
+    if (!usable) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val tbl = GraftTable.create(s, loc, li.schema)
+      tbl.setProperties(Map("sorted_by" -> "l_orderkey"))
+      tbl.append(li.repartition(8))
+    }
+    val build = t(s, dir, "orders")
+      .filter($"o_orderkey" <= 1500 && $"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_totalprice")
+    val pj = graft.operators.JoinPrune.joinPruned(
+      GraftTable.load(s, loc), "l_orderkey", build, "o_orderkey")
+    pj.df.groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        countDistinct($"o_orderkey").as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_join_pruned" -> (q39JoinPruned _),
     "a01_asof_join" -> (a01AsofJoin _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
     "q32_zorder_scan" -> (q32ZorderScan _),
@@ -593,6 +632,13 @@ object ScaleQueries {
         |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q39_join_pruned" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey <= 1500 AND o_orderstatus = 'F'""".stripMargin,
     "q23_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice), 2) AS revenue
