@@ -90,6 +90,29 @@ object GraftSql {
         if (GraftTable.exists(spark, table.location)) table.drop()
         else require(ifExists != null, s"no graft table at ${table.location}")
         None
+      case CreateAsSelect(ifNotExists, t, withProps, src) =>
+        val target = resolve(unquote(t))
+        if (GraftTable.exists(spark, target.location))
+          require(ifNotExists != null, s"graft table exists: ${target.location}")
+        else {
+          // one distributed pass source → target; the WITH clause applies
+          // BEFORE the append, so partitioning/sorted_by cluster the copy
+          val df = resolve(unquote(src)).read
+          val created = GraftTable.create(spark, target.location, df.schema)
+          applyWithProps(created, Option(withProps))
+          created.append(df, clock)
+        }
+        None
+      case InsertSelect(t, src) =>
+        val target = resolve(unquote(t))
+        val df = resolve(unquote(src)).read
+        val want = target.schema.fields.map(f => f.name -> f.dataType).toMap
+        val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        require(got == want, s"INSERT SELECT schema mismatch: source " +
+          s"${df.schema.simpleString}, target ${target.schema.simpleString}")
+        target.append(
+          df.select(target.schema.fieldNames.toSeq.map(col): _*), clock)
+        None
       case InsertStmt(t, cols, values) =>
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
@@ -149,6 +172,11 @@ object GraftSql {
   private val CreateStmt =
     s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+?)\\)(?: WITH ?\\((.+)\\))?$$""".r
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
+  // Trino CTAS (graft-to-graft): CREATE TABLE t [WITH (...)] AS SELECT * FROM s
+  private val CreateAsSelect =
+    s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident(?: WITH ?\\((.+?)\\))? AS SELECT \\* FROM $Ident$$""".r
+  private val InsertSelect =
+    s"""(?i)^INSERT INTO $Ident SELECT \\* FROM $Ident$$""".r
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
@@ -480,9 +508,14 @@ object GraftSql {
         parseType(core.substring(sp + 1).trim), nullable = !notNull)
     }
     val created = GraftTable.create(spark, t.location, StructType(fields))
-    // Trino's WITH clause: `partitioning` becomes the partition spec,
-    // everything else is a table property — SHOW CREATE TABLE output
-    // round-trips through here
+    applyWithProps(created, withProps)
+  }
+
+  /** Trino's WITH clause: `partitioning` becomes the partition spec,
+    * `sorted_by` the write sort order, everything else a table property
+    * — SHOW CREATE TABLE output round-trips through here. */
+  private def applyWithProps(created: GraftTable,
+                             withProps: Option[String]): Unit =
     withProps.map(_.trim).filter(_.nonEmpty).foreach { raw =>
       val plain = scala.collection.mutable.ArrayBuffer.empty[String]
       splitTop(raw, ',').foreach(_.trim match {
@@ -497,7 +530,6 @@ object GraftSql {
       if (plain.nonEmpty)
         created.setProperties(parseProps(plain.mkString(",")))
     }
-  }
 
   /** The reference DDL's types (__main__.py:43-54) plus the obvious kin. */
   /** Spark type → Trino type name (the inverse of [[parseType]]). */

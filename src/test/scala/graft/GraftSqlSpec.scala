@@ -376,6 +376,32 @@ class GraftSqlSpec extends SparkSpec {
       fx.sql("UPDATE t SET price = sqrt(price) WHERE k = 1"))
   }
 
+  test("CTAS and INSERT INTO ... SELECT copy tables through the dispatcher") {
+    val fx = fixture("sqlctas")
+    import spark.implicits._
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO src VALUES (1, 'a'), (2, 'b')")
+    fx.sql("CREATE TABLE dst AS SELECT * FROM src")
+    assert(fx.resolve("dst").read.orderBy($"k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // IF NOT EXISTS is a no-op on an existing target; bare CTAS refuses
+    fx.sql("CREATE TABLE IF NOT EXISTS dst AS SELECT * FROM src")
+    assert(fx.resolve("dst").rowCount == 2)
+    intercept[IllegalArgumentException](
+      fx.sql("CREATE TABLE dst AS SELECT * FROM src"))
+    // WITH clause applies before the copy: the CTAS write is clustered
+    fx.sql("CREATE TABLE dst2 WITH (sorted_by = ARRAY['k']) " +
+      "AS SELECT * FROM src")
+    assert(fx.resolve("dst2").sortOrder == Seq(("k", false)))
+    assert(fx.resolve("dst2").rowCount == 2)
+    // INSERT SELECT appends; schema mismatch fails loudly
+    fx.sql("INSERT INTO dst SELECT * FROM src")
+    assert(fx.resolve("dst").rowCount == 4)
+    fx.sql("CREATE TABLE other (x BIGINT)")
+    intercept[IllegalArgumentException](
+      fx.sql("INSERT INTO dst SELECT * FROM other"))
+  }
+
   test("sorted_by DDL: CREATE WITH, SHOW CREATE round-trip, validation") {
     val fx = fixture("sqlsorted")
     fx.sql("CREATE TABLE t (k BIGINT, price DOUBLE) " +
