@@ -197,12 +197,39 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 3-gram shingle with a held-out benchmark set (every 50th doc
+    * stands in for the eval suite). The benchmark's distinct shingle
+    * hashes are BROADCAST — eval suites are tiny next to a training
+    * corpus, so the corpus side stays a projection + explode with one
+    * per-doc aggregate and never shuffles against the benchmark. The
+    * shape of eval-contamination filtering at 100 TB. */
+  def d08Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+      .select(explode(hashedShingles($"text")).as("sh")).distinct()
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val hits = corpus
+      .select($"doc_id", explode(hashedShingles($"text")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id").agg(countDistinct($"sh").as("n_shared"))
+    corpus.select($"doc_id", $"lang")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        count($"n_shared").as("n_contaminated"),
+        sum(coalesce($"n_shared", lit(0L))).as("total_shared"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_keep_first" -> (d02KeepFirst _),
     "d03_minhash_lsh" -> (d03MinHashLsh _),
     "d04_simhash" -> (d04SimHash _),
     "d05_ngram_jaccard" -> (d05NgramJaccard _),
+    "d08_decontaminate" -> (d08Decontaminate _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -302,5 +329,22 @@ object DedupQueries {
         |    (len(a.shingles) + len(b.shingles)
         |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d08_decontaminate" ->
+      s"""WITH bench AS (
+        |  SELECT DISTINCT unnest($hashedShingleSql) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, unnest($hashedShingleSql) AS sh
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(DISTINCT c.sh) AS n_shared
+        |  FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT base.lang, count(*) AS n_docs,
+        |  CAST(count(h.n_shared) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(sum(h.n_shared), 0) AS BIGINT) AS total_shared
+        |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id
+        |GROUP BY base.lang ORDER BY base.lang""".stripMargin,
   )
 }
