@@ -2,31 +2,56 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * All timestamps in the test data are timezone-less parquet timestamps
-  * (ms for lineitem/orders, ns for events); Spark reads ms as
-  * TIMESTAMP_NTZ, DuckDB as naive TIMESTAMP — semantics agree under the
-  * UTC session timezone both engines run with.
+  * All timestamps in the test data are timezone-less parquet timestamps;
+  * Spark reads µs/ms encodings as TIMESTAMP_NTZ, DuckDB as naive
+  * TIMESTAMP — semantics agree under the UTC session timezone both
+  * engines run with.
   *
-  * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-  * as a timestamp; it is read as a raw nanosecond LONG
-  * (spark.sql.legacy.parquet.nanosAsLong) and floor-truncated to µs with
-  * integer division — exactly DuckDB's ns→µs conversion, so oracles agree.
-  * (Float division would lose precision: ns-since-epoch ≈ 1.7e18 > 2^53.)
+  * The harness has regenerated events.ts with different physical
+  * encodings across rounds (parquet TIMESTAMP(NANOS) in rounds ≤6, µs
+  * today), so the loader adapts to whatever it reads instead of assuming
+  * one encoding:
+  *   - ns: Spark 4 refuses to read NANOS as a timestamp; with
+  *     spark.sql.legacy.parquet.nanosAsLong it arrives as a raw LONG and
+  *     is floor-truncated to µs with integer division — exactly DuckDB's
+  *     ns→µs conversion, so oracles agree. (Float division would lose
+  *     precision: ns-since-epoch ≈ 1.7e18 > 2^53.)
+  *   - µs/ms: read natively as TIMESTAMP_NTZ, passthrough cast.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize a timestamp column to `target` ("timestamp_ntz" for batch
+    * queries, "timestamp" for streaming watermarks) regardless of how the
+    * parquet encoded it: a raw LONG (ns read under nanosAsLong) is
+    * floor-divided to µs; a natively-read timestamp is just cast. Under
+    * the UTC session timezone the NTZ↔LTZ cast is wall-clock-preserving,
+    * so both targets agree with the DuckDB oracle. */
+  def normalizeTs(df: DataFrame, colName: String = "ts",
+                  target: String = "timestamp_ntz"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName,
+          timestamp_micros(expr(s"$colName div 1000")).cast(target))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn(colName, col(colName).cast(target))
+      case other: DataType =>
+        throw new IllegalStateException(
+          s"unexpected dtype for $colName: $other (expected LONG ns, " +
+            "TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      // harmless when ts is µs; required to read the ns encoding at all
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.rel.Tables
+
 /** Structured Streaming surface (SURVEY.md §2.2 Streaming [EXT]): the
   * same event-table semantics as the batch queries, expressed as
   * unbounded streams — `readStream` → transform → `writeStream`, with
@@ -111,8 +113,9 @@ object StreamOps {
 
   /** Run a transform over the events parquet as a FILE STREAM to
     * completion (Trigger.AvailableNow) and return the final result as a
-    * batch DataFrame — used by the driver demo and tests. The ns→µs
-    * normalization matches graft.rel.Tables.load. */
+    * batch DataFrame — used by the driver demo and tests. The ts
+    * normalization is schema-adaptive, matching graft.rel.Tables.load
+    * (streaming targets TimestampType for event-time watermarks). */
   def runFileStream(spark: SparkSession, sfDir: String,
                     transform: DataFrame => DataFrame,
                     outputMode: String, sinkTable: String): DataFrame = {
@@ -120,11 +123,12 @@ object StreamOps {
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // events.parquet is a single file; the file-stream source needs a
     // directory basePath, so point it at the dir with a glob.
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("basePath", sfDir)
-      .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("basePath", sfDir)
+        .parquet(s"$sfDir/{events.parquet}"),
+      target = "timestamp")
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(sinkTable)
@@ -158,11 +162,12 @@ object StreamOps {
   def st02StreamDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    def src: DataFrame = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src: DataFrame = Tables.normalizeTs(
+      s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"),
+      target = "timestamp")
     val deduped = src.unionByName(src)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
@@ -191,11 +196,12 @@ object StreamOps {
   def st03GraftSink(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val src = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.normalizeTs(
+      s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"),
+      target = "timestamp")
     val loc = java.nio.file.Files.createTempDirectory("graft_sink")
       .resolve("t").toString
     val table = graft.meta.GraftTable.create(s, loc, src.schema)
@@ -207,8 +213,8 @@ object StreamOps {
       .start()
     q.awaitTermination()
     // simulate an at-least-once redelivery of the whole first batch
-    val replay = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val replay = Tables.normalizeTs(
+      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
     sinkFn(replay, 0L)
     table.read
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
@@ -228,11 +234,12 @@ object StreamOps {
   def st04StreamJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    def src: DataFrame = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src: DataFrame = Tables.normalizeTs(
+      s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"),
+      target = "timestamp")
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -278,8 +285,8 @@ object StreamOps {
   def st05GraftSource(s: SparkSession, dir: String): DataFrame = {
     import graft.meta.GraftTable
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.normalizeTs(
+      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_evsrc_g${math.abs(dir.hashCode)}/t"
     val nRows = src.count()
     val reusable = GraftTable.exists(s, loc) && {
@@ -313,8 +320,8 @@ object StreamOps {
     import s.implicits._
     import graft.meta.GraftTable
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.normalizeTs(
+      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_cdcfeed_g${math.abs(dir.hashCode)}/t"
     val nLive = src.filter($"event_type" =!= "error").count()
     val reusable = GraftTable.exists(s, loc) && {
