@@ -90,22 +90,22 @@ object GraftSql {
         if (GraftTable.exists(spark, table.location)) table.drop()
         else require(ifExists != null, s"no graft table at ${table.location}")
         None
-      case CreateAsSelect(ifNotExists, t, withProps, src) =>
+      case CreateAsSelect(ifNotExists, t, withProps, body) =>
         val target = resolve(unquote(t))
         if (GraftTable.exists(spark, target.location))
           require(ifNotExists != null, s"graft table exists: ${target.location}")
         else {
           // one distributed pass source → target; the WITH clause applies
           // BEFORE the append, so partitioning/sorted_by cluster the copy
-          val df = resolve(unquote(src)).read
+          val df = selectBody(spark, resolve, body)
           val created = GraftTable.create(spark, target.location, df.schema)
           applyWithProps(created, Option(withProps))
           created.append(df, clock)
         }
         None
-      case InsertSelect(t, src) =>
+      case InsertSelect(t, body) =>
         val target = resolve(unquote(t))
-        val df = resolve(unquote(src)).read
+        val df = selectBody(spark, resolve, body)
         val want = target.schema.fields.map(f => f.name -> f.dataType).toMap
         val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
         require(got == want, s"INSERT SELECT schema mismatch: source " +
@@ -117,11 +117,11 @@ object GraftSql {
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
         delete(resolve(unquote(t)), Option(where), clock); None
-      case MergeStmt(t, tAlias, s, sAlias, on, set, insCols, insVals) =>
-        merge(resolve(unquote(t)), resolve(unquote(s)),
+      case MergeStmt(t, tAlias, s, sAlias, on, whenTail) =>
+        merge(spark, resolve(unquote(t)), resolve(unquote(s)),
           Option(tAlias).getOrElse(unquote(t)),
           Option(sAlias).getOrElse(unquote(s)),
-          on, set, Option(insCols), insVals, clock)
+          on, whenTail, clock)
         None
       case AlterAddCol(t, c, tpe) =>
         resolve(unquote(t)).addColumn(unquote(c), parseType(tpe.trim)); None
@@ -172,19 +172,27 @@ object GraftSql {
   private val CreateStmt =
     s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+?)\\)(?: WITH ?\\((.+)\\))?$$""".r
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
-  // Trino CTAS (graft-to-graft): CREATE TABLE t [WITH (...)] AS SELECT * FROM s
+  // Trino CTAS (graft-to-graft): CREATE TABLE t [WITH (...)] AS <select>
+  // — the body is any SELECT whose FROM/JOIN tables are graft tables
   private val CreateAsSelect =
-    s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident(?: WITH ?\\((.+?)\\))? AS SELECT \\* FROM $Ident$$""".r
+    s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident(?: WITH ?\\((.+?)\\))? AS (SELECT .+)$$""".r
   private val InsertSelect =
-    s"""(?i)^INSERT INTO $Ident SELECT \\* FROM $Ident$$""".r
+    s"""(?is)^INSERT INTO $Ident (SELECT .+)$$""".r
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
-  // Trino Iceberg MERGE, restricted to the upsert shape (see merge())
+  // Trino Iceberg MERGE: ON conjunction of same-named key equalities,
+  // then any ordered mix of WHEN [NOT] MATCHED clauses (see merge())
   private val MergeStmt =
     (s"""(?is)^MERGE INTO $Ident(?: AS (\\w+))? USING $Ident(?: AS (\\w+))?""" +
-      """ ON (.+?) WHEN MATCHED THEN UPDATE SET (.+?)""" +
-      """ WHEN NOT MATCHED THEN INSERT(?: ?\(([^)]*)\))? VALUES ?\((.+)\)$""").r
+      """ ON (.+?)( WHEN .+)$""").r
+  private val MatchedUpdate =
+    """(?is)^MATCHED(?: AND (.+?))? THEN UPDATE SET (.+)$""".r
+  private val MatchedDelete =
+    """(?is)^MATCHED(?: AND (.+?))? THEN DELETE$""".r
+  private val NotMatchedInsert =
+    ("""(?is)^NOT MATCHED(?: AND (.+?))? THEN INSERT""" +
+      """(?: ?\(([^)]*)\))? VALUES ?\((.+)\)$""").r
   // Trino schema evolution DDL → the field-id evolution API
   private val AlterAddCol =
     s"""(?i)^ALTER TABLE $Ident ADD COLUMN $Ident (.+)$$""".r
@@ -658,20 +666,25 @@ object GraftSql {
   // ---- MERGE --------------------------------------------------------------
 
   /** `MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
-    *  WHEN MATCHED THEN UPDATE SET c = b.c, ...
-    *  WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (b.c, ...)`
-    * — Trino's Iceberg MERGE, accepted ONLY in the full-row upsert
-    * shape (every ON term equates same-named key columns, the UPDATE
-    * sets every non-key column from the source's same-named column,
-    * the INSERT writes every column from the source). That shape is
-    * exactly [[GraftTable.upsert]] — one atomic eq-delete + append
-    * commit, O(source) on a 100 TB table. Anything richer (filtered
-    * WHEN clauses, expressions, partial updates, DELETE actions) fails
-    * loudly, matching the dispatcher's closed-grammar philosophy. */
-  private def merge(t: GraftTable, s: GraftTable, tAlias: String,
-                    sAlias: String, on: String, set: String,
-                    insCols: Option[String], insVals: String,
-                    clock: Clock): Unit = {
+    *  WHEN MATCHED [AND <cond>] THEN UPDATE SET c = <expr>, ... |
+    *  WHEN MATCHED [AND <cond>] THEN DELETE |
+    *  WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (<exprs>)`
+    * — Trino's Iceberg MERGE. The ON clause must be a conjunction of
+    * same-named key equalities (that key set is what the eq-delete
+    * commit needs); WHEN clauses apply first-match-wins, like Trino.
+    *
+    * The unconditioned full-row upsert shape (UPDATE sets every non-key
+    * column from the source's same column, INSERT writes the full row)
+    * routes straight to [[GraftTable.upsert]] — ONE atomic eq-delete +
+    * append commit, O(source) on a 100 TB table. The general shape
+    * evaluates each clause's rows with Spark SQL over the two scans
+    * (conditions and SET/INSERT expressions are arbitrary Spark SQL over
+    * both aliases), then commits at most twice: `deleteByKeys` for
+    * DELETE-matched keys and one upsert for updated ∪ inserted rows —
+    * still O(source ⋈ matched-files), never a full-table rewrite. */
+  private def merge(spark: SparkSession, t: GraftTable, s: GraftTable,
+                    tAlias: String, sAlias: String, on: String,
+                    whenTail: String, clock: Clock): Unit = {
     val schema = t.schema
     val names = schema.fieldNames.toSeq
     // `a.k` → (qualifier, column); a bare `k` has no qualifier
@@ -702,35 +715,153 @@ object GraftSql {
       require(names.contains(tc), s"unknown key column $tc")
       tc
     }
-    // UPDATE SET: every non-key column, each set from the source's
-    // same-named column — the full-row replacement upsert performs
-    val setCols = splitTop(set, ',').map { a =>
-      val sides = a.split("=", 2)
-      require(sides.length == 2, s"bad SET assignment: $a")
-      val (tq, tc) = ref(sides(0))
-      val (sq, sc) = ref(sides(1))
-      requireSide(tq, tAlias, "a SET target")
-      requireSide(sq, sAlias, "a SET value")
-      require(tc == sc, s"MERGE supports only the upsert shape: " +
-        s"SET $tc = $sAlias.$tc (got $sAlias.$sc)")
-      tc
+
+    val clauses = splitTopWhen(whenTail)
+    require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+
+    // fast path: the unconditioned full-row upsert shape → one commit
+    val fastPath = clauses match {
+      case Seq(MatchedUpdate(null, set), NotMatchedInsert(null, insCols, insVals)) =>
+        val setCols = splitTop(set, ',').map { a =>
+          val sides = a.split("=", 2)
+          if (sides.length != 2) None
+          else {
+            val (tq, tc) = ref(sides(0))
+            val (sq, sc) = ref(sides(1))
+            if (tq.forall(_.equalsIgnoreCase(tAlias)) &&
+              sq.forall(_.equalsIgnoreCase(sAlias)) && tc == sc) Some(tc)
+            else None
+          }
+        }
+        val insNames = Option(insCols)
+          .map(_.split(",").map(c => unquote(c.trim)).toSeq).getOrElse(names)
+        val insRefs = splitTop(insVals, ',').map(ref)
+        setCols.forall(_.isDefined) &&
+          setCols.flatten.toSet == names.filterNot(keys.contains).toSet &&
+          insRefs.forall(_._1.forall(_.equalsIgnoreCase(sAlias))) &&
+          insNames == insRefs.map(_._2) && insNames.toSet == names.toSet
+      case _ => false
     }
-    require(setCols.toSet == names.filterNot(keys.contains).toSet,
-      s"MERGE supports only the full-row upsert shape: UPDATE must SET " +
-        s"every non-key column (${names.filterNot(keys.contains)
-          .mkString(", ")}), got ${setCols.mkString(", ")}")
-    // INSERT: every table column, values = the source's same columns
-    val insNames = insCols.map(_.split(",").map(c => unquote(c.trim)).toSeq)
-      .getOrElse(names)
-    val insRefs = splitTop(insVals, ',').map { v =>
-      val (q, c) = ref(v)
-      requireSide(q, sAlias, "an INSERT value")
-      c
+    if (fastPath) t.upsert(s.read.select(names.map(col): _*), keys, clock)
+    else runGeneralMerge()
+
+    def runGeneralMerge(): Long = {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tv = s"graft_merge_t_$tag"
+      val sv = s"graft_merge_s_$tag"
+      t.read.createOrReplaceTempView(tv)
+      s.read.createOrReplaceTempView(sv)
+      try {
+        val joinFrom = s"FROM $tv AS `$tAlias` JOIN $sv AS `$sAlias` ON $on"
+        // Trino semantics: a matched row is handled by the FIRST matched
+        // clause whose condition holds — later clauses exclude earlier
+        // conditions
+        var priorConds = Seq.empty[String]
+        def eff(cond: Option[String]): String = {
+          val own = cond.getOrElse("TRUE")
+          (s"($own)" +: priorConds.map(p => s"(NOT ($p))")).mkString(" AND ")
+        }
+        def castAs(e: String, n: String): String =
+          s"CAST(($e) AS ${schema(n).dataType.sql}) AS `$n`"
+        var updated = Option.empty[DataFrame]
+        var delKeys = Option.empty[DataFrame]
+        var inserted = Option.empty[DataFrame]
+        clauses.foreach {
+          case MatchedUpdate(cond, set) =>
+            require(updated.isEmpty, "at most one WHEN MATCHED ... UPDATE")
+            val sets = splitTop(set, ',').map { a =>
+              val sides = a.split("=", 2)
+              require(sides.length == 2, s"bad SET assignment: $a")
+              val (tq, tc) = ref(sides(0))
+              requireSide(tq, tAlias, "a SET target")
+              require(names.contains(tc), s"unknown SET column $tc")
+              require(!keys.contains(tc), s"MERGE cannot SET key column $tc")
+              tc -> sides(1).trim
+            }.toMap
+            // full row out: SET expressions where given, the old value
+            // (target side) everywhere else
+            val proj = names.map(n =>
+              castAs(sets.getOrElse(n, s"`$tAlias`.`$n`"), n)).mkString(", ")
+            updated = Some(spark.sql(
+              s"SELECT $proj $joinFrom WHERE ${eff(Option(cond))}"))
+            priorConds :+= Option(cond).getOrElse("TRUE")
+          case MatchedDelete(cond) =>
+            require(delKeys.isEmpty, "at most one WHEN MATCHED ... DELETE")
+            val proj = keys.map(k => s"`$tAlias`.`$k` AS `$k`").mkString(", ")
+            delKeys = Some(spark.sql(
+              s"SELECT DISTINCT $proj $joinFrom WHERE ${eff(Option(cond))}"))
+            priorConds :+= Option(cond).getOrElse("TRUE")
+          case NotMatchedInsert(cond, insCols, insVals) =>
+            require(inserted.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
+            val insNames = Option(insCols)
+              .map(_.split(",").map(c => unquote(c.trim)).toSeq).getOrElse(names)
+            val unknown = insNames.filterNot(names.contains)
+            require(unknown.isEmpty,
+              s"unknown INSERT column(s): ${unknown.mkString(", ")}")
+            val vals = splitTop(insVals, ',').map(_.trim)
+            require(vals.size == insNames.size, s"INSERT arity mismatch: " +
+              s"${insNames.size} columns, ${vals.size} values")
+            val byName = insNames.zip(vals).toMap
+            // unlisted columns become typed NULLs (Trino's rule)
+            val proj = names.map(n =>
+              castAs(byName.getOrElse(n, "NULL"), n)).mkString(", ")
+            // anti join = source rows with no key match in the target;
+            // the projection can only see the source side, as in Trino
+            inserted = Some(spark.sql(
+              s"SELECT $proj FROM $sv AS `$sAlias` LEFT ANTI JOIN $tv " +
+                s"AS `$tAlias` ON $on" +
+                Option(cond).map(c => s" WHERE $c").getOrElse("")))
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE clause: WHEN $other")
+        }
+        // materialize every clause's rows BEFORE the first commit — the
+        // delete commit must not change what the update/insert computed
+        val frozen = Seq(updated, delKeys, inserted)
+          .map(_.map(_.localCheckpoint(true)))
+        val Seq(up, dk, ins) = frozen
+        var replaced = 0L
+        dk.foreach(k => replaced += t.deleteByKeys(k, clock))
+        (up, ins) match {
+          case (Some(u), i) => // one atomic eq-delete + append commit
+            replaced += t.upsert(i.map(u.unionByName(_)).getOrElse(u), keys, clock)
+          case (None, Some(i)) => t.append(i, clock)
+          case (None, None) =>
+        }
+        replaced
+      } finally {
+        spark.catalog.dropTempView(tv)
+        spark.catalog.dropTempView(sv)
+      }
     }
-    require(insNames == insRefs && insNames.toSet == names.toSet,
-      "MERGE supports only the full-row upsert shape: INSERT must write " +
-        s"every column from the source (expected ${names.mkString(", ")})")
-    t.upsert(s.read.select(names.map(col): _*), keys, clock)
+  }
+
+  /** Split a ` WHEN c1 WHEN c2 ...` tail into clause bodies (top-level
+    * ` WHEN ` outside quotes/brackets, case-insensitive). */
+  private def splitTopWhen(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inQuote = false
+        }
+      } else if (c == '\'') { inQuote = true; cur += c }
+      else if (c == '(' || c == '[') { depth += 1; cur += c }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c }
+      else if (depth == 0 && c == ' ' && i + 5 < s.length &&
+        s.regionMatches(true, i + 1, "WHEN", 0, 4) && s.charAt(i + 5) == ' ') {
+        out += cur.result(); cur.clear(); i += 4
+      } else cur += c
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def parseWhere(schema: StructType, w: String): org.apache.spark.sql.Column =
@@ -813,6 +944,47 @@ object GraftSql {
   private val MetaSuffixes =
     Set("files", "snapshots", "refs", "stats", "history", "manifests",
       "delete_files", "eq_delete_files", "partitions", "properties")
+
+  /** A general SELECT body (CTAS / INSERT ... SELECT): `SELECT * FROM t`
+    * keeps the direct scan fast path; anything richer is delegated to
+    * Spark SQL with each referenced graft table registered as a temp
+    * view — projections, filters, joins, and aggregates all come free
+    * from Catalyst while every scan stays a graft relation. Unknown
+    * tables fail in the resolver and unknown columns fail analysis, so
+    * the fail-loudly contract holds. */
+  private val SimpleSelectAll = s"""(?i)^SELECT \\* FROM $Ident$$""".r
+
+  private def selectBody(spark: SparkSession, resolve: String => GraftTable,
+                         body: String): DataFrame = body.trim match {
+    case SimpleSelectAll(src) => resolve(unquote(src)).read
+    case b => runSelectBody(spark, resolve, b)
+  }
+
+  /** Each `FROM x` / `JOIN x` table token resolves through the caller's
+    * resolver, registers as a uniquely-named temp view over its graft
+    * scan, and the body is rewritten to the view names (qualified column
+    * refs like `x.c` rewrite with it). Views are dropped after analysis
+    * — the returned plan holds the resolved scans, not the view names. */
+  private def runSelectBody(spark: SparkSession, resolve: String => GraftTable,
+                            body: String): DataFrame = {
+    val FromRef =
+      ("""(?i)\b(?:FROM|JOIN)\s+((?:"[^"]+")|(?:[\w.$]+))(?!\s*\()""").r
+    val refs = FromRef.findAllMatchIn(body).map(_.group(1)).toSeq.distinct
+    require(refs.nonEmpty, s"no table reference found in SELECT body: $body")
+    val views = refs.zipWithIndex.map { case (raw, i) =>
+      val view = s"graft_body_${i}_${unquote(raw).replaceAll("[^\\w]", "_")}"
+      resolve(unquote(raw)).read.createOrReplaceTempView(view)
+      raw -> view
+    }
+    try {
+      val sql = views.foldLeft(body) { case (acc, (raw, view)) =>
+        acc.replaceAll(
+          "(?<![\\w.$\"])" + java.util.regex.Pattern.quote(raw) + "(?![\\w$\"])",
+          java.util.regex.Matcher.quoteReplacement(view))
+      }
+      spark.sql(sql) // analysis is eager: the plan is resolved here
+    } finally views.foreach { case (_, v) => spark.catalog.dropTempView(v) }
+  }
 
   private def select(spark: SparkSession, resolve: String => GraftTable,
                      id: String): DataFrame = {

@@ -630,18 +630,108 @@ class GraftSqlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT VALUES (b.k, b.v)""")
     assert(t.read.filter($"k" === 7).select("v").as[String].head() == "UP7")
 
-    // anything outside the full-row upsert shape fails loudly
-    intercept[IllegalArgumentException](fx.sql(
-      """MERGE INTO t USING src ON t.k = src.k
-        WHEN MATCHED THEN UPDATE SET v = 'constant'
-        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"""))
+    // the ON clause must still equate same-named key columns
     intercept[IllegalArgumentException](fx.sql(
       """MERGE INTO t USING src ON t.k = src.v
         WHEN MATCHED THEN UPDATE SET v = src.v
         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"""))
-    intercept[IllegalArgumentException](fx.sql(
+  }
+
+  test("MERGE widened: matched conditions, DELETE, partial UPDATE exprs") {
+    import spark.implicits._
+    val fx = fixture("sqlmergegen")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO t VALUES " + (0 until 10).map(i =>
+      s"($i, 'v$i', $i)").mkString(", "))
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR, n BIGINT)")
+    // matched keys 2 (small n), 5 (large n), 7 (large n); new key 42
+    fx.sql("INSERT INTO src VALUES (2, 'S2', 2), (5, 'S5', 50), " +
+      "(7, 'S7', 70), (42, 'S42', 420)")
+
+    // first-match-wins: n >= 50 rows are DELETED, the remaining matched
+    // row (k=2) takes a partial UPDATE with an expression over both
+    // sides; the unmatched source row INSERTs with an expression
+    fx.sql("""MERGE INTO t USING src ON t.k = src.k
+      WHEN MATCHED AND src.n >= 50 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = concat(src.v, '!'), n = t.n + src.n
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, lower(src.v))""")
+
+    val got = fx.resolve("t").read.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    // 5 and 7 deleted; 2 updated in place; 42 inserted with NULL n
+    assert(!got.map(_._1).exists(Set(5L, 7L)))
+    assert(got.find(_._1 == 2L).get == ((2L, "S2!", Some(4L))))
+    assert(got.find(_._1 == 42L).get == ((42L, "s42", None)))
+    // untouched rows survive verbatim
+    assert(got.find(_._1 == 3L).get == ((3L, "v3", Some(3L))))
+    assert(got.size == 9) // 10 - 2 deleted + 1 inserted
+
+    // DELETE-only merge routes to keyed eq-deletes
+    fx.sql("CREATE TABLE u (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO u VALUES (1, 'a', 1), (2, 'b', 2), (3, 'c', 3)")
+    fx.sql("""MERGE INTO u USING src ON u.k = src.k
+      WHEN MATCHED THEN DELETE""")
+    assert(fx.resolve("u").read.as[(Long, String, Option[Long])]
+      .collect().map(_._1).sorted.toSeq == Seq(1L, 3L))
+
+    // update-condition merge must equal the API composition on a twin
+    fx.sql("CREATE TABLE w (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO w VALUES (1, 'a', 1), (2, 'b', 2), (3, 'c', 3)")
+    fx.sql("""MERGE INTO w USING src ON w.k = src.k
+      WHEN MATCHED AND src.n < 10 THEN UPDATE SET v = src.v""")
+    assert(fx.resolve("w").read.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", Some(1L)), (2L, "S2", Some(2L)), (3L, "c", Some(3L))))
+
+    // still loud: unknown SET column, SET of a key column
+    intercept[Exception](fx.sql(
       """MERGE INTO t USING src ON t.k = src.k
-        WHEN MATCHED THEN DELETE"""))
+        WHEN MATCHED THEN UPDATE SET nosuch = src.v"""))
+    intercept[Exception](fx.sql(
+      """MERGE INTO t USING src ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET k = src.k + 1"""))
+  }
+
+  test("CTAS and INSERT SELECT take general projection/filter/join bodies") {
+    import spark.implicits._
+    val fx = fixture("sqlctasgen")
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO src VALUES (1, 'a', 10), (2, 'b', 20), " +
+      "(3, 'c', 30), (4, 'd', 40)")
+
+    // projection + filter; the API path must hash-match
+    fx.sql("CREATE TABLE dst AS SELECT k, v FROM src WHERE n >= 20")
+    val apiRows = fx.resolve("src").read.filter($"n" >= 20)
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(fx.resolve("dst").read.as[(Long, String)]
+      .collect().sorted.toSeq == apiRows)
+    assert(fx.resolve("dst").schema.fieldNames.toSeq == Seq("k", "v"))
+
+    // expressions and aggregates work — the body is full Spark SQL
+    fx.sql("CREATE TABLE agg AS SELECT v, sum(n) AS total FROM src GROUP BY v")
+    assert(fx.resolve("agg").read.as[(String, Long)].collect().sorted.toSeq ==
+      Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L)))
+
+    // joins across two graft tables, with the WITH clause still applied
+    fx.sql("CREATE TABLE dim (k BIGINT, label VARCHAR)")
+    fx.sql("INSERT INTO dim VALUES (1, 'one'), (2, 'two')")
+    fx.sql("CREATE TABLE joined WITH (sorted_by = ARRAY['k']) AS " +
+      "SELECT src.k AS k, dim.label AS label FROM src " +
+      "JOIN dim ON src.k = dim.k")
+    assert(fx.resolve("joined").sortOrder == Seq(("k", false)))
+    assert(fx.resolve("joined").read.as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "one"), (2L, "two")))
+
+    // INSERT ... SELECT with a matching projected schema appends
+    fx.sql("INSERT INTO dst SELECT k, upper(v) AS v FROM src WHERE n = 10")
+    assert(fx.resolve("dst").read.as[(Long, String)].collect().sorted.toSeq ==
+      (apiRows :+ ((1L, "A"))).sorted)
+
+    // unknown table and unknown column still fail loudly
+    intercept[Exception](
+      fx.sql("CREATE TABLE bad AS SELECT * FROM nosuchtable WHERE 1 = 1"))
+    intercept[Exception](
+      fx.sql("CREATE TABLE bad2 AS SELECT nosuchcol FROM src"))
   }
 
   test("ALTER TABLE ADD/RENAME/DROP COLUMN route to field-id evolution") {
