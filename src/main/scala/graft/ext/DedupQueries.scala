@@ -154,7 +154,10 @@ object DedupQueries {
   /** Exact word-3-gram Jaccard near-dup with length-bucket blocking:
     * pairs are only compared within the same or adjacent 64-char bucket,
     * keeping candidate counts linear in corpus size for ~uniform lengths. */
-  def d05NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def d05NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir)
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Persisted for the same three-subtree reuse as d03.
     val docs = t(s, dir, "documents")
@@ -197,6 +200,58 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Near-dup CLUSTERING: connected components over the d05 near-dup
+    * pair graph, so each duplicate cluster keeps exactly one
+    * representative (the min doc_id) — the step that turns pairwise
+    * near-dup detection into an actual dedup decision.
+    *
+    * Components by iterative min-label propagation: every round each
+    * node takes the min label among itself and its neighbors — one
+    * equi-join + one min-aggregate per round, converging in
+    * O(component diameter) rounds. Near-dup clusters are small and
+    * dense (diameter 2-3 even at corpus scale), so the round count is
+    * tiny and NOT a function of corpus size; each round's shuffle is
+    * O(edges). `localCheckpoint` truncates the growing lineage so round
+    * N's plan doesn't replay rounds 1..N-1 — the standard Spark
+    * iterative-graph pattern (large-star/small-star reduces to the same
+    * joins when diameters are bounded). */
+  def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(ngramPairs(s, dir).select($"doc_a", $"doc_b"))
+      .groupBy($"lbl".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list($"doc")),
+          x => x.cast("string")), ",").as("members"))
+      .orderBy($"cluster_rep")
+  }
+
+  /** Connected components of an undirected pair graph: (doc, lbl) with
+    * lbl = min doc_id in the component. See [[d09DedupClusters]] for the
+    * per-round cost analysis. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val Seq(a, b) = pairs.columns.toSeq
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("doc")).distinct()
+      .withColumn("lbl", $"doc").localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .select($"dst".as("doc"), $"lbl")
+        .union(labels)
+        .groupBy($"doc").agg(min($"lbl").as("next_lbl"))
+      val stepped = labels.join(prop, "doc")
+        .select($"doc", $"lbl", $"next_lbl").localCheckpoint(true)
+      changed = stepped.filter($"next_lbl" < $"lbl").count()
+      labels = stepped.select($"doc", $"next_lbl".as("lbl"))
+    }
+    labels
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 3-gram shingle with a held-out benchmark set (every 50th doc
     * stands in for the eval suite). The benchmark's distinct shingle
@@ -230,6 +285,7 @@ object DedupQueries {
     "d04_simhash" -> (d04SimHash _),
     "d05_ngram_jaccard" -> (d05NgramJaccard _),
     "d08_decontaminate" -> (d08Decontaminate _),
+    "d09_dedup_clusters" -> (d09DedupClusters _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -329,6 +385,32 @@ object DedupQueries {
         |    (len(a.shingles) + len(b.shingles)
         |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Pairs exactly as d05; components via a recursive min-label CTE
+    // (UNION set semantics terminates it), matching the Spark
+    // propagation fixed point: lbl(doc) = min doc_id reachable.
+    "d09_dedup_clusters" ->
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
+        |    $hashedShingleSql AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM docs a JOIN docs b
+        |    ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc)
+        |SELECT cluster_rep, count(*) AS n_members,
+        |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS members
+        |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
     "d08_decontaminate" ->
       s"""WITH bench AS (
         |  SELECT DISTINCT unnest($hashedShingleSql) AS sh

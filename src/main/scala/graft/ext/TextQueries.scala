@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.rel.Tables
 
@@ -213,8 +214,37 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** Sequence PACKING: concatenate-and-chunk documents into fixed
+    * context windows (2048 "tokens" = whitespace words), the layout a
+    * pretraining dataloader consumes. Deterministic chunked
+    * concatenation: docs ordered by doc_id within each (lang, source)
+    * shard, each doc assigned to the window its first token lands in
+    * (floor(preceding-tokens / window)).
+    *
+    * Packing within shards — not one global order — is the 100 TB
+    * shape: the running sum is a window function PARTITIONED by shard,
+    * so every shard packs in parallel and no global single-partition
+    * sort exists anywhere in the plan. */
+  def t08SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = 2048L
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .withColumn("toks", size(split($"text", " ")).cast("long"))
+      .withColumn("start_off", sum($"toks").over(w) - $"toks")
+      .withColumn("chunk", floor($"start_off" / win))
+      .groupBy($"lang", $"source", $"chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("total_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"source", $"chunk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_gopher_filters" -> (t06GopherFilters _),
+    "t08_sequence_packing" -> (t08SequencePacking _),
     "t01_langid" -> (t01LangId _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
@@ -228,6 +258,21 @@ object TextQueries {
   }.toMap
 
   val oracles: Map[String, String] = Map(
+    "t08_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, source, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang, source ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) - toks AS start_off
+        |  FROM d)
+        |SELECT lang, source, CAST(floor(start_off / 2048) AS BIGINT) AS chunk,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, source, chunk
+        |ORDER BY lang, source, chunk""".stripMargin,
     "t06_gopher_filters" ->
       """WITH d AS (
         |  SELECT lang, source,

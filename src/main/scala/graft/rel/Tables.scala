@@ -47,12 +47,21 @@ object Tables {
             "TIMESTAMP_NTZ, or TIMESTAMP)")
     }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // harmless when ts is µs; required to read the ns encoding at all
+  /** Timestamp columns per table — each is read through [[normalizeTs]]
+    * so a future re-encoding of the test data (µs→ns, like the one that
+    * hit events) is absorbed instead of breaking analysis. */
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val cols = tsColumns.getOrElse(name, Seq.empty)
+    // harmless when the data is µs; required to read a ns encoding at all
+    if (cols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    cols.foldLeft(spark.read.parquet(s"$dir/$name.parquet")) {
+      (df, c) => normalizeTs(df, c)
     }
+  }
 }
