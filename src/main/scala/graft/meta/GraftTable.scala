@@ -1584,8 +1584,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val dt = data.schema(s.column).dataType
       s.transform match {
         case "identity" => boundable(dt)
-        case "days" => dt == DateType || dt == TimestampType ||
-          dt == TimestampNTZType
+        case "days" | "months" | "years" | "hours" =>
+          dt == DateType || dt == TimestampType || dt == TimestampNTZType
         case "truncate" => dt match {
           case StringType | ByteType | ShortType | IntegerType |
                LongType => true
@@ -1733,6 +1733,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       Math.floorDiv(Math.floorDiv(us, 1000000L), 86400L)
     // derived transform-output bound, rendered like the distributed
     // path's `f(expr).cast(string)`; None = underivable → fall back
+    // session-zone calendar date of a footer bound (the temporal
+    // transforms months/years derive from it, mirroring the distributed
+    // path's `year/month(c.cast(date))`)
+    def localDate(v: AnyRef, dt: DataType): Option[java.time.LocalDate] =
+      dt match {
+        case DateType => Some(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue))
+        case TimestampType => Some(java.time.LocalDate.ofEpochDay(
+          epochDay(v.asInstanceOf[Number].longValue)))
+        case TimestampNTZType => Some(java.time.LocalDate.ofEpochDay(
+          epochDayNtz(v.asInstanceOf[Number].longValue)))
+        case _ => None
+      }
     def derive(s: PartitionField, v: AnyRef, dt: DataType): Option[String] =
       s.transform match {
         case "days" => dt match {
@@ -1741,6 +1754,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             Some(epochDay(v.asInstanceOf[Number].longValue).toString)
           case TimestampNTZType =>
             Some(epochDayNtz(v.asInstanceOf[Number].longValue).toString)
+          case _ => None
+        }
+        case "months" => localDate(v, dt).map(d =>
+          ((d.getYear - 1970) * 12 + (d.getMonthValue - 1)).toString)
+        case "years" => localDate(v, dt).map(d => (d.getYear - 1970).toString)
+        case "hours" => dt match {
+          // cast-to-timestamp instant micros, floor-divided to hours —
+          // identical to `floor(unix_micros(c.cast(timestamp)) / 3600e6)`
+          case TimestampType | TimestampNTZType => Some(Math.floorDiv(
+            v.asInstanceOf[Number].longValue, 3600000000L).toString)
+          case DateType => Some((java.time.LocalDate
+            .ofEpochDay(v.asInstanceOf[Number].longValue)
+            .atStartOfDay(zone).toInstant.getEpochSecond / 3600L).toString)
           case _ => None
         }
         case "truncate" => dt match {

@@ -21,17 +21,31 @@ final case class PartitionField(column: String, transform: String, param: Int = 
   def name: String = transform match {
     case "identity" => column
     case "days"     => s"days_$column"
+    case "months"   => s"months_$column"
+    case "years"    => s"years_$column"
+    case "hours"    => s"hours_$column"
     case "bucket"   => s"bucket${param}_$column"
     case "truncate" => s"trunc${param}_$column"
   }
 
   /** The transform as a Catalyst expression over the source column.
     * `sourceType` matters only for `truncate`, which is width-bucketing
-    * for numerics and PREFIX for strings (Iceberg truncate semantics). */
+    * for numerics and PREFIX for strings (Iceberg truncate semantics).
+    * The temporal transforms follow Iceberg's output contract — whole
+    * units since the 1970 epoch — and are all monotonic non-decreasing
+    * in the source, which is what makes their footer-derived bounds
+    * exact (GraftTable.footerInventory). */
   def expr(c: Column, sourceType: DataType = NullType): Column = transform match {
     case "identity" => c
     // days since epoch — monotonic in the source timestamp
     case "days"     => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+    // months/years since epoch, from the session-zone calendar date
+    case "months"   =>
+      (year(c.cast(DateType)) - 1970) * 12 + (month(c.cast(DateType)) - 1)
+    case "years"    => year(c.cast(DateType)) - 1970
+    // hours since epoch — instant math, no calendar needed
+    case "hours"    =>
+      floor(unix_micros(c.cast(TimestampType)) / 3600000000L).cast(IntegerType)
     // Murmur3 bucket (Spark's hash); NOT monotonic — prunable only
     // because the manifest stores the transform output's own bounds
     case "bucket"   => pmod(hash(c), lit(param))
@@ -45,7 +59,7 @@ final case class PartitionField(column: String, transform: String, param: Int = 
   /** Output type of the transform given the source column's type. */
   def outputType(source: DataType): DataType = transform match {
     case "identity" => source
-    case "days" | "bucket" => IntegerType
+    case "days" | "months" | "years" | "hours" | "bucket" => IntegerType
     case "truncate" => if (source == StringType) StringType else LongType
     case t => throw new IllegalArgumentException(s"unknown transform $t")
   }
@@ -56,6 +70,12 @@ object PartitionSpec {
     PartitionField(column, "identity")
   def days(column: String): PartitionField =
     PartitionField(column, "days")
+  def months(column: String): PartitionField =
+    PartitionField(column, "months")
+  def years(column: String): PartitionField =
+    PartitionField(column, "years")
+  def hours(column: String): PartitionField =
+    PartitionField(column, "hours")
   def bucket(n: Int, column: String): PartitionField =
     PartitionField(column, "bucket", n)
   def truncate(w: Int, column: String): PartitionField =

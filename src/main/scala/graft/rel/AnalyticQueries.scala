@@ -189,7 +189,27 @@ object AnalyticQueries {
       .orderBy($"c_mktsegment")
   }
 
+  /** Event-time RANGE frame: rolling preceding-hour count and value sum
+    * per user — the frame is bounded by event-TIME distance (epoch
+    * micros), not row counts, which rows-frames cannot express. The
+    * window shuffles once on user_id and sorts within partitions; at
+    * 100 TB per-user rolling features are exactly this one-shuffle
+    * shape. */
+  def q40RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t(s, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum($"value").over(w), 4))
+      .select($"user_id", $"event_id", $"n_1h", $"sum_1h")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_rolling_window" -> (q40RollingWindow _),
     "q11_top_orders_per_segment" -> (q11TopOrdersPerSegment _),
     "q12_running_total" -> (q12RunningTotal _),
     "q13_event_deltas" -> (q13EventDeltas _),
@@ -205,6 +225,14 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_rolling_window" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q11_top_orders_per_segment" ->
       """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey,
         |  round(o_totalprice, 2) AS total_price

@@ -358,12 +358,16 @@ object GraftSql {
         val column = unquote(c.trim)
         (fn.toLowerCase, Option(num).map(_.toInt)) match {
           case ("day" | "days", None) => PartitionSpec.days(column)
+          case ("month" | "months", None) => PartitionSpec.months(column)
+          case ("year" | "years", None) => PartitionSpec.years(column)
+          case ("hour" | "hours", None) => PartitionSpec.hours(column)
           case ("identity", None) => PartitionSpec.identity(column)
           case ("bucket", Some(n)) => PartitionSpec.bucket(n, column)
           case ("truncate", Some(w)) => PartitionSpec.truncate(w, column)
           case _ => throw new IllegalArgumentException(
             s"unsupported partition transform: $s (supported: column, " +
-              "day(column), bucket(column, n), truncate(column, w))")
+              "year(column), month(column), day(column), hour(column), " +
+              "bucket(column, n), truncate(column, w))")
         }
       case bare if bare.nonEmpty && !bare.contains("(") =>
         PartitionSpec.identity(unquote(bare))
@@ -580,6 +584,9 @@ object GraftSql {
         f.transform match {
           case "identity" => s"'${f.column}'"
           case "days" => s"'day(${f.column})'"
+          case "months" => s"'month(${f.column})'"
+          case "years" => s"'year(${f.column})'"
+          case "hours" => s"'hour(${f.column})'"
           case "bucket" => s"'bucket(${f.column}, ${f.param})'"
           case "truncate" => s"'truncate(${f.column}, ${f.param})'"
         }

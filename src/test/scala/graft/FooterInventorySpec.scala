@@ -146,6 +146,54 @@ class FooterInventorySpec extends SparkSpec {
     assert(scan.df.filter(to_date($"ts") === "2026-01-04").count() == 2)
   }
 
+  test("month/year/hour transform bounds derive from footers, matching distributed") {
+    import spark.implicits._
+    import graft.meta.PartitionSpec
+    val df = Seq(
+      (1L, Timestamp.valueOf("2025-11-30 23:00:00")),
+      (2L, Timestamp.valueOf("2026-01-01 00:30:00")),
+      (3L, Timestamp.valueOf("2026-03-15 12:00:00")),
+      (4L, Timestamp.valueOf("2026-03-15 18:45:00"))
+    ).toDF("id", "ts").repartition(2, $"id")
+    val specs = Seq(PartitionSpec.months("ts"), PartitionSpec.years("ts"),
+      PartitionSpec.hours("ts"))
+
+    val before = GraftTable.footerInventoryHits.get
+    val fast = GraftTable.create(spark, tmpDir("fi_tempo") + "/t", df.schema, specs)
+    fast.append(df)
+    assert(GraftTable.footerInventoryHits.get == before + 1,
+      "month/year/hour specs must be footer-derivable")
+
+    val slowDf = df.withColumn("arr", array($"id"))
+    val slow = GraftTable.create(spark, tmpDir("fi_tempo_slow") + "/t",
+      slowDf.schema, specs)
+    slow.append(slowDf)
+    assert(GraftTable.footerInventoryHits.get == before + 1)
+
+    def bounds(t: GraftTable): Map[(String, String), Seq[(String, String)]] =
+      t.files.select("min_values", "max_values").collect().toSeq.map { r =>
+        val mn = r.getMap[String, String](0)
+        val mx = r.getMap[String, String](1)
+        (mn("id"), mx("id")) ->
+          Seq("months_ts", "years_ts", "hours_ts").map(k => (mn(k), mx(k)))
+      }.toMap
+    assert(bounds(fast) == bounds(slow))
+
+    // spot-check the Iceberg output contract: 2026-03 = 674 months,
+    // 56 years after the epoch
+    val all = bounds(fast).values.flatten.toSeq
+    assert(all.exists { case (_, hi) => hi == "674" })
+    assert(all.exists { case (_, hi) => hi == "56" })
+
+    // pruning over the derived month bounds stays exact
+    val m = PartitionSpec.months("ts")
+      .expr(lit("2026-03-01 00:00:00").cast("timestamp"))
+    val scan = fast.readPrunedPartition("months_ts" -> m)
+    assert(scan.filesScanned < scan.filesTotal,
+      s"pruning must skip (${scan.filesScanned}/${scan.filesTotal})")
+    assert(scan.df.filter(month($"ts") === 3).count() == 2)
+  }
+
   test("bucket-partitioned commits fall back to the distributed inventory") {
     import spark.implicits._
     import graft.meta.PartitionSpec

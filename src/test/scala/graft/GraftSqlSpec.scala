@@ -318,11 +318,20 @@ class GraftSqlSpec extends SparkSpec {
       "partitioning = ARRAY['bucket(id, 8)', 'truncate(cat, 2)']")
     assert(fx.resolve("t").partitionSpec ==
       Seq(PartitionSpec.bucket(8, "id"), PartitionSpec.truncate(2, "cat")))
+    // the full Iceberg temporal transform family parses (singular and
+    // plural spellings) and SHOW CREATE round-trips it
+    fx.sql("ALTER TABLE t SET PROPERTIES " +
+      "partitioning = ARRAY['year(ts)', 'month(ts)', 'hour(ts)']")
+    assert(fx.resolve("t").partitionSpec ==
+      Seq(PartitionSpec.years("ts"), PartitionSpec.months("ts"),
+        PartitionSpec.hours("ts")))
+    val ddl = fx.rows("SHOW CREATE TABLE t").head.getString(0)
+    assert(ddl.contains("'year(ts)', 'month(ts)', 'hour(ts)'"))
     // unknown column / unsupported transform fail loudly
     intercept[IllegalArgumentException](fx.sql(
       "ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(nope)']"))
     intercept[IllegalArgumentException](fx.sql(
-      "ALTER TABLE t SET PROPERTIES partitioning = ARRAY['hour(ts)']"))
+      "ALTER TABLE t SET PROPERTIES partitioning = ARRAY['week(ts)']"))
     // ordinary properties still route to the key/value store
     fx.sql("ALTER TABLE t SET PROPERTIES \"write.bloom-filter.columns\" = 'id'")
     assert(fx.resolve("t").properties ==
