@@ -101,6 +101,27 @@ class PlanShapeSpec extends SparkSpec {
       "signature computation must not shuffle — sign bits are a projection")
   }
 
+  test("q40: rolling range-frame window shuffles once, on the partition key") {
+    val nodes = allNodes(
+      graft.rel.AnalyticQueries.queries("q40_rolling_window")(spark, sf))
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // one exchange for the user_id window; the final orderBy rides a
+    // range exchange — nothing else may shuffle
+    assert(shuffles.size <= 2,
+      s"rolling window must shuffle once plus the output sort (${shuffles.size})")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "expected a Window node (range frame)")
+  }
+
+  test("t08: packing has no global single-partition exchange") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t08_sequence_packing")(spark, sf))
+    val single = nodes.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.numPartitions == 1)
+    assert(single.isEmpty,
+      "per-shard packing must never funnel through one partition")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
