@@ -252,6 +252,25 @@ object DedupQueries {
     labels
   }
 
+  /** SEMANTIC dedup (SemDeDup shape): connected components over the s05
+    * embedding near-dup graph — documents whose EMBEDDINGS collide in
+    * an LSH band and verify at cosine ≥ threshold cluster together, and
+    * each cluster keeps its min-vec_id representative. Completes the
+    * dedup ladder: exact (d01) → lexical near-dup (d03/d05/d09) →
+    * semantic (this). Same O(diameter)-round propagation as d09; the
+    * edge set comes from the banded equi-join, so the whole pipeline's
+    * width tracks near-dup density, never corpus². */
+  def d10SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(
+      SimilarityQueries.s05LshNearDup(s, dir).select($"vec_a", $"vec_b"))
+      .groupBy($"lbl".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list($"doc")),
+          x => x.cast("string")), ",").as("members"))
+      .orderBy($"cluster_rep")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 3-gram shingle with a held-out benchmark set (every 50th doc
     * stands in for the eval suite). The benchmark's distinct shingle
@@ -286,6 +305,7 @@ object DedupQueries {
     "d05_ngram_jaccard" -> (d05NgramJaccard _),
     "d08_decontaminate" -> (d08Decontaminate _),
     "d09_dedup_clusters" -> (d09DedupClusters _),
+    "d10_semantic_dedup" -> (d10SemanticDedup _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -403,6 +423,21 @@ object DedupQueries {
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc)
+        |SELECT cluster_rep, count(*) AS n_members,
+        |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS members
+        |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+    // s05's exact pair CTEs + the same recursive min-label component
+    // CTE as d09, over the embedding near-dup edges
+    "d10_semantic_dedup" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.lshPairCtes},
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
         |reach AS (
         |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
         |  UNION

@@ -385,37 +385,45 @@ object SimilarityQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "s05_lsh_neardup" -> {
-      // the hyperplanes as DuckDB list literals — the same doubles the
-      // Spark plan bakes in (Double.toString round-trips exactly)
-      def planeLit(j: Int): String =
-        planes(j).map(_.toString).mkString("[", ", ", "]")
-      val bitExprs = (0 until NumPlanes).map { j =>
-        s"(${dotSql.format("embedding", planeLit(j))} >= 0)::INT AS b$j"
-      }.mkString(",\n        |    ")
-      val bandSelects = (0 until PlaneBands).map { b =>
-        val key = (0 until PlaneBits)
-          .map(r => s"b${b * PlaneBits + r} * ${1 << r}").mkString(" + ")
-        s"SELECT vec_id, $b AS band, $key AS key FROM sig"
-      }.mkString("\n        |  UNION ALL ")
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
-        |  FROM embeddings),
-        |sig AS (
-        |  SELECT vec_id,
-        |    $bitExprs
-        |  FROM e),
-        |bands AS (
-        |  $bandSelects),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
-        |SELECT vec_a, vec_b,
-        |  round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
-        |FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
-        |WHERE round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $LshThreshold
-        |ORDER BY vec_a, vec_b""".stripMargin
-    },
+    "s05_lsh_neardup" ->
+      s"""WITH $lshPairCtes
+        |SELECT vec_a, vec_b, cos FROM pairs
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  /** The s05 near-dup pair pipeline as DuckDB CTEs ending in
+    * `pairs(vec_a, vec_b, cos)` — shared with d10_semantic_dedup's
+    * oracle so both engines agree on the exact edge set. */
+  private[ext] lazy val lshPairCtes: String = {
+    // the hyperplanes as DuckDB list literals — the same doubles the
+    // Spark plan bakes in (Double.toString round-trips exactly)
+    def planeLit(j: Int): String =
+      planes(j).map(_.toString).mkString("[", ", ", "]")
+    val bitExprs = (0 until NumPlanes).map { j =>
+      s"(${dotSql.format("embedding", planeLit(j))} >= 0)::INT AS b$j"
+    }.mkString(",\n        |    ")
+    val bandSelects = (0 until PlaneBands).map { b =>
+      val key = (0 until PlaneBits)
+        .map(r => s"b${b * PlaneBits + r} * ${1 << r}").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n        |  UNION ALL ")
+    s"""e AS (
+      |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+      |  FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id,
+      |    $bitExprs
+      |  FROM e),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      |pairs AS (
+      |  SELECT vec_a, vec_b,
+      |    round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+      |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+      |  WHERE round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $LshThreshold)""".stripMargin
+  }
 }
