@@ -42,37 +42,59 @@ object AsOfJoin {
     *         `matched_<name>` (null when no right row is at or before)
     */
   def backward(left: DataFrame, right: DataFrame, key: Seq[String],
-               leftTime: String, rightTime: String, tie: String): DataFrame = {
-    val spark = left.sparkSession
+               leftTime: String, rightTime: String, tie: String): DataFrame =
+    merge(left, right, key, leftTime, rightTime, tie, forwardDir = false)
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * the same key whose time is `>=` the left row's time — the
+    * "next-version" lookup (e.g. first purchase after a click). Same
+    * one-shuffle union+window composition as [[backward]], with the
+    * window frame looking forward; a right row at exactly t matches a
+    * left row at t (`>=`, matching DuckDB's `ASOF JOIN ... ON
+    * l.ts <= r.ts`). With ties, the smallest `tie` wins. */
+  def forward(left: DataFrame, right: DataFrame, key: Seq[String],
+              leftTime: String, rightTime: String, tie: String): DataFrame =
+    merge(left, right, key, leftTime, rightTime, tie, forwardDir = true)
+
+  private def merge(left: DataFrame, right: DataFrame, key: Seq[String],
+                    leftTime: String, rightTime: String, tie: String,
+                    forwardDir: Boolean): DataFrame = {
     val payloadCols = right.columns.filterNot(key.contains).toSeq
     val payloadType = StructType(
       payloadCols.map(c => right.schema(c)))
     val lStruct = struct(left.columns.map(col).toSeq: _*)
     val rPayload = struct(payloadCols.map(col): _*)
 
+    // side ordering puts the right rows INSIDE the left row's frame at
+    // equal timestamps: backward frames end at the left row (right
+    // sorts first), forward frames start at it (right sorts last)
+    val (lSide, rSide) = if (forwardDir) (0, 1) else (1, 0)
     val tagged = left.select(
       key.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(1).as("__side"),
+        col(leftTime).as("__t"), lit(lSide).as("__side"),
         lit(null).cast(right.schema(tie).dataType).as("__tie"),
         lStruct.as("__l"),
         lit(null).cast(payloadType).as("__r")): _*)
       .unionByName(right.select(
         key.map(col) ++ Seq(
-          col(rightTime).as("__t"), lit(0).as("__side"),
+          col(rightTime).as("__t"), lit(rSide).as("__side"),
           col(tie).as("__tie"),
           lit(null).cast(left.schema).as("__l"),
           rPayload.as("__r")): _*))
 
-    val w = Window.partitionBy(key.map(col): _*)
+    val ordered = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = tagged
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val matched =
+      if (forwardDir) tagged.withColumn("__m",
+        first(col("__r"), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else tagged.withColumn("__m",
+        last(col("__r"), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     val out: Seq[Column] =
       left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
         payloadCols.map(c => col(s"__m.$c").as(s"matched_$c"))
-    matched.select(out: _*)
+    matched.filter(col("__side") === lSide).select(out: _*)
   }
 }

@@ -37,6 +37,30 @@ object ScaleQueries {
       .orderBy($"click_id")
   }
 
+  /** Forward as-of join WITH tolerance: every click joined to the
+    * user's first purchase AT OR AFTER the click, nulled out when it
+    * falls more than 2 hours later — attribution windows, next-version
+    * lookups. Same one-shuffle merge composition as a01; the tolerance
+    * is a post-match projection, not a join condition, so the plan
+    * shape is unchanged. */
+  def a03AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    // dedupe equal-timestamp purchases (keep min event_id) so the
+    // forward match is uniquely defined in both engines
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(min($"event_id").as("purchase_id"))
+    val within = $"matched_ts" <= $"ts" + expr("INTERVAL 2 HOURS")
+    graft.operators.AsOfJoin.forward(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", tie = "purchase_id")
+      .select($"user_id", $"click_id", $"ts".cast("string").as("click_ts"),
+        when(within, $"matched_purchase_id").as("purchase_id"),
+        when(within, $"matched_ts".cast("string")).as("purchase_ts"))
+      .orderBy($"click_id")
+  }
+
   /** Skew-mitigated join: the probe side gets a deterministic salt, the
     * build side is replicated across all salt values, so one hot key
     * spreads over SaltBuckets reducers instead of melting one. The
@@ -536,6 +560,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_join_pruned" -> (q39JoinPruned _),
     "a01_asof_join" -> (a01AsofJoin _),
+    "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
     "q32_zorder_scan" -> (q32ZorderScan _),
     "q33_datasource_scan" -> (q33DatasourceScan _),
@@ -567,6 +592,21 @@ object ScaleQueries {
         |  p.purchase_id, CAST(p.ts AS VARCHAR) AS purchase_ts
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin,
+    "a03_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, min(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.click_id, CAST(c.ts AS VARCHAR) AS click_ts,
+        |  CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR THEN p.purchase_id END
+        |    AS purchase_id,
+        |  CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR THEN CAST(p.ts AS VARCHAR) END
+        |    AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY click_id""".stripMargin,
     "a02_merge_upsert" ->
       """WITH upd AS (

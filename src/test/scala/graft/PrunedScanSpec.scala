@@ -51,4 +51,20 @@ class PrunedScanSpec extends SparkSpec {
     assert(out("l2") == 101L) // latest at-or-before wins
     assert(out("l3") == -1L)  // right row is strictly later -> no match
   }
+
+  test("forward as-of join matches at-or-after; earliest next wins") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 9L, "l3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 7L, 102L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.forward(left, right, Seq("k"),
+        leftTime = "t", rightTime = "t", tie = "rid")
+      .select(col("lv"), col("matched_rid"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out("l1") == 100L) // equal timestamp matches (>=)
+    assert(out("l2") == -1L)  // nothing at or after -> no match
+    assert(out("l3") == -1L)  // right row is strictly earlier -> no match
+  }
 }
