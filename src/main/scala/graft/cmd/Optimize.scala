@@ -79,7 +79,7 @@ object Optimize {
           toRewrite.repartitionByRange(nOut, exprs: _*)
             .sortWithinPartitions(exprs: _*)
         else toRewrite.repartition(nOut)
-      rewritten.write.parquet(commitDir.toString)
+      table.dataWrite(rewritten).parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
       if (exprs.nonEmpty) table.pruneEmptyFiles(commitDir)
       val untouched = manifest.filter(!candidate)
@@ -110,10 +110,10 @@ object Optimize {
         // sort-order compaction: full re-cluster, replaces every file
         val nOut = math.max(1L,
           (current.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-        table.read
+        table.dataWrite(table.read
           .repartitionByRange(nOut, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
-          .write.parquet(commitDir.toString)
+          .sortWithinPartitions(clusterBy.map(col): _*))
+          .parquet(commitDir.toString)
         table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
         table.pruneEmptyFiles(commitDir)
         table.doCommit("optimize", table.inventory(commitDir), clock,
@@ -163,7 +163,7 @@ object Optimize {
           toRewrite.repartitionByRange(nOut, exprs: _*)
             .sortWithinPartitions(exprs: _*)
         else toRewrite.repartition(nOut)
-      rewritten.write.parquet(commitDir.toString)
+      table.dataWrite(rewritten).parquet(commitDir.toString)
       table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
       if (exprs.nonEmpty) table.pruneEmptyFiles(commitDir)
 

@@ -129,8 +129,8 @@ object RowLevel {
     // MERGE touching no files must not land a junk empty commit
     val obs = new org.apache.spark.sql.Observation(
       s"cow-${commitDir.getName}")
-    rewrittenRows.observe(obs, count(lit(1)).as("n"))
-      .write.parquet(commitDir.toString)
+    table.dataWrite(rewrittenRows.observe(obs, count(lit(1)).as("n")))
+      .parquet(commitDir.toString)
     table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
     if (affectedPaths.isEmpty &&
         obs.get.getOrElse("n", 0L).asInstanceOf[Long] == 0L) {

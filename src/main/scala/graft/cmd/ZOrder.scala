@@ -89,11 +89,11 @@ object ZOrder {
     val nOut = math.max(1L,
       (current.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val commitDir = new Path(table.dir, s"data/${UUID.randomUUID()}")
-    df.withColumn("__graft_z", interleave(ranks, bits))
+    table.dataWrite(df.withColumn("__graft_z", interleave(ranks, bits))
       .repartitionByRange(nOut, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
-      .write.parquet(commitDir.toString)
+      .drop("__graft_z"))
+      .parquet(commitDir.toString)
     table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
     table.doCommit("optimize_zorder", table.inventory(commitDir), clock,
       basis = Some(current))

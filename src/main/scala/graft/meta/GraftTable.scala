@@ -109,6 +109,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Compaction target size: Iceberg's `write.target-file-size-bytes`
+    * table property when set, else the 128 MB Iceberg default. */
+  def defaultTargetFileBytes: Long =
+    properties.get("write.target-file-size-bytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+
+  /** Writer for table-owned parquet (data, delete, and eq-delete files)
+    * honoring Iceberg's `write.parquet.compression-codec` property —
+    * unset keeps Spark's session codec. */
+  private[graft] def dataWrite(df: DataFrame): org.apache.spark.sql.DataFrameWriter[Row] =
+    properties.get("write.parquet.compression-codec")
+      .fold(df.write)(c => df.write.option("compression", c.toLowerCase))
+
   /** Merge properties in (null-valued keys are removed). Takes effect on
     * the NEXT write — existing files keep whatever stats they have. */
   def setProperties(kv: Map[String, String]): Unit =
@@ -785,12 +798,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // count job.
       val obs = new org.apache.spark.sql.Observation(
         s"mor-delete-${commitDir.getName}")
-      newDeletes
+      dataWrite(newDeletes
         .observe(obs, count(lit(1)).as("n"))
         .repartition(spark.sessionState.conf.numShufflePartitions,
           col("file_path"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(commitDir.toString)
+        .sortWithinPartitions("file_path", "pos"))
+        .parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       // a predicate matching nothing can run ZERO tasks (AQE collapses
       // the empty shuffle) — no task, no accumulator update, empty
@@ -864,7 +877,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // partitioned tables keep their clustering through upserts, exactly
     // like appends — otherwise upsert files span every transform value
     // and degrade partition pruning
-    clusterBySpec(source).write.parquet(commitDir.toString)
+    dataWrite(clusterBySpec(source)).parquet(commitDir.toString)
     fs.delete(new Path(commitDir, "_SUCCESS"), false)
     writeSchemaIfAbsent(source.schema)
     val (eqDir, keyStats, nKeys) = writeEqDeleteFile(srcKeys)
@@ -968,8 +981,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val aggs = count(lit(1)).as("cnt") +: keyCols.flatMap(k =>
       Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k"),
         sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"nn_$k")))
-    keys.distinct().observe(obs, aggs.head, aggs.tail: _*)
-      .coalesce(1).write.parquet(dir.toString)
+    dataWrite(keys.distinct().observe(obs, aggs.head, aggs.tail: _*)
+      .coalesce(1)).parquet(dir.toString)
     fs.delete(new Path(dir, "_SUCCESS"), false)
     // an empty key write can run zero tasks → empty observation map;
     // null mins/maxes + zero null-count is what an empty set observes
@@ -1016,10 +1029,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // this is typically ONE file (which also makes the op idempotent)
       val nOut = math.max(1L,
         (delRows.map(_.getLong(1)).sum + (64L << 20) - 1) / (64L << 20)).toInt
-      merged
+      dataWrite(merged
         .repartition(nOut, col("file_path"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(commitDir.toString)
+        .sortWithinPartitions("file_path", "pos"))
+        .parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       pruneEmptyFiles(commitDir) // shuffle writes emit schema-only files
       val mergedCount = GraftTable.listFiles(fs, commitDir).size.toLong
@@ -1083,7 +1096,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val merged = entries.groupBy(keyNames.map(col): _*)
           .agg(max(EqIntroCol).as(EqIntroCol))
         val dir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-        merged.coalesce(1).write.parquet(dir.toString)
+        dataWrite(merged.coalesce(1)).parquet(dir.toString)
         fs.delete(new Path(dir, "_SUCCESS"), false)
         (dir, group.map(_.intro).max)
       }
@@ -1407,7 +1420,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * would drop delete entries targeting out-of-scope files): compact
     * deletes or run the full optimize first. */
   def optimizePartitions(preds: Seq[(String, Column)],
-                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         targetFileBytes: Long = defaultTargetFileBytes,
                          clock: Clock = Clock.systemUTC()): Unit =
     graft.cmd.Optimize.runScoped(this, preds, targetFileBytes, clock)
 
@@ -1449,7 +1462,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
       val clustered = clusterBySpec(df)
-      clustered.write.parquet(commitDir.toString)
+      dataWrite(clustered).parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       // range-clustered writes leave schema-only zero-row files behind
       // for empty shuffle tasks — junk manifest entries otherwise
@@ -1519,7 +1532,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def overwrite(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
     commitLock.synchronized {
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      df.write.parquet(commitDir.toString)
+      dataWrite(df).parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
       writeSchemaIfAbsent(df.schema)
       commit("overwrite", inventory(commitDir), clock, carryPrior = false)
@@ -2144,7 +2157,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   // ---- maintenance commands (graft.cmd implements the bodies) -----------
 
-  def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
+  def optimize(targetFileBytes: Long = defaultTargetFileBytes,
                clock: Clock = Clock.systemUTC(),
                clusterBy: Seq[String] = Seq.empty): Unit =
     graft.cmd.Optimize.run(this, targetFileBytes, clock, clusterBy)
@@ -2152,7 +2165,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Z-order (Morton) compaction: cluster on the interleaved bits of
     * `cols` so file skipping works on every listed dimension. */
   def optimizeZOrder(cols: Seq[String],
-                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     targetFileBytes: Long = defaultTargetFileBytes,
                      bits: Int = 16,
                      clock: Clock = Clock.systemUTC()): Unit =
     graft.cmd.ZOrder.run(this, cols, targetFileBytes, bits, clock)

@@ -258,7 +258,7 @@ object GraftSql {
     op.toLowerCase match {
       case "optimize" =>
         val target = kv.get("file_size_threshold").map(parseDataSize)
-          .getOrElse(128L * 1024 * 1024)
+          .getOrElse(t.defaultTargetFileBytes)
         where match {
           case None => t.optimize(targetFileBytes = target, clock = clock)
           case Some(w) => // partition-scoped rewrite, metadata-pruned
