@@ -355,7 +355,33 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming SESSION windows via the BUILT-IN `session_window` (the
+    * declarative twin of the explicit-state [[sessionize]]): gap-merged
+    * per-user sessions, session end = last event + gap. Append mode
+    * emits a session only once the watermark passes its end, so the
+    * memory sink holds exactly the FINALIZED sessions — the oracle
+    * replicates that emission rule (end ≤ max event time − delay).
+    * Spark merges two events into one session iff their gap is
+    * STRICTLY under 30 minutes; the oracle's new-session flag uses
+    * `>=` to match. */
+  def st07SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val sink = s"st07_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    runFileStream(s, dir, df =>
+      df.filter(col("user_id") < 50)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value")),
+      "append", sink)
+      .select(col("user_id"),
+        col("session_window.start").cast("string").as("session_start"),
+        col("session_window.end").cast("string").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_session_window" -> (st07SessionWindow _),
     "st01_hourly_stream" -> (st01HourlyStream _),
     "st02_stream_dedup" -> (st02StreamDedup _),
     "st03_graft_sink" -> (st03GraftSink _),
@@ -371,6 +397,29 @@ object StreamOps {
       |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Gap-based sessionization (new session at gap >= 30 min, matching
+    // session_window's strict-overlap merge), emitted-only filter =
+    // append mode's watermark rule: end <= max(ts) - 2h.
+    "st07_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE <=
+        |  (SELECT max(ts) FROM events WHERE user_id < 50) - INTERVAL 2 HOUR
+        |ORDER BY user_id, session_start""".stripMargin,
     "st01_hourly_stream" -> HourlyOracle,
     // Same single-copy oracle: the stream saw every event TWICE, so a
     // hash match is proof the dedup removed exactly the duplicates.
