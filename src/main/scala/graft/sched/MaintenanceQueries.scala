@@ -455,6 +455,39 @@ object MaintenanceQueries {
     "x07_rewrite_manifests" -> (rewriteManifestsDemo _),
     "x08_wap_branches" -> (wapDemo _))
 
-  /** Not SQL-expressible → no oracles (driver does rows-only checks). */
-  val oracles: Map[String, String] = Map.empty
+  /** Maintenance state (file counts, snapshot ids) is not
+    * SQL-expressible → most demos carry no oracle (driver does
+    * rows-only checks; contracts pinned by ScalaTest). The two demos
+    * whose OUTPUT is purely data-derived — incremental read / rollback
+    * row counts and the changelog event counts — get real oracles: the
+    * expected numbers recomputed from the part table itself, so a wrong
+    * incremental scan, rollback, or changelog replay hash-mismatches. */
+  val oracles: Map[String, String] = Map(
+    "x09_incremental_read" ->
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey % 3 = 1 THEN 1 END)
+        |    + count(CASE WHEN p_partkey % 3 = 2 THEN 1 END) AS added,
+        |  count(*) AS total,
+        |  count(CASE WHEN p_partkey % 3 = 0 THEN 1 END)
+        |    + count(CASE WHEN p_partkey % 3 = 1 THEN 1 END) AS r2
+        |  FROM part)
+        |SELECT added AS rows_added_since_snapshot1,
+        |  total AS rows_at_snapshot3,
+        |  r2 AS rows_after_rollback_to_2,
+        |  total AS rows_snapshot3_by_id,
+        |  CAST(2 AS BIGINT) AS main_head
+        |FROM c""".stripMargin,
+    "x11_cdc_read" ->
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey % 2 = 0 THEN 1 END) AS even,
+        |  count(CASE WHEN p_partkey % 2 = 1 THEN 1 END) AS odd,
+        |  count(CASE WHEN p_partkey % 5 = 0 THEN 1 END) AS del,
+        |  count(*) AS total
+        |  FROM part)
+        |SELECT CAST(1 AS BIGINT) AS _commit_snapshot_id,
+        |  'insert' AS _change_type, even AS n_rows,
+        |  total - del AS table_rows_now FROM c
+        |UNION ALL SELECT 2, 'insert', odd, total - del FROM c
+        |UNION ALL SELECT 3, 'delete', del, total - del FROM c
+        |ORDER BY _commit_snapshot_id, _change_type""".stripMargin)
 }
