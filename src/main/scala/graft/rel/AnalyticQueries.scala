@@ -208,7 +208,43 @@ object AnalyticQueries {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Ranking-function family: ntile quartiles, percent_rank, cume_dist
+    * and dense_rank over per-segment account balances — one shuffle on
+    * the partition key, like every window query here. */
+  def q41RankFamily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    t(s, dir, "customer")
+      .filter($"c_custkey" <= 200)
+      .select($"c_mktsegment", $"c_custkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  /** NOT IN subquery — Spark plans this as a null-aware anti join
+    * (NAAJ), the one anti-join variant with three-valued-logic
+    * semantics: any NULL in the subquery empties the result. The
+    * subquery side is a broadcast-size aggregate at any corpus scale. */
+  def q42NotIn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").createOrReplaceTempView("q42_orders")
+    t(s, dir, "customer").createOrReplaceTempView("q42_customer")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM q42_orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT c_custkey FROM q42_customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_rank_family" -> (q41RankFamily _),
+    "q42_not_in" -> (q42NotIn _),
     "q40_rolling_window" -> (q40RollingWindow _),
     "q11_top_orders_per_segment" -> (q11TopOrdersPerSegment _),
     "q12_running_total" -> (q12RunningTotal _),
@@ -225,6 +261,23 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_rank_family" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q42_not_in" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q40_rolling_window" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_1h,
