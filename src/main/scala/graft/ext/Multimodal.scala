@@ -85,9 +85,35 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  /** m03: batched-inference plumbing — the GPU-model call shape. Items
+    * group per source, each group is split into FIXED-SIZE batches
+    * (sorted by doc_id, so batch membership is deterministic), and "the
+    * model" (the decode stub) runs once per batch over the whole batch.
+    * `groupByKey.flatMapGroups` is the KeyValueGroupedDataset form:
+    * each group streams through one task, batches never cross
+    * executors, and a real deployment swaps the stub for a batched
+    * model invocation with zero plumbing changes. One shuffle (the
+    * group key), like any per-source pass. */
+  def m03BatchInference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batchSize = 32
+    extractFeatures(mediaCorpus(s, dir))
+      .groupByKey(_.source)
+      .flatMapGroups { (src: String, items: Iterator[MediaFeatures]) =>
+        items.toSeq.sortBy(_.doc_id).grouped(batchSize).zipWithIndex
+          .map { case (batch, i) =>
+            // one "model call" per batch: aggregate features batch-wide
+            (src, i.toLong, batch.size.toLong, batch.map(_.byte_len).sum)
+          }
+      }
+      .toDF("source", "batch_idx", "n_in_batch", "batch_bytes")
+      .orderBy($"source", $"batch_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
+    "m03_batch_inference" -> (m03BatchInference _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,6 +128,15 @@ object Multimodal {
         |  round(avg((byte_len * 7) % 480), 6) AS avg_height,
         |  CAST(sum(byte_len % 16 + 1) AS BIGINT) AS total_frames
         |FROM f GROUP BY source, mime ORDER BY source, mime""".stripMargin,
+    "m03_batch_inference" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, octet_length(encode(text)) AS byte_len,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(floor((rn - 1) / 32) AS BIGINT) AS batch_idx,
+        |  count(*) AS n_in_batch, CAST(sum(byte_len) AS BIGINT) AS batch_bytes
+        |FROM f GROUP BY source, batch_idx
+        |ORDER BY source, batch_idx""".stripMargin,
     "m02_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, source,
