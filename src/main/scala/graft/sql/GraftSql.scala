@@ -144,6 +144,11 @@ object GraftSql {
           .readChanges(from.toLong, to.toLong))
       case CallRollback(t, id) =>
         resolve(unquote(stripQuotes(t))).rollback(id.toLong); None
+      // general SELECT (projection / filter / join / aggregate): after
+      // every specific SELECT form above, delegate to Spark SQL over
+      // resolved graft scans — same path as CTAS/INSERT...SELECT bodies
+      case body if body.toUpperCase.startsWith("SELECT ") =>
+        Some(selectBody(spark, resolve, body))
       case other => throw new IllegalArgumentException(
         s"unsupported SQL (GraftSql handles the reference's statement " +
           s"dialect only): $other")
@@ -980,7 +985,9 @@ object GraftSql {
     require(refs.nonEmpty, s"no table reference found in SELECT body: $body")
     val views = refs.zipWithIndex.map { case (raw, i) =>
       val view = s"graft_body_${i}_${unquote(raw).replaceAll("[^\\w]", "_")}"
-      resolve(unquote(raw)).read.createOrReplaceTempView(view)
+      // metadata-suffix names ("t$files") resolve to metadata relations,
+      // exactly like SELECT * does
+      select(spark, resolve, unquote(raw)).createOrReplaceTempView(view)
       raw -> view
     }
     try {

@@ -280,11 +280,27 @@ class GraftSqlSpec extends SparkSpec {
     val fx = fixture("sqlerr")
     fx.sql("CREATE TABLE t (a VARCHAR)")
     intercept[IllegalArgumentException](
-      fx.sql("SELECT a, count(*) FROM t GROUP BY a"))
+      fx.sql("TRUNCATE TABLE t"))
     intercept[IllegalArgumentException](
       fx.sql("ALTER TABLE t EXECUTE vacuum"))
     intercept[IllegalArgumentException](
       fx.sql("ALTER TABLE t EXECUTE expire_snapshots(retention_threshold => '7h')"))
+  }
+
+  test("general SELECTs run through Spark SQL over graft scans") {
+    import spark.implicits._
+    val fx = fixture("sqlselect")
+    fx.sql("CREATE TABLE t (a VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO t VALUES ('x', 1), ('x', 2), ('y', 3)")
+    // projection + aggregate
+    assert(fx.rows("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY a")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 2L), ("y", 1L)))
+    // projections over metadata tables resolve the same way SELECT * does
+    val files = fx.rows("""SELECT record_count FROM "t$files" """)
+    assert(files.map(_.getLong(0)).sum == 3L)
+    // unknown table still fails loudly (resolver), unknown column in analysis
+    intercept[Exception](fx.sql("SELECT * FROM nosuch WHERE 1 = 1"))
+    intercept[Exception](fx.sql("SELECT nope FROM t GROUP BY nope"))
   }
 
   test("ALTER TABLE SET PROPERTIES round-trips; DEFAULT unsets") {
