@@ -319,7 +319,10 @@ object MaintenanceQueries {
     val hot = df.filter(dayCol === minDay)
     (0 until 4).foreach(i =>
       t.append(hot.filter(pmod(hash(col("event_id")), lit(4)) === i), t0))
-    val filesBefore = t.files.count()
+    // global file counts from the snapshot summary — metadata-only;
+    // only the partition-scoped counts need a manifest scan
+    def nFiles = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
+    val filesBefore = nFiles
     val hotFilesBefore = t.files.filter(t.partitionScope(
       Seq("days_ts" -> lit(minDay)))).count()
     t.optimizePartitions(Seq("days_ts" -> lit(minDay)), clock = t0)
@@ -329,7 +332,7 @@ object MaintenanceQueries {
       .withColumn("files_before", lit(filesBefore))
       .withColumn("hot_partition_files_before", lit(hotFilesBefore))
       .withColumn("hot_partition_files_after", lit(hotFilesAfter))
-      .withColumn("files_after", lit(t.files.count()))
+      .withColumn("files_after", lit(nFiles))
       .orderBy(col("days_ts").asc_nulls_last, col("record_count"))
   }
 
