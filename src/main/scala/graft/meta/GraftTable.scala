@@ -868,11 +868,20 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
 
   private[graft] def upsertOp(source: DataFrame, keys: Seq[String],
-                              op: String, clock: Clock): Long = {
+                              op: String, clock: Clock,
+                              extraDeleteKeys: Option[DataFrame] = None): Long = {
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"key column $k not in table schema"))
     require(keys.nonEmpty, "upsert requires at least one key column")
     val srcKeys = source.select(keys.map(col): _*).distinct()
+    // MERGE's DELETE clause rides the same commit as its own keyed
+    // eq-deletes: the union lands in ONE eq file, so delete + update +
+    // insert are a single atomic snapshot (Trino MERGE semantics — a
+    // reader sees all of the MERGE or none of it)
+    val delKeys = extraDeleteKeys match {
+      case Some(d) => srcKeys.unionByName(d.select(keys.map(col): _*)).distinct()
+      case None => srcKeys
+    }
     val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
     // partitioned tables keep their clustering through upserts, exactly
     // like appends — otherwise upsert files span every transform value
@@ -880,7 +889,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     dataWrite(clusterBySpec(source)).parquet(commitDir.toString)
     fs.delete(new Path(commitDir, "_SUCCESS"), false)
     writeSchemaIfAbsent(source.schema)
-    val (eqDir, keyStats, nKeys) = writeEqDeleteFile(srcKeys)
+    // a delete-heavy MERGE can have zero update/insert rows — its
+    // append write then emits only schema-only files, which must not
+    // ride into the manifest as junk entries
+    if (extraDeleteKeys.isDefined) pruneEmptyFiles(commitDir)
+    val hasData = GraftTable.listFiles(fs, commitDir).nonEmpty
+    val (eqDir, keyStats, nKeys) = writeEqDeleteFile(delKeys)
     // empty source → nothing to delete, nothing to insert: no commit.
     // Without this, the zero-row eq file's manifest row has a NULL
     // key-schema record (null_counts) and poisons every later read's
@@ -889,12 +903,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       fs.delete(eqDir, true); fs.delete(commitDir, true); return 0L
     }
     var removed = 0L
-    commit(op, inventory(commitDir), clock, carryPrior = true,
+    commit(op, if (hasData) inventory(commitDir) else emptyManifest,
+      clock, carryPrior = true,
       eqDeleteSource = Some(inventory(eqDir)),
       eqFilesAdded = GraftTable.listFiles(fs, eqDir).size.toLong,
       rowsDelta = { b =>
-        removed = matchingRows(b, srcKeys, keys, keyStats); -removed
+        removed = matchingRows(b, delKeys, keys, keyStats); -removed
       })
+    if (!hasData) fs.delete(commitDir, true)
     removed
   }
 

@@ -43,9 +43,22 @@ final case class PartitionField(column: String, transform: String, param: Int = 
     case "months"   =>
       (year(c.cast(DateType)) - 1970) * 12 + (month(c.cast(DateType)) - 1)
     case "years"    => year(c.cast(DateType)) - 1970
-    // hours since epoch — instant math, no calendar needed
-    case "hours"    =>
-      floor(unix_micros(c.cast(TimestampType)) / 3600000000L).cast(IntegerType)
+    // hours since epoch — instant math for zoned timestamps. A
+    // TimestampNTZ column must NOT round-trip through TimestampType:
+    // that cast interprets the local value in the session zone and
+    // shifts the hour index, diverging from the zone-independent
+    // footer-derived bounds (GraftTable.footerInventory derives the
+    // hour straight from the raw local micros, like Iceberg's
+    // zone-independent hour transform). day*24 + hour-of-day over the
+    // local value equals floorDiv(localMicros, 3600e6) exactly,
+    // pre-1970 included.
+    case "hours"    => sourceType match {
+      case TimestampNTZType =>
+        (datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+          * 24 + hour(c)).cast(IntegerType)
+      case _ =>
+        floor(unix_micros(c.cast(TimestampType)) / 3600000000L).cast(IntegerType)
+    }
     // Murmur3 bucket (Spark's hash); NOT monotonic — prunable only
     // because the manifest stores the transform output's own bounds
     case "bucket"   => pmod(hash(c), lit(param))

@@ -691,9 +691,13 @@ object GraftSql {
     * append commit, O(source) on a 100 TB table. The general shape
     * evaluates each clause's rows with Spark SQL over the two scans
     * (conditions and SET/INSERT expressions are arbitrary Spark SQL over
-    * both aliases), then commits at most twice: `deleteByKeys` for
-    * DELETE-matched keys and one upsert for updated ∪ inserted rows —
-    * still O(source ⋈ matched-files), never a full-table rewrite. */
+    * both aliases), then commits ONCE: the DELETE clause's keys ride the
+    * upsert commit as extra eq-deletes, so the whole statement is one
+    * atomic snapshot (Trino MERGE is single-commit) — still
+    * O(source ⋈ matched-files), never a full-table rewrite. A target
+    * row matched by more than one source row fails loudly, as in Trino
+    * (reference: `__main__.py`'s statements are single-statement-atomic
+    * in Trino). */
   private def merge(spark: SparkSession, t: GraftTable, s: GraftTable,
                     tAlias: String, sAlias: String, on: String,
                     whenTail: String, clock: Clock): Unit = {
@@ -826,20 +830,47 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE clause: WHEN $other")
         }
-        // materialize every clause's rows BEFORE the first commit — the
-        // delete commit must not change what the update/insert computed
+        // Trino raises "one target row matched more than one source
+        // row" instead of silently applying both — mirror that before
+        // committing anything. Only keys that (a) appear twice in the
+        // source and (b) exist in the target can multi-match, so the
+        // check is a tiny aggregate over source keys semi-joined to the
+        // target (column-pruned scan, no full-row read).
+        if (clauses.exists { case MatchedUpdate(_, _) | MatchedDelete(_) => true
+                             case _ => false }) {
+          val kProj = keys.map(k => s"`$k`").mkString(", ")
+          val dup = spark.sql(
+            s"SELECT $kProj FROM (SELECT $kProj FROM $sv GROUP BY $kProj " +
+              s"HAVING count(*) > 1) d WHERE EXISTS (SELECT 1 FROM $tv " +
+              s"WHERE ${keys.map(k => s"$tv.`$k` = d.`$k`").mkString(" AND ")})")
+            .limit(1).collect()
+          require(dup.isEmpty, "MERGE: one target row matched more than " +
+            s"one source row (duplicate source key ${dup.headOption.getOrElse("")})")
+        }
+        // materialize every clause's rows BEFORE the commit — the
+        // commit must not change what the update/insert computed
         val frozen = Seq(updated, delKeys, inserted)
           .map(_.map(_.localCheckpoint(true)))
         val Seq(up, dk, ins) = frozen
-        var replaced = 0L
-        dk.foreach(k => replaced += t.deleteByKeys(k, clock))
-        (up, ins) match {
-          case (Some(u), i) => // one atomic eq-delete + append commit
-            replaced += t.upsert(i.map(u.unionByName(_)).getOrElse(u), keys, clock)
-          case (None, Some(i)) => t.append(i, clock)
-          case (None, None) =>
+        val appended = (up, ins) match {
+          case (Some(u), i) => Some(i.map(u.unionByName(_)).getOrElse(u))
+          case (None, i) => i
         }
-        replaced
+        // ONE snapshot for the whole statement, whatever mix of clauses
+        // ran: the DELETE clause's keys ride the upsert commit as extra
+        // eq-deletes (Trino MERGE is single-commit-atomic); delete-only
+        // and insert-only merges keep their cheaper single-commit paths
+        (appended, dk) match {
+          case (Some(a), Some(k)) =>
+            // op name in the "upsert" family: the changelog/CDC reader
+            // classifies it as a MOR eq-delete + append (NOT the CoW
+            // "merge" op, which diffs rewritten files)
+            t.upsertOp(a, keys, "upsert_merge", clock, extraDeleteKeys = Some(k))
+          case (Some(a), None) if up.isDefined => t.upsert(a, keys, clock)
+          case (Some(a), None) => t.append(a, clock); 0L
+          case (None, Some(k)) => t.deleteByKeys(k, clock)
+          case (None, None) => 0L
+        }
       } finally {
         spark.catalog.dropTempView(tv)
         spark.catalog.dropTempView(sv)

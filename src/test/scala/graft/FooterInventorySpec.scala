@@ -194,6 +194,62 @@ class FooterInventorySpec extends SparkSpec {
     assert(scan.df.filter(month($"ts") === 3).count() == 2)
   }
 
+  test("hours transform on TimestampNTZ is zone-independent under a non-UTC session") {
+    import spark.implicits._
+    import graft.meta.PartitionSpec
+    // the engine's mains pin UTC, but a library user's session may not:
+    // the footer-derived hour bounds (raw local micros) and the
+    // distributed expr must agree REGARDLESS of session zone, or exact
+    // pruning silently skips files containing matching rows
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = Seq((1L, "2025-12-31 23:10:00"), (2L, "2026-03-15 00:30:00"),
+        (3L, "2026-03-15 18:45:00"), (4L, "2026-03-16 02:05:00"))
+        .toDF("id", "raw")
+        .select($"id", $"raw".cast("timestamp_ntz").as("ts"))
+        .repartition(2, $"id")
+      val specs = Seq(PartitionSpec.hours("ts"))
+
+      val before = GraftTable.footerInventoryHits.get
+      val fast = GraftTable.create(spark, tmpDir("fi_ntz_hours") + "/t",
+        df.schema, specs)
+      fast.append(df)
+      assert(GraftTable.footerInventoryHits.get == before + 1,
+        "NTZ hour spec must stay footer-derivable")
+      val slowDf = df.withColumn("arr", array($"id"))
+      val slow = GraftTable.create(spark, tmpDir("fi_ntz_hours_slow") + "/t",
+        slowDf.schema, specs)
+      slow.append(slowDf)
+
+      def hourBounds(t: GraftTable): Map[String, (String, String)] =
+        t.files.select("min_values", "max_values").collect().toSeq.map { r =>
+          r.getMap[String, String](0)("id") ->
+            ((r.getMap[String, String](0)("hours_ts"),
+              r.getMap[String, String](1)("hours_ts")))
+        }.toMap
+      assert(hourBounds(fast) == hourBounds(slow),
+        "footer vs distributed hour bounds drifted under a non-UTC zone")
+
+      // the Iceberg contract value: zone-independent hours since epoch
+      // of the raw local datetime — NOT shifted by America/New_York
+      val expect = java.time.LocalDateTime.parse("2026-03-15T18:45:00")
+        .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L
+      val all = hourBounds(fast).values.flatMap(b => Seq(b._1, b._2)).toSet
+      assert(all.contains(expect.toString),
+        s"expected zone-independent hour $expect in $all")
+
+      // pruning with the (fixed) NTZ expr finds the row it must find
+      val h = PartitionSpec.hours("ts").expr(
+        lit("2026-03-15 18:45:00").cast("timestamp_ntz"),
+        org.apache.spark.sql.types.TimestampNTZType)
+      val scan = fast.readPrunedPartition("hours_ts" -> h)
+      assert(scan.filesScanned < scan.filesTotal,
+        s"pruning must skip (${scan.filesScanned}/${scan.filesTotal})")
+      assert(scan.df.filter($"id" === 3L).count() == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("bucket-partitioned commits fall back to the distributed inventory") {
     import spark.implicits._
     import graft.meta.PartitionSpec

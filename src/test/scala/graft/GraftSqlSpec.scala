@@ -717,6 +717,68 @@ class GraftSqlSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET k = src.k + 1"""))
   }
 
+  test("general MERGE is ONE atomic snapshot; multi-match fails loudly") {
+    import spark.implicits._
+    val fx = fixture("sqlmergeatomic")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO t VALUES " + (0 until 10).map(i =>
+      s"($i, 'v$i', $i)").mkString(", "))
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO src VALUES (2, 'S2', 2), (5, 'S5', 50), " +
+      "(7, 'S7', 70), (42, 'S42', 420)")
+    val t = fx.resolve("t")
+    val before = t.currentSnapshot.get.snapshotId
+    val preRows = t.read.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+
+    // delete + update + insert in one statement → exactly ONE commit
+    fx.sql("""MERGE INTO t USING src ON t.k = src.k
+      WHEN MATCHED AND src.n >= 50 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = concat(src.v, '!'), n = t.n + src.n
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, lower(src.v))""")
+    val head = t.currentSnapshot.get
+    assert(head.snapshotId == before + 1,
+      s"MERGE must be one snapshot, got ${head.snapshotId - before}")
+    assert(head.operation == "upsert_merge")
+    // all-or-nothing: the parent snapshot still reads the pre-merge
+    // rows verbatim (a reader pinned before the commit sees NO partial
+    // effects), the head has every clause's effect
+    assert(t.readAsOf(before).as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq == preRows)
+    val got = t.read.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(!got.map(_._1).exists(Set(5L, 7L)))
+    assert(got.find(_._1 == 2L).get == ((2L, "S2!", Some(4L))))
+    assert(got.find(_._1 == 42L).get == ((42L, "s42", None)))
+    assert(got.size == 9)
+    assert(head.totalRows == 9)
+
+    // a MERGE whose UPDATE matches nothing but whose DELETE fires still
+    // lands atomically (exercises the empty-append manifest path)
+    val before2 = t.currentSnapshot.get.snapshotId
+    fx.sql("""MERGE INTO t USING src ON t.k = src.k
+      WHEN MATCHED AND src.n >= 1000 THEN UPDATE SET v = src.v
+      WHEN MATCHED THEN DELETE""")
+    assert(t.currentSnapshot.get.snapshotId == before2 + 1)
+    assert(t.read.as[(Long, String, Option[Long])].collect()
+      .map(_._1).sorted.toSeq == Seq(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+
+    // Trino's cardinality rule: a target row matched by two source
+    // rows is an error, not silent double-application
+    fx.sql("INSERT INTO src VALUES (3, 'DUP', 1)")
+    fx.sql("INSERT INTO src VALUES (3, 'DUP2', 2)")
+    val ex = intercept[IllegalArgumentException](fx.sql(
+      """MERGE INTO t USING src ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"""))
+    assert(ex.getMessage.contains("more than one source row"))
+    // a duplicate source key ABSENT from the target does not trip it
+    fx.sql("DELETE FROM t WHERE k = 3")
+    fx.sql("""MERGE INTO t USING src ON t.k = src.k
+      WHEN MATCHED AND src.n < 0 THEN UPDATE SET v = src.v
+      WHEN NOT MATCHED AND src.k = 99 THEN INSERT (k, v) VALUES (src.k, src.v)""")
+  }
+
   test("CTAS and INSERT SELECT take general projection/filter/join bodies") {
     import spark.implicits._
     val fx = fixture("sqlctasgen")
