@@ -36,17 +36,10 @@ object DedupQueries {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Persisted-relation cache keyed by (session, dir, tag): repeated
-    * calls (several dedup queries per run, several timed bench passes)
-    * reuse ONE cached lineage instead of stacking a fresh MEMORY_AND_DISK
-    * copy per call — the same executor-memory discipline a long-lived
-    * 100 TB session needs. */
-  private val relCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** Persisted-relation cache — see [[RelCache]] for keying/eviction. */
   private def cached(s: SparkSession, dir: String, tag: String)
                     (build: => DataFrame): DataFrame =
-    relCache.getOrElseUpdate((System.identityHashCode(s), s"$dir#$tag"),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    RelCache.cached(s, s"$dir#$tag")(build)
 
   private def shingleCol(text: Column): Column = {
     val words = split(text, " ")
@@ -167,53 +160,89 @@ object DedupQueries {
   /** Exact word-3-gram Jaccard near-dup with length-bucket blocking:
     * pairs are only compared within the same or adjacent 64-char bucket,
     * keeping candidate counts linear in corpus size for ~uniform lengths. */
-  def d05NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramPairs(s, dir)
-
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+  def d05NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Persisted for the same three-subtree reuse as d03 (and shared
-    // between d05 and d09, which replays the pair pipeline).
-    val docs = cached(s, dir, "ngram_docs") {
-      t(s, dir, "documents")
-        .filter(size(split($"text", " ")) >= 3)
-        .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
-          hashedShingles($"text").as("shingles"))
-    }
-    // Prefix filtering (AllPairs/PPJoin): under a global element order
-    // (ascending hash), any pair with jac >= t shares at least one
-    // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.
-    // t' = 0.499 < t keeps the filter lossless even for pairs whose true
-    // jac sits just below 0.5 but ROUNDS to 0.5 in the final 6-dp check.
-    // Candidates become "pairs sharing a rare prefix hash" — near-dup
-    // density, not the quadratic length-bucket blowup (5.9M pairs at
-    // sf0.1); the bucket adjacency condition rides along as a residual.
-    val pref = docs.select($"doc_id", $"bkt",
-      explode(slice(array_sort($"shingles"), lit(1),
-        (size($"shingles") - ceil(size($"shingles") * 0.499) + 1)
-          .cast("int"))).as("h"))
-    // bucket-local pair expansion (see d03): one execution of the prefix
-    // subtree instead of two self-join branches.
-    val cand = pref
-      .groupBy($"h")
-      .agg(collect_list(struct($"doc_id", $"bkt")).as("ds"))
-      .filter(size($"ds") > 1)
-      .select(explode(expr(
-        "flatten(transform(ds, a -> filter(transform(ds, b -> " +
-          "named_struct('ida', a.doc_id, 'bka', a.bkt, 'idb', b.doc_id, 'bkb', b.bkt)), " +
-          "p -> p.ida < p.idb AND (p.bkb = p.bka OR p.bkb = p.bka + 1))))")).as("p"))
-      .select($"p.ida".as("doc_a"), $"p.idb".as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
-      .withColumn("jac", round($"inter" /
-        (size($"sa") + size($"sb") - $"inter"), 6))
-      .filter($"jac" >= 0.5)
-      .select($"doc_a", $"doc_b", $"jac")
-      .orderBy($"doc_a", $"doc_b")
+    ngramPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
+
+  // salt fan-out for oversized prefix buckets, and the size at which a
+  // bucket is considered skewed (quadratic expansion of a 64-member
+  // bucket is ~2k pairs — fine in one task; past that, shard it)
+  private val PairSalts = 8
+  private val BucketCap = 64
+
+  /** Verified near-dup pairs, unordered — persisted and shared between
+    * d05 (which just orders it) and d09 (which runs components over it),
+    * so the candidate expansion + exact-Jaccard verify run once per
+    * session, not once per query. */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "ngram_pairs") {
+      import s.implicits._
+      val docs = cached(s, dir, "ngram_docs") {
+        t(s, dir, "documents")
+          .filter(size(split($"text", " ")) >= 3)
+          .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
+            hashedShingles($"text").as("shingles"))
+      }
+      // Prefix filtering (AllPairs/PPJoin): under a global element order
+      // (ascending hash), any pair with jac >= t shares at least one
+      // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.
+      // t' = 0.499 < t keeps the filter lossless even for pairs whose true
+      // jac sits just below 0.5 but ROUNDS to 0.5 in the final 6-dp check.
+      // Candidates become "pairs sharing a rare prefix hash" — near-dup
+      // density, not the quadratic length-bucket blowup (5.9M pairs at
+      // sf0.1); the bucket adjacency condition rides along as a residual.
+      val pref = docs.select($"doc_id", $"bkt",
+        explode(slice(array_sort($"shingles"), lit(1),
+          (size($"shingles") - ceil(size($"shingles") * 0.499) + 1)
+            .cast("int"))).as("h"))
+      // A ubiquitous shingle would put its whole bucket in ONE task and
+      // make the expansion quadratic there. Buckets over BucketCap are
+      // sharded with the triangle scheme: each member takes a salt
+      // g = hash(doc_id) % S and is replicated to the S cells
+      // {(min(i,g), max(i,g)) : i < S}; a cross-salt pair {x,y} meets in
+      // exactly cell (min,max), a same-salt pair only in cell (g,g) —
+      // every pair exactly once, max task size ~2·|bucket|/S. The size
+      // probe is a count window on the same key the expansion groups by,
+      // so it rides the one existing shuffle.
+      val sized = pref.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy($"h")))
+      val pairFilter = (extra: String) =>
+        "flatten(transform(ds, a -> filter(transform(ds, b -> " +
+          "named_struct('ida', a.doc_id, 'bka', a.bkt, 'idb', b.doc_id, 'bkb', b.bkt" +
+          ", 'ga', a.g, 'gb', b.g)), " +
+          s"p -> p.ida < p.idb AND (p.bkb = p.bka OR p.bkb = p.bka + 1)$extra)))"
+      // bucket-local pair expansion (see d03): one execution of the
+      // prefix subtree instead of two self-join branches.
+      val smallPairs = sized.filter($"bsz" <= BucketCap)
+        .withColumn("g", lit(0))
+        .groupBy($"h")
+        .agg(collect_list(struct($"doc_id", $"bkt", $"g")).as("ds"))
+        .filter(size($"ds") > 1)
+        .select(explode(expr(pairFilter(""))).as("p"))
+      val bigPairs = sized.filter($"bsz" > BucketCap)
+        .withColumn("g", pmod(hash($"doc_id"), lit(PairSalts)))
+        .select($"h", $"doc_id", $"bkt", $"g", explode(expr(
+          s"transform(sequence(0, ${PairSalts - 1}), " +
+            "i -> struct(least(i, g) AS ci, greatest(i, g) AS cj))")).as("cell"))
+        .withColumn("ci", $"cell.ci").withColumn("cj", $"cell.cj")
+        .groupBy($"h", $"ci", $"cj")
+        .agg(collect_list(struct($"doc_id", $"bkt", $"g")).as("ds"))
+        .filter(size($"ds") > 1)
+        .select(explode(expr(
+          pairFilter(" AND (p.ga <> p.gb OR ci = cj)"))).as("p"))
+      val cand = smallPairs.union(bigPairs)
+        .select($"p.ida".as("doc_a"), $"p.idb".as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+        .withColumn("jac", round($"inter" /
+          (size($"sa") + size($"sb") - $"inter"), 6))
+        .filter($"jac" >= 0.5)
+        .select($"doc_a", $"doc_b", $"jac")
+    }
 
   /** Near-dup CLUSTERING: connected components over the d05 near-dup
     * pair graph, so each duplicate cluster keeps exactly one
@@ -232,11 +261,33 @@ object DedupQueries {
     * joins when diameters are bounded). */
   def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    connectedComponents(ngramPairs(s, dir).select($"doc_a", $"doc_b"))
+    clusterSummary(ngramPairs(s, dir).select($"doc_a", $"doc_b"))
+  }
+
+  /** Most members a cluster summary row will list verbatim; the rest are
+    * counted in `n_overflow`. A degenerate boilerplate cluster at 100 TB
+    * would otherwise put millions of ids into ONE row's collect_list. */
+  private[graft] val MaxMembers = 100
+
+  /** (cluster_rep, n_members, members, n_overflow) summary over a pair
+    * graph: components via [[connectedComponents]], then the first
+    * [[MaxMembers]] member ids (by id order) joined into `members` and
+    * the remainder only COUNTED. The rank runs on the same `lbl` key the
+    * aggregate groups by, so the window adds no extra shuffle, and rows
+    * past the cap become nulls BEFORE collect_list — the agg buffer is
+    * bounded, not truncated after the fact. */
+  private[graft] def clusterSummary(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"lbl").orderBy($"doc")
+    connectedComponents(pairs)
+      .withColumn("rn", row_number().over(w))
       .groupBy($"lbl".as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
-        array_join(transform(array_sort(collect_list($"doc")),
-          x => x.cast("string")), ",").as("members"))
+        array_join(transform(
+          array_sort(collect_list(when($"rn" <= MaxMembers, $"doc"))),
+          x => x.cast("string")), ",").as("members"),
+        sum(when($"rn" > MaxMembers, 1L).otherwise(0L)).as("n_overflow"))
       .orderBy($"cluster_rep")
   }
 
@@ -277,13 +328,8 @@ object DedupQueries {
     * width tracks near-dup density, never corpus². */
   def d10SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    connectedComponents(
-      SimilarityQueries.s05LshNearDup(s, dir).select($"vec_a", $"vec_b"))
-      .groupBy($"lbl".as("cluster_rep"))
-      .agg(count(lit(1)).as("n_members"),
-        array_join(transform(array_sort(collect_list($"doc")),
-          x => x.cast("string")), ",").as("members"))
-      .orderBy($"cluster_rep")
+    clusterSummary(SimilarityQueries.s05Pairs(s, dir)
+      .select($"vec_a", $"vec_b"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any
@@ -442,10 +488,16 @@ object DedupQueries {
         |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
         |  UNION
         |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
-        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc)
+        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
+        |ranked AS (
+        |  SELECT doc, cluster_rep, row_number() OVER (
+        |    PARTITION BY cluster_rep ORDER BY doc) AS rn FROM comp)
         |SELECT cluster_rep, count(*) AS n_members,
-        |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS members
-        |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+        |  string_agg(CASE WHEN rn <= $MaxMembers THEN CAST(doc AS VARCHAR) END,
+        |             ',' ORDER BY doc) AS members,
+        |  CAST(sum(CASE WHEN rn > $MaxMembers THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow
+        |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
     // s05's exact pair CTEs + the same recursive min-label component
     // CTE as d09, over the embedding near-dup edges
     "d10_semantic_dedup" ->
@@ -457,10 +509,16 @@ object DedupQueries {
         |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
         |  UNION
         |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
-        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc)
+        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
+        |ranked AS (
+        |  SELECT doc, cluster_rep, row_number() OVER (
+        |    PARTITION BY cluster_rep ORDER BY doc) AS rn FROM comp)
         |SELECT cluster_rep, count(*) AS n_members,
-        |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS members
-        |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+        |  string_agg(CASE WHEN rn <= $MaxMembers THEN CAST(doc AS VARCHAR) END,
+        |             ',' ORDER BY doc) AS members,
+        |  CAST(sum(CASE WHEN rn > $MaxMembers THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow
+        |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
     "d08_decontaminate" ->
       s"""WITH bench AS (
         |  SELECT DISTINCT unnest($hashedShingleSql) AS sh

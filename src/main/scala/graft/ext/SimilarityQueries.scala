@@ -37,9 +37,6 @@ object SimilarityQueries {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  private val normCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
 
@@ -245,45 +242,51 @@ object SimilarityQueries {
     * stage, and its width tracks near-dup density, not corpus². */
   def s05LshNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    // feeds the signature stage and both verify sides — compute once;
-    // cached per (session, dir) so repeated calls (s05 itself, d10's
-    // component pass, bench passes) share ONE persisted lineage
-    val e = normCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bitCols = (0 until NumPlanes).map { j =>
-      val plane = array(planes(j).map(lit): _*)
-      (aggregate(zip_with($"embedding", plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (a, x) => a + x) >= 0).cast("int").as(s"b$j")
-    }
-    val sig = e.select(($"vec_id" +: bitCols): _*)
-    val bandKeys = array((0 until PlaneBands).map { b =>
-      (0 until PlaneBits).map(r => col(s"b${b * PlaneBits + r}") * (1 << r))
-        .reduce(_ + _)
-    }: _*)
-    val bands = sig.select($"vec_id",
-      posexplode(bandKeys).as(Seq("band", "key")))
-    // bucket-local pair expansion (one heavy-subtree execution, not a
-    // self-join) — see DedupQueries.d03 for the pattern
-    val cand = bands.groupBy($"band", $"key")
-      .agg(collect_list($"vec_id").as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, a -> filter(transform(ids, b -> array(a, b)), " +
-          "p -> p[0] < p[1])))")).as("p"))
-      .select($"p" (0).as("vec_a"), $"p" (1).as("vec_b"))
-      .distinct()
-    cand
-      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
-        $"nrm".as("na")), "vec_a")
-      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
-        $"nrm".as("nb")), "vec_b")
-      .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
-      .filter($"cos" >= LshThreshold)
-      .select($"vec_a", $"vec_b", $"cos")
-      .orderBy($"vec_a", $"vec_b")
+    s05Pairs(s, dir).orderBy($"vec_a", $"vec_b")
   }
+
+  /** Verified embedding near-dup pairs, unordered — persisted and shared
+    * between s05 (which just orders it) and d10's component pass, so the
+    * band join + cosine verify run once per session, not per query. */
+  private[ext] def s05Pairs(s: SparkSession, dir: String): DataFrame =
+    RelCache.cached(s, s"$dir#lsh_pairs") {
+      import s.implicits._
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      // feeds the signature stage and both verify sides — compute once;
+      // cached per (session, dir) so repeated calls share ONE lineage
+      val e = RelCache.cached(s, s"$dir#emb_norm")(
+        withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding")))
+      val bitCols = (0 until NumPlanes).map { j =>
+        val plane = array(planes(j).map(lit): _*)
+        (aggregate(zip_with($"embedding", plane, (x, p) => x.cast("double") * p),
+          lit(0.0), (a, x) => a + x) >= 0).cast("int").as(s"b$j")
+      }
+      val sig = e.select(($"vec_id" +: bitCols): _*)
+      val bandKeys = array((0 until PlaneBands).map { b =>
+        (0 until PlaneBits).map(r => col(s"b${b * PlaneBits + r}") * (1 << r))
+          .reduce(_ + _)
+      }: _*)
+      val bands = sig.select($"vec_id",
+        posexplode(bandKeys).as(Seq("band", "key")))
+      // bucket-local pair expansion (one heavy-subtree execution, not a
+      // self-join) — see DedupQueries.d03 for the pattern
+      val cand = bands.groupBy($"band", $"key")
+        .agg(collect_list($"vec_id").as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, a -> filter(transform(ids, b -> array(a, b)), " +
+            "p -> p[0] < p[1])))")).as("p"))
+        .select($"p" (0).as("vec_a"), $"p" (1).as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+          $"nrm".as("na")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+          $"nrm".as("nb")), "vec_b")
+        .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
+        .filter($"cos" >= LshThreshold)
+        .select($"vec_a", $"vec_b", $"cos")
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s05_lsh_neardup" -> (s05LshNearDup _),
