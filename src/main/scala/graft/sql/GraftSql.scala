@@ -144,10 +144,13 @@ object GraftSql {
           .readChanges(from.toLong, to.toLong))
       case CallRollback(t, id) =>
         resolve(unquote(stripQuotes(t))).rollback(id.toLong); None
-      // general SELECT (projection / filter / join / aggregate): after
-      // every specific SELECT form above, delegate to Spark SQL over
-      // resolved graft scans — same path as CTAS/INSERT...SELECT bodies
-      case body if body.toUpperCase.startsWith("SELECT ") =>
+      // general SELECT (projection / filter / join / aggregate / CTE):
+      // after every specific SELECT form above, delegate to Spark SQL
+      // over resolved graft scans — same path as CTAS/INSERT...SELECT
+      // bodies. `WITH name AS (...) SELECT ...` rides the same path;
+      // CTE names shadow graft tables, as in Trino.
+      case body if body.toUpperCase.startsWith("SELECT ") ||
+        body.toUpperCase.startsWith("WITH ") =>
         Some(selectBody(spark, resolve, body))
       case other => throw new IllegalArgumentException(
         s"unsupported SQL (GraftSql handles the reference's statement " +
@@ -180,9 +183,9 @@ object GraftSql {
   // Trino CTAS (graft-to-graft): CREATE TABLE t [WITH (...)] AS <select>
   // — the body is any SELECT whose FROM/JOIN tables are graft tables
   private val CreateAsSelect =
-    s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident(?: WITH ?\\((.+?)\\))? AS (SELECT .+)$$""".r
+    s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident(?: WITH ?\\((.+?)\\))? AS ((?:SELECT|WITH) .+)$$""".r
   private val InsertSelect =
-    s"""(?is)^INSERT INTO $Ident (SELECT .+)$$""".r
+    s"""(?is)^INSERT INTO $Ident ((?:SELECT|WITH) .+)$$""".r
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
@@ -1003,17 +1006,95 @@ object GraftSql {
     case b => runSelectBody(spark, resolve, b)
   }
 
-  /** Each `FROM x` / `JOIN x` table token resolves through the caller's
-    * resolver, registers as a uniquely-named temp view over its graft
-    * scan, and the body is rewritten to the view names (qualified column
-    * refs like `x.c` rewrite with it). Views are dropped after analysis
-    * — the returned plan holds the resolved scans, not the view names. */
+  /** Table-reference tokens of a SELECT/WITH body: each `FROM x` /
+    * `JOIN x` identifier outside string literals whose nearest enclosing
+    * paren (if any) opens a subquery. A FROM inside an ordinary
+    * function-call paren — `EXTRACT(month FROM ts)`, `SUBSTRING(x FROM
+    * 1)`, `TRIM(BOTH ' ' FROM s)` — is an argument separator, not a
+    * table position; a FROM inside `(SELECT ...)` is. An identifier
+    * immediately followed by `(` is a table function (UNNEST, ...) and
+    * is left for Spark to resolve. */
+  private[graft] def tableRefs(body: String): Seq[String] = {
+    val refs = Seq.newBuilder[String]
+    // true = the paren opened a subquery (first keyword SELECT/WITH)
+    var stack = List.empty[Boolean]
+    val n = body.length
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+    var i = 0
+    while (i < n) {
+      val c = body.charAt(i)
+      if (c == '\'') { // skip literal; '' is the escaped quote
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (body.charAt(i) == '\'') {
+            if (i + 1 < n && body.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"') { // quoted identifier — not a FROM keyword
+        val end = body.indexOf('"', i + 1)
+        i = if (end < 0) n else end + 1
+      } else if (c == '(') {
+        var j = i + 1
+        while (j < n && body.charAt(j).isWhitespace) j += 1
+        stack = (body.regionMatches(true, j, "SELECT", 0, 6) ||
+          body.regionMatches(true, j, "WITH", 0, 4)) :: stack
+        i += 1
+      } else if (c == ')') {
+        if (stack.nonEmpty) stack = stack.tail
+        i += 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && wordChar(body.charAt(i))) i += 1
+        val w = body.substring(start, i)
+        if ((w.equalsIgnoreCase("FROM") || w.equalsIgnoreCase("JOIN")) &&
+          stack.headOption.forall(identity)) {
+          var j = i
+          while (j < n && body.charAt(j).isWhitespace) j += 1
+          if (j < n && body.charAt(j) == '"') {
+            val end = body.indexOf('"', j + 1)
+            if (end > 0) refs += body.substring(j, end + 1)
+          } else if (j < n && body.charAt(j) != '(') {
+            var k = j
+            while (k < n && wordChar(body.charAt(k))) k += 1
+            // identifier followed by '(' is a table-function call
+            var p = k
+            while (p < n && body.charAt(p).isWhitespace) p += 1
+            if (k > j && (p >= n || body.charAt(p) != '('))
+              refs += body.substring(j, k)
+          }
+        }
+      } else i += 1
+    }
+    refs.result().distinct
+  }
+
+  /** Names a `WITH` prologue (or any nested CTE) binds: every
+    * `<ident> AS (` occurrence outside string literals. CTE names
+    * SHADOW graft tables of the same name, exactly like Trino. */
+  private[graft] def cteNames(body: String): Set[String] = {
+    val noLits = body.replaceAll("'(?:[^']|'')*'", "''")
+    """(?i)(?:^|[^\w.$"])((?:"[^"]+")|(?:[\w$]+))\s+AS\s*\(""".r
+      .findAllMatchIn(noLits).map(m => unquote(m.group(1)).toLowerCase)
+      .toSet
+  }
+
+  /** Each table token from [[tableRefs]] (minus CTE-bound names)
+    * resolves through the caller's resolver, registers as a
+    * uniquely-named temp view over its graft scan, and the body is
+    * rewritten to the view names (qualified column refs like `x.c`
+    * rewrite with it; unquoted names rewrite case-insensitively, since
+    * SQL identifiers are case-insensitive). Views are dropped after
+    * analysis — the returned plan holds the resolved scans, not the
+    * view names. A body whose only relations are derived tables or
+    * CTEs registers no views and runs as-is; unknown real tables still
+    * fail loudly in Spark's resolver. */
   private def runSelectBody(spark: SparkSession, resolve: String => GraftTable,
                             body: String): DataFrame = {
-    val FromRef =
-      ("""(?i)\b(?:FROM|JOIN)\s+((?:"[^"]+")|(?:[\w.$]+))(?!\s*\()""").r
-    val refs = FromRef.findAllMatchIn(body).map(_.group(1)).toSeq.distinct
-    require(refs.nonEmpty, s"no table reference found in SELECT body: $body")
+    val shadowed = cteNames(body)
+    val refs = tableRefs(body)
+      .filterNot(r => shadowed.contains(unquote(r).toLowerCase))
     val views = refs.zipWithIndex.map { case (raw, i) =>
       val view = s"graft_body_${i}_${unquote(raw).replaceAll("[^\\w]", "_")}"
       // metadata-suffix names ("t$files") resolve to metadata relations,
@@ -1023,8 +1104,9 @@ object GraftSql {
     }
     try {
       val sql = views.foldLeft(body) { case (acc, (raw, view)) =>
+        val ci = if (raw.startsWith("\"")) "" else "(?i)" // quoted = exact
         acc.replaceAll(
-          "(?<![\\w.$\"])" + java.util.regex.Pattern.quote(raw) + "(?![\\w$\"])",
+          ci + "(?<![\\w.$\"])" + java.util.regex.Pattern.quote(raw) + "(?![\\w$\"])",
           java.util.regex.Matcher.quoteReplacement(view))
       }
       spark.sql(sql) // analysis is eager: the plan is resolved here

@@ -303,6 +303,59 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](fx.sql("SELECT nope FROM t GROUP BY nope"))
   }
 
+  test("dispatcher SELECT takes CTEs, derived tables, and fn-arg FROMs") {
+    import spark.implicits._
+    val fx = fixture("sqlselectcte")
+    fx.sql("CREATE TABLE t (a VARCHAR, n BIGINT, ts TIMESTAMP(6))")
+    fx.sql("INSERT INTO t VALUES ('x', 1, TIMESTAMP '2024-03-01 10:00:00')," +
+      " ('x', 2, TIMESTAMP '2024-04-02 11:00:00')," +
+      " ('y', 3, TIMESTAMP '2024-04-03 12:00:00')")
+    def pairs(sql: String): Seq[(String, Long)] =
+      fx.rows(sql).map(r => (r.getString(0), r.getLong(1))).toSeq
+    val flat = pairs("SELECT a, sum(n) AS s FROM t GROUP BY a ORDER BY a")
+
+    // WITH body: the CTE name must NOT be resolved as a graft table
+    assert(pairs("""WITH d AS (SELECT a, n FROM t)
+      SELECT a, sum(n) AS s FROM d GROUP BY a ORDER BY a""") == flat)
+    // a second CTE referencing the first
+    assert(pairs("""WITH d AS (SELECT a, n FROM t),
+      e AS (SELECT a, n FROM d WHERE n > 0)
+      SELECT a, sum(n) AS s FROM e GROUP BY a ORDER BY a""") == flat)
+    // derived table as the only top-level relation
+    assert(pairs("""SELECT a, sum(n) AS s FROM
+      (SELECT a, n FROM t WHERE n >= 1) x GROUP BY a ORDER BY a""") == flat)
+    // FROM inside function args is NOT a table position
+    assert(fx.rows("""SELECT EXTRACT(month FROM ts) AS m, count(*) AS c
+      FROM t GROUP BY m ORDER BY m""")
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((3, 1L), (4, 2L)))
+    assert(fx.rows("SELECT substring(a FROM 1 FOR 1) AS p FROM t " +
+      "WHERE n = 3").map(_.getString(0)).toSeq == Seq("y"))
+    // a string literal containing 'FROM xyz' is not a table ref
+    assert(fx.rows("SELECT 'pulled FROM nowhere' AS s FROM t WHERE n = 1")
+      .map(_.getString(0)).toSeq == Seq("pulled FROM nowhere"))
+    // a qualifier spelled in a different case than its FROM token still
+    // rewrites (SQL identifiers are case-insensitive)
+    assert(pairs("SELECT T.a, sum(T.n) AS s FROM t GROUP BY T.a ORDER BY T.a")
+      == flat)
+    // CTE names shadow graft tables of the same name (Trino scoping)
+    assert(pairs("""WITH t AS (SELECT 'z' AS a, CAST(9 AS BIGINT) AS n)
+      SELECT a, sum(n) AS s FROM t GROUP BY a""") == Seq(("z", 9L)))
+    // scalar subqueries resolve their inner graft refs
+    assert(fx.rows("SELECT a FROM t WHERE n = (SELECT max(n) FROM t)")
+      .map(_.getString(0)).toSeq == Seq("y"))
+    // CTAS and INSERT ... SELECT accept WITH bodies too
+    fx.sql("""CREATE TABLE agg AS WITH d AS (SELECT a, n FROM t)
+      SELECT a, sum(n) AS s FROM d GROUP BY a""")
+    assert(fx.resolve("agg").read.as[(String, Long)]
+      .collect().sortBy(_._1).toSeq == flat)
+    fx.sql("""INSERT INTO agg WITH d AS (SELECT a, n FROM t)
+      SELECT concat(a, '2') AS a, sum(n) AS s FROM d GROUP BY a""")
+    assert(fx.resolve("agg").rowCount == 4)
+    // unknown tables still fail loudly, inside CTE bodies included
+    intercept[Exception](fx.sql(
+      "WITH d AS (SELECT * FROM nosuch) SELECT * FROM d"))
+  }
+
   test("ALTER TABLE SET PROPERTIES round-trips; DEFAULT unsets") {
     val fx = fixture("sqlprops")
     fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
