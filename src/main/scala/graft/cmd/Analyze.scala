@@ -114,6 +114,21 @@ object Analyze {
       saveStore(table, kept ++ freshRows)
     }
 
+  /** One pinned per-column stat row, typed for the CBO bridge
+    * ([[graft.sources.GraftStatsRule]]). */
+  final case class PinnedColStat(ndv: Option[Double],
+                                 nullsFraction: Option[Double],
+                                 low: Option[String], high: Option[String])
+
+  /** The persisted per-column ANALYZE stats, by column name — empty if
+    * the table was never analyzed. Driver-side, O(#columns). */
+  def pinnedStats(table: GraftTable): Map[String, PinnedColStat] =
+    loadStore(table).filter(_.getString(0) != null).map { r =>
+      def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      r.getString(0) -> PinnedColStat(d(2), d(3), s(5), s(6))
+    }.toMap
+
   private def loadStore(table: GraftTable): Seq[Row] = {
     val dir = storeDir(table)
     if (!table.fileSystem.exists(dir)) Seq.empty

@@ -53,7 +53,7 @@ object DedupQueries {
     * is several times cheaper than over ~20-char strings, and because the
     * hash is the portable md5 prefix, the DuckDB oracle builds the SAME
     * hashed sets — results agree bit-for-bit even on hash collisions. */
-  private def hashedShingles(text: Column): Column =
+  private[ext] def hashedShingles(text: Column): Column =
     array_distinct(transform(shingleCol(text), s => h32(s)))
 
   /** Exact dedup summary: distinct-text counts per language. */
@@ -179,11 +179,32 @@ object DedupQueries {
     cached(s, dir, "ngram_pairs") {
       import s.implicits._
       val docs = cached(s, dir, "ngram_docs") {
-        t(s, dir, "documents")
-          .filter(size(split($"text", " ")) >= 3)
-          .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
-            hashedShingles($"text").as("shingles"))
+        shingleRelation(t(s, dir, "documents"))
       }
+      verifiedNgramPairs(docs)
+    }
+
+  /** `(doc_id, bkt, shingles)` over a documents-shaped relation — the
+    * unit the near-dup pipeline (and the d11 persisted index) stores. */
+  private[graft] def shingleRelation(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", (floor($"n_chars" / 64)).as("bkt"),
+        hashedShingles($"text").as("shingles"))
+  }
+
+  /** The prefix-filtered candidate expansion + exact-Jaccard verify over
+    * a `(doc_id, bkt, shingles)` relation. `residual` is an extra SQL
+    * predicate over the candidate-pair struct `p` (fields ida/idb/
+    * bka/bkb), applied AT EXPANSION — pairs it rejects never reach the
+    * verify join (d11 uses it to keep only pairs touching a new batch). */
+  private[ext] def verifiedNgramPairs(docsRel: DataFrame,
+                                      residual: String = ""): DataFrame = {
+    val s = docsRel.sparkSession
+    import s.implicits._
+    val docs = docsRel
       // Prefix filtering (AllPairs/PPJoin): under a global element order
       // (ascending hash), any pair with jac >= t shares at least one
       // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.
@@ -211,7 +232,8 @@ object DedupQueries {
         "flatten(transform(ds, a -> filter(transform(ds, b -> " +
           "named_struct('ida', a.doc_id, 'bka', a.bkt, 'idb', b.doc_id, 'bkb', b.bkt" +
           ", 'ga', a.g, 'gb', b.g)), " +
-          s"p -> p.ida < p.idb AND (p.bkb = p.bka OR p.bkb = p.bka + 1)$extra)))"
+          s"p -> p.ida < p.idb AND (p.bkb = p.bka OR p.bkb = p.bka + 1)" +
+          s"$residual$extra)))"
       // bucket-local pair expansion (see d03): one execution of the
       // prefix subtree instead of two self-join branches.
       val smallPairs = sized.filter($"bsz" <= BucketCap)
@@ -242,7 +264,7 @@ object DedupQueries {
           (size($"sa") + size($"sb") - $"inter"), 6))
         .filter($"jac" >= 0.5)
         .select($"doc_a", $"doc_b", $"jac")
-    }
+  }
 
   /** Near-dup CLUSTERING: connected components over the d05 near-dup
     * pair graph, so each duplicate cluster keeps exactly one
@@ -377,7 +399,7 @@ object DedupQueries {
       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))""".stripMargin
 
   /** DuckDB twin of [[hashedShingles]] — identical md5-prefix hash. */
-  private val hashedShingleSql =
+  private[ext] val hashedShingleSql =
     s"""list_distinct(list_transform($shingleSql,
       |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT))""".stripMargin
 

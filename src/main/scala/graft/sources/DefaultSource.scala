@@ -116,6 +116,9 @@ final class DefaultSource extends RelationProvider
       "this graft table has outstanding merge-on-read delete files; " +
         "read via GraftTable.read (applies deletes) or run optimize() " +
         "to materialize them first")
+    // ANALYZE stats → Catalyst CBO (see GraftStatsRule): installed on
+    // first load, rewrites this relation's plan stats at optimize time
+    GraftStatsRule.ensureInstalled(spark)
     HadoopFsRelation(
       location = new GraftFileIndex(spark, table, asOf),
       partitionSchema = new org.apache.spark.sql.types.StructType(),

@@ -79,6 +79,14 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
 
   override def sizeInBytes: Long = pinned._2.map(_._2).sum
 
+  /** Stats-bearing CatalogTable for [[GraftStatsRule]] — computed once
+    * per index (the index is already pinned to one snapshot, so the
+    * row count and ANALYZE store are read at the same consistency). */
+  lazy val catalogTableWithStats
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    GraftStatsRule.catalogTableFor(table,
+      asOf.orElse(table.currentSnapshot), sizeInBytes)
+
   override def inputFiles: Array[String] = pinned._2.map(_._1).toArray
 
   override def refresh(): Unit = { pinned = load(); listCache.clear() }

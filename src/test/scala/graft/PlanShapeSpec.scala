@@ -83,6 +83,10 @@ class PlanShapeSpec extends SparkSpec {
     def kids(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
+      // the pair relation is session-cached (RelCache) — the pinned
+      // shape lives in the cache's BUILD plan, so descend into it
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(i.relation.cachedPlan)
       case other => other.children
     }
     def all(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(all)
