@@ -103,22 +103,50 @@ object GraftSql {
           created.append(df, clock)
         }
         None
-      case InsertSelect(t, body) =>
+      case InsertSelect(t, colList, body) =>
         val target = resolve(unquote(t))
         val df = selectBody(spark, resolve, body)
-        val want = target.schema.fields.map(f => f.name -> f.dataType).toMap
-        val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
-        require(got == want, s"INSERT SELECT schema mismatch: source " +
-          s"${df.schema.simpleString}, target ${target.schema.simpleString}")
-        target.append(
-          df.select(target.schema.fieldNames.toSeq.map(col): _*), clock)
+        Option(colList) match {
+          case None => // full-row: names and types must match exactly
+            val want = target.schema.fields.map(f => f.name -> f.dataType).toMap
+            val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+            require(got == want, s"INSERT SELECT schema mismatch: source " +
+              s"${df.schema.simpleString}, target ${target.schema.simpleString}")
+            target.append(
+              df.select(target.schema.fieldNames.toSeq.map(col): _*), clock)
+          case Some(cl) =>
+            // Trino's column-list rule: the SELECT's columns map to the
+            // listed target columns BY POSITION; unlisted columns
+            // become typed NULLs
+            val names = cl.split(",").map(c => unquote(c.trim)).toSeq
+            val unknown = names.filterNot(target.schema.fieldNames.contains)
+            require(unknown.isEmpty,
+              s"unknown INSERT column(s): ${unknown.mkString(", ")}")
+            require(names.size == df.schema.size, "INSERT arity mismatch: " +
+              s"${names.size} columns, ${df.schema.size} select outputs")
+            val byName = names.zip(df.schema.fieldNames).toMap
+            val proj = target.schema.fields.toSeq.map { f =>
+              byName.get(f.name) match {
+                case Some(src) => col(src).cast(f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
+            }
+            target.append(df.select(proj: _*), clock)
+        }
         None
       case InsertStmt(t, cols, values) =>
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
         delete(resolve(unquote(t)), Option(where), clock); None
+      case MergeStmtSub(t, tAlias, body, sAlias, on, whenTail) =>
+        // derived-table source (Trino: USING (query) AS alias ON ...):
+        // the body runs through the same resolver as any SELECT
+        merge(spark, resolve(unquote(t)), selectBody(spark, resolve, body),
+          Option(tAlias).getOrElse(unquote(t)), sAlias,
+          on, whenTail, clock)
+        None
       case MergeStmt(t, tAlias, s, sAlias, on, whenTail) =>
-        merge(spark, resolve(unquote(t)), resolve(unquote(s)),
+        merge(spark, resolve(unquote(t)), resolve(unquote(s)).read,
           Option(tAlias).getOrElse(unquote(t)),
           Option(sAlias).getOrElse(unquote(s)),
           on, whenTail, clock)
@@ -185,7 +213,7 @@ object GraftSql {
   private val CreateAsSelect =
     s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident(?: WITH ?\\((.+?)\\))? AS ((?:SELECT|WITH) .+)$$""".r
   private val InsertSelect =
-    s"""(?is)^INSERT INTO $Ident ((?:SELECT|WITH) .+)$$""".r
+    s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? ((?:SELECT|WITH) .+)$$""".r
   private val InsertStmt =
     s"""(?is)^INSERT INTO $Ident(?: ?\\(([^)]*)\\))? VALUES (.+)$$""".r
   private val DeleteStmt = s"""(?is)^DELETE FROM $Ident(?: WHERE (.+))?$$""".r
@@ -194,6 +222,11 @@ object GraftSql {
   private val MergeStmt =
     (s"""(?is)^MERGE INTO $Ident(?: AS (\\w+))? USING $Ident(?: AS (\\w+))?""" +
       """ ON (.+?)( WHEN .+)$""").r
+  // Trino also takes a derived-table source: USING (query) AS alias —
+  // the alias is mandatory there, as in Trino
+  private val MergeStmtSub =
+    (s"""(?is)^MERGE INTO $Ident(?: AS (\\w+))? USING """ +
+      """\(((?:SELECT|WITH) .+)\) (?:AS )?(\w+) ON (.+?)( WHEN .+)$""").r
   private val MatchedUpdate =
     """(?is)^MATCHED(?: AND (.+?))? THEN UPDATE SET (.+)$""".r
   private val MatchedDelete =
@@ -454,7 +487,7 @@ object GraftSql {
         // parsing yields decimals, columns keep their own types
         name -> parseSetExpr(schema, sides(1).trim, clock).cast(dt)
       }.toMap
-      t.updateWhere(parseWhere(schema, whereRaw), sets, clock)
+      t.updateWhere(parseWhereGeneral(schema, whereRaw), sets, clock)
     }
 
   /** One SET rhs: operand, or `operand op operand` (op outside quotes). */
@@ -669,12 +702,13 @@ object GraftSql {
     * ([[GraftTable.deleteWhereMOR]]) instead of rewriting data. A bare
     * `DELETE FROM t` (truncate shape) takes the copy-on-write path — one
     * metadata commit replacing the file list beats writing a delete
-    * entry per row. The WHERE grammar is a closed conjunction of simple
-    * comparisons (`col op literal`, `IS [NOT] NULL`, `IN (...)`) —
-    * anything richer fails loudly, like the rest of the dispatcher. */
+    * entry per row. The WHERE clause takes the closed conjunction
+    * grammar first, then the general-predicate fallback
+    * ([[parseWhereGeneral]]) — OR/NOT/BETWEEN/LIKE/functions all work;
+    * unknown columns fail loudly at analysis. */
   private def delete(t: GraftTable, where: Option[String], clock: Clock): Unit =
     where match {
-      case Some(w) => t.deleteWhereMOR(parseWhere(t.schema, w), clock)
+      case Some(w) => t.deleteWhereMOR(parseWhereGeneral(t.schema, w), clock)
       case None => t.deleteWhere(lit(true), clock)
     }
 
@@ -684,7 +718,9 @@ object GraftSql {
     *  WHEN MATCHED [AND <cond>] THEN UPDATE SET c = <expr>, ... |
     *  WHEN MATCHED [AND <cond>] THEN DELETE |
     *  WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (<exprs>)`
-    * — Trino's Iceberg MERGE. The ON clause must be a conjunction of
+    * — Trino's Iceberg MERGE. The source is a graft table or a
+    * derived table (`USING (query) AS alias`, resolved like any
+    * SELECT body). The ON clause must be a conjunction of
     * same-named key equalities (that key set is what the eq-delete
     * commit needs); WHEN clauses apply first-match-wins, like Trino.
     *
@@ -701,7 +737,7 @@ object GraftSql {
     * row matched by more than one source row fails loudly, as in Trino
     * (reference: `__main__.py`'s statements are single-statement-atomic
     * in Trino). */
-  private def merge(spark: SparkSession, t: GraftTable, s: GraftTable,
+  private def merge(spark: SparkSession, t: GraftTable, source: DataFrame,
                     tAlias: String, sAlias: String, on: String,
                     whenTail: String, clock: Clock): Unit = {
     val schema = t.schema
@@ -761,7 +797,7 @@ object GraftSql {
           insNames == insRefs.map(_._2) && insNames.toSet == names.toSet
       case _ => false
     }
-    if (fastPath) t.upsert(s.read.select(names.map(col): _*), keys, clock)
+    if (fastPath) t.upsert(source.select(names.map(col): _*), keys, clock)
     else runGeneralMerge()
 
     def runGeneralMerge(): Long = {
@@ -769,7 +805,7 @@ object GraftSql {
       val tv = s"graft_merge_t_$tag"
       val sv = s"graft_merge_s_$tag"
       t.read.createOrReplaceTempView(tv)
-      s.read.createOrReplaceTempView(sv)
+      source.createOrReplaceTempView(sv)
       try {
         val joinFrom = s"FROM $tv AS `$tAlias` JOIN $sv AS `$sAlias` ON $on"
         // Trino semantics: a matched row is handled by the FIRST matched
@@ -912,6 +948,54 @@ object GraftSql {
 
   private def parseWhere(schema: StructType, w: String): org.apache.spark.sql.Column =
     splitTopAnd(w).map(parseWhereTerm(schema, _)).reduce(_ && _)
+
+  /** WHERE predicate for UPDATE / DELETE: the closed conjunction
+    * grammar first (bit-exact legacy behavior, driver-side column
+    * checks), then any predicate outside it — OR, NOT, BETWEEN, LIKE,
+    * function calls — falls back to Spark's expression parser, with
+    * Trino's double-quoted identifiers converted to backticks (in
+    * Spark SQL a double-quoted token would silently parse as a STRING
+    * LITERAL — `"k" = 1` ≡ 'k' = 1 ≡ false — which is exactly the kind
+    * of quiet corruption the dispatcher must never allow). Unknown
+    * columns in the fallback still fail loudly, at analysis. */
+  private def parseWhereGeneral(schema: StructType,
+                                w: String): org.apache.spark.sql.Column =
+    try parseWhere(schema, w)
+    catch {
+      case _: IllegalArgumentException => expr(backtickIdents(w))
+    }
+
+  /** Rewrite `"ident"` → `` `ident` `` outside single-quoted string
+    * literals (Trino quotes identifiers with double quotes; Spark's
+    * parser wants backticks). */
+  private[graft] def backtickIdents(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { // copy string literal verbatim ('' = escape)
+        out += c; i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          out += s.charAt(i)
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              out += '\''; i += 1
+            } else closed = true
+          }
+          i += 1
+        }
+      } else if (c == '"') {
+        val end = s.indexOf('"', i + 1)
+        if (end < 0) { out += c; i += 1 }
+        else {
+          out += '`'; out ++= s.substring(i + 1, end); out += '`'
+          i = end + 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.result()
+  }
 
   private val IsNullTerm = s"""(?i)^$Ident IS NULL$$""".r
   private val IsNotNullTerm = s"""(?i)^$Ident IS NOT NULL$$""".r

@@ -354,6 +354,18 @@ class GraftSqlSpec extends SparkSpec {
     // unknown tables still fail loudly, inside CTE bodies included
     intercept[Exception](fx.sql(
       "WITH d AS (SELECT * FROM nosuch) SELECT * FROM d"))
+
+    // column-list INSERT ... SELECT: positional mapping, unlisted
+    // columns become typed NULLs (Trino's rule)
+    fx.sql("CREATE TABLE wide (a VARCHAR, s BIGINT, extra DOUBLE)")
+    fx.sql("INSERT INTO wide (s, a) SELECT sum(n) AS s1, a AS a1 " +
+      "FROM t GROUP BY a")
+    val wide = fx.resolve("wide").read
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(wide.map(r => (r._1, r._2)) == flat)
+    assert(wide.forall(_._3.isEmpty))
+    intercept[Exception](fx.sql("INSERT INTO wide (nope) SELECT a FROM t"))
+    intercept[Exception](fx.sql("INSERT INTO wide (a, s) SELECT a FROM t"))
   }
 
   test("ALTER TABLE SET PROPERTIES round-trips; DEFAULT unsets") {
@@ -662,15 +674,39 @@ class GraftSqlSpec extends SparkSpec {
     fx.sql("DELETE FROM t WHERE k IN (1, 3) AND v IS NOT NULL")
     assert(t.read.filter($"k".isin(1, 3)).count() == 0)
 
+    // outside the closed conjunction grammar → the general-predicate
+    // fallback: OR, BETWEEN, functions, double-quoted identifiers
+    fx.sql("DELETE FROM t WHERE k = 0 OR k = 2")
+    assert(t.read.filter($"k".isin(0, 2)).count() == 0)
+    fx.sql("DELETE FROM t WHERE \"k\" BETWEEN 4 AND 6 AND grp LIKE 'g%'")
+    assert(t.read.filter($"k".between(4, 6)).count() == 0)
+
+    // unknown columns still fail loudly (fallback analysis; checked
+    // while the table is non-empty — an empty table short-circuits
+    // before the predicate is ever analyzed)
+    intercept[Exception](
+      fx.sql("DELETE FROM t WHERE nosuch = 1 OR nosuch = 2"))
+
     // truncate shape takes the CoW path and empties the table
     fx.sql("DELETE FROM t")
     assert(t.rowCount == 0)
+  }
 
-    // outside the closed WHERE grammar -> loud failure
-    intercept[IllegalArgumentException](
-      fx.sql("DELETE FROM t WHERE k = 1 OR k = 2"))
-    intercept[IllegalArgumentException](
-      fx.sql("DELETE FROM t WHERE nosuch = 1"))
+  test("UPDATE takes general WHERE predicates through the fallback") {
+    import spark.implicits._
+    val fx = fixture("sqlupdgen")
+    fx.sql("CREATE TABLE t (k INTEGER, grp VARCHAR, v DOUBLE)")
+    fx.sql("INSERT INTO t VALUES " + (0 until 10).map(i =>
+      s"($i, 'g${i % 2}', ${i * 1.0})").mkString(", "))
+    fx.sql("UPDATE t SET v = v + 100 WHERE k = 1 OR k = 3")
+    val t = fx.resolve("t")
+    assert(t.read.filter($"k".isin(1, 3)).select("v")
+      .as[Double].collect().sorted.toSeq == Seq(101.0, 103.0))
+    // a double-quoted identifier must be an IDENTIFIER, never a
+    // silently-false string literal
+    fx.sql("UPDATE t SET v = 0 WHERE \"grp\" = 'g0' AND k >= 8")
+    assert(t.read.filter($"k" === 8).select("v").as[Double].head() == 0.0)
+    intercept[Exception](fx.sql("UPDATE t SET v = 0 WHERE nope = 1 OR k = 1"))
   }
 
   test("MERGE INTO in the upsert shape is exactly GraftTable.upsert") {
@@ -768,6 +804,37 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](fx.sql(
       """MERGE INTO t USING src ON t.k = src.k
         WHEN MATCHED THEN UPDATE SET k = src.k + 1"""))
+  }
+
+  test("MERGE USING a derived-table source") {
+    import spark.implicits._
+    val fx = fixture("sqlmergesub")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR, n BIGINT)")
+    fx.sql("INSERT INTO src VALUES (2, 'up', 5), (9, 'new', 7), (4, 'no', 500)")
+
+    // projected + filtered source; the full-row shape takes the one-
+    // commit upsert fast path exactly like a table source
+    fx.sql("""MERGE INTO t USING
+      (SELECT k, upper(v) AS v FROM src WHERE n < 100) AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val t = fx.resolve("t")
+    assert(t.read.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "UP"), (3L, "c"), (9L, "NEW")))
+
+    // a source whose body contains its own JOIN ... ON still parses,
+    // and mixed clauses run the general (single-commit) path
+    val before = t.currentSnapshot.get.snapshotId
+    fx.sql("""MERGE INTO t USING
+      (SELECT a.k AS k, b.v AS v FROM src a JOIN src b ON a.k = b.k
+       WHERE a.n < 100) s ON t.k = s.k
+      WHEN MATCHED AND s.k = 2 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = concat(s.v, '!')""")
+    assert(t.currentSnapshot.get.snapshotId == before + 1)
+    assert(t.read.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (3L, "c"), (9L, "new!")))
   }
 
   test("general MERGE is ONE atomic snapshot; multi-match fails loudly") {
