@@ -118,16 +118,12 @@ object DedupQueries {
     val bands = sig.select($"doc_id", posexplode(bandKeys).as(Seq("band", "band_key")))
     // Candidate pairs by bucket-local expansion (groupBy + collect_list)
     // instead of a bands⋈bands self-join — halves the heavy subtree
-    // executions and shuffles each band bucket once. Bucket membership
-    // lists are near-dup-cluster sized, not corpus sized.
-    val cand = bands
-      .groupBy($"band", $"band_key")
-      .agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, a -> filter(transform(ids, b -> array(a, b)), " +
-          "p -> p[0] < p[1])))")).as("p"))
-      .select($"p" (0).as("doc_a"), $"p" (1).as("doc_b"))
+    // executions and shuffles each band bucket once; oversized buckets
+    // (a corpus of near-identical docs collapsing onto one band key)
+    // shard via [[saltedPairExpansion]]'s triangle salting.
+    val cand = saltedPairExpansion(bands, Seq("band", "band_key"),
+      Seq($"doc_id"), "doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"hs".as("sa")), "doc_a")
@@ -165,11 +161,63 @@ object DedupQueries {
     ngramPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
-  // salt fan-out for oversized prefix buckets, and the size at which a
-  // bucket is considered skewed (quadratic expansion of a 64-member
-  // bucket is ~2k pairs — fine in one task; past that, shard it)
+  // salt fan-out for oversized buckets, and the size at which a bucket
+  // is considered skewed (quadratic expansion of a 64-member bucket is
+  // ~2k pairs — fine in one task; past that, shard it)
   private val PairSalts = 8
   private val BucketCap = 64
+
+  /** Bucket-local candidate-pair expansion with skew salting — shared
+    * by every LSH/blocking family operator (d03 MinHash bands, d05
+    * prefix buckets, s05 embedding bands). `rows` carries the bucket
+    * key columns plus the member columns; one bucket's members pair up
+    * locally (collect_list + nested transform — ONE heavy-subtree
+    * execution, not a self-join). A degenerate bucket (a ubiquitous
+    * shingle, a corpus of identical documents collapsing to one band
+    * key) would make that single task quadratic, so buckets over
+    * [[BucketCap]] members shard with the triangle scheme: each member
+    * takes a salt g = hash(id) % S and replicates to the S cells
+    * {(min(i,g), max(i,g)) : i < S}; a cross-salt pair meets in exactly
+    * cell (min,max) and a same-salt pair only in cell (g,g) — every
+    * pair generated exactly once, max task size ~2·|bucket|/S. The size
+    * probe is a count window on the same key the expansion groups by,
+    * so it rides the one existing shuffle. `residual` is extra SQL over
+    * the pair struct `p` (member fields under `p.a` / `p.b`), applied
+    * AT EXPANSION — rejected pairs never reach a verify join. Output:
+    * member-struct columns `a`, `b` with a.<idField> < b.<idField>;
+    * NOT deduplicated across buckets (callers `.distinct()`). */
+  private[graft] def saltedPairExpansion(rows: DataFrame,
+      bucketKeys: Seq[String], memberCols: Seq[Column], idField: String,
+      residual: String = ""): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val base = rows.select(
+      (bucketKeys.map(col) :+ struct(memberCols: _*).as("mbr")): _*)
+    val sized = base.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(bucketKeys.map(col): _*)))
+    def pairFilter(extra: String) =
+      "flatten(transform(ds, x -> filter(transform(ds, y -> " +
+        "named_struct('a', x.mbr, 'b', y.mbr, 'ga', x.g, 'gb', y.g)), " +
+        s"p -> p.a.`$idField` < p.b.`$idField`$residual$extra)))"
+    val small = sized.filter($"bsz" <= BucketCap)
+      .withColumn("g", lit(0))
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(collect_list(struct($"mbr", $"g")).as("ds"))
+      .filter(size($"ds") > 1)
+      .select(explode(expr(pairFilter(""))).as("p"))
+    val big = sized.filter($"bsz" > BucketCap)
+      .withColumn("g", pmod(hash(col(s"mbr.$idField")), lit(PairSalts)))
+      .select((bucketKeys.map(col) ++ Seq($"mbr", $"g", explode(expr(
+        s"transform(sequence(0, ${PairSalts - 1}), " +
+          "i -> struct(least(i, g) AS ci, greatest(i, g) AS cj))")).as("cell"))): _*)
+      .withColumn("ci", $"cell.ci").withColumn("cj", $"cell.cj")
+      .groupBy((bucketKeys :+ "ci" :+ "cj").map(col): _*)
+      .agg(collect_list(struct($"mbr", $"g")).as("ds"))
+      .filter(size($"ds") > 1)
+      .select(explode(expr(
+        pairFilter(" AND (p.ga <> p.gb OR ci = cj)"))).as("p"))
+    small.union(big).select($"p.a".as("a"), $"p.b".as("b"))
+  }
 
   /** Verified near-dup pairs, unordered — persisted and shared between
     * d05 (which just orders it) and d09 (which runs components over it),
@@ -197,73 +245,39 @@ object DedupQueries {
 
   /** The prefix-filtered candidate expansion + exact-Jaccard verify over
     * a `(doc_id, bkt, shingles)` relation. `residual` is an extra SQL
-    * predicate over the candidate-pair struct `p` (fields ida/idb/
-    * bka/bkb), applied AT EXPANSION — pairs it rejects never reach the
-    * verify join (d11 uses it to keep only pairs touching a new batch). */
-  private[ext] def verifiedNgramPairs(docsRel: DataFrame,
+    * predicate over the candidate-pair struct `p` (member fields under
+    * `p.a` / `p.b`), applied AT EXPANSION — pairs it rejects never
+    * reach the verify join (d11 uses it to keep only pairs touching a
+    * new batch). */
+  private[ext] def verifiedNgramPairs(docs: DataFrame,
                                       residual: String = ""): DataFrame = {
-    val s = docsRel.sparkSession
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = docsRel
-      // Prefix filtering (AllPairs/PPJoin): under a global element order
-      // (ascending hash), any pair with jac >= t shares at least one
-      // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.
-      // t' = 0.499 < t keeps the filter lossless even for pairs whose true
-      // jac sits just below 0.5 but ROUNDS to 0.5 in the final 6-dp check.
-      // Candidates become "pairs sharing a rare prefix hash" — near-dup
-      // density, not the quadratic length-bucket blowup (5.9M pairs at
-      // sf0.1); the bucket adjacency condition rides along as a residual.
-      val pref = docs.select($"doc_id", $"bkt",
-        explode(slice(array_sort($"shingles"), lit(1),
-          (size($"shingles") - ceil(size($"shingles") * 0.499) + 1)
-            .cast("int"))).as("h"))
-      // A ubiquitous shingle would put its whole bucket in ONE task and
-      // make the expansion quadratic there. Buckets over BucketCap are
-      // sharded with the triangle scheme: each member takes a salt
-      // g = hash(doc_id) % S and is replicated to the S cells
-      // {(min(i,g), max(i,g)) : i < S}; a cross-salt pair {x,y} meets in
-      // exactly cell (min,max), a same-salt pair only in cell (g,g) —
-      // every pair exactly once, max task size ~2·|bucket|/S. The size
-      // probe is a count window on the same key the expansion groups by,
-      // so it rides the one existing shuffle.
-      val sized = pref.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy($"h")))
-      val pairFilter = (extra: String) =>
-        "flatten(transform(ds, a -> filter(transform(ds, b -> " +
-          "named_struct('ida', a.doc_id, 'bka', a.bkt, 'idb', b.doc_id, 'bkb', b.bkt" +
-          ", 'ga', a.g, 'gb', b.g)), " +
-          s"p -> p.ida < p.idb AND (p.bkb = p.bka OR p.bkb = p.bka + 1)" +
-          s"$residual$extra)))"
-      // bucket-local pair expansion (see d03): one execution of the
-      // prefix subtree instead of two self-join branches.
-      val smallPairs = sized.filter($"bsz" <= BucketCap)
-        .withColumn("g", lit(0))
-        .groupBy($"h")
-        .agg(collect_list(struct($"doc_id", $"bkt", $"g")).as("ds"))
-        .filter(size($"ds") > 1)
-        .select(explode(expr(pairFilter(""))).as("p"))
-      val bigPairs = sized.filter($"bsz" > BucketCap)
-        .withColumn("g", pmod(hash($"doc_id"), lit(PairSalts)))
-        .select($"h", $"doc_id", $"bkt", $"g", explode(expr(
-          s"transform(sequence(0, ${PairSalts - 1}), " +
-            "i -> struct(least(i, g) AS ci, greatest(i, g) AS cj))")).as("cell"))
-        .withColumn("ci", $"cell.ci").withColumn("cj", $"cell.cj")
-        .groupBy($"h", $"ci", $"cj")
-        .agg(collect_list(struct($"doc_id", $"bkt", $"g")).as("ds"))
-        .filter(size($"ds") > 1)
-        .select(explode(expr(
-          pairFilter(" AND (p.ga <> p.gb OR ci = cj)"))).as("p"))
-      val cand = smallPairs.union(bigPairs)
-        .select($"p.ida".as("doc_a"), $"p.idb".as("doc_b"))
-        .distinct()
-      cand
-        .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
-        .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
-        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
-        .withColumn("jac", round($"inter" /
-          (size($"sa") + size($"sb") - $"inter"), 6))
-        .filter($"jac" >= 0.5)
-        .select($"doc_a", $"doc_b", $"jac")
+    // Prefix filtering (AllPairs/PPJoin): under a global element order
+    // (ascending hash), any pair with jac >= t shares at least one
+    // element inside both docs' prefixes of length |s| - ceil(t'*|s|) + 1.
+    // t' = 0.499 < t keeps the filter lossless even for pairs whose true
+    // jac sits just below 0.5 but ROUNDS to 0.5 in the final 6-dp check.
+    // Candidates become "pairs sharing a rare prefix hash" — near-dup
+    // density, not the quadratic length-bucket blowup (5.9M pairs at
+    // sf0.1); the bucket adjacency condition rides as a residual.
+    val pref = docs.select($"doc_id", $"bkt",
+      explode(slice(array_sort($"shingles"), lit(1),
+        (size($"shingles") - ceil(size($"shingles") * 0.499) + 1)
+          .cast("int"))).as("h"))
+    val cand = saltedPairExpansion(pref, Seq("h"),
+      Seq($"doc_id", $"bkt"), "doc_id",
+      " AND (p.b.bkt = p.a.bkt OR p.b.bkt = p.a.bkt + 1)" + residual)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+      .withColumn("jac", round($"inter" /
+        (size($"sa") + size($"sb") - $"inter"), 6))
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jac")
   }
 
   /** Near-dup CLUSTERING: connected components over the d05 near-dup

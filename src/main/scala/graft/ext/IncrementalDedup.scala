@@ -35,7 +35,8 @@ object IncrementalDedup {
     new Path(s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_$dirKey")
   }
 
-  private val BatchResidual = " AND (p.ida % 10 = 0 OR p.idb % 10 = 0)"
+  private val BatchResidual =
+    " AND (p.a.doc_id % 10 = 0 OR p.b.doc_id % 10 = 0)"
 
   // ---- index stamp: "<lastIndexedSnapshotId>\n<sourceFingerprint>" ----
 

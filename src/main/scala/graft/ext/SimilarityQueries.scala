@@ -269,14 +269,11 @@ object SimilarityQueries {
       val bands = sig.select($"vec_id",
         posexplode(bandKeys).as(Seq("band", "key")))
       // bucket-local pair expansion (one heavy-subtree execution, not a
-      // self-join) — see DedupQueries.d03 for the pattern
-      val cand = bands.groupBy($"band", $"key")
-        .agg(collect_list($"vec_id").as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, a -> filter(transform(ids, b -> array(a, b)), " +
-            "p -> p[0] < p[1])))")).as("p"))
-        .select($"p" (0).as("vec_a"), $"p" (1).as("vec_b"))
+      // self-join); oversized band buckets shard via triangle salting —
+      // see DedupQueries.saltedPairExpansion
+      val cand = DedupQueries.saltedPairExpansion(bands, Seq("band", "key"),
+        Seq($"vec_id"), "vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
         .distinct()
       cand
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea"),

@@ -77,6 +77,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).distinct.size == got.size)
   }
 
+  test("salted expansion equals brute-force pairing, multiplicity included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // bucket sizes straddle the 64-member salting threshold; ids can
+    // repeat ACROSS buckets (pairs then count once per bucket)
+    val rows = Seq(5, 80, 200, 64, 65).zipWithIndex.flatMap { case (n, b) =>
+      rnd.shuffle((0 until 100000).toList).take(n)
+        .map(i => (b.toLong, i.toLong))
+    }
+    val got = DedupQueries.saltedPairExpansion(
+      rows.toDF("bkt", "id"), Seq("bkt"), Seq($"id"), "id")
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSeq
+    val expect = rows.groupBy(_._1).values.toSeq.flatMap { ms =>
+      val ids = ms.map(_._2)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }
+    assert(got.sorted == expect.sorted,
+      s"got ${got.size} pairs, expected ${expect.size}")
+  }
+
   test("d09 over the documents table groups every doc into one cluster") {
     val df = DedupQueries.d09DedupClusters(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
