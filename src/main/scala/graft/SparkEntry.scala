@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.rel.{AnalyticQueries, RelQueries, ScaleQueries}
-import graft.ext.{DedupQueries, IncrementalDedup, Multimodal, SampleQueries, SimilarityQueries, TextQueries}
+import graft.ext.{ClusterQueries, DedupQueries, IncrementalDedup, Multimodal, SampleQueries, SimilarityQueries, TextQueries}
 import graft.sched.MaintenanceQueries
 import graft.streaming.StreamOps
 
@@ -14,6 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ AnalyticQueries.queries ++ ScaleQueries.queries ++
+      ClusterQueries.queries ++
       DedupQueries.queries ++ IncrementalDedup.queries ++
       SampleQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ Multimodal.queries ++
@@ -23,6 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ AnalyticQueries.oracles ++ ScaleQueries.oracles ++
+      ClusterQueries.oracles ++
       DedupQueries.oracles ++ IncrementalDedup.oracles ++
       SampleQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ Multimodal.oracles ++

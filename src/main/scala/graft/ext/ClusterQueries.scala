@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.rel.Tables
+
+/** Topic CLUSTERING over the embedding corpus: deterministic spherical
+  * k-means (Lloyd iterations with cosine assignment), the corpus
+  * organization step between near-dup removal and domain mixing in an
+  * LLM data pipeline (cluster → inspect → reweight/drop).
+  *
+  * Determinism contract (what makes a DuckDB oracle possible at all):
+  * fixed init (centroids = the K lowest vec_ids), a FIXED iteration
+  * count, per-coordinate centroid means rounded to [[CentroidDp]] dp
+  * after every update (so the two engines' order-of-summation drift
+  * cannot propagate), similarities rounded to 6 dp with cid tie-breaks
+  * before every argmax. Dot products are left-to-right folds over
+  * ascending dimensions in both engines — bit-identical doubles.
+  *
+  * Scale shape: K centroids are a tiny broadcast relation, so the
+  * assignment stage is a map-side projection over the corpus (no
+  * shuffle); the update stage is ONE hash-aggregate per iteration whose
+  * reduce side is K×dim rows after map-side partial aggregation — the
+  * classic distributed-Lloyd plan that holds at 100 TB, where the
+  * corpus is scanned `iterations + 1` times and never shuffled by row.
+  */
+object ClusterQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val K = 8
+  private val Iters = 2
+  private val Dim = 64
+  private val CentroidDp = 5
+
+  /** left-to-right fold dot of a float vector with a double centroid. */
+  private def dotD(a: Column, ce: Column): Column =
+    aggregate(zip_with(a, ce, (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normD(ce: Column): Column =
+    sqrt(aggregate(ce, lit(0.0), (acc, x) => acc + x * x))
+
+  /** cosine argmax assignment of every vector to one of the (few)
+    * broadcast centroids `(cid, ce, cn)`. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    e.join(broadcast(cents), lit(true))
+      .withColumn("sim", round(dotD($"embedding", $"ce") / ($"nrm" * $"cn"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"label", $"embedding", $"nrm", $"cid")
+  }
+
+  /** centroid update: per-(cid, dimension) mean, rounded, re-assembled
+    * into an ordered double array. Map-side partial avg keeps the
+    * shuffle at K×dim rows regardless of corpus size. */
+  private def update(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned
+      .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cid", $"pos")
+      .agg(round(avg($"v".cast("double")), CentroidDp).as("cv"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"cv"))),
+        p => p("cv")).as("ce"))
+      .withColumn("cn", normD($"ce"))
+  }
+
+  /** K-means topic clusters: K=[[K]], [[Iters]] Lloyd iterations, then a
+    * final assignment summarized per cluster — size, vec_id range, and
+    * the modal `label` (ties to the lowest label), the purity signal a
+    * curation pass reads. */
+  def d13KmeansTopics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .withColumn("nrm", sqrt(aggregate(
+        transform($"embedding", x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+    var cents = e.filter($"vec_id" < K)
+      .select($"vec_id".as("cid"),
+        transform($"embedding", x => x.cast("double")).as("ce"))
+      .withColumn("cn", normD($"ce"))
+    for (_ <- 0 until Iters) cents = update(assign(e, cents))
+    val fin = assign(e, cents)
+    val sizes = fin.groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"))
+    val wLab = Window.partitionBy($"cid").orderBy($"n".desc, $"label")
+    val topLabel = fin.groupBy($"cid", $"label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lrn", row_number().over(wLab))
+      .filter($"lrn" === 1)
+      .select($"cid", $"label".as("top_label"), $"n".as("top_label_n"))
+    sizes.join(topLabel, Seq("cid"))
+      .select($"cid".as("cluster_id"), $"n_members", $"first_vec",
+        $"last_vec", $"top_label", $"top_label_n")
+      .orderBy($"cluster_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_kmeans_topics" -> (d13KmeansTopics _),
+  )
+
+  // ---- oracle SQL (DuckDB): the same fixed-iteration pipeline, CTEs
+  // unrolled per Lloyd round ----
+
+  private val dotSql =
+    "list_sum(list_apply(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def assignCte(prev: String, out: String): String =
+    s"""${out}n AS (
+      |  SELECT cid, ce, sqrt(list_sum(list_apply(ce, x -> x * x))) AS cn
+      |  FROM $prev),
+      |$out AS (
+      |  SELECT vec_id, label, embedding, nrm, cid FROM (
+      |    SELECT e.vec_id, e.label, e.embedding, e.nrm, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(${dotSql.format("e.embedding", "c.ce")} / (e.nrm * c.cn), 6)
+      |          DESC, c.cid) AS rn
+      |    FROM e, ${out}n c) WHERE rn = 1)""".stripMargin
+
+  private def updateCte(prev: String, out: String): String =
+    s"""${out}u AS (
+      |  SELECT cid, i,
+      |    round(avg(CAST(embedding[i] AS DOUBLE)), $CentroidDp) AS cv
+      |  FROM $prev, range(1, ${Dim + 1}) r(i) GROUP BY cid, i),
+      |$out AS (SELECT cid, list(cv ORDER BY i) AS ce FROM ${out}u GROUP BY cid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d13_kmeans_topics" -> {
+      val rounds = (0 until Iters).map { i =>
+        assignCte(s"c$i", s"a$i") + ",\n        |" + updateCte(s"a$i", s"c${i + 1}")
+      }.mkString(",\n        |")
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id < $K),
+        |$rounds,
+        |${assignCte(s"c$Iters", "fin")},
+        |sizes AS (
+        |  SELECT cid, count(*) AS n_members, min(vec_id) AS first_vec,
+        |    max(vec_id) AS last_vec
+        |  FROM fin GROUP BY cid),
+        |lab AS (SELECT cid, label, count(*) AS n FROM fin GROUP BY cid, label),
+        |topl AS (
+        |  SELECT cid, label AS top_label, n AS top_label_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid
+        |                                 ORDER BY n DESC, label) AS lrn
+        |    FROM lab) WHERE lrn = 1)
+        |SELECT s.cid AS cluster_id, n_members, first_vec, last_vec,
+        |  top_label, CAST(top_label_n AS BIGINT) AS top_label_n
+        |FROM sizes s JOIN topl USING (cid) ORDER BY cluster_id""".stripMargin
+    },
+  )
+}

@@ -368,6 +368,54 @@ object DedupQueries {
       .select($"vec_a", $"vec_b"))
   }
 
+  // a shingle is "boilerplate" when it appears in at least this many
+  // distinct documents (mirrored verbatim in the d12 oracle)
+  private val BoilerplateMinDocs = 5
+  // a document is flagged when at least this fraction of its distinct
+  // shingles are boilerplate
+  private val BoilerplateFlagFrac = 0.2
+
+  /** BOILERPLATE detection (RefinedWeb/CCNet shape): find word-3-grams
+    * shared by ≥ [[BoilerplateMinDocs]] distinct documents — headers,
+    * footers, templates — and report, per (lang, source), how much of
+    * each document that boilerplate covers.
+    *
+    * Scale shape: per-doc DISTINCT hashed shingles are one projection
+    * (no shuffle); the corpus-wide frequency count is ONE hash-aggregate
+    * over the exploded shingles with map-side partial counts; the
+    * frequent set is tiny relative to the corpus (it's the set of
+    * near-universal templates) and BROADCASTS back onto the per-doc
+    * rows, so the coverage join never shuffles the corpus by shingle.
+    * At 100 TB the only wide stage is the frequency aggregate, whose
+    * reduce side is |distinct shingles|, not |corpus|. */
+  def d12BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", $"lang", $"source", hashedShingles($"text").as("gs"))
+    val freq = docs
+      .select(explode($"gs").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
+      .filter($"n_docs_with" >= BoilerplateMinDocs)
+      .select($"g")
+    val perDoc = docs
+      .select($"doc_id", $"lang", $"source", size($"gs").as("n_grams"),
+        explode($"gs").as("g"))
+      .join(broadcast(freq), Seq("g"))
+      .groupBy($"doc_id", $"lang", $"source", $"n_grams")
+      .agg(count(lit(1)).as("n_boiler"))
+    docs.select($"doc_id", $"lang", $"source", size($"gs").as("n_grams"))
+      .join(perDoc.select($"doc_id", $"n_boiler"), Seq("doc_id"), "left")
+      .withColumn("frac",
+        coalesce($"n_boiler", lit(0L)).cast("double") / $"n_grams")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"n_boiler", lit(0L))).as("total_boiler_grams"),
+        round(avg($"frac"), 6).as("avg_boiler_frac"),
+        count(when($"frac" >= BoilerplateFlagFrac, 1)).as("n_flagged"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 3-gram shingle with a held-out benchmark set (every 50th doc
     * stands in for the eval suite). The benchmark's distinct shingle
@@ -403,6 +451,7 @@ object DedupQueries {
     "d08_decontaminate" -> (d08Decontaminate _),
     "d09_dedup_clusters" -> (d09DedupClusters _),
     "d10_semantic_dedup" -> (d10SemanticDedup _),
+    "d12_boilerplate_ngrams" -> (d12BoilerplateNgrams _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -555,6 +604,27 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN rn > $MaxMembers THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_overflow
         |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+    "d12_boilerplate_ngrams" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang, source, $hashedShingleSql AS gs
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |freq AS (
+        |  SELECT g FROM (SELECT unnest(gs) AS g FROM docs)
+        |  GROUP BY g HAVING count(*) >= $BoilerplateMinDocs),
+        |hits AS (
+        |  SELECT d.doc_id, count(*) AS n_boiler
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM docs) d
+        |  JOIN freq USING (g) GROUP BY d.doc_id),
+        |base AS (SELECT doc_id, lang, source, len(gs) AS n_grams FROM docs)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(coalesce(sum(h.n_boiler), 0) AS BIGINT) AS total_boiler_grams,
+        |  round(avg(coalesce(h.n_boiler, 0)::DOUBLE / n_grams), 6)
+        |    AS avg_boiler_frac,
+        |  CAST(count(CASE WHEN coalesce(h.n_boiler, 0)::DOUBLE / n_grams
+        |                   >= $BoilerplateFlagFrac THEN 1 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM base LEFT JOIN hits h USING (doc_id)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d08_decontaminate" ->
       s"""WITH bench AS (
         |  SELECT DISTINCT unnest($hashedShingleSql) AS sh

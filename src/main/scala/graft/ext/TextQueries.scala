@@ -242,7 +242,42 @@ object TextQueries {
       .orderBy($"lang", $"source", $"chunk")
   }
 
+  /** Terms the scrub removes (C4-style blocklist filtering; a real
+    * pipeline loads the badword list from config — fixed here and
+    * mirrored verbatim in the oracle). */
+  private val blocklist = Seq("customer", "vector", "dup")
+
+  private def blocked(w: Column): Column =
+    blocklist.map(b => w === b).reduce(_ || _)
+
+  /** BLOCKLIST scrub (C4 §2.1 shape): remove blocklisted tokens from
+    * every document and report, per source, how much was redacted —
+    * documents touched, tokens removed, token/char counts before and
+    * after. Pure projection + one aggregation shuffle; the blocklist is
+    * a baked-in predicate (at 100 TB scale a larger list would compile
+    * to the same codegen'd OR-chain or a broadcast hash probe), so the
+    * corpus is scanned exactly once and never shuffles by token. */
+  def t09BlocklistScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_hits", size(filter($"words", blocked(_))).cast("long"))
+      .withColumn("chars_after",
+        aggregate(filter($"words", w => !blocked(w)), lit(0L),
+          (a, x) => a + length(x)))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"n_hits" > 0, 1)).as("n_docs_hit"),
+        sum($"n_hits").as("total_redactions"),
+        sum($"n_words").as("tokens_before"),
+        sum($"n_words" - $"n_hits").as("tokens_after"),
+        sum($"chars_after").as("chars_after"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_blocklist_scrub" -> (t09BlocklistScrub _),
     "t06_gopher_filters" -> (t06GopherFilters _),
     "t08_sequence_packing" -> (t08SequencePacking _),
     "t01_langid" -> (t01LangId _),
@@ -257,7 +292,25 @@ object TextQueries {
     l -> ws.map(w => s"x = '$w'").mkString(" OR ")
   }.toMap
 
+  private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
+
   val oracles: Map[String, String] = Map(
+    "t09_blocklist_scrub" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), x -> $blockedSql)) AS n_hits,
+        |    coalesce(list_sum(list_apply(
+        |      list_filter(string_split(text, ' '), x -> NOT ($blockedSql)),
+        |      x -> length(x))), 0) AS chars_after
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN n_hits > 0 THEN 1 END) AS BIGINT) AS n_docs_hit,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_redactions,
+        |  CAST(sum(n_words) AS BIGINT) AS tokens_before,
+        |  CAST(sum(n_words - n_hits) AS BIGINT) AS tokens_after,
+        |  CAST(sum(chars_after) AS BIGINT) AS chars_after
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "t08_sequence_packing" ->
       """WITH d AS (
         |  SELECT lang, source, doc_id,

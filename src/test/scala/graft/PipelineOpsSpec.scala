@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{ClusterQueries, DedupQueries, TextQueries}
+
+/** Pins the round-8 pipeline operators: boilerplate n-gram detection
+  * (d12), blocklist scrubbing (t09), and deterministic k-means topic
+  * clustering (d13) — each on a constructed corpus with a hand-computed
+  * expected answer.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("d12 flags documents covered by a cross-document template 3-gram") {
+    import spark.implicits._
+    val dir = tmpDir("boiler")
+    // 6 docs share the template shingle "alpha beta gamma"; each doc has
+    // 6 words → 4 distinct shingles, exactly 1 of them boilerplate
+    // (frequency 6 ≥ 5) → frac 0.25, over the 0.2 flag threshold.
+    // 4 docs in source s1 share nothing (frequency 4 < 5 even for their
+    // common template) → frac 0.
+    val docs =
+      (0 until 6).map(i =>
+        (i.toLong, s"alpha beta gamma w$i x$i y$i", "en", "s0")) ++
+      (10 until 14).map(i =>
+        (i.toLong, s"p$i q$i r$i common tail pair", "en", "s1"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.d12BoilerplateNgrams(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("en", "s0", 6L, 6L, 0.25, 6L),
+      ("en", "s1", 4L, 0L, 0.0, 0L)))
+  }
+
+  test("t09 redaction counts match a hand-scrubbed corpus") {
+    import spark.implicits._
+    val dir = tmpDir("scrub")
+    val docs = Seq(
+      // 2 hits ("customer", "dup"), 3 kept words of 3+5+4=12 chars
+      (1L, "customer one likes dup much", "en", "a"),
+      // no hits, 2 kept words of 5+5=10 chars
+      (2L, "clean words", "en", "a"),
+      // 3 hits (vector twice + dup), 1 kept word of 4 chars
+      (3L, "vector dup vector word", "en", "b"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.t09BlocklistScrub(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      //        n_docs hit redact before after chars
+      ("a", 2L, 1L, 2L, 7L, 5L, 22L),
+      ("b", 1L, 1L, 3L, 4L, 1L, 4L)))
+  }
+
+  test("d13 k-means separates well-separated groups with pure labels") {
+    import spark.implicits._
+    val dir = tmpDir("kmeans")
+    // 40 vectors in 4 orthogonal groups (axes 0,1,2,3), label = group.
+    // vec_ids 0-7 (the fixed initial centroids) cover all 4 groups; the
+    // rest carry small deterministic jitter on a distinct axis.
+    val dim = 64
+    val vecs = (0 until 40).map { i =>
+      val g = i % 4
+      val e = Array.fill(dim)(0.0f)
+      e(g) = 1.0f
+      e(8 + (i % 7)) = 0.01f * ((i % 5) + 1)
+      (i.toLong, e.toSeq, g)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = ClusterQueries.d13KmeansTopics(spark, dir).collect()
+    // every vector lands in exactly one cluster…
+    assert(rows.map(_.getLong(1)).sum == 40L)
+    // …and no cluster mixes groups: modal label accounts for ALL members
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(1),
+        s"cluster ${r.getLong(0)} mixes labels: $r")
+    }
+    // the 4 groups remain separated: 4 distinct modal labels
+    assert(rows.map(_.getInt(4)).toSet == Set(0, 1, 2, 3))
+  }
+}

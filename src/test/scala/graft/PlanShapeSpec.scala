@@ -126,6 +126,39 @@ class PlanShapeSpec extends SparkSpec {
       "per-shard packing must never funnel through one partition")
   }
 
+  test("d12: the frequent-shingle set broadcasts; the corpus never shuffles by shingle") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d12_boilerplate_ngrams")(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the frequent set must broadcast back onto the per-doc rows")
+    // shuffles: frequency aggregate, per-doc coverage aggregate, the
+    // doc_id coverage join, and the final (lang, source) aggregate —
+    // never a corpus-wide shuffle keyed by shingle string
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 5, s"unexpected shuffle count ${shuffles.size}")
+  }
+
+  test("t09: blocklist scrub is one scan plus one aggregation exchange") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t09_blocklist_scrub")(spark, sf))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"corpus must be scanned once (${scans.size})")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // the per-source aggregate plus the final orderBy's range exchange
+    assert(shuffles.size <= 2, s"scrub must not shuffle rows (${shuffles.size})")
+  }
+
+  test("d13: k-means assignment is map-side — centroids broadcast, corpus unshuffled below the argmax window") {
+    val nodes = allNodes(
+      graft.ext.ClusterQueries.queries("d13_kmeans_topics")(spark, sf))
+    assert(nodes.exists(n =>
+      n.getClass.getSimpleName.contains("BroadcastNestedLoop") ||
+        n.isInstanceOf[BroadcastHashJoinExec]),
+      "centroid assignment must broadcast the K centroids")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "no unbroadcast cartesian product anywhere in the Lloyd plan")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
