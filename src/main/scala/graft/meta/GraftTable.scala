@@ -844,11 +844,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // carry a null key-schema record, poisoning read planning
       if (nKeys == 0L) { fs.delete(eqDir, true); return 0L }
       var removed = 0L
+      val memo = scala.collection.mutable.Map.empty[
+        (IndexedSeq[(String, Long)], Seq[String], Seq[String]), Long]
       commit("delete", emptyManifest, clock, carryPrior = true,
         eqDeleteSource = Some(inventory(eqDir)),
         eqFilesAdded = GraftTable.listFiles(fs, eqDir).size.toLong,
         rowsDelta = { b =>
-          removed = matchingRows(b, keys, keyCols, keyStats); -removed
+          removed = matchingRows(b, keys, keyCols, keyStats, memo); -removed
         })
       removed
     }
@@ -903,12 +905,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       fs.delete(eqDir, true); fs.delete(commitDir, true); return 0L
     }
     var removed = 0L
+    val memo = scala.collection.mutable.Map.empty[
+      (IndexedSeq[(String, Long)], Seq[String], Seq[String]), Long]
     commit(op, if (hasData) inventory(commitDir) else emptyManifest,
       clock, carryPrior = true,
       eqDeleteSource = Some(inventory(eqDir)),
       eqFilesAdded = GraftTable.listFiles(fs, eqDir).size.toLong,
       rowsDelta = { b =>
-        removed = matchingRows(b, delKeys, keys, keyStats); -removed
+        removed = matchingRows(b, delKeys, keys, keyStats, memo); -removed
       })
     if (!hasData) fs.delete(commitDir, true)
     removed
@@ -919,9 +923,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * bounds-pruned first: one tiny aggregate computes the key set's
     * min/max per key column, and only data files whose manifest bounds
     * overlap are read — an upsert touching one key range counts
-    * against overlapping files, not the table. */
+    * against overlapping files, not the table.
+    *
+    * `memo` (one map per commit call) caches the count keyed by the
+    * pruned file set plus the basis's delete manifests: a CAS retry
+    * whose new basis differs only by non-overlapping appends — the
+    * common concurrent-writer case — reuses the prior attempt's count
+    * instead of re-paying the pruned scan. A retry where the data or
+    * delete state actually changed misses the memo and recounts. */
   private def matchingRows(b: Snapshot, keys: DataFrame,
-                           keyCols: Seq[String], stats: Row): Long = {
+                           keyCols: Seq[String], stats: Row,
+                           memo: scala.collection.mutable.Map[
+                             (IndexedSeq[(String, Long)], Seq[String], Seq[String]),
+                             Long] = null): Long = {
     if (b.numFiles == 0) return 0L
     val kd = keys.select(keyCols.map(col): _*).distinct()
     // per key column: value bounds over the non-null keys AND whether
@@ -957,9 +971,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .toIndexedSeq
     if (pairs.isEmpty) 0L
     else {
-      val live = morReadFiles(b, pairs)
-      val cond = keyCols.map(k => live(k) <=> kd(k)).reduce(_ && _)
-      live.join(kd, cond, "left_semi").count()
+      val memoKey = (pairs, b.deleteManifests, b.eqDeleteManifests)
+      if (memo != null && memo.contains(memoKey)) memo(memoKey)
+      else {
+        val live = morReadFiles(b, pairs)
+        val cond = keyCols.map(k => live(k) <=> kd(k)).reduce(_ && _)
+        val n = live.join(kd, cond, "left_semi").count()
+        if (memo != null) memo(memoKey) = n
+        n
+      }
     }
   }
 
