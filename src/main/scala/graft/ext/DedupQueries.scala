@@ -53,7 +53,7 @@ object DedupQueries {
     * is several times cheaper than over ~20-char strings, and because the
     * hash is the portable md5 prefix, the DuckDB oracle builds the SAME
     * hashed sets — results agree bit-for-bit even on hash collisions. */
-  private[ext] def hashedShingles(text: Column): Column =
+  private[graft] def hashedShingles(text: Column): Column =
     array_distinct(transform(shingleCol(text), s => h32(s)))
 
   /** Exact dedup summary: distinct-text counts per language. */

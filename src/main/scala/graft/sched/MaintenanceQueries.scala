@@ -398,15 +398,22 @@ object MaintenanceQueries {
     sql("ALTER TABLE t RENAME COLUMN v TO label")
     sql("ALTER TABLE t ADD COLUMN scratch INTEGER")
     sql("ALTER TABLE t DROP COLUMN scratch")
+    // type widening: score double already; widen a fresh INTEGER column
+    // to BIGINT, then land a value only the wide type can hold
+    sql("ALTER TABLE t ADD COLUMN hits INTEGER")
+    sql("ALTER TABLE t ALTER COLUMN hits SET DATA TYPE BIGINT")
+    sql(s"INSERT INTO t VALUES (6, 'f', 1.0, ${Int.MaxValue.toLong + 9})")
     val t = resolve("t")
     val v1 = sql("SELECT * FROM t FOR VERSION AS OF 1").get
     import spark.implicits._
     Seq((t.schema.fieldNames.mkString(","), t.rowCount,
       t.read.filter(col("score").isNull).count(),
       t.read.filter(col("label") === "a").count(),
+      t.read.filter(col("hits") > Int.MaxValue.toLong).count(),
       v1.count()))
       .toDF("columns_now", "rows_now", "pre_evolution_rows_null_score",
-        "renamed_column_reads_old_files", "rows_at_version_1")
+        "renamed_column_reads_old_files", "widened_rows_beyond_int",
+        "rows_at_version_1")
   }
 
   /** Partition EVOLUTION (Trino spelling: `SET PROPERTIES partitioning

@@ -157,6 +157,8 @@ object GraftSql {
         resolve(unquote(t)).renameColumn(unquote(from), unquote(to)); None
       case AlterDropCol(t, c) =>
         resolve(unquote(t)).dropColumn(unquote(c)); None
+      case AlterColType(t, c, tpe) =>
+        resolve(unquote(t)).updateColumnType(unquote(c), parseType(tpe.trim)); None
       case SelectVersion(t, ver) =>
         Some(resolve(unquote(t)).readAsOf(ver.toLong))
       case SelectVersionRef(t, ref) => // Trino: branch/tag name version
@@ -241,6 +243,11 @@ object GraftSql {
     s"""(?i)^ALTER TABLE $Ident RENAME COLUMN $Ident TO $Ident$$""".r
   private val AlterDropCol =
     s"""(?i)^ALTER TABLE $Ident DROP COLUMN $Ident$$""".r
+  // Trino: ALTER TABLE t ALTER COLUMN c SET DATA TYPE bigint — Iceberg
+  // type widening (int→bigint, float→double); data files keep the
+  // narrow encoding, reads up-cast through the field id
+  private val AlterColType =
+    s"""(?i)^ALTER TABLE $Ident ALTER COLUMN $Ident SET DATA TYPE (.+)$$""".r
   // Trino/Iceberg time travel: SELECT * FROM t FOR VERSION AS OF 3 /
   // FOR TIMESTAMP AS OF TIMESTAMP '...'
   private val SelectVersion =

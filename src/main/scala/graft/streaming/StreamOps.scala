@@ -380,7 +380,56 @@ object StreamOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming DECONTAMINATION gate — the ingestion-time twin of the
+    * batch d08: documents ARRIVE as an unbounded stream and each is
+    * checked against the held-out benchmark's shingle set before it may
+    * enter the corpus. The benchmark shingles are a STATIC relation
+    * broadcast into a stream-static left join (eval suites are tiny
+    * next to an ingest feed, so the stream side never shuffles by
+    * shingle), and `dropDuplicates(doc_id, sh)` — a STATEFUL streaming
+    * dedup on a composite key — reduces matches to distinct shared
+    * shingles per document. The memory sink holds one row per distinct
+    * (doc, shingle); the final batch shaping aggregates it into
+    * EXACTLY d08's output, so the same DuckDB oracle checks that the
+    * stream flagged precisely the contaminated documents. */
+  def st08StreamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.DedupQueries.hashedShingles
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val bench = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(hashedShingles(col("text"))).as("bsh")).distinct()
+    val arriving = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{documents.parquet}")
+      .filter(col("doc_id") % 50 =!= 0)
+      // explode_outer: a doc too short to shingle still reaches the
+      // sink (null sh) and counts in n_docs
+      .select(col("doc_id"), col("lang"),
+        explode_outer(hashedShingles(col("text"))).as("sh"))
+    val flagged = arriving
+      .join(broadcast(bench), col("sh") === col("bsh"), "left")
+      .select(col("doc_id"), col("lang"), col("sh"),
+        col("bsh").isNotNull.as("hit"))
+      .dropDuplicates("doc_id", "sh")
+    val sink = s"st08_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = flagged.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(when(col("hit"), col("doc_id"))).as("n_contaminated"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("total_shared"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_stream_decontaminate" -> (st08StreamDecontaminate _),
     "st07_session_window" -> (st07SessionWindow _),
     "st01_hourly_stream" -> (st01HourlyStream _),
     "st02_stream_dedup" -> (st02StreamDedup _),
@@ -397,6 +446,10 @@ object StreamOps {
       |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the batch d08 oracle verbatim: the stream must flag exactly the
+    // documents the batch decontamination pass flags
+    "st08_stream_decontaminate" ->
+      graft.ext.DedupQueries.oracles("d08_decontaminate"),
     // Gap-based sessionization (new session at gap >= 30 min, matching
     // session_window's strict-overlap merge), emitted-only filter =
     // append mode's watermark rule: end <= max(ts) - 2h.

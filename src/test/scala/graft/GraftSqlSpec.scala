@@ -972,4 +972,30 @@ class GraftSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       fx.sql("ALTER TABLE t RENAME COLUMN nosuch TO y"))
   }
+
+  test("ALTER COLUMN SET DATA TYPE widens in place; narrowing is refused") {
+    import spark.implicits._
+    val fx = fixture("sqlwiden")
+    fx.sql("CREATE TABLE t (k INTEGER, v REAL)")
+    fx.sql("INSERT INTO t VALUES (1, 1.5), (2, 2.5)")
+
+    fx.sql("ALTER TABLE t ALTER COLUMN k SET DATA TYPE BIGINT")
+    fx.sql("ALTER TABLE t ALTER COLUMN v SET DATA TYPE DOUBLE")
+    val t = fx.resolve("t")
+    assert(t.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+
+    // a value only the WIDE type can hold lands next to the narrow files
+    fx.sql(s"INSERT INTO t VALUES (${Int.MaxValue.toLong + 7}, 9.25)")
+    assert(t.read.count() == 3)
+    assert(t.read.agg(org.apache.spark.sql.functions.max($"k"))
+      .as[Long].head() == Int.MaxValue.toLong + 7)
+    // old narrow files still read (up-cast through the field id) and a
+    // filter over the widened column spans both file generations
+    assert(t.read.filter($"k" >= 2L).count() == 2)
+
+    // Iceberg widening rules only: narrowing fails loudly
+    intercept[IllegalArgumentException](
+      fx.sql("ALTER TABLE t ALTER COLUMN k SET DATA TYPE INTEGER"))
+  }
 }

@@ -56,6 +56,22 @@ class PipelineOpsSpec extends SparkSpec {
       ("b", 1L, 1L, 3L, 4L, 1L, 4L)))
   }
 
+  test("st08 streaming decontamination flags exactly the docs sharing a benchmark shingle") {
+    import spark.implicits._
+    val dir = tmpDir("stdecon")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),   // benchmark (id % 50 == 0)
+      (1L, "x1 alpha beta gamma y1", "en", "s0"),   // shares "alpha beta gamma"
+      (2L, "p2 q2 r2 s2 t2", "en", "s0"),           // clean
+      (3L, "beta gamma delta z3 w3", "fr", "s0"))   // shares "beta gamma delta"
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.streaming.StreamOps.st08StreamDecontaminate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("en", 2L, 1L, 1L), ("fr", 1L, 1L, 1L)))
+  }
+
   test("d13 k-means separates well-separated groups with pure labels") {
     import spark.implicits._
     val dir = tmpDir("kmeans")
