@@ -276,7 +276,40 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Each language's target share of the training-token budget (equal
+    * mixing here; a DoReMi-style pipeline would feed learned weights —
+    * the PLAN is identical). Mirrored verbatim in the oracle. */
+  private val TargetShare = 0.2
+
+  /** DOMAIN MIXING weights (static reweighting): give every language an
+    * equal share of the token budget by computing, per language, the
+    * sampling weight `min(1, target_tokens / actual_tokens)` and the
+    * resulting expected token count — the curation step that turns
+    * cluster/language statistics into a sampling plan.
+    *
+    * One corpus scan → one (lang) aggregate; the corpus-wide total is a
+    * single-row aggregate BROADCAST back onto the 5 language rows. At
+    * 100 TB the heavy side is the one aggregate — weights themselves
+    * are O(languages). */
+  def t10DomainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = t(s, dir, "documents")
+      .withColumn("toks", size(split($"text", " ")).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("actual_tokens"))
+    val total = perLang.agg(sum($"actual_tokens").as("total_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("weight", round(least(lit(1.0),
+        ($"total_tokens" * TargetShare) / $"actual_tokens"), 6))
+      .withColumn("expected_tokens",
+        round($"actual_tokens" * $"weight", 0).cast("long"))
+      .select($"lang", $"n_docs", $"actual_tokens", $"weight",
+        $"expected_tokens")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_domain_mix" -> (t10DomainMix _),
     "t09_blocklist_scrub" -> (t09BlocklistScrub _),
     "t06_gopher_filters" -> (t06GopherFilters _),
     "t08_sequence_packing" -> (t08SequencePacking _),
@@ -295,6 +328,19 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "t10_domain_mix" ->
+      s"""WITH p AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(actual_tokens)::DOUBLE AS total_tokens FROM p)
+        |SELECT lang, n_docs, actual_tokens,
+        |  round(least(1.0, (total_tokens * $TargetShare) / actual_tokens), 6)
+        |    AS weight,
+        |  CAST(round(actual_tokens *
+        |    round(least(1.0, (total_tokens * $TargetShare) / actual_tokens), 6),
+        |    0) AS BIGINT) AS expected_tokens
+        |FROM p, tot ORDER BY lang""".stripMargin,
     "t09_blocklist_scrub" ->
       s"""WITH d AS (
         |  SELECT source,

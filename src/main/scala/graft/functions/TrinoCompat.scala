@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types.DoubleType
+
+/** Trino-spelled SQL functions for the GraftSql dispatcher, mapped to
+  * Spark's native Catalyst expressions — NOT UDFs, so every mapping
+  * stays inside whole-stage codegen exactly like the Spark-native
+  * spelling would. A Trino user's `cardinality(x)`, `strpos(s, t)`,
+  * `date_diff('hour', a, b)`, `date_add('day', 3, ts)`,
+  * `to_unixtime(ts)`, `approx_distinct(x)`, `arbitrary(x)` run
+  * unchanged through the same general-SELECT path.
+  *
+  * Only names Spark does NOT already define are registered, and only as
+  * session temp functions — nothing shadows a built-in, and other
+  * sessions are untouched.
+  */
+object TrinoCompat {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // Trino cardinality(array|map) = Spark size() (Spark also defines
+    // cardinality — the registry check keeps the built-in if present)
+    "cardinality" -> (es => Size(es.head)),
+    // Trino strpos(string, substring) = 1-based position, 0 if absent
+    "strpos" -> (es => StringLocate(es(1), es(0), Literal(1))),
+    // Trino to_unixtime(ts) = epoch seconds as DOUBLE (fraction kept);
+    // Spark's timestamp→double cast has exactly that meaning
+    "to_unixtime" -> (es => Cast(es.head, DoubleType)),
+    // Trino approx_distinct(x) = HLL++, Spark's approx_count_distinct
+    "approx_distinct" -> (es => HyperLogLogPlusPlus(es.head)),
+    // Trino arbitrary(x) = any non-null value
+    "arbitrary" -> (es => First(es.head, ignoreNulls = true)
+      .toAggregateExpression()),
+  )
+
+  // `date_diff` / `date_add` are grammar-level in Spark (the unit is a
+  // BARE keyword parsed by visitTimestampdiff, never a resolvable
+  // function name), so Trino's string-literal-unit spelling must be
+  // rewritten BEFORE parsing: date_diff('hour', a, b) →
+  // timestampdiff(HOUR, a, b). Only the exact quoted-unit shape
+  // rewrites; Spark's own date_add(date, n) two-arg form is untouched.
+  private val DateDiffLit = """(?i)\bdate_diff\(\s*'(\w+)'\s*,""".r
+  private val DateAddLit = """(?i)\bdate_add\(\s*'(\w+)'\s*,""".r
+
+  // Trino's length-less CAST(x AS VARCHAR): Spark requires a length
+  // for VARCHAR but treats STRING identically — map the bare form only
+  // (VARCHAR(n) parses natively)
+  private val BareVarchar = """(?i)\bAS\s+VARCHAR\s*\)""".r
+
+  /** Rewrite Trino spellings in a SQL text. */
+  def rewriteSql(sql: String): String = {
+    val d = DateDiffLit.replaceAllIn(sql,
+      m => s"timestampdiff(${m.group(1).toUpperCase},")
+    val a = DateAddLit.replaceAllIn(d,
+      m => s"timestampadd(${m.group(1).toUpperCase},")
+    BareVarchar.replaceAllIn(a, "AS STRING)")
+  }
+
+  /** Idempotently register the compat names into `spark`'s session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

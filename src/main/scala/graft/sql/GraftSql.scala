@@ -51,7 +51,10 @@ object GraftSql {
   /** Execute one statement. Returns a DataFrame for queries
     * (SELECT / SHOW STATS), None for DDL, DML and maintenance commands. */
   def exec(spark: SparkSession, sql: String, resolve: String => GraftTable,
-           clock: Clock = Clock.systemUTC()): Option[DataFrame] =
+           clock: Clock = Clock.systemUTC()): Option[DataFrame] = {
+    // Trino-spelled scalar/aggregate functions resolve in every
+    // dispatcher statement (codegen'd Catalyst mappings, not UDFs)
+    graft.functions.TrinoCompat.ensureRegistered(spark)
     normalize(sql) match {
       case AlterExec(t, op, args, where) =>
         alterExec(resolve(unquote(t)), op, Option(args), Option(where), clock)
@@ -137,7 +140,7 @@ object GraftSql {
       case InsertStmt(t, cols, values) =>
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
-        delete(resolve(unquote(t)), Option(where), clock); None
+        delete(spark, resolve, resolve(unquote(t)), Option(where), clock); None
       case MergeStmtSub(t, tAlias, body, sAlias, on, whenTail) =>
         // derived-table source (Trino: USING (query) AS alias ON ...):
         // the body runs through the same resolver as any SELECT
@@ -182,10 +185,19 @@ object GraftSql {
       case body if body.toUpperCase.startsWith("SELECT ") ||
         body.toUpperCase.startsWith("WITH ") =>
         Some(selectBody(spark, resolve, body))
+      // Trino: EXPLAIN <query> — one row per line of the formatted
+      // physical plan (the engine's plan, since that is what executes)
+      case ExplainStmt(body) =>
+        import spark.implicits._
+        Some(selectBody(spark, resolve, body.trim)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          .split("\n").toSeq.toDF("plan"))
       case other => throw new IllegalArgumentException(
         s"unsupported SQL (GraftSql handles the reference's statement " +
           s"dialect only): $other")
     }
+  }
 
   // ---- statement grammar (whitespace-normalized input) -------------------
 
@@ -248,6 +260,7 @@ object GraftSql {
   // narrow encoding, reads up-cast through the field id
   private val AlterColType =
     s"""(?i)^ALTER TABLE $Ident ALTER COLUMN $Ident SET DATA TYPE (.+)$$""".r
+  private val ExplainStmt = """(?is)^EXPLAIN ((?:SELECT|WITH) .+)$""".r
   // Trino/Iceberg time travel: SELECT * FROM t FOR VERSION AS OF 3 /
   // FOR TIMESTAMP AS OF TIMESTAMP '...'
   private val SelectVersion =
@@ -713,8 +726,38 @@ object GraftSql {
     * grammar first, then the general-predicate fallback
     * ([[parseWhereGeneral]]) — OR/NOT/BETWEEN/LIKE/functions all work;
     * unknown columns fail loudly at analysis. */
-  private def delete(t: GraftTable, where: Option[String], clock: Clock): Unit =
+  // DELETE ... WHERE col [NOT] IN (SELECT ...) — the subquery is any
+  // dispatcher SELECT body (graft tables, CTEs, derived tables)
+  private val DeleteInSubquery =
+    """(?is)^((?:"[^"]+")|[\w.$]+) (NOT )?IN \(((?:SELECT|WITH) .+)\)$""".r
+
+  private def delete(spark: SparkSession, resolve: String => GraftTable,
+                     t: GraftTable, where: Option[String], clock: Clock): Unit =
     where match {
+      case Some(DeleteInSubquery(c, not, body)) =>
+        val k = unquote(c)
+        require(t.schema.fieldNames.contains(k), s"no such column $k")
+        val sub = selectBody(spark, resolve, body.trim)
+        require(sub.columns.length == 1,
+          s"IN subquery must return exactly one column, got ${sub.columns.length}")
+        val keyVals = sub.toDF(k)
+          .select(col(k).cast(t.schema(k).dataType)).distinct()
+        if (not == null)
+          // SQL IN: NULL subquery values match no row; a NULL target
+          // value matches no key — drop null keys so the null-safe
+          // eq-delete agrees with three-valued IN
+          t.deleteByKeys(keyVals.filter(col(k).isNotNull), clock)
+        else {
+          // SQL NOT IN: any NULL in the subquery makes every predicate
+          // UNKNOWN — nothing qualifies; otherwise delete the table's
+          // non-null key values not present in the subquery. One
+          // distinct-column scan + except, never a table rewrite.
+          val hasNull = keyVals.filter(col(k).isNull).limit(1).count() > 0
+          if (!hasNull)
+            t.deleteByKeys(
+              t.read.select(col(k)).filter(col(k).isNotNull).distinct()
+                .except(keyVals), clock)
+        }
       case Some(w) => t.deleteWhereMOR(parseWhereGeneral(t.schema, w), clock)
       case None => t.deleteWhere(lit(true), clock)
     }
@@ -969,7 +1012,8 @@ object GraftSql {
                                 w: String): org.apache.spark.sql.Column =
     try parseWhere(schema, w)
     catch {
-      case _: IllegalArgumentException => expr(backtickIdents(w))
+      case _: IllegalArgumentException => expr(
+        graft.functions.TrinoCompat.rewriteSql(backtickIdents(w)))
     }
 
   /** Rewrite `"ident"` → `` `ident` `` outside single-quoted string
@@ -1200,7 +1244,10 @@ object GraftSql {
           ci + "(?<![\\w.$\"])" + java.util.regex.Pattern.quote(raw) + "(?![\\w$\"])",
           java.util.regex.Matcher.quoteReplacement(view))
       }
-      spark.sql(sql) // analysis is eager: the plan is resolved here
+      // analysis is eager: the plan is resolved here. Trino temporal
+      // spellings (date_diff('unit', ...)) rewrite to Spark's
+      // grammar-level timestampdiff first — see TrinoCompat.rewriteSql
+      spark.sql(graft.functions.TrinoCompat.rewriteSql(sql))
     } finally views.foreach { case (_, v) => spark.catalog.dropTempView(v) }
   }
 

@@ -998,4 +998,68 @@ class GraftSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       fx.sql("ALTER TABLE t ALTER COLUMN k SET DATA TYPE INTEGER"))
   }
+
+  test("DELETE WHERE IN / NOT IN subquery follows three-valued SQL semantics") {
+    import spark.implicits._
+    val fx = fixture("sqldelsub")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e'), (6,'f')")
+    fx.sql("CREATE TABLE s (k2 BIGINT)")
+    fx.sql("INSERT INTO s VALUES (2), (3), (NULL)")
+    fx.sql("CREATE TABLE keep (k BIGINT)")
+    fx.sql("INSERT INTO keep VALUES (1), (5)")
+
+    def left(): Seq[Long] =
+      fx.resolve("t").read.select($"k").as[Long].collect().toSeq.sorted
+
+    // IN: NULL subquery values match nothing; 2 and 3 go
+    fx.sql("DELETE FROM t WHERE k IN (SELECT k2 FROM s)")
+    assert(left() == Seq(1L, 4L, 5L, 6L))
+    // NOT IN with a NULL in the subquery: every predicate UNKNOWN → no-op
+    fx.sql("DELETE FROM t WHERE k NOT IN (SELECT k2 FROM s)")
+    assert(left() == Seq(1L, 4L, 5L, 6L))
+    // NOT IN against a null-free set deletes the complement
+    fx.sql("DELETE FROM t WHERE k NOT IN (SELECT k FROM keep)")
+    assert(left() == Seq(1L, 5L))
+    // a CTE body rides the same path
+    fx.sql("DELETE FROM t WHERE k IN (WITH w AS (SELECT k FROM keep) SELECT k FROM w WHERE k > 2)")
+    assert(left() == Seq(1L))
+  }
+
+  test("Trino-spelled functions resolve in dispatcher SELECTs") {
+    val fx = fixture("sqltrinofn")
+    fx.sql("CREATE TABLE t (k BIGINT, tags ARRAY(VARCHAR), s VARCHAR, ts TIMESTAMP(6))")
+    fx.sql("INSERT INTO t VALUES " +
+      "(1, ARRAY['a','b'], 'hello', TIMESTAMP '2026-01-01 10:00:00')," +
+      "(2, ARRAY['c'], 'world', TIMESTAMP '2026-01-01 13:30:00')")
+    val r = fx.rows(
+      """SELECT k, cardinality(tags) AS n_tags, strpos(s, 'l') AS p,
+        |  date_diff('hour', TIMESTAMP '2026-01-01 09:00:00', ts) AS h,
+        |  to_unixtime(ts) AS ut,
+        |  CAST(date_add('day', 1, ts) AS VARCHAR) AS nxt
+        |FROM t""".stripMargin.replaceAll("\n", " "))
+      .sortBy(_.getLong(0))
+    assert(r(0).getInt(1) == 2 && r(1).getInt(1) == 1)
+    assert(r(0).getInt(2) == 3 && r(1).getInt(2) == 4)   // 1-based strpos
+    assert(r(0).getLong(3) == 1L && r(1).getLong(3) == 4L)
+    assert(r(0).getDouble(4) == 1.7672616e9) // 2026-01-01T10:00:00Z
+    assert(r(0).getString(5).startsWith("2026-01-02 10:00:00"))
+    val agg = fx.rows(
+      "SELECT approx_distinct(k) AS d, arbitrary(s) AS any_s FROM t").head
+    assert(agg.getLong(0) == 2L)
+    assert(Set("hello", "world").contains(agg.getString(1)))
+  }
+
+  test("EXPLAIN renders the physical plan of a dispatcher SELECT") {
+    val fx = fixture("sqlexplain")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    val plan = fx.rows("EXPLAIN SELECT k FROM t WHERE k = 1")
+      .map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"), plan.take(200))
+    // the WHERE reaches the parquet scan as a pushed filter
+    assert(plan.contains("PushedFilters") && plan.contains("k"), plan)
+    // EXPLAIN of a non-query is still an unsupported statement
+    intercept[IllegalArgumentException](fx.sql("EXPLAIN DROP TABLE t"))
+  }
 }

@@ -56,6 +56,24 @@ class PipelineOpsSpec extends SparkSpec {
       ("b", 1L, 1L, 3L, 4L, 1L, 4L)))
   }
 
+  test("t10 domain-mix weights hit the target token share") {
+    import spark.implicits._
+    val dir = tmpDir("mix")
+    // en: 20 tokens over 2 docs; fr: 5 tokens. total 25, target share
+    // 0.2 → 5 tokens per lang: en weight 0.25, fr capped at 1.0
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "en", "s0"),
+      (2L, Seq.fill(10)("w").mkString(" "), "en", "s0"),
+      (3L, Seq.fill(5)("w").mkString(" "), "fr", "s0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.t10DomainMix(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(("en", 2L, 20L, 0.25, 5L), ("fr", 1L, 5L, 1.0, 5L)))
+  }
+
   test("st08 streaming decontamination flags exactly the docs sharing a benchmark shingle") {
     import spark.implicits._
     val dir = tmpDir("stdecon")
