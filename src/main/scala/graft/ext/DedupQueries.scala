@@ -43,9 +43,14 @@ object DedupQueries {
 
   private def shingleCol(text: Column): Column = {
     val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(words) - 3),
-      i => concat_ws(" ", slice(words, i + 1, lit(3)))))
+    // a <3-word doc has NO shingles. Guarded explicitly: sequence(0, n)
+    // with n < 0 is a DESCENDING sequence in Spark, whose i = -1 would
+    // make slice() throw at runtime — the operators that shingle the
+    // whole corpus (d08/d12/st08) must survive a short document.
+    when(size(words) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", slice(words, i + 1, lit(3))))))
   }
 
   /** Distinct 32-bit-hashed shingle set. Near-dup verification compares

@@ -50,13 +50,46 @@ object TrinoCompat {
   // (VARCHAR(n) parses natively)
   private val BareVarchar = """(?i)\bAS\s+VARCHAR\s*\)""".r
 
-  /** Rewrite Trino spellings in a SQL text. */
+  /** Start offsets (inclusive, exclusive) of single-quoted literals,
+    * '' escapes included. */
+  private def literalSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        val start = i; i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** Rewrite Trino spellings — but a match that STARTS inside a string
+    * literal passes through byte-exact (a literal containing
+    * `date_diff(` or `AS VARCHAR)` is data, not syntax). The unit
+    * literal inside a real `date_diff('hour', …)` call starts OUTSIDE
+    * any enclosing literal, so genuine calls always rewrite. */
   def rewriteSql(sql: String): String = {
-    val d = DateDiffLit.replaceAllIn(sql,
+    def pass(in: String, re: scala.util.matching.Regex,
+             f: scala.util.matching.Regex.Match => String): String = {
+      val spans = literalSpans(in)
+      re.replaceAllIn(in, m =>
+        if (spans.exists(s => m.start >= s._1 && m.start < s._2))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else scala.util.matching.Regex.quoteReplacement(f(m)))
+    }
+    val d = pass(sql, DateDiffLit,
       m => s"timestampdiff(${m.group(1).toUpperCase},")
-    val a = DateAddLit.replaceAllIn(d,
+    val a = pass(d, DateAddLit,
       m => s"timestampadd(${m.group(1).toUpperCase},")
-    BareVarchar.replaceAllIn(a, "AS STRING)")
+    pass(a, BareVarchar, _ => "AS STRING)")
   }
 
   /** Idempotently register the compat names into `spark`'s session. */

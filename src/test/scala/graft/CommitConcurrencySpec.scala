@@ -67,6 +67,39 @@ class CommitConcurrencySpec extends SparkSpec {
       (0 until n).map(_.toLong).sum + (0 until n).map(_ + 1000L).sum)
   }
 
+  test("deleteByKeys stays exact while a lock-independent writer appends") {
+    // The matched-row count is memoized across CAS retries (keyed by
+    // the pruned file set + delete manifests); racing appends of
+    // non-overlapping keys force retries whose basis differs only by
+    // those appends — the count must stay exact either way.
+    val realParent = tmpDir("casdelreal")
+    val linkParent = tmpDir("casdellink")
+    val real = s"$realParent/t"
+    GraftTable.create(spark, real, schema)
+    Files.createSymbolicLink(Paths.get(s"$linkParent/t"), Paths.get(real))
+    val tA = GraftTable.load(spark, real)
+    val tB = GraftTable.load(spark, s"$linkParent/t")
+    tA.append((1L to 10L).toDF("k"))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    @volatile var removed = -1L
+    val appender = new Thread(() =>
+      try (0 until 6).foreach(i => tA.append(Seq(10000L + i).toDF("k")))
+      catch { case e: Throwable => errors.add(e) })
+    val deleter = new Thread(() =>
+      try removed = tB.deleteByKeys(Seq(2L, 4L, 6L).toDF("k"))
+      catch { case e: Throwable => errors.add(e) })
+    appender.start(); deleter.start()
+    appender.join(); deleter.join()
+    assert(errors.isEmpty, s"racing writers failed: ${errors.peek()}")
+    assert(removed == 3L, s"exact matched-row count required, got $removed")
+
+    val t = GraftTable.load(spark, real)
+    assert(t.rowCount == 10 - 3 + 6)
+    assert(t.read.count() == 13)
+    assert(t.read.filter(col("k").isin(2L, 4L, 6L)).count() == 0)
+  }
+
   test("legacy single-file logs read as version 0 and upgrade on commit") {
     val loc = tmpDir("caslegacy") + "/t"
     val t = GraftTable.create(spark, loc, schema)

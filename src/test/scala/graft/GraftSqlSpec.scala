@@ -1050,6 +1050,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(Set("hello", "world").contains(agg.getString(1)))
   }
 
+  test("TrinoCompat rewrite converts calls but never touches string literals") {
+    import graft.functions.TrinoCompat.rewriteSql
+    assert(rewriteSql("SELECT date_diff('hour', a, b)") ==
+      "SELECT timestampdiff(HOUR, a, b)")
+    assert(rewriteSql("SELECT date_add('day', 3, ts)") ==
+      "SELECT timestampadd(DAY, 3, ts)")
+    assert(rewriteSql("SELECT CAST(x AS VARCHAR) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    // the same shapes INSIDE literals are data, not syntax
+    assert(rewriteSql("SELECT 'date_diff(''hour'', a, b)' AS s") ==
+      "SELECT 'date_diff(''hour'', a, b)' AS s")
+    assert(rewriteSql("SELECT 'CAST(x AS VARCHAR)' AS s") ==
+      "SELECT 'CAST(x AS VARCHAR)' AS s")
+    // mixed: the real call rewrites, the literal survives byte-exact
+    assert(rewriteSql("SELECT date_diff('day', a, b), 'x AS VARCHAR) y'") ==
+      "SELECT timestampdiff(DAY, a, b), 'x AS VARCHAR) y'")
+  }
+
   test("EXPLAIN renders the physical plan of a dispatcher SELECT") {
     val fx = fixture("sqlexplain")
     fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")

@@ -56,6 +56,32 @@ class PipelineOpsSpec extends SparkSpec {
       ("b", 1L, 1L, 3L, 4L, 1L, 4L)))
   }
 
+  test("whole-corpus shingling survives documents too short to shingle") {
+    import spark.implicits._
+    val dir = tmpDir("shortdoc")
+    // doc 0 is the benchmark row (id % 50 == 0); docs 2-3 are shorter
+    // than one 3-gram — sequence(0, n<0) is DESCENDING in Spark, so an
+    // unguarded shingle expression throws on them at runtime
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),
+      (1L, "x1 alpha beta gamma y1", "en", "s0"),
+      (2L, "one", "en", "s0"),
+      (3L, "two words", "fr", "s0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // d08: short docs count in n_docs, contaminate nothing
+    val d08 = DedupQueries.d08Decontaminate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(d08 == Seq(("en", 2L, 1L), ("fr", 1L, 0L)))
+    // st08 agrees with d08 on the same corpus
+    val st08 = graft.streaming.StreamOps.st08StreamDecontaminate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(st08 == d08)
+    // d12 (which filters to shingleable docs) still runs clean
+    assert(DedupQueries.d12BoilerplateNgrams(spark, dir).collect().nonEmpty)
+  }
+
   test("t10 domain-mix weights hit the target token share") {
     import spark.implicits._
     val dir = tmpDir("mix")
