@@ -11,19 +11,23 @@ import graft.rel.Tables
   * LLM data pipeline (cluster → inspect → reweight/drop).
   *
   * Determinism contract (what makes a DuckDB oracle possible at all):
-  * fixed init (centroids = the K lowest vec_ids), a FIXED iteration
-  * count, per-coordinate centroid means rounded to [[CentroidDp]] dp
-  * after every update (so the two engines' order-of-summation drift
-  * cannot propagate), similarities rounded to 6 dp with cid tie-breaks
-  * before every argmax. Dot products are left-to-right folds over
-  * ascending dimensions in both engines — bit-identical doubles.
+  * fixed init (the K lowest vec_ids), a FIXED iteration count,
+  * per-coordinate centroid means rounded to [[CentroidDp]] dp after
+  * every update (so the two engines' order-of-summation drift cannot
+  * propagate), similarities rounded to 6 dp with cid tie-breaks before
+  * every argmax. Dot products are left-to-right folds over ascending
+  * dimensions in both engines — bit-identical doubles (the
+  * driver-side centroid norm is the same left-to-right fold).
   *
-  * Scale shape: K centroids are a tiny broadcast relation, so the
-  * assignment stage is a map-side projection over the corpus (no
-  * shuffle); the update stage is ONE hash-aggregate per iteration whose
-  * reduce side is K×dim rows after map-side partial aggregation — the
-  * classic distributed-Lloyd plan that holds at 100 TB, where the
-  * corpus is scanned `iterations + 1` times and never shuffled by row.
+  * Scale shape: centroids are K×dim doubles — bounded METADATA, like
+  * s02's probe cells — collected to the driver each round and baked
+  * into the next assignment as literal arrays. Assignment is therefore
+  * a PURE PROJECTION over the corpus: no join, no shuffle, argmax as a
+  * greatest+CASE chain inside whole-stage codegen. The only wide
+  * stages are the centroid updates — one hash-aggregate per iteration
+  * whose reduce side is K×dim rows after map-side partial aggregation.
+  * The corpus is scanned `iterations + 1` times and never shuffled by
+  * row — the classic distributed-Lloyd plan at 100 TB.
   */
 object ClusterQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -34,31 +38,42 @@ object ClusterQueries {
   private val Dim = 64
   private val CentroidDp = 5
 
-  /** left-to-right fold dot of a float vector with a double centroid. */
-  private def dotD(a: Column, ce: Column): Column =
-    aggregate(zip_with(a, ce, (x, p) => x.cast("double") * p),
+  /** left-to-right fold dot of the float vector column with a literal
+    * double centroid — a projection, nothing broadcast or joined. */
+  private def dotLit(a: Column, ce: Seq[Double]): Column =
+    aggregate(zip_with(a, array(ce.map(lit): _*), (x, p) => x.cast("double") * p),
       lit(0.0), (acc, x) => acc + x)
 
-  private def normD(ce: Column): Column =
-    sqrt(aggregate(ce, lit(0.0), (acc, x) => acc + x * x))
-
-  /** cosine argmax assignment of every vector to one of the (few)
-    * broadcast centroids `(cid, ce, cn)`. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+  /** cosine argmax assignment against driver-held centroids, as one
+    * projection: per-centroid sim columns, `greatest` for the max, and
+    * a first-match CASE chain in ascending cid order (= ties to the
+    * LOWEST cid, matching the oracle's `ORDER BY sim DESC, cid`). */
+  private def assign(e: DataFrame,
+                     cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
-    e.join(broadcast(cents), lit(true))
-      .withColumn("sim", round(dotD($"embedding", $"ce") / ($"nrm" * $"cn"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    val sorted = cents.sortBy(_._1)
+    val simCols = sorted.map { case (cid, ce) =>
+      // same left-to-right sum-of-squares fold as the oracle's list_sum
+      val cn = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+      round(dotLit($"embedding", ce) / ($"nrm" * cn), 6).as(s"sim_$cid")
+    }
+    val withSims = e.select(
+      ($"vec_id" +: $"label" +: $"embedding" +: $"nrm" +: simCols): _*)
+    val mx = sorted.map { case (cid, _) => col(s"sim_$cid") }
+      .reduce((a, b) => greatest(a, b))
+    val cid = sorted.reverse.foldLeft(lit(-1L)) { case (alt, (c, _)) =>
+      when(col(s"sim_$c") === mx, lit(c)).otherwise(alt)
+    }
+    withSims.withColumn("cid", cid)
       .select($"vec_id", $"label", $"embedding", $"nrm", $"cid")
   }
 
   /** centroid update: per-(cid, dimension) mean, rounded, re-assembled
-    * into an ordered double array. Map-side partial avg keeps the
-    * shuffle at K×dim rows regardless of corpus size. */
-  private def update(assigned: DataFrame): DataFrame = {
+    * into ordered double arrays and collected (K×dim — bounded).
+    * Map-side partial avg keeps the shuffle at K×dim rows regardless
+    * of corpus size. */
+  private def update(assigned: DataFrame): Seq[(Long, Seq[Double])] = {
     val s = assigned.sparkSession
     import s.implicits._
     assigned
@@ -68,7 +83,7 @@ object ClusterQueries {
       .groupBy($"cid")
       .agg(transform(array_sort(collect_list(struct($"pos", $"cv"))),
         p => p("cv")).as("ce"))
-      .withColumn("cn", normD($"ce"))
+      .as[(Long, Seq[Double])].collect().toSeq
   }
 
   /** K-means topic clusters: K=[[K]], [[Iters]] Lloyd iterations, then a
@@ -82,10 +97,12 @@ object ClusterQueries {
       .withColumn("nrm", sqrt(aggregate(
         transform($"embedding", x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)))
-    var cents = e.filter($"vec_id" < K)
-      .select($"vec_id".as("cid"),
+    // init = the K LOWEST vec_ids (not `vec_id < K`: ids need not start
+    // at 0); K×dim doubles — a bounded driver-side collect
+    var cents: Seq[(Long, Seq[Double])] = e.orderBy($"vec_id").limit(K)
+      .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("ce"))
-      .withColumn("cn", normD($"ce"))
+      .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 0 until Iters) cents = update(assign(e, cents))
     val fin = assign(e, cents)
     val sizes = fin.groupBy($"cid")
@@ -145,7 +162,7 @@ object ClusterQueries {
         |c0 AS (
         |  SELECT vec_id AS cid,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-        |  FROM embeddings WHERE vec_id < $K),
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $K)),
         |$rounds,
         |${assignCte(s"c$Iters", "fin")},
         |sizes AS (

@@ -395,27 +395,32 @@ object DedupQueries {
     * reduce side is |distinct shingles|, not |corpus|. */
   def d12BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
-      .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", $"lang", $"source", hashedShingles($"text").as("gs"))
-    val freq = docs
-      .select(explode($"gs").as("g"))
+    // the shingled corpus feeds TWO subtrees (frequency count +
+    // coverage); cached so the scan + md5 shingling run once per
+    // session, not per subtree
+    val docs = cached(s, dir, "boiler_docs") {
+      t(s, dir, "documents")
+        .filter(size(split($"text", " ")) >= 3)
+        .select($"doc_id", $"lang", $"source", hashedShingles($"text").as("gs"))
+    }
+    val exploded = docs.select($"doc_id", $"lang", $"source",
+      size($"gs").as("n_grams"), explode($"gs").as("g"))
+    val freq = exploded
       .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
       .filter($"n_docs_with" >= BoilerplateMinDocs)
-      .select($"g")
-    val perDoc = docs
-      .select($"doc_id", $"lang", $"source", size($"gs").as("n_grams"),
-        explode($"gs").as("g"))
-      .join(broadcast(freq), Seq("g"))
+      .select($"g", lit(1).as("hit"))
+    // every filtered doc has >= 1 distinct shingle, so the exploded
+    // relation loses no documents — a LEFT join against the broadcast
+    // frequent set covers the whole corpus in ONE pass (no third scan
+    // to re-attach zero-coverage docs)
+    exploded
+      .join(broadcast(freq), Seq("g"), "left")
       .groupBy($"doc_id", $"lang", $"source", $"n_grams")
-      .agg(count(lit(1)).as("n_boiler"))
-    docs.select($"doc_id", $"lang", $"source", size($"gs").as("n_grams"))
-      .join(perDoc.select($"doc_id", $"n_boiler"), Seq("doc_id"), "left")
-      .withColumn("frac",
-        coalesce($"n_boiler", lit(0L)).cast("double") / $"n_grams")
+      .agg(count($"hit").as("n_boiler"))
+      .withColumn("frac", $"n_boiler".cast("double") / $"n_grams")
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce($"n_boiler", lit(0L))).as("total_boiler_grams"),
+        sum($"n_boiler").as("total_boiler_grams"),
         round(avg($"frac"), 6).as("avg_boiler_frac"),
         count(when($"frac" >= BoilerplateFlagFrac, 1)).as("n_flagged"))
       .orderBy($"lang", $"source")

@@ -40,15 +40,23 @@ object TrinoCompat {
   // BARE keyword parsed by visitTimestampdiff, never a resolvable
   // function name), so Trino's string-literal-unit spelling must be
   // rewritten BEFORE parsing: date_diff('hour', a, b) →
-  // timestampdiff(HOUR, a, b). Only the exact quoted-unit shape
-  // rewrites; Spark's own date_add(date, n) two-arg form is untouched.
-  private val DateDiffLit = """(?i)\bdate_diff\(\s*'(\w+)'\s*,""".r
-  private val DateAddLit = """(?i)\bdate_add\(\s*'(\w+)'\s*,""".r
+  // timestampdiff(HOUR, a, b). Only a KNOWN unit name rewrites —
+  // Spark's own date_add(date, n) two-arg form and a first argument
+  // that merely looks quoted (date_add('20260101', …)) pass through
+  // untouched and fail loudly in Spark's parser if actually wrong.
+  private val Units =
+    "year|quarter|month|week|day|dayofyear|hour|minute|second|millisecond|microsecond"
+  private val DateDiffLit = s"""(?i)\\bdate_diff\\(\\s*'($Units)'\\s*,""".r
+  private val DateAddLit = s"""(?i)\\bdate_add\\(\\s*'($Units)'\\s*,""".r
 
   // Trino's length-less CAST(x AS VARCHAR): Spark requires a length
-  // for VARCHAR but treats STRING identically — map the bare form only
-  // (VARCHAR(n) parses natively)
-  private val BareVarchar = """(?i)\bAS\s+VARCHAR\s*\)""".r
+  // for VARCHAR but treats STRING identically. Anchored to a CAST( so
+  // an output column aliased `AS varchar` is never renamed; the inner
+  // expression may hold one nesting level of parens — a deeper CAST
+  // stays unrewritten and fails loudly (DATATYPE_MISSING_SIZE) rather
+  // than risking a mis-parse. VARCHAR(n) parses natively either way.
+  private val BareVarchar =
+    """(?i)\bCAST\s*\(((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*)\s+AS\s+VARCHAR\s*\)""".r
 
   /** Start offsets (inclusive, exclusive) of single-quoted literals,
     * '' escapes included. */
@@ -89,7 +97,7 @@ object TrinoCompat {
       m => s"timestampdiff(${m.group(1).toUpperCase},")
     val a = pass(d, DateAddLit,
       m => s"timestampadd(${m.group(1).toUpperCase},")
-    pass(a, BareVarchar, _ => "AS STRING)")
+    pass(a, BareVarchar, m => s"CAST(${m.group(1)} AS STRING)")
   }
 
   /** Idempotently register the compat names into `spark`'s session. */

@@ -5,7 +5,6 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
-import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1284,15 +1283,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(!partitionSpec.exists(_.column == column),
       s"cannot $op $column: it is a partition-spec source column")
 
-  /** Widen a column's type (e.g. int → long / float → double). Data
-    * files keep the narrow type; reads up-cast through the field id. */
+  /** Iceberg's exact type-promotion rules (spec §Schemas, "Type
+    * Promotion"): int→long, float→double, decimal precision growth at
+    * the SAME scale. Spark's `Cast.canUpCast` is the wrong gate — its
+    * numeric-precedence order admits LOSSY conversions (bigint→float,
+    * anything→varchar) that would silently corrupt existing values on
+    * read. */
+  private def icebergWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+
+  /** Widen a column's type (int → long, float → double, decimal
+    * precision growth — Iceberg's promotion rules, nothing lossy).
+    * Data files keep the narrow type; reads up-cast through the field
+    * id. */
   def updateColumnType(name: String, to: DataType): Unit =
     commitLock.synchronized {
       val vs = ensureSchemaLog()
       val cur = vs.last.schema
       require(cur.fieldNames.contains(name), s"no such column $name")
-      require(Cast.canUpCast(cur(name).dataType, to),
-        s"cannot widen ${cur(name).dataType.simpleString} to ${to.simpleString}")
+      require(icebergWiden(cur(name).dataType, to),
+        s"cannot widen ${cur(name).dataType.simpleString} to " +
+          s"${to.simpleString} (Iceberg promotion allows int->bigint, " +
+          "real->double, decimal precision growth only)")
       commitSchema(vs, StructType(cur.fields.map(f =>
         if (f.name == name) f.copy(dataType = to) else f)))
     }

@@ -740,24 +740,36 @@ object GraftSql {
         val sub = selectBody(spark, resolve, body.trim)
         require(sub.columns.length == 1,
           s"IN subquery must return exactly one column, got ${sub.columns.length}")
-        val keyVals = sub.toDF(k)
-          .select(col(k).cast(t.schema(k).dataType)).distinct()
-        if (not == null)
-          // SQL IN: NULL subquery values match no row; a NULL target
-          // value matches no key — drop null keys so the null-safe
-          // eq-delete agrees with three-valued IN
-          t.deleteByKeys(keyVals.filter(col(k).isNotNull), clock)
-        else {
-          // SQL NOT IN: any NULL in the subquery makes every predicate
-          // UNKNOWN — nothing qualifies; otherwise delete the table's
-          // non-null key values not present in the subquery. One
-          // distinct-column scan + except, never a table rewrite.
-          val hasNull = keyVals.filter(col(k).isNull).limit(1).count() > 0
-          if (!hasNull)
-            t.deleteByKeys(
-              t.read.select(col(k)).filter(col(k).isNotNull).distinct()
-                .except(keyVals), clock)
-        }
+        // The comparison happens in the analyzer-chosen COMMON type of
+        // the two sides (a join equality), exactly like SQL IN — never
+        // by casting subquery values to the column type, which would
+        // truncate (2.7 → 2) or null out incomparable values and
+        // delete the wrong rows. The matched values come back as the
+        // column's own values, so the eq-delete commit is exact.
+        // Persisted: the subquery plan feeds a null probe plus a join
+        // plus the eq-delete key write — one evaluation, not three.
+        val keyVals = sub.toDF("__in_v").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val tableKeys = t.read.select(col(k))
+            .filter(col(k).isNotNull).distinct()
+          if (not == null)
+            // SQL IN: NULL subquery values match no row (equality is
+            // never true against NULL); NULL target values match no key
+            t.deleteByKeys(tableKeys
+              .join(keyVals, col(k) === col("__in_v"), "left_semi"), clock)
+          else {
+            // SQL NOT IN: any NULL in the subquery makes every
+            // predicate UNKNOWN — nothing qualifies; otherwise delete
+            // the table's non-null key values with NO equal subquery
+            // value. One distinct-column scan + anti join, no rewrite.
+            val hasNull =
+              keyVals.filter(col("__in_v").isNull).limit(1).count() > 0
+            if (!hasNull)
+              t.deleteByKeys(tableKeys
+                .join(keyVals, col(k) === col("__in_v"), "left_anti"), clock)
+          }
+        } finally keyVals.unpersist()
       case Some(w) => t.deleteWhereMOR(parseWhereGeneral(t.schema, w), clock)
       case None => t.deleteWhere(lit(true), clock)
     }

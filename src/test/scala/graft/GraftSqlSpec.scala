@@ -1026,6 +1026,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(left() == Seq(1L))
   }
 
+  test("DELETE IN subquery compares in the common type, never by truncating cast") {
+    import spark.implicits._
+    val fx = fixture("sqldelcast")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c')")
+    fx.sql("CREATE TABLE dd (d DOUBLE)")
+    fx.sql("INSERT INTO dd VALUES (2.7), (3.0)")
+    // 2.7 must NOT match k=2 (a cast-to-bigint would truncate it to 2);
+    // 3.0 = 3 compares equal in the common (double) type
+    fx.sql("DELETE FROM t WHERE k IN (SELECT d FROM dd)")
+    assert(fx.resolve("t").read.select($"k").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L))
+  }
+
   test("Trino-spelled functions resolve in dispatcher SELECTs") {
     val fx = fixture("sqltrinofn")
     fx.sql("CREATE TABLE t (k BIGINT, tags ARRAY(VARCHAR), s VARCHAR, ts TIMESTAMP(6))")
@@ -1066,6 +1080,16 @@ class GraftSqlSpec extends SparkSpec {
     // mixed: the real call rewrites, the literal survives byte-exact
     assert(rewriteSql("SELECT date_diff('day', a, b), 'x AS VARCHAR) y'") ==
       "SELECT timestampdiff(DAY, a, b), 'x AS VARCHAR) y'")
+    // an output column ALIASED varchar is not a cast — untouched
+    assert(rewriteSql("SELECT * FROM (SELECT a AS varchar) x") ==
+      "SELECT * FROM (SELECT a AS varchar) x")
+    // only known unit names rewrite; a quoted non-unit first arg is
+    // left for Spark's parser to reject loudly
+    assert(rewriteSql("SELECT date_add('20260101', 3)") ==
+      "SELECT date_add('20260101', 3)")
+    // one paren nesting level inside the CAST still rewrites
+    assert(rewriteSql("SELECT CAST(coalesce(a, b) AS VARCHAR) FROM t") ==
+      "SELECT CAST(coalesce(a, b) AS STRING) FROM t")
   }
 
   test("EXPLAIN renders the physical plan of a dispatcher SELECT") {

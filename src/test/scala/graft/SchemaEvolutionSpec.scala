@@ -77,6 +77,11 @@ class SchemaEvolutionSpec extends SparkSpec {
     val rows = t.read.orderBy("k").as[(Long, Double)].collect()
     assert(rows.head == ((1L, 1.5)))
     intercept[IllegalArgumentException](t.updateColumnType("k", IntegerType))
+    // Iceberg promotion only — Spark's canUpCast order would admit
+    // these LOSSY conversions (2^60+1 as float, numbers as strings)
+    intercept[IllegalArgumentException](t.updateColumnType("k", FloatType))
+    intercept[IllegalArgumentException](t.updateColumnType("k", DoubleType))
+    intercept[IllegalArgumentException](t.updateColumnType("k", StringType))
   }
 
   test("evolution composes with CoW merge and optimize") {
