@@ -1592,6 +1592,36 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       commit("overwrite", inventory(commitDir), clock, carryPrior = false)
     }
 
+  /** CREATE OR REPLACE TABLE semantics (Trino/Iceberg): swap schema AND
+    * content in place while KEEPING snapshot history — time travel to a
+    * pre-replace snapshot still decodes the old files with their write
+    * schema. A column whose (name, type) survives the replace keeps its
+    * stable field id; everything else gets a FRESH id, so a replaced
+    * column can never resurrect old bytes. The data lands as one
+    * overwrite commit, clustered by the current partition spec. */
+  def replace(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
+    commitLock.synchronized {
+      val shape = (t: StructType) => t.fields.map(f => (f.name, f.dataType)).toSeq
+      if (shape(schema) != shape(df.schema)) {
+        val vs = ensureSchemaLog()
+        val maxGid = vs.flatMap(_.schema.fields.map(gidOf))
+          .foldLeft(-1L)(math.max)
+        val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          vs.last.schema.fields
+            .find(o => o.name == f.name && o.dataType == f.dataType) match {
+            case Some(o) => f.copy(metadata = o.metadata)
+            case None => f.copy(metadata = new MetadataBuilder()
+              .putLong(GidKey, maxGid + 1 + i).build())
+          }
+        }
+        commitSchema(vs, StructType(fields))
+      }
+      val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
+      dataWrite(clusterBySpec(df)).parquet(commitDir.toString)
+      fs.delete(new Path(commitDir, "_SUCCESS"), false)
+      commit("overwrite", inventory(commitDir), clock, carryPrior = false)
+    }
+
   /** Metadata compaction (Iceberg's `rewrite_manifests`): merge the
     * current snapshot's accumulated delta manifests into ONE manifest
     * and commit it as a new snapshot over the SAME data files

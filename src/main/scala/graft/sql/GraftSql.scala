@@ -93,6 +93,20 @@ object GraftSql {
         if (GraftTable.exists(spark, table.location)) table.drop()
         else require(ifExists != null, s"no graft table at ${table.location}")
         None
+      case CreateOrReplaceAs(t, withProps, body) =>
+        val target = resolve(unquote(t))
+        val df = selectBody(spark, resolve, body)
+        if (GraftTable.exists(spark, target.location)) {
+          // WITH props first so the replacing write clusters by the
+          // (possibly new) partition spec
+          applyWithProps(target, Option(withProps))
+          target.replace(df, clock)
+        } else {
+          val created = GraftTable.create(spark, target.location, df.schema)
+          applyWithProps(created, Option(withProps))
+          created.append(df, clock)
+        }
+        None
       case CreateAsSelect(ifNotExists, t, withProps, body) =>
         val target = resolve(unquote(t))
         if (GraftTable.exists(spark, target.location))
@@ -141,6 +155,8 @@ object GraftSql {
         insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
       case DeleteStmt(t, where) =>
         delete(spark, resolve, resolve(unquote(t)), Option(where), clock); None
+      case TruncateStmt(t) => // Trino TRUNCATE: remove every row, keep history
+        resolve(unquote(t)).deleteWhere(lit(true), clock); None
       case MergeStmtSub(t, tAlias, body, sAlias, on, whenTail) =>
         // derived-table source (Trino: USING (query) AS alias ON ...):
         // the body runs through the same resolver as any SELECT
@@ -222,6 +238,11 @@ object GraftSql {
   private val CreateStmt =
     s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+?)\\)(?: WITH ?\\((.+)\\))?$$""".r
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
+  // Trino: CREATE OR REPLACE TABLE t [WITH (...)] AS <query> — swap
+  // schema + content atomically, snapshot history kept (Iceberg
+  // connector semantics; `replace` commit)
+  private val CreateOrReplaceAs =
+    s"""(?is)^CREATE OR REPLACE TABLE $Ident(?: WITH ?\\((.+?)\\))? AS ((?:SELECT|WITH) .+)$$""".r
   // Trino CTAS (graft-to-graft): CREATE TABLE t [WITH (...)] AS <select>
   // — the body is any SELECT whose FROM/JOIN tables are graft tables
   private val CreateAsSelect =
@@ -261,6 +282,7 @@ object GraftSql {
   private val AlterColType =
     s"""(?i)^ALTER TABLE $Ident ALTER COLUMN $Ident SET DATA TYPE (.+)$$""".r
   private val ExplainStmt = """(?is)^EXPLAIN ((?:SELECT|WITH) .+)$""".r
+  private val TruncateStmt = s"""(?i)^TRUNCATE TABLE $Ident$$""".r
   // Trino/Iceberg time travel: SELECT * FROM t FOR VERSION AS OF 3 /
   // FOR TIMESTAMP AS OF TIMESTAMP '...'
   private val SelectVersion =

@@ -280,7 +280,7 @@ class GraftSqlSpec extends SparkSpec {
     val fx = fixture("sqlerr")
     fx.sql("CREATE TABLE t (a VARCHAR)")
     intercept[IllegalArgumentException](
-      fx.sql("TRUNCATE TABLE t"))
+      fx.sql("GRANT SELECT ON t TO analyst"))
     intercept[IllegalArgumentException](
       fx.sql("ALTER TABLE t EXECUTE vacuum"))
     intercept[IllegalArgumentException](
@@ -1062,6 +1062,33 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT approx_distinct(k) AS d, arbitrary(s) AS any_s FROM t").head
     assert(agg.getLong(0) == 2L)
     assert(Set("hello", "world").contains(agg.getString(1)))
+  }
+
+  test("CREATE OR REPLACE TABLE swaps schema and content in one commit, history kept") {
+    import spark.implicits._
+    val fx = fixture("sqlcor")
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO src VALUES (1,'ab'), (2,'c')")
+    // absent target: plain create-as-select
+    fx.sql("CREATE OR REPLACE TABLE t AS SELECT k, v FROM src")
+    assert(fx.rows("SELECT * FROM t").length == 2)
+    val firstSnap = fx.resolve("t").currentSnapshot.get.snapshotId
+    // present target: replace with a DIFFERENT schema and content
+    fx.sql("CREATE OR REPLACE TABLE t AS SELECT k * 10 AS kk, length(v) AS n FROM src")
+    val t = fx.resolve("t")
+    assert(t.schema.fieldNames.toSeq == Seq("kk", "n"))
+    assert(t.read.select($"kk").as[Long].collect().toSeq.sorted == Seq(10L, 20L))
+    // exactly ONE new snapshot; the pre-replace snapshot stays readable
+    assert(t.currentSnapshot.get.snapshotId == firstSnap + 1)
+    assert(fx.rows(s"SELECT * FROM t FOR VERSION AS OF $firstSnap").length == 2)
+    // replacing with the SAME shape is a pure overwrite (no new schema
+    // version) and still lands as one commit
+    fx.sql("CREATE OR REPLACE TABLE t AS SELECT kk, n FROM t WHERE kk > 10")
+    assert(fx.resolve("t").read.count() == 1)
+    // TRUNCATE empties the table but keeps it queryable (and history)
+    fx.sql("TRUNCATE TABLE t")
+    assert(fx.resolve("t").read.count() == 0)
+    assert(fx.rows("SELECT * FROM t").isEmpty)
   }
 
   test("TrinoCompat rewrite converts calls but never touches string literals") {
