@@ -25,8 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    // a failing entry would otherwise just read as a suspiciously FAST
+    // time (the catch swallows it) — record names durably instead
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
     }
     val warmup = (System.nanoTime() - t0) / 1e9
     // Per-query MIN over three timed passes: single-pass timings on this
@@ -35,7 +38,7 @@ object Bench {
     def timedPass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t1 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
         name -> (System.nanoTime() - t1) / 1e9
     }
     val passes = Seq.fill(3)(timedPass())
@@ -45,8 +48,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmup,"failed":$fails}"""
     println(line)
     // stdout goes through sbt's logger and has been truncated/unparseable
     // in every driver round so far — ALSO write the line to a file so the

@@ -781,13 +781,17 @@ object GraftSql {
             t.deleteByKeys(tableKeys
               .join(keyVals, col(k) === col("__in_v"), "left_semi"), clock)
           else {
-            // SQL NOT IN: any NULL in the subquery makes every
-            // predicate UNKNOWN — nothing qualifies; otherwise delete
-            // the table's non-null key values with NO equal subquery
-            // value. One distinct-column scan + anti join, no rewrite.
-            val hasNull =
-              keyVals.filter(col("__in_v").isNull).limit(1).count() > 0
-            if (!hasNull)
+            // SQL NOT IN, three cases: an EMPTY subquery makes the
+            // predicate TRUE for every row (NULL keys included — NOT
+            // of FALSE); any NULL in the subquery makes it UNKNOWN
+            // everywhere (no-op); otherwise delete the table's
+            // non-null key values with NO equal subquery value. One
+            // probe aggregate + one anti join, never a table rewrite.
+            val probe = keyVals
+              .agg(count(lit(1)), count(col("__in_v"))).head()
+            val (total, nonNull) = (probe.getLong(0), probe.getLong(1))
+            if (total == 0L) t.deleteWhere(lit(true), clock)
+            else if (total == nonNull) // null-free
               t.deleteByKeys(tableKeys
                 .join(keyVals, col(k) === col("__in_v"), "left_anti"), clock)
           }
