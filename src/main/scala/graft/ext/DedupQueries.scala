@@ -398,17 +398,10 @@ object DedupQueries {
     // the shingled corpus feeds TWO subtrees (frequency count +
     // coverage); cached so the scan + md5 shingling run once per
     // session, not per subtree
-    val docs = cached(s, dir, "boiler_docs") {
-      t(s, dir, "documents")
-        .filter(size(split($"text", " ")) >= 3)
-        .select($"doc_id", $"lang", $"source", hashedShingles($"text").as("gs"))
-    }
+    val docs = boilerDocs(s, dir)
     val exploded = docs.select($"doc_id", $"lang", $"source",
       size($"gs").as("n_grams"), explode($"gs").as("g"))
-    val freq = exploded
-      .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
-      .filter($"n_docs_with" >= BoilerplateMinDocs)
-      .select($"g", lit(1).as("hit"))
+    val freq = frequentShingles(docs)
     // every filtered doc has >= 1 distinct shingle, so the exploded
     // relation loses no documents — a LEFT join against the broadcast
     // frequent set covers the whole corpus in ONE pass (no third scan
@@ -423,6 +416,69 @@ object DedupQueries {
         sum($"n_boiler").as("total_boiler_grams"),
         round(avg($"frac"), 6).as("avg_boiler_frac"),
         count(when($"frac" >= BoilerplateFlagFrac, 1)).as("n_flagged"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** The shingled-corpus relation d12/d14 share: (doc_id, lang, source,
+    * gs = DISTINCT hashed 3-grams), cached per session. */
+  private def boilerDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cached(s, dir, "boiler_docs") {
+      t(s, dir, "documents")
+        .filter(size(split($"text", " ")) >= 3)
+        .select($"doc_id", $"lang", $"source", hashedShingles($"text").as("gs"))
+    }
+  }
+
+  /** Hashes of shingles appearing in ≥ [[BoilerplateMinDocs]] distinct
+    * documents, with a constant `hit` marker column for LEFT joins. */
+  private def frequentShingles(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode($"gs").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
+      .filter($"n_docs_with" >= BoilerplateMinDocs)
+      .select($"g", lit(1).as("hit"))
+  }
+
+  /** SUBSTRING-scrub coverage (the removal-stats twin of d12,
+    * approximating exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): how many TOKEN
+    * POSITIONS would deleting every frequent 3-gram occurrence remove?
+    * Positional grams (not the per-doc distinct set) join the broadcast
+    * frequent set; each hit covers its 3 token positions; overlapping
+    * windows union via a distinct count. Reported per (lang, source)
+    * with docs touched and the mean covered fraction.
+    *
+    * Scale shape: identical to d12 — one positional explode over the
+    * corpus, broadcast frequent set, per-doc aggregate; the covered-
+    * position explode is 3× the HIT count (near-dup density, not
+    * corpus size). */
+  def d14SubstringScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = frequentShingles(boilerDocs(s, dir))
+    val base = t(s, dir, "documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 3)
+    val posGrams = base.select($"doc_id",
+      posexplode(transform(
+        sequence(lit(0), size($"words") - 3),
+        i => h32(concat_ws(" ", slice($"words", i + 1, lit(3))))))
+        .as(Seq("p", "g")))
+    val covered = posGrams
+      .join(broadcast(freq.select($"g")), Seq("g"))
+      .select($"doc_id", explode(sequence($"p", $"p" + 2)).as("cp"))
+      .groupBy($"doc_id").agg(countDistinct($"cp").as("covered"))
+    base.select($"doc_id", $"lang", $"source",
+      size($"words").cast("long").as("n"))
+      .join(covered, Seq("doc_id"), "left")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"covered").as("docs_touched"),
+        sum($"n").as("tokens_total"),
+        sum(coalesce($"covered", lit(0L))).as("tokens_covered"),
+        round(avg(coalesce($"covered", lit(0L)).cast("double") / $"n"), 6)
+          .as("avg_cover_frac"))
       .orderBy($"lang", $"source")
   }
 
@@ -462,6 +518,7 @@ object DedupQueries {
     "d09_dedup_clusters" -> (d09DedupClusters _),
     "d10_semantic_dedup" -> (d10SemanticDedup _),
     "d12_boilerplate_ngrams" -> (d12BoilerplateNgrams _),
+    "d14_substring_scrub" -> (d14SubstringScrub _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -634,6 +691,30 @@ object DedupQueries {
         |                   >= $BoilerplateFlagFrac THEN 1 END) AS BIGINT)
         |    AS n_flagged
         |FROM base LEFT JOIN hits h USING (doc_id)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "d14_substring_scrub" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 8))::BIGINT AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM docs)),
+        |freq AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+        |  GROUP BY g HAVING count(*) >= $BoilerplateMinDocs),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT cp) AS covered
+        |  FROM (SELECT doc_id, unnest(range(p, p + 3)) AS cp
+        |        FROM g JOIN freq USING (g))
+        |  GROUP BY doc_id),
+        |base AS (SELECT doc_id, lang, source, len(w) AS n FROM docs)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(count(c.covered) AS BIGINT) AS docs_touched,
+        |  CAST(sum(n) AS BIGINT) AS tokens_total,
+        |  CAST(coalesce(sum(c.covered), 0) AS BIGINT) AS tokens_covered,
+        |  round(avg(coalesce(c.covered, 0)::DOUBLE / n), 6) AS avg_cover_frac
+        |FROM base LEFT JOIN cov c USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d08_decontaminate" ->
       s"""WITH bench AS (

@@ -297,8 +297,13 @@ object TextQueries {
       .withColumn("toks", size(split($"text", " ")).cast("long"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("actual_tokens"))
-    val total = perLang.agg(sum($"actual_tokens").as("total_tokens"))
-    perLang.crossJoin(broadcast(total))
+    // the corpus-wide total rides a window over the POST-AGGREGATE rows
+    // (one per language) — the corpus is scanned once, and the "global"
+    // window only ever sees |languages| rows
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perLang
+      .withColumn("total_tokens", sum($"actual_tokens").over(wAll))
       .withColumn("weight", round(least(lit(1.0),
         ($"total_tokens" * TargetShare) / $"actual_tokens"), 6))
       .withColumn("expected_tokens",

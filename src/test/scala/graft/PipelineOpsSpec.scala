@@ -34,6 +34,26 @@ class PipelineOpsSpec extends SparkSpec {
       ("en", "s1", 4L, 0L, 0.0, 0L)))
   }
 
+  test("d14 positional coverage unions overlapping frequent-gram windows") {
+    import spark.implicits._
+    val dir = tmpDir("substr")
+    // 5 docs carry the template once (covers positions 0-2 of 6 → 0.5);
+    // the 6th carries it TWICE, back to back — its two 3-token windows
+    // must union to all 6 positions, not double-count
+    val docs =
+      (0 until 5).map(i =>
+        (i.toLong, s"alpha beta gamma w$i x$i y$i", "en", "s0")) :+
+      (9L, "alpha beta gamma alpha beta gamma", "en", "s0")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.d14SubstringScrub(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // covered: 5×3 + 6 = 21 of 36 tokens; fracs avg([0.5]*5 :+ 1.0)
+    assert(rows.toSeq == Seq(("en", "s0", 6L, 6L, 36L, 21L, 0.583333)))
+  }
+
   test("t09 redaction counts match a hand-scrubbed corpus") {
     import spark.implicits._
     val dir = tmpDir("scrub")

@@ -164,6 +164,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 6, s"unexpected shuffle count ${shuffles.size}")
   }
 
+  test("t10: domain-mix scans the corpus ONCE; the global total is a post-aggregate window") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t10_domain_mix")(spark, sf))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1,
+      s"the corpus-wide total must not re-derive the aggregate (${scans.size} scans)")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
