@@ -111,6 +111,18 @@ object StreamOps {
       }
   }
 
+  /** Materialize the (small, post-aggregation) result and DROP the
+    * memory-sink temp view: each entry call registers a uniquely-named
+    * sink whose buffered rows would otherwise stay referenced for the
+    * session's lifetime — a long-lived session (or the bench's three
+    * timed passes over every entry) must not stack them. */
+  private def finishSink(s: SparkSession, sink: String,
+                         df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
   /** Run a transform over the events parquet as a FILE STREAM to
     * completion (Trigger.AvailableNow) and return the final result as a
     * batch DataFrame — used by the driver demo and tests. The ts
@@ -136,7 +148,7 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkTable)
+    finishSink(spark, sinkTable, spark.table(sinkTable))
   }
 
   // ---- driver-visible queries ------------------------------------------
@@ -179,12 +191,12 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    finishSink(s, sink, s.table(sink)
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .orderBy("hour", "event_type")
+      .orderBy("hour", "event_type"))
   }
 
   /** Streaming ingest into a GraftTable through [[GraftSink]], with a
@@ -267,11 +279,11 @@ object StreamOps {
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    s.table(sink)
+    finishSink(s, sink, s.table(sink)
       .groupBy((col("c_user") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("click_id")).as("n_clicks_matched"))
-      .orderBy("bucket")
+      .orderBy("bucket"))
   }
 
   /** Streaming FROM a graft table: the table IS the stream — snapshot
@@ -306,7 +318,7 @@ object StreamOps {
       .writeStream.format("memory").queryName(sink).outputMode("complete")
       .start()
     q.processAllAvailable(); q.stop()
-    s.table(sink).orderBy("hour", "event_type")
+    finishSink(s, sink, s.table(sink).orderBy("hour", "event_type"))
   }
 
   /** Streaming CHANGE FEED consumption: the graft table receives two
@@ -348,11 +360,11 @@ object StreamOps {
       .writeStream.format("memory").queryName(sink).outputMode("complete")
       .start()
     q.processAllAvailable(); q.stop()
-    s.table(sink)
+    finishSink(s, sink, s.table(sink)
       .filter($"n_events" > 0)
       .select($"hour", $"event_type", $"n_events",
         round($"raw_value", 2).as("total_value"))
-      .orderBy("hour", "event_type")
+      .orderBy("hour", "event_type"))
   }
 
   /** Streaming SESSION windows via the BUILT-IN `session_window` (the
@@ -420,12 +432,12 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    finishSink(s, sink, s.table(sink)
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         countDistinct(when(col("hit"), col("doc_id"))).as("n_contaminated"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("total_shared"))
-      .orderBy("lang")
+      .orderBy("lang"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
