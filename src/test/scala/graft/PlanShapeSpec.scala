@@ -164,6 +164,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 6, s"unexpected shuffle count ${shuffles.size}")
   }
 
+  test("d14: positional coverage joins the broadcast frequent set — no shuffle by gram") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d14_substring_scrub")(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the frequent set must broadcast onto the positional grams")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // per-doc coverage aggregate, doc-level join, frequency aggregate,
+    // final (lang, source) aggregate, output sort — never by gram hash
+    assert(shuffles.size <= 6, s"unexpected shuffle count ${shuffles.size}")
+  }
+
   test("t10: domain-mix scans the corpus ONCE; the global total is a post-aggregate window") {
     val nodes = allNodes(
       graft.ext.TextQueries.queries("t10_domain_mix")(spark, sf))
