@@ -42,19 +42,25 @@ object Bench {
         name -> (System.nanoTime() - t1) / 1e9
     }
     val passes = Seq.fill(3)(timedPass())
+    // A failed query's elapsed-to-exception time is meaningless — record
+    // a -1 sentinel for it and keep it OUT of the headline total, so a
+    // failure can only make the total look missing, never fast.
     val results = passes.head.keys.map { k =>
-      k -> passes.map(_(k)).min
+      k -> (if (failed.contains(k)) -1.0 else passes.map(_(k)).min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Totals LAST: the driver persists only a ~2000-char TAIL of stdout,
+    // which truncated the front-loaded headline total away in rounds
+    // 1-8 ("parsed": null). The full per-query line prints first (and
+    // lands durably in the file below); a SHORT summary line — compact
+    // enough to always survive the tail — prints last.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmup,"failed":$fails}"""
+      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_sec":$warmup,"failed":$fails}"""
     println(line)
-    // stdout goes through sbt's logger and has been truncated/unparseable
-    // in every driver round so far — ALSO write the line to a file so the
-    // full per-query record is durable.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_sec":$warmup,"n_queries":${results.size},"failed":$fails}""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()

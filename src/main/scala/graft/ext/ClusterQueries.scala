@@ -103,6 +103,11 @@ object ClusterQueries {
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("ce"))
       .as[(Long, Seq[Double])].collect().toSeq
+    // The DuckDB oracle unrolls range(1, Dim+1) with a HARD-CODED Dim;
+    // the Spark side adapts to the actual vector length. Fail loudly on
+    // a fixture dimension change instead of hash-mismatching confusingly.
+    cents.find(_._2.length != Dim).foreach(c => throw new IllegalStateException(
+      s"d13 oracle assumes $Dim-dim embeddings; fixture vec ${c._1} has ${c._2.length}"))
     for (_ <- 0 until Iters) cents = update(assign(e, cents))
     val fin = assign(e, cents)
     val sizes = fin.groupBy($"cid")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Trino-spelled SQL functions for the GraftSql dispatcher, mapped to
   * Spark's native Catalyst expressions — NOT UDFs, so every mapping
@@ -22,10 +22,12 @@ object TrinoCompat {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // Trino cardinality(array|map) = Spark size() (Spark also defines
-    // cardinality — the registry check keeps the built-in if present)
-    "cardinality" -> (es => Size(es.head)),
-    // Trino strpos(string, substring) = 1-based position, 0 if absent
-    "strpos" -> (es => StringLocate(es(1), es(0), Literal(1))),
+    // cardinality — the registry check keeps the built-in if present).
+    // Trino returns BIGINT where Spark's Size is INT — cast to match.
+    "cardinality" -> (es => Cast(Size(es.head), LongType)),
+    // Trino strpos(string, substring) = 1-based position, 0 if absent;
+    // BIGINT in Trino (Spark's StringLocate is INT) — cast to match
+    "strpos" -> (es => Cast(StringLocate(es(1), es(0), Literal(1)), LongType)),
     // Trino to_unixtime(ts) = epoch seconds as DOUBLE (fraction kept);
     // Spark's timestamp→double cast has exactly that meaning
     "to_unixtime" -> (es => Cast(es.head, DoubleType)),

@@ -1414,19 +1414,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * at evolution time — the 100 TB requirement. */
   def updatePartitionSpec(newSpec: Seq[PartitionField]): Unit =
     commitLock.synchronized {
-      val s = schema
-      newSpec.foreach { f =>
-        require(s.fieldNames.contains(f.column), s"no such column ${f.column}")
-        require(f.transform != "bucket" || f.param > 0,
-          "bucket requires a positive bucket count")
-        require(f.transform != "truncate" || f.param > 0,
-          "truncate requires a positive width")
-        f.outputType(s(f.column).dataType) // validates the transform name
-      }
-      require(newSpec.map(_.name).distinct.size == newSpec.size,
-        "duplicate partition fields")
+      validateSpec(schema, newSpec)
       PartitionSpec.write(fs, tableDir, newSpec)
     }
+
+  /** Validate a partition spec against a target schema (column
+    * existence, transform name/param, field-name uniqueness) — shared by
+    * partition evolution (current schema) and [[replace]] (NEW schema:
+    * CORTAS partitioning refers to the replacing query's columns). */
+  private def validateSpec(s: StructType, newSpec: Seq[PartitionField]): Unit = {
+    newSpec.foreach { f =>
+      require(s.fieldNames.contains(f.column), s"no such column ${f.column}")
+      require(f.transform != "bucket" || f.param > 0,
+        "bucket requires a positive bucket count")
+      require(f.transform != "truncate" || f.param > 0,
+        "truncate requires a positive width")
+      f.outputType(s(f.column).dataType) // validates the transform name
+    }
+    require(newSpec.map(_.name).distinct.size == newSpec.size,
+      "duplicate partition fields")
+  }
 
   /** Partition-pruned scan: for each `(specFieldName, value)` predicate
     * (e.g. `"days_ts" -> lit(18000)`, `"bucket8_id" -> lit(3)`), keep
@@ -1564,8 +1571,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * partition count: without it AQE coalesces the range shuffle (often
     * to ONE partition on small batches), merging every transform value
     * into one file and defeating pruning. */
-  private def clusterBySpec(df: DataFrame): DataFrame = {
-    val spec = partitionSpec
+  private def clusterBySpec(df: DataFrame): DataFrame =
+    clusterBy(df, partitionSpec)
+
+  /** [[clusterBySpec]] against an EXPLICIT spec — [[replace]] clusters
+    * by the post-replace spec before it is committed. */
+  private def clusterBy(df: DataFrame, spec: Seq[PartitionField]): DataFrame = {
     // partition transforms first (coarse grouping), sort order within —
     // the Iceberg range-distribution write shape
     val exprs = spec.map(f =>
@@ -1597,29 +1608,67 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * pre-replace snapshot still decodes the old files with their write
     * schema. A column whose (name, type) survives the replace keeps its
     * stable field id; everything else gets a FRESH id, so a replaced
-    * column can never resurrect old bytes. The data lands as one
-    * overwrite commit, clustered by the current partition spec. */
-  def replace(df: DataFrame, clock: Clock = Clock.systemUTC()): Unit =
+    * column can never resurrect old bytes.
+    *
+    * Atomicity (Trino's CORTAS is a single metadata swap): the partition
+    * spec — `newSpec` if given, else the current spec restricted to
+    * surviving columns — is validated against the NEW schema up front,
+    * the data is written FIRST (a failed write leaves the table
+    * untouched), and only then do schema + spec + the overwrite snapshot
+    * land; if the snapshot commit throws, the schema version and spec
+    * are rolled back so no new-schema/old-data hybrid is ever visible. */
+  def replace(df: DataFrame, clock: Clock = Clock.systemUTC(),
+              newSpec: Option[Seq[PartitionField]] = None): Unit =
     commitLock.synchronized {
+      val spec = newSpec.getOrElse(
+        partitionSpec.filter(f => df.schema.fieldNames.contains(f.column)))
+      validateSpec(df.schema, spec)
       val shape = (t: StructType) => t.fields.map(f => (f.name, f.dataType)).toSeq
-      if (shape(schema) != shape(df.schema)) {
-        val vs = ensureSchemaLog()
-        val maxGid = vs.flatMap(_.schema.fields.map(gidOf))
-          .foldLeft(-1L)(math.max)
-        val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-          vs.last.schema.fields
-            .find(o => o.name == f.name && o.dataType == f.dataType) match {
-            case Some(o) => f.copy(metadata = o.metadata)
-            case None => f.copy(metadata = new MetadataBuilder()
-              .putLong(GidKey, maxGid + 1 + i).build())
+      // Compute (but do not commit) the post-replace schema version.
+      val nextVersion: Option[SchemaVersion] =
+        if (shape(schema) == shape(df.schema)) None
+        else {
+          val vs = ensureSchemaLog()
+          val maxGid = vs.flatMap(_.schema.fields.map(gidOf))
+            .foldLeft(-1L)(math.max)
+          val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+            vs.last.schema.fields
+              .find(o => o.name == f.name && o.dataType == f.dataType) match {
+              case Some(o) => f.copy(metadata = o.metadata)
+              case None => f.copy(metadata = new MetadataBuilder()
+                .putLong(GidKey, maxGid + 1 + i).build())
+            }
           }
+          val since = snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+          Some(SchemaVersion(vs.last.version + 1, since, StructType(fields)))
         }
-        commitSchema(vs, StructType(fields))
-      }
+      // 1. Data first: cluster by the POST-replace spec so the new files
+      //    prune on it; nothing visible has changed if this throws.
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      dataWrite(clusterBySpec(df)).parquet(commitDir.toString)
+      dataWrite(clusterBy(df, spec)).parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
-      commit("overwrite", inventory(commitDir), clock, carryPrior = false)
+      // 2. Metadata: schema + spec + overwrite snapshot, rolled back
+      //    together on failure.
+      val priorSpec = partitionSpec
+      val priorSchemaJson = schema.json
+      try {
+        nextVersion.foreach { v =>
+          writeSchemaVersion(v)
+          writeAtomic(new Path(tableDir, "_graft/schema.json"), v.schema.json)
+        }
+        if (spec != priorSpec) PartitionSpec.write(fs, tableDir, spec)
+        commit("overwrite", inventory(commitDir), clock, carryPrior = false)
+      } catch {
+        case e: Throwable =>
+          if (spec != priorSpec) PartitionSpec.write(fs, tableDir, priorSpec)
+          nextVersion.foreach { v =>
+            fs.delete(new Path(schemasDir,
+              f"v${v.version}%05d_s${v.since}.json"), false)
+            writeAtomic(new Path(tableDir, "_graft/schema.json"),
+              priorSchemaJson)
+          }
+          throw e
+      }
     }
 
   /** Metadata compaction (Iceberg's `rewrite_manifests`): merge the

@@ -97,10 +97,14 @@ object GraftSql {
         val target = resolve(unquote(t))
         val df = selectBody(spark, resolve, body)
         if (GraftTable.exists(spark, target.location)) {
-          // WITH props first so the replacing write clusters by the
-          // (possibly new) partition spec
-          applyWithProps(target, Option(withProps))
-          target.replace(df, clock)
+          // CORTAS is a definition swap (Trino): `partitioning` refers
+          // to the NEW schema, so it is validated and applied inside the
+          // atomic replace — never against the pre-replace table. No
+          // partitioning clause resets the spec (the new definition
+          // simply has none). Non-spec props apply as before.
+          val (spec, rest) = splitPartitioning(Option(withProps))
+          applyWithProps(target, rest)
+          target.replace(df, clock, newSpec = Some(spec.getOrElse(Seq.empty)))
         } else {
           val created = GraftTable.create(spark, target.location, df.schema)
           applyWithProps(created, Option(withProps))
@@ -605,6 +609,26 @@ object GraftSql {
     val created = GraftTable.create(spark, t.location, StructType(fields))
     applyWithProps(created, withProps)
   }
+
+  /** Split a WITH(...) property list into its parsed `partitioning`
+    * spec and the remaining raw property text — CORTAS applies the spec
+    * atomically inside [[GraftTable.replace]] instead of mutating the
+    * pre-replace table. */
+  private def splitPartitioning(withProps: Option[String])
+      : (Option[Seq[graft.meta.PartitionField]], Option[String]) =
+    withProps.map(_.trim).filter(_.nonEmpty) match {
+      case None => (None, None)
+      case Some(raw) =>
+        var spec: Option[Seq[graft.meta.PartitionField]] = None
+        val rest = splitTop(raw, ',').map(_.trim).filter {
+          case PartitioningProp(items) =>
+            spec = Some("'([^']*)'".r.findAllMatchIn(items)
+              .map(m => parsePartitionField(m.group(1))).toSeq)
+            false
+          case _ => true
+        }
+        (spec, Some(rest.mkString(", ")).filter(_.nonEmpty))
+    }
 
   /** Trino's WITH clause: `partitioning` becomes the partition spec,
     * `sorted_by` the write sort order, everything else a table property

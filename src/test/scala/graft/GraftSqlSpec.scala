@@ -1053,8 +1053,11 @@ class GraftSqlSpec extends SparkSpec {
         |  CAST(date_add('day', 1, ts) AS VARCHAR) AS nxt
         |FROM t""".stripMargin.replaceAll("\n", " "))
       .sortBy(_.getLong(0))
+    // cardinality resolves to Spark's BUILT-IN (INT) — the compat
+    // mapping only registers when absent; strpos is compat-registered
+    // and returns BIGINT like Trino
     assert(r(0).getInt(1) == 2 && r(1).getInt(1) == 1)
-    assert(r(0).getInt(2) == 3 && r(1).getInt(2) == 4)   // 1-based strpos
+    assert(r(0).getLong(2) == 3L && r(1).getLong(2) == 4L) // 1-based strpos
     assert(r(0).getLong(3) == 1L && r(1).getLong(3) == 4L)
     assert(r(0).getDouble(4) == 1.7672616e9) // 2026-01-01T10:00:00Z
     assert(r(0).getString(5).startsWith("2026-01-02 10:00:00"))
@@ -1089,6 +1092,41 @@ class GraftSqlSpec extends SparkSpec {
     fx.sql("TRUNCATE TABLE t")
     assert(fx.resolve("t").read.count() == 0)
     assert(fx.rows("SELECT * FROM t").isEmpty)
+  }
+
+  test("CREATE OR REPLACE WITH partitioning refers to the NEW schema, atomically") {
+    val fx = fixture("sqlcorpart")
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO src VALUES (1,'ab'), (2,'c'), (17,'d')")
+    fx.sql("CREATE TABLE t (old_col BIGINT)")
+    fx.sql("INSERT INTO t VALUES (7)")
+    // Trino: CORTAS partitioning refers to the replacing query's columns
+    // — kk exists only in the NEW schema and must be accepted
+    fx.sql("CREATE OR REPLACE TABLE t WITH (partitioning = ARRAY['bucket(kk, 4)']) " +
+      "AS SELECT k * 10 AS kk, v FROM src")
+    val t = fx.resolve("t")
+    assert(t.schema.fieldNames.toSeq == Seq("kk", "v"))
+    assert(t.partitionSpec.map(_.name) == Seq("bucket4_kk"))
+    assert(t.read.count() == 3)
+    // partitioning by a column the replace REMOVES fails up front and
+    // leaves schema, spec, and content untouched (no hybrid state)
+    val before = t.currentSnapshot.get.snapshotId
+    intercept[IllegalArgumentException] {
+      fx.sql("CREATE OR REPLACE TABLE t WITH (partitioning = ARRAY['kk']) " +
+        "AS SELECT v FROM src")
+    }
+    val t2 = fx.resolve("t")
+    assert(t2.schema.fieldNames.toSeq == Seq("kk", "v"))
+    assert(t2.partitionSpec.map(_.name) == Seq("bucket4_kk"))
+    assert(t2.currentSnapshot.get.snapshotId == before)
+    assert(t2.read.count() == 3)
+    // no partitioning clause = the new definition has none: spec resets
+    fx.sql("CREATE OR REPLACE TABLE t AS SELECT kk, v FROM t")
+    assert(fx.resolve("t").partitionSpec.isEmpty)
+    // appends after the failed replace still work (regression: the old
+    // bug left a spec referencing a dropped column, breaking writes)
+    fx.sql("INSERT INTO t VALUES (990, 'z')")
+    assert(fx.resolve("t").read.count() == 4)
   }
 
   test("TrinoCompat rewrite converts calls but never touches string literals") {
