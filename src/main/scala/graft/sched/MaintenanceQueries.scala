@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
 import graft.meta.GraftTable
 
 /** Driver-visible demos of the maintenance surface (SURVEY.md §2.1 ops
-  * #4-#9, #13-#14, #16-#19). Maintenance commands aren't SQL-expressible
-  * in DuckDB, so these carry no oracle — the driver records the weaker
-  * rows>0 check (builder contract) — while the exact behavioral
-  * contracts are pinned by ScalaTest (MaintenanceSpec mirrors
-  * tests/test_maintenance.py:41-169).
+  * #4-#9, #13-#14, #16-#19). Maintenance COMMANDS aren't SQL, but the
+  * demos are built deterministic (fixed clocks, key-filter subsets,
+  * pinned repartition counts) so their observable OUTPUT is — each
+  * carries a real DuckDB oracle (see [[oracles]]) recomputing row
+  * counts/content from the seeding parquet and the commit-sequence
+  * constants, except x13/x16 whose file layout derives from shuffle
+  * placement. Behavioral contracts are additionally pinned by ScalaTest
+  * (MaintenanceSpec mirrors tests/test_maintenance.py:41-169).
   *
   * Each demo seeds a throwaway GraftTable under java.io.tmpdir from the
   * REAL sf testdata, runs the command(s), and returns a DataFrame
@@ -29,7 +32,12 @@ object MaintenanceQueries {
   private def seed(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/part.parquet")
 
-  /** optimize: two appended file sets compact to ceil(bytes/target). */
+  /** optimize: two appended file sets compact to ceil(bytes/target) —
+    * and, the invariant the reference's row-count assertions pin
+    * (tests/test_maintenance.py:51,67), compaction must preserve the row
+    * MULTISET exactly. The oracle hash-compares the ENTIRE post-optimize
+    * table content against DuckDB reading the same parquet, so a
+    * compaction that drops/duplicates/corrupts one row fails the gate. */
   private def optimizeDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val t = GraftTable.create(spark, freshDir("optimize"),
@@ -39,46 +47,89 @@ object MaintenanceQueries {
     t.append(df.filter(col("p_partkey") % 2 === 1).repartition(4), t0)
     val before = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
     t.optimize(clock = t0)
-    t.files.select(lit(before).as("files_before"), col("path"),
-      col("size_bytes"), col("record_count"), col("added_snapshot_id"))
+    t.read
+      .withColumn("files_before", lit(before))
+      .withColumn("files_after",
+        lit(t.currentSnapshot.map(_.numFiles).getOrElse(0L)))
+      .orderBy("p_partkey")
   }
 
-  /** expire_snapshots: files exclusive to expired snapshots reclaimed. */
+  /** expire_snapshots: files exclusive to expired snapshots reclaimed;
+    * the snapshot log keeps only the survivors and the live content is
+    * untouched. Deterministic by construction (key-filter subsets, not
+    * limit(); pinned repartition) so every output cell — surviving
+    * snapshot rows, file counts, reclaimed-file count, and a live
+    * content digest — is recomputable from the part table by the
+    * oracle. Reference: tests/test_maintenance.py:67-78. */
   private def expireDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val t1 = fixedClock(20011) // +11 days
     val t = GraftTable.create(spark, freshDir("expire"),
       seed(spark, sfDir).schema)
     val df = seed(spark, sfDir)
-    t.append(df.limit(100), t0)
-    t.append(df.limit(100), t0)
-    t.optimize(clock = t0)
-    t.append(df.limit(50), t1)
+    val a = df.filter(col("p_partkey") <= 100)
+    t.append(a.repartition(2), t0) // s1: 2 files
+    t.append(a.repartition(2), t0) // s2: 2 more (content now doubled)
+    t.optimize(clock = t0)         // s3: 1 compacted file
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t1)         // s4: current
     val deleted = t.expireSnapshots(retentionDays = 5, clock = t1)
     import spark.implicits._
+    val live = t.read
     t.snapshots.toDF()
       .select(col("snapshotId"), col("operation"), col("numFiles"),
         col("totalRows"), lit(deleted).as("files_deleted"))
+      .withColumn("live_rows", lit(live.count()))
+      .withColumn("live_distinct_keys",
+        lit(live.select("p_partkey").distinct().count()))
+      .orderBy("snapshotId")
   }
 
-  /** remove_orphan_files: unreferenced + old ⇒ deleted; live kept. */
+  /** remove_orphan_files: unreferenced + old ⇒ deleted; live kept —
+    * and the live CONTENT must be byte-identical afterwards (deleting a
+    * referenced file would show up as missing rows). Deterministic
+    * subsets/file counts so the oracle recomputes every cell from part.
+    * Reference: tests/test_maintenance.py:78-88. */
   private def orphanDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
-    val t1 = fixedClock(20011)
+    // orphan age is judged against REAL file mtimes (the reference
+    // compares retention_threshold to filesystem timestamps), so the
+    // "now" clock must sit far past this demo's wall-clock write time
+    // for the stray file to age out
+    val t1 = fixedClock(40000)
     val loc = freshDir("orphan")
     val t = GraftTable.create(spark, loc, seed(spark, sfDir).schema)
-    t.append(seed(spark, sfDir).limit(100), t0)
+    t.append(seed(spark, sfDir).filter(col("p_partkey") <= 100)
+      .repartition(2), t0)
     // a stray uncommitted write — e.g. a failed job's leftovers
-    seed(spark, sfDir).limit(10).write.mode("overwrite")
-      .parquet(s"$loc/data/stray")
+    seed(spark, sfDir).filter(col("p_partkey") <= 10).repartition(1)
+      .write.mode("overwrite").parquet(s"$loc/data/stray")
     val before = GraftTable.listFiles(t.fileSystem,
       new org.apache.hadoop.fs.Path(loc, "data")).size
     val deleted = t.removeOrphanFiles(retentionDays = 5, clock = t1)
-    t.files.select(lit(before).as("files_on_disk_before"),
-      lit(deleted).as("orphans_deleted"), col("path"), col("record_count"))
+    val after = GraftTable.listFiles(t.fileSystem,
+      new org.apache.hadoop.fs.Path(loc, "data")).size
+    val live = t.read
+    live.agg(
+        count(lit(1)).as("rows_live"),
+        countDistinct(col("p_partkey")).as("distinct_keys_live"),
+        min(col("p_partkey")).as("min_key"), max(col("p_partkey")).as("max_key"))
+      .select(lit(before).as("files_on_disk_before"),
+        lit(deleted).as("orphans_deleted"),
+        lit(after).as("files_on_disk_after"),
+        col("rows_live"), col("distinct_keys_live"),
+        col("min_key"), col("max_key"))
   }
 
-  /** ANALYZE + SHOW STATS: exact null fractions, HLL NDV, min/max. */
+  /** ANALYZE + SHOW STATS: exact null fractions, data sizes, min/max,
+    * live row count — every cell recomputed by the DuckDB oracle from
+    * the raw parquet (the exact-fraction contract
+    * tests/test_maintenance.py:92,123 pins). `distinct_values_count` is
+    * deliberately NOT in the oracled projection: HLL++ NDV is
+    * approximate at every precision (measured off-by-one on 500-row
+    * sf0.01 columns), so it is pinned by ScalaTest sanity bounds
+    * instead — an exact-NDV oracle would demand an exact NDV pass the
+    * 100 TB engine must not pay. */
   private def analyzeDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val t = GraftTable.create(spark, freshDir("analyze"),
@@ -91,6 +142,9 @@ object MaintenanceQueries {
         when(col("lang") === "en", lit(null)).otherwise(col("lang"))), t0)
     t.analyze(clock = t0)
     t.stats
+      .select(col("column_name"), col("data_size"), col("nulls_fraction"),
+        col("row_count"), col("low_value"), col("high_value"))
+      .orderBy(col("column_name").asc_nulls_last)
   }
 
   /** Full scheduler pass: config table, gates, stamps, fail-soft pool. */
@@ -146,14 +200,21 @@ object MaintenanceQueries {
     val t = GraftTable.create(spark, freshDir("inc"),
       seed(spark, sfDir).schema)
     val df = seed(spark, sfDir)
-    t.append(df.filter(col("p_partkey") % 2 === 0), t0)
+    // pinned file counts so the oracle can assert "run 2 scanned ONLY
+    // the new files" as exact constants
+    t.append(df.filter(col("p_partkey") % 2 === 0).repartition(2), t0)
     val scan1 = t.analyzeIncremental(t0)
-    t.append(df.filter(col("p_partkey") % 2 === 1), t0)
+    t.append(df.filter(col("p_partkey") % 2 === 1).repartition(2), t0)
     val scan2 = t.analyzeIncremental(t0)
+    // merged min/max/fractions/row-count are oracled from part; sketch
+    // NDV is approximate by design and pinned by ScalaTest bounds
+    // (AnalyzeIncrementalSpec), not hash-compared
     t.statsIncremental
       .select(lit(scan1).as("files_scanned_run1"),
         lit(scan2).as("files_scanned_run2"), col("column_name"),
-        col("distinct_values_count"), col("nulls_fraction"), col("row_count"))
+        col("nulls_fraction"), col("row_count"),
+        col("low_value"), col("high_value"))
+      .orderBy(col("column_name").asc_nulls_last)
   }
 
   /** rewrite_manifests: three delta-manifest appends merge to one
@@ -164,17 +225,25 @@ object MaintenanceQueries {
       seed(spark, sfDir).schema)
     val df = seed(spark, sfDir)
     (0 until 3).foreach(i =>
-      t.append(df.filter(col("p_partkey") % 3 === i), t0))
+      t.append(df.filter(col("p_partkey") % 3 === i).repartition(1), t0))
     val before = t.currentSnapshot.map(_.manifests.size).getOrElse(0)
     val rowsBefore = t.currentSnapshot.map(_.totalRows).getOrElse(0L)
     val merged = t.rewriteManifests(t0)
     val after = t.currentSnapshot.map(_.manifests.size).getOrElse(0)
-    t.files
+    // same files, same rows, lineage preserved — every cell
+    // oracle-recomputable: the merged manifest must still inventory
+    // exactly the three original files with the original row total and
+    // one distinct adding snapshot per original append
+    t.files.agg(
+        count(lit(1)).as("n_files"),
+        sum(col("record_count")).as("rows_in_manifest"),
+        countDistinct(col("added_snapshot_id")).as("distinct_adding_snapshots"))
       .select(lit(before).as("manifests_before"),
         lit(merged).as("manifests_merged"),
         lit(after).as("manifests_after"),
-        lit(rowsBefore).as("rows_before"), col("path"),
-        col("record_count"), col("added_snapshot_id"))
+        lit(rowsBefore).as("rows_before"),
+        col("n_files"), col("rows_in_manifest"),
+        col("distinct_adding_snapshots"))
   }
 
   /** Write-audit-publish on branch refs: stage appends on an audit
@@ -280,13 +349,16 @@ object MaintenanceQueries {
     val t0 = fixedClock(20000)
     val t = GraftTable.create(spark, freshDir("upsert"),
       seed(spark, sfDir).schema)
-    t.append(seed(spark, sfDir), t0)
+    // pinned partition counts → deterministic file counts the oracle
+    // can assert as constants
+    t.append(seed(spark, sfDir).repartition(2), t0)
     val rowsBefore = t.rowCount
     // file counts from the snapshot summary — metadata-only, no scan
     def nFiles = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
     val filesBefore = nFiles
     val src = seed(spark, sfDir).filter(col("p_partkey") % 9 === 0)
       .withColumn("p_retailprice", col("p_retailprice") + 1000.0)
+      .repartition(1)
     val replaced = t.upsert(src, Seq("p_partkey"), t0)
     val filesAfterUpsert = nFiles
     val upsertedKeys = t.read.filter(col("p_partkey") % 9 === 0).count()
@@ -465,14 +537,170 @@ object MaintenanceQueries {
     "x07_rewrite_manifests" -> (rewriteManifestsDemo _),
     "x08_wap_branches" -> (wapDemo _))
 
-  /** Maintenance state (file counts, snapshot ids) is not
-    * SQL-expressible → most demos carry no oracle (driver does
-    * rows-only checks; contracts pinned by ScalaTest). The two demos
-    * whose OUTPUT is purely data-derived — incremental read / rollback
-    * row counts and the changelog event counts — get real oracles: the
-    * expected numbers recomputed from the part table itself, so a wrong
-    * incremental scan, rollback, or changelog replay hash-mismatches. */
+  /** Real DuckDB oracles for the maintenance demos. The demos are
+    * deterministic by construction (fixed clocks, key-filter subsets,
+    * pinned repartition counts), so every output cell is recomputable:
+    * row counts / content digests / stats values as plain aggregates
+    * over the same parquet the demo seeded from, and file/manifest/
+    * snapshot counts as constants that follow from the pinned commit
+    * sequence (the reference pins the same way —
+    * tests/test_maintenance.py:51,67,78 assert exact file counts, :92,
+    * 123 exact stat fractions). A compaction that corrupts a row, an
+    * expiry that deletes a live file, a MERGE that double-applies — each
+    * flips a cell and fails the hash gate. Exceptions kept rows-only:
+    * x13/x16 (hot-partition file layout derives from hash-shuffle
+    * placement, not from data content). */
   val oracles: Map[String, String] = Map(
+    "x01_optimize" ->
+      // compaction preserves the row MULTISET: full-content compare
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+        |  CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "x02_expire_snapshots" ->
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150 THEN 1 END) AS b
+        |  FROM part)
+        |SELECT CAST(4 AS BIGINT) AS "snapshotId", 'append' AS operation,
+        |  CAST(2 AS BIGINT) AS "numFiles", 2*a + b AS "totalRows",
+        |  CAST(4 AS BIGINT) AS files_deleted, 2*a + b AS live_rows,
+        |  a + b AS live_distinct_keys
+        |FROM c""".stripMargin,
+    "x03_remove_orphans" ->
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS live,
+        |  min(CASE WHEN p_partkey <= 100 THEN p_partkey END) AS mn,
+        |  max(CASE WHEN p_partkey <= 100 THEN p_partkey END) AS mx
+        |  FROM part)
+        |SELECT CAST(3 AS INTEGER) AS files_on_disk_before,
+        |  CAST(1 AS BIGINT) AS orphans_deleted,
+        |  CAST(2 AS INTEGER) AS files_on_disk_after,
+        |  live AS rows_live, live AS distinct_keys_live,
+        |  mn AS min_key, mx AS max_key
+        |FROM c""".stripMargin,
+    "x04_analyze_stats" ->
+      """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang_or_null
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name,
+        |    CAST(8 * count(doc_id) AS DOUBLE) AS data_size,
+        |    CAST(count(*) - count(doc_id) AS DOUBLE) / count(*) AS nulls_fraction,
+        |    CAST(NULL AS DOUBLE) AS row_count,
+        |    CAST(min(doc_id) AS VARCHAR) AS low_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS high_value FROM d
+        |  UNION ALL SELECT 'lang', CAST(sum(strlen(lang)) AS DOUBLE),
+        |    CAST(count(*) - count(lang) AS DOUBLE) / count(*), NULL,
+        |    min(lang), max(lang) FROM d
+        |  UNION ALL SELECT 'lang_or_null',
+        |    CAST(sum(strlen(lang_or_null)) AS DOUBLE),
+        |    CAST(count(*) - count(lang_or_null) AS DOUBLE) / count(*), NULL,
+        |    min(lang_or_null), max(lang_or_null) FROM d
+        |  UNION ALL SELECT 'n_chars', CAST(8 * count(n_chars) AS DOUBLE),
+        |    CAST(count(*) - count(n_chars) AS DOUBLE) / count(*), NULL,
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM d
+        |  UNION ALL SELECT 'source', CAST(sum(strlen(source)) AS DOUBLE),
+        |    CAST(count(*) - count(source) AS DOUBLE) / count(*), NULL,
+        |    min(source), max(source) FROM d
+        |  UNION ALL SELECT 'text', CAST(sum(strlen(text)) AS DOUBLE),
+        |    CAST(count(*) - count(text) AS DOUBLE) / count(*), NULL,
+        |    min(text), max(text) FROM d
+        |  UNION ALL SELECT NULL, NULL, NULL, CAST(count(*) AS DOUBLE),
+        |    NULL, NULL FROM d)
+        |ORDER BY column_name NULLS LAST""".stripMargin,
+    "x05_scheduler" ->
+      // fixed clock epoch-day 20000 = 2024-10-04; alpha analyzes+optimizes,
+      // beta (should_analyze unset) optimizes only
+      """SELECT * FROM (
+        |  SELECT 'alpha' AS table_name, CAST(1 AS INTEGER) AS should_optimize,
+        |    '2024-10-04 00:00:00' AS last_optimized_on,
+        |    '2024-10-04 00:00:00' AS last_analyzed_on
+        |  UNION ALL SELECT 'beta', 1, '2024-10-04 00:00:00', NULL)
+        |ORDER BY table_name""".stripMargin,
+    "x06_incremental_analyze" ->
+      """WITH p AS (SELECT * FROM part)
+        |SELECT CAST(2 AS BIGINT) AS files_scanned_run1,
+        |  CAST(2 AS BIGINT) AS files_scanned_run2, column_name,
+        |  nulls_fraction, row_count, low_value, high_value
+        |FROM (
+        |  SELECT 'p_brand' AS column_name,
+        |    CAST(count(*) - count(p_brand) AS DOUBLE) / count(*) AS nulls_fraction,
+        |    CAST(NULL AS DOUBLE) AS row_count,
+        |    min(p_brand) AS low_value, max(p_brand) AS high_value FROM p
+        |  UNION ALL SELECT 'p_name',
+        |    CAST(count(*) - count(p_name) AS DOUBLE) / count(*), NULL,
+        |    min(p_name), max(p_name) FROM p
+        |  UNION ALL SELECT 'p_partkey',
+        |    CAST(count(*) - count(p_partkey) AS DOUBLE) / count(*), NULL,
+        |    CAST(min(p_partkey) AS VARCHAR), CAST(max(p_partkey) AS VARCHAR) FROM p
+        |  UNION ALL SELECT 'p_retailprice',
+        |    CAST(count(*) - count(p_retailprice) AS DOUBLE) / count(*), NULL,
+        |    CAST(min(p_retailprice) AS VARCHAR), CAST(max(p_retailprice) AS VARCHAR) FROM p
+        |  UNION ALL SELECT 'p_size',
+        |    CAST(count(*) - count(p_size) AS DOUBLE) / count(*), NULL,
+        |    CAST(min(p_size) AS VARCHAR), CAST(max(p_size) AS VARCHAR) FROM p
+        |  UNION ALL SELECT 'p_type',
+        |    CAST(count(*) - count(p_type) AS DOUBLE) / count(*), NULL,
+        |    min(p_type), max(p_type) FROM p
+        |  UNION ALL SELECT NULL, NULL, CAST(count(*) AS DOUBLE), NULL, NULL FROM p)
+        |ORDER BY column_name NULLS LAST""".stripMargin,
+    "x07_rewrite_manifests" ->
+      """WITH c AS (SELECT count(*) AS n FROM part)
+        |SELECT CAST(3 AS INTEGER) AS manifests_before,
+        |  CAST(3 AS BIGINT) AS manifests_merged,
+        |  CAST(1 AS INTEGER) AS manifests_after,
+        |  n AS rows_before, CAST(3 AS BIGINT) AS n_files,
+        |  n AS rows_in_manifest,
+        |  CAST(3 AS BIGINT) AS distinct_adding_snapshots
+        |FROM c""".stripMargin,
+    "x08_wap_branches" ->
+      """WITH c AS (SELECT count(*) AS total,
+        |  count(CASE WHEN p_partkey % 2 = 0 THEN 1 END) AS even FROM part)
+        |SELECT * FROM (
+        |  SELECT 'audit' AS branch, CAST(2 AS BIGINT) AS head_snapshot_id,
+        |    even AS rows_main_before, even AS rows_main_during_audit,
+        |    total AS rows_staged, total AS rows_main_published FROM c
+        |  UNION ALL SELECT 'main', 2, even, even, total, total FROM c)
+        |ORDER BY branch""".stripMargin,
+    "x10_mor_delete" ->
+      """WITH c AS (SELECT count(*) AS total,
+        |  count(CASE WHEN p_partkey % 7 = 0 THEN 1 END) AS d7,
+        |  count(CASE WHEN p_partkey % 11 = 1 AND p_partkey % 7 <> 0 THEN 1 END) AS d11
+        |  FROM part)
+        |SELECT total AS rows_before, d7 + d11 AS rows_deleted,
+        |  total - d7 - d11 AS rows_after_mor_delete,
+        |  CAST(3 AS BIGINT) AS data_files_before,
+        |  CAST(3 AS BIGINT) AS data_files_after_delete,
+        |  CAST(4 AS BIGINT) AS delete_files_merged,
+        |  CAST(1 AS BIGINT) AS delete_files_after_merge,
+        |  CAST(0 AS BIGINT) AS delete_files_after_optimize,
+        |  total - d7 - d11 AS rows_after_optimize
+        |FROM c""".stripMargin,
+    "x12_upsert" ->
+      """WITH c AS (SELECT count(*) AS total,
+        |  count(CASE WHEN p_partkey % 9 = 0 THEN 1 END) AS k9 FROM part)
+        |SELECT total AS rows_before, k9 AS rows_replaced, total AS rows_after,
+        |  CAST(2 AS BIGINT) AS files_before,
+        |  CAST(3 AS BIGINT) AS files_after_upsert,
+        |  k9 AS rows_with_upserted_keys,
+        |  CAST(0 AS BIGINT) AS eq_delete_files_after_optimize
+        |FROM c""".stripMargin,
+    "x14_sql_merge" ->
+      """WITH c AS (SELECT count(*) AS total,
+        |  count(CASE WHEN p_partkey % 9 = 0 THEN 1 END) AS k9 FROM part)
+        |SELECT total AS rows_before, CAST(2 AS BIGINT) AS merge_batches,
+        |  CAST(2 AS BIGINT) AS eq_delete_files_before,
+        |  CAST(2 AS BIGINT) AS eq_files_merged,
+        |  CAST(1 AS BIGINT) AS eq_delete_files_after,
+        |  total AS rows_after, k9 AS rows_with_merged_price
+        |FROM c""".stripMargin,
+    "x15_schema_ddl" ->
+      """SELECT 'k,label,score,hits' AS columns_now,
+        |  CAST(6 AS BIGINT) AS rows_now,
+        |  CAST(3 AS BIGINT) AS pre_evolution_rows_null_score,
+        |  CAST(1 AS BIGINT) AS renamed_column_reads_old_files,
+        |  CAST(1 AS BIGINT) AS widened_rows_beyond_int,
+        |  CAST(3 AS BIGINT) AS rows_at_version_1""".stripMargin,
     "x09_incremental_read" ->
       """WITH c AS (SELECT
         |  count(CASE WHEN p_partkey % 3 = 1 THEN 1 END)
