@@ -110,13 +110,99 @@ object Multimodal {
       .orderBy($"source", $"batch_idx")
   }
 
+  // ---- m04: perceptual-hash media near-dup ------------------------------
+
+  private val SigBits = 64   // aHash signature width
+  private val PBands = 4     // LSH bands over the signature
+  private val PBandBits = 16 // bits per band
+  private val MaxHamming = 8 // near-dup verify threshold
+
+  /** m04: PERCEPTUAL-HASH near-duplicate detection over media payloads —
+    * the multimodal rung of the dedup ladder. Classic aHash structure:
+    * split the payload into [[SigBits]] byte blocks, threshold each
+    * block sum at the payload mean → one 64-bit signature per item
+    * (pure projection, no UDF). Candidates come from an LSH band join
+    * ([[PBands]]×[[PBandBits]]-bit bands, bucket-local pair expansion
+    * with triangle salting — the s05 machinery, NOT an all-pairs join);
+    * the verify step is an exact `bit_count(xor)` hamming test. At
+    * 100 TB the corpus is scanned once, pairs exist only inside band
+    * buckets, and oversized buckets shard losslessly. The DuckDB oracle
+    * recomputes signatures identically and brute-forces the band
+    * predicate, so a wrong block sum, threshold, band split, or hamming
+    * count all hash-mismatch. */
+  def m04PerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // per-char codes of the payload (ASCII fixture ⇒ chars = bytes);
+    // regexp_extract_all mirrors the oracle exactly, index-for-index
+    val d0 = mediaCorpus(s, dir).toDF()
+      .withColumn("codes", expr(
+        "transform(regexp_extract_all(CAST(payload AS STRING), '.', 0), c -> ascii(c))"))
+      .withColumn("total",
+        aggregate($"codes", lit(0L), (a, x) => a + x))
+    val sig = (0 until SigBits).map { j =>
+      val bs = aggregate(
+        filter($"codes", (_, i) => i % SigBits === lit(j)),
+        lit(0L), (a, x) => a + x)
+      // blockMean > payloadMean, cross-multiplied to stay integer-exact
+      when(bs * SigBits > $"total", lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = d0.select($"doc_id", sig.as("sig"))
+    val bands = sigs.select($"doc_id", $"sig",
+      posexplode(array((0 until PBands).map(b =>
+        shiftrightunsigned($"sig", b * PBandBits).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    val cand = DedupQueries.saltedPairExpansion(bands, Seq("band", "key"),
+      Seq($"doc_id", $"sig"), "doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long"))
+      .filter($"hamming" <= MaxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_batch_inference" -> (m03BatchInference _),
+    "m04_perceptual_neardup" -> (m04PerceptualNearDup _),
   )
 
+  /** The 64 aHash bit terms, unrolled for DuckDB (1-based list indices;
+    * `& 65535` after the shift makes arithmetic-vs-logical shift moot). */
+  private def sigTermsSql: String = (0 until SigBits).map { j =>
+    // -2^63 can't be written as a literal (the unary minus binds after
+    // the cast and 2^63 overflows INT64) — spell it arithmetically
+    val bit = if (j == 63) "(-9223372036854775807 - 1)::BIGINT"
+              else s"${1L << j}::BIGINT"
+    s"""CASE WHEN $SigBits * coalesce(list_sum(
+       |      list_filter(codes, (x, i) -> (i - 1) % $SigBits = $j)), 0)
+       |      > total THEN $bit ELSE 0::BIGINT END""".stripMargin
+  }.mkString("(", "\n    + ", ")")
+
+  private def bandEqSql: String = (0 until PBands).map { b =>
+    val k = b * PBandBits
+    s"((a.sig >> $k) & 65535) = ((b.sig >> $k) & 65535)"
+  }.mkString("(", "\n      OR ", ")")
+
   val oracles: Map[String, String] = Map(
+    "m04_perceptual_neardup" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    list_apply(regexp_extract_all(text, '.'), x -> ascii(x)) AS codes
+        |  FROM documents),
+        |t AS (SELECT doc_id, codes, list_sum(codes) AS total FROM c),
+        |s AS (SELECT doc_id, $sigTermsSql AS sig FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id AND $bandEqSql)
+        |SELECT doc_a, doc_b, hamming FROM p
+        |WHERE hamming <= $MaxHamming ORDER BY doc_a, doc_b""".stripMargin,
     "m01_media_features" ->
       """WITH f AS (
         |  SELECT doc_id, source, 'text/plain' AS mime,

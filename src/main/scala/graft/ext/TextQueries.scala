@@ -276,6 +276,56 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  // PII redaction patterns (C4/CCNet-style scrub). Chosen to mean the
+  // same thing in Java regex (Spark codegen) and RE2 (DuckDB oracle):
+  // char classes, bounded repetition, \b — no lookarounds.
+  private[ext] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ext] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[ext] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII REDACTION (the C4/CCNet scrub beside t09's blocklist): mask
+    * emails, phone numbers, and IPs via built-in `regexp_count` /
+    * `regexp_replace` — codegen'd, no UDF — and report per source how
+    * many documents and spans were touched plus the net character
+    * delta. The fixture corpus is clean word soup, so the query first
+    * INJECTS deterministic PII spans keyed on doc_id (same construction
+    * in the oracle); the redaction math is then fully hash-checked.
+    * One corpus scan, one aggregation exchange by source — same 100 TB
+    * shape as t09; patterns are literals compiled once per task. */
+  def t11PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val raw = concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" reach me at user"), id, lit("@example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+          lit("."), (($"doc_id" * 3) % 256).cast("string")))
+        .otherwise(lit("")))
+    val d = t(s, dir, "documents")
+      .withColumn("raw", raw)
+      .withColumn("n_email", regexp_count($"raw", lit(EmailRe)).cast("long"))
+      .withColumn("n_phone", regexp_count($"raw", lit(PhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count($"raw", lit(IpRe)).cast("long"))
+      .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+        $"raw", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"n_email" + $"n_phone" + $"n_ip" > 0, 1))
+          .as("docs_with_pii"),
+        sum($"n_email").as("emails_redacted"),
+        sum($"n_phone").as("phones_redacted"),
+        sum($"n_ip").as("ips_redacted"),
+        sum(length($"raw") - length($"clean")).as("chars_delta"))
+      .orderBy($"source")
+  }
+
   /** Each language's target share of the training-token budget (equal
     * mixing here; a DoReMi-style pipeline would feed learned weights —
     * the PLAN is identical). Mirrored verbatim in the oracle. */
@@ -314,6 +364,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_pii_redact" -> (t11PiiRedact _),
     "t10_domain_mix" -> (t10DomainMix _),
     "t09_blocklist_scrub" -> (t09BlocklistScrub _),
     "t06_gopher_filters" -> (t06GopherFilters _),
@@ -333,6 +384,37 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "t11_pii_redact" ->
+      s"""WITH w AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, raw,
+        |    len(regexp_extract_all(raw, '$EmailRe')) AS n_email,
+        |    len(regexp_extract_all(raw, '$PhoneRe')) AS n_phone,
+        |    len(regexp_extract_all(raw, '$IpRe')) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '$EmailRe', '<EMAIL>', 'g'),
+        |      '$PhoneRe', '<PHONE>', 'g'),
+        |      '$IpRe', '<IP>', 'g') AS clean
+        |  FROM w)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 END)
+        |    AS BIGINT) AS docs_with_pii,
+        |  CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+        |  CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+        |  CAST(sum(n_ip) AS BIGINT) AS ips_redacted,
+        |  CAST(sum(length(raw) - length(clean)) AS BIGINT) AS chars_delta
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "t10_domain_mix" ->
       s"""WITH p AS (
         |  SELECT lang, count(*) AS n_docs,

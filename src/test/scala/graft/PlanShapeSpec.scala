@@ -148,6 +148,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"scrub must not shuffle rows (${shuffles.size})")
   }
 
+  test("t11: PII redaction is one scan plus one aggregation exchange, no UDF") {
+    val df = graft.ext.TextQueries.queries("t11_pii_redact")(spark, sf)
+    val nodes = allNodes(df)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"corpus must be scanned once (${scans.size})")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // the per-source aggregate plus the final orderBy's range exchange
+    assert(shuffles.size <= 2, s"redaction must not shuffle rows (${shuffles.size})")
+    // regexp_count/regexp_replace are codegen'd built-ins — a UDF here
+    // would fall out of whole-stage codegen on the 100 TB hot path
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
+      "no UDF in the redaction plan")
+  }
+
   test("d13: k-means assignment is a pure projection — no join, no corpus shuffle") {
     val nodes = allNodes(
       graft.ext.ClusterQueries.queries("d13_kmeans_topics")(spark, sf))
