@@ -53,12 +53,30 @@ object GraftStatsRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** Add this rule to the session's extra optimizer rules, once. */
+  /** Add this rule to the session's extra optimizer rules, once.
+    * Extra optimizations run in the LAST optimizer batch — after
+    * CostBasedJoinReorder — so this placement feeds stats to PHYSICAL
+    * planning (join strategy/broadcast selection). For logical join
+    * REORDER, stats must already be present when that batch runs: use
+    * [[withStats]] on the DataFrame, or install [[GraftSparkExtensions]]
+    * session-wide via `spark.sql.extensions` (injectPreCBORule). */
   def ensureInstalled(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(this))
       spark.experimental.extraOptimizations = cur :+ this
   }
+
+  /** Attach pinned ANALYZE statistics to `df`'s graft scans at
+    * RESOLUTION time, so every optimizer batch — including Spark's
+    * CostBasedJoinReorder, which runs before any user-injectable rule
+    * slot except preCBO — sees row counts and NDVs. Under
+    * `spark.sql.cbo.joinReorder.enabled` a star query's join order is
+    * then chosen by estimated intermediate sizes, exactly what the
+    * reference enables extended Iceberg stats in Trino for. */
+  def withStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.CatalystShims.ofRows(df.sparkSession,
+      apply(df.queryExecution.analyzed))
 
   /** Build the stats-bearing CatalogTable for a pinned graft snapshot.
     * Row count comes from the snapshot (always live, like Trino's
@@ -102,4 +120,16 @@ object GraftStatsRule extends Rule[LogicalPlan] {
           rowCount = Some(BigInt(rowCount)),
           colStats = colStats)))
     }
+}
+
+/** Session-wide pre-CBO installation for deployments:
+  * `--conf spark.sql.extensions=graft.sources.GraftSparkExtensions`
+  * injects [[GraftStatsRule]] into the preCBO slot, which runs BEFORE
+  * CostBasedJoinReorder — every graft scan in the session then carries
+  * ANALYZE stats for logical join reordering, with no per-DataFrame
+  * [[GraftStatsRule.withStats]] call needed. */
+class GraftSparkExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPreCBORule(_ => GraftStatsRule)
 }

@@ -37,4 +37,14 @@ object CatalystShims {
   def xxHash64Literal(value: Any, dt: DataType): Long =
     new XxHash64(Seq(Literal(value, dt))).eval(InternalRow.empty)
       .asInstanceOf[Long]
+
+  /** DataFrame over an explicit logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — lets graft attach ANALYZE statistics to a scan at
+    * RESOLUTION time, ahead of optimizer batches that run before user
+    * rules (CostBasedJoinReorder). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -90,4 +90,58 @@ class CboStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.conf.set("spark.sql.cbo.enabled", "false")
     }
   }
+
+  test("ANALYZE-driven NDV reorders a 3-table join under CBO join reorder") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import spark.implicits._
+    val dir = tmpDir("cboreorder")
+    def pad(i: Int): String =
+      java.lang.Long.toHexString((i.toLong + 3) * 0x9E3779B97F4A7C15L) * 2
+    // fact: every row matches d1 (non-reducing); only w=3 rows match the
+    // FILTERED d2 (highly reducing) — the cheap plan joins d2 FIRST
+    val fDf = (0 until 40000).map(i =>
+      (i.toLong % 2000, i.toLong % 4000, pad(i))).toDF("k1", "k2", "padf")
+    val f = GraftTable.create(spark, s"$dir/f", fDf.schema)
+    f.append(fDf)
+    val d1Df = (0 until 2000).map(i => (i.toLong, pad(i + 500000)))
+      .toDF("k1", "v1")
+    val d1 = GraftTable.create(spark, s"$dir/d1", d1Df.schema)
+    d1.append(d1Df)
+    val d2Df = (0 until 4000).map(i => (i.toLong, i.toLong % 1000, pad(i + 900000)))
+      .toDF("k2", "w", "v2")
+    val d2 = GraftTable.create(spark, s"$dir/d2", d2Df.schema)
+    d2.append(d2Df)
+    Seq(f, d1, d2).foreach(t => Analyze.run(t, None, Clock.systemUTC()))
+
+    def scan(n: String) = spark.read.format("graft").load(s"$dir/$n")
+    // written in the EXPENSIVE order: the non-reducing d1 join first
+    def q = scan("f")
+      .join(scan("d1"), "k1")
+      .join(scan("d2").filter($"w" === 3L), "k2")
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    def innermostJoinKeys(df: DataFrame): Set[String] = {
+      val all = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      all.filter(j => j.children.forall(
+          c => c.collect { case jj: LJoin => jj }.isEmpty))
+        .flatMap(_.condition).flatMap(_.references.map(_.name)).toSet
+    }
+
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      // withStats attaches the ANALYZE stats at RESOLUTION time, ahead
+      // of the CostBasedJoinReorder batch (ensureInstalled's slot runs
+      // after it); the reorder then joins the selective d2 side first
+      val reordered = graft.sources.GraftStatsRule.withStats(q)
+      assert(innermostJoinKeys(reordered).contains("k2"),
+        s"expected d2 joined first, innermost keys: ${innermostJoinKeys(reordered)}")
+      // the written order stands when stats arrive too late for reorder
+      assert(innermostJoinKeys(q).contains("k1"),
+        s"expected written order without resolution-time stats")
+      // same rows either way — reorder must not change semantics
+      val a = reordered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b && a.nonEmpty)
+    }
+  }
 }
