@@ -1,0 +1,103 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: synthesize an N-times documents/embeddings corpus from a
+  * base sf dir (deterministic near-dup copies, so the dedup family has
+  * N-member clusters to find) and run the heaviest [EXT] operators once,
+  * recording per-query wall time, total shuffle read/write bytes, and
+  * the LARGEST single task-result shipped to the driver (the "does any
+  * stage collect data rows driver-side?" signal — data-plane operators
+  * must ship only bounded summaries).
+  *
+  * Usage: DevScale <baseSfDir> <multiplier> [queries...]
+  * Prints one JSON line per query; not a driver main.
+  */
+object DevScale {
+  private final class Metrics extends SparkListener {
+    val shuffleRead = new LongAdder
+    val shuffleWrite = new LongAdder
+    val maxResult = new LongAdder // max via accumulate-compare below
+    @volatile var maxTaskResult: Long = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        val r = m.resultSize
+        synchronized { if (r > maxTaskResult) maxTaskResult = r }
+      }
+    }
+    def reset(): Unit = { shuffleRead.reset(); shuffleWrite.reset()
+      synchronized { maxTaskResult = 0L } }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(20)
+    val names = args.drop(2).toSeq match {
+      case Nil => Seq("d03_minhash_lsh", "d09_dedup_clusters",
+        "d11_incremental_dedup", "d13_kmeans_topics", "s05_lsh_neardup",
+        "m04_perceptual_neardup")
+      case xs => xs
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- synthesize the xN corpus --------------------------------------
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val copies = explode(sequence(lit(0), lit(mult - 1))).as("c")
+    // near-dup copies: a one-token suffix keeps shingle overlap high, so
+    // every base doc becomes an N-member near-dup cluster
+    spark.read.parquet(s"$base/documents.parquet")
+      .select(col("*"), copies)
+      .select(
+        (col("doc_id") + col("c").cast("long") * 10000000L).as("doc_id"),
+        when(col("c") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" copyv"), col("c"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("*"), copies)
+      .select(
+        (col("vec_id") + col("c").cast("long") * 10000000L).as("vec_id"),
+        col("label"),
+        // tiny deterministic perturbation on one dimension per copy:
+        // cosine to the base vector stays ~1 → s05 finds the clusters
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("c"), size(col("embedding"))),
+            x + lit(0.01f) * col("c").cast("float")).otherwise(x))
+          .as("embedding"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"""{"corpus":"x$mult","docs":$nDocs,"vecs":$nVecs,"dir":"$dir"}""")
+
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+    names.foreach { name =>
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val rows = try SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable => println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}"""); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      def mb(b: Long) = math.round(b / 1048.576) / 1000.0
+      println(s"""{"query":"$name","mult":$mult,"rows":$rows,"sec":${math.round(sec * 100) / 100.0},"shuffle_write_mb":${mb(metrics.shuffleWrite.sum)},"shuffle_read_mb":${mb(metrics.shuffleRead.sum)},"max_task_result_mb":${mb(metrics.maxTaskResult)}}""")
+    }
+    spark.stop()
+  }
+}

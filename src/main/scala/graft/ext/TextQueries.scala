@@ -326,6 +326,37 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  // context-window chunking geometry (t12): window / stride in tokens
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** CONTEXT-WINDOW CHUNKING (t12): split every document into
+    * overlapping token windows ([[ChunkTokens]] wide, [[ChunkStride]]
+    * stride — 16-token overlap), the RAG-indexing / training-prep step
+    * between cleaning and tokenization. Chunk count is integer math
+    * (`(n - W + S - 1) div S + 1`), chunk rows come from one
+    * `explode(sequence(...))` — a narrow generate, no shuffle until the
+    * per-source report. At 100 TB chunks are emitted streaming per
+    * input split; nothing is buffered per document. */
+  def t12Chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .withColumn("n", size(split($"text", " ")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n <= $ChunkTokens THEN CAST(1 AS BIGINT) ELSE " +
+          s"(n - $ChunkTokens + ${ChunkStride - 1}) DIV $ChunkStride + 1 END"))
+    d.select($"doc_id", $"source", $"n", $"n_chunks",
+        explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"))
+      .withColumn("chunk_tokens",
+        least(lit(ChunkTokens.toLong), $"n" - $"chunk_idx" * ChunkStride))
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks_total"),
+        sum($"chunk_tokens").as("sum_chunk_tokens"),
+        max($"n_chunks").as("max_chunks_per_doc"))
+      .orderBy($"source")
+  }
+
   /** Each language's target share of the training-token budget (equal
     * mixing here; a DoReMi-style pipeline would feed learned weights —
     * the PLAN is identical). Mirrored verbatim in the oracle. */
@@ -364,6 +395,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_chunking" -> (t12Chunking _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t10_domain_mix" -> (t10DomainMix _),
     "t09_blocklist_scrub" -> (t09BlocklistScrub _),
@@ -384,6 +416,27 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "t12_chunking" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n,
+        |    CASE WHEN n <= $ChunkTokens THEN 1
+        |      ELSE (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride + 1
+        |    END AS n_chunks
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, source, n, n_chunks,
+        |    unnest(range(0, n_chunks)) AS chunk_idx
+        |  FROM c)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_chunks_total,
+        |  CAST(sum(least($ChunkTokens, n - chunk_idx * $ChunkStride))
+        |    AS BIGINT) AS sum_chunk_tokens,
+        |  CAST(max(n_chunks) AS BIGINT) AS max_chunks_per_doc
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     "t11_pii_redact" ->
       s"""WITH w AS (
         |  SELECT source, text ||

@@ -162,6 +162,18 @@ class PlanShapeSpec extends SparkSpec {
       "no UDF in the redaction plan")
   }
 
+  test("t12: chunking is a narrow generate — one scan, shuffle only for the report") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t12_chunking")(spark, sf))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"corpus must be scanned once (${scans.size})")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // chunk rows are generated streaming per split; only the per-source
+    // aggregate (and its output sort) exchange — never the chunk rows
+    // themselves by any chunk-level key
+    assert(shuffles.size <= 2, s"chunk emission must stay narrow (${shuffles.size})")
+  }
+
   test("d13: k-means assignment is a pure projection — no join, no corpus shuffle") {
     val nodes = allNodes(
       graft.ext.ClusterQueries.queries("d13_kmeans_topics")(spark, sf))
