@@ -350,7 +350,10 @@ object TextQueries {
       .withColumn("chunk_tokens",
         least(lit(ChunkTokens.toLong), $"n" - $"chunk_idx" * ChunkStride))
       .groupBy($"source")
-      .agg(countDistinct($"doc_id").as("n_docs"),
+      // every doc emits exactly one chunk 0 — counting it gives n_docs
+      // in the SAME single-phase aggregate (countDistinct would add a
+      // second exchange keyed by (source, doc_id))
+      .agg(count(when($"chunk_idx" === 0L, 1)).as("n_docs"),
         count(lit(1)).as("n_chunks_total"),
         sum($"chunk_tokens").as("sum_chunk_tokens"),
         max($"n_chunks").as("max_chunks_per_doc"))
@@ -431,7 +434,8 @@ object TextQueries {
         |  SELECT doc_id, source, n, n_chunks,
         |    unnest(range(0, n_chunks)) AS chunk_idx
         |  FROM c)
-        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |SELECT source,
+        |  CAST(count(CASE WHEN chunk_idx = 0 THEN 1 END) AS BIGINT) AS n_docs,
         |  count(*) AS n_chunks_total,
         |  CAST(sum(least($ChunkTokens, n - chunk_idx * $ChunkStride))
         |    AS BIGINT) AS sum_chunk_tokens,
