@@ -174,6 +174,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"chunk emission must stay narrow (${shuffles.size})")
   }
 
+  test("m04: perceptual near-dup pairs only inside band buckets — never all-pairs") {
+    val nodes = allNodes(
+      graft.ext.Multimodal.queries("m04_perceptual_neardup")(spark, sf))
+    // the oracle brute-forces a.doc_id < b.doc_id over the cross product;
+    // the ENGINE must not — candidates come from bucket-local expansion
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "no cartesian product in the band join")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "no nested-loop join in the band join")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"one signature pass over the corpus (${scans.size})")
+  }
+
   test("d13: k-means assignment is a pure projection — no join, no corpus shuffle") {
     val nodes = allNodes(
       graft.ext.ClusterQueries.queries("d13_kmeans_topics")(spark, sf))
