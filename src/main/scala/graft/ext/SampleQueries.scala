@@ -53,9 +53,41 @@ object SampleQueries {
       .orderBy($"lang", $"rn")
   }
 
+  /** WEIGHTED sampling that APPLIES t10's domain-mix plan: each language
+    * keeps documents with probability = its mixing weight (shared code
+    * with t10 via [[TextQueries.langWeights]], so the applied weights
+    * can never drift from the reported plan — the curation loop closed:
+    * cluster/language stats → weights → sampled corpus).
+    *
+    * The per-document uniform is a Knuth multiplicative hash of the id
+    * mapped to [0,1) — exact BIGINT math in both engines, reproducible
+    * under retry/repartition like d06's md5 key (which a production
+    * pipeline would swap in; the POINT here is the weighted
+    * composition). The 5-row weight table BROADCASTS onto the corpus —
+    * one scan for the weights, one for the sample, no shuffle by
+    * document anywhere. */
+  def d15WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = broadcast(TextQueries.langWeights(s, dir)
+      .select($"lang", $"weight"))
+    docs(s, dir)
+      .withColumn("toks", size(split($"text", " ")).cast("long"))
+      .withColumn("u",
+        (($"doc_id" * 2654435761L) % 4294967296L).cast("double") / 4294967296.0)
+      .join(w, "lang")
+      .withColumn("keep", $"u" < $"weight")
+      .groupBy($"lang")
+      .agg(max($"weight").as("weight"),
+        count(lit(1)).as("n_docs"),
+        count(when($"keep", 1)).as("n_kept"),
+        sum(when($"keep", $"toks")).as("kept_tokens"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_hash_sample" -> (d06HashSample _),
     "d07_stratified_sample" -> (d07StratifiedSample _),
+    "d15_weighted_sample" -> (d15WeightedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,5 +105,25 @@ object SampleQueries {
         |  FROM documents)
         |WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
+    "d15_weighted_sample" ->
+      s"""WITH p AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(actual_tokens)::DOUBLE AS total_tokens FROM p),
+        |w AS (SELECT lang,
+        |    round(least(1.0, (total_tokens * ${TextQueries.TargetShare}) / actual_tokens), 6) AS weight
+        |  FROM p, tot),
+        |d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT d.lang, max(w.weight) AS weight, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN u < weight THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN u < weight THEN toks END) AS BIGINT) AS kept_tokens
+        |FROM d JOIN w ON d.lang = w.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 }

@@ -363,7 +363,7 @@ object TextQueries {
   /** Each language's target share of the training-token budget (equal
     * mixing here; a DoReMi-style pipeline would feed learned weights —
     * the PLAN is identical). Mirrored verbatim in the oracle. */
-  private val TargetShare = 0.2
+  private[ext] val TargetShare = 0.2
 
   /** DOMAIN MIXING weights (static reweighting): give every language an
     * equal share of the token budget by computing, per language, the
@@ -376,6 +376,14 @@ object TextQueries {
     * 100 TB the heavy side is the one aggregate — weights themselves
     * are O(languages). */
   def t10DomainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langWeights(s, dir).orderBy($"lang")
+  }
+
+  /** The per-language mixing weights t10 reports — shared with d15's
+    * weighted sampler so the applied weights can never drift from the
+    * reported plan. */
+  private[ext] def langWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perLang = t(s, dir, "documents")
       .withColumn("toks", size(split($"text", " ")).cast("long"))
@@ -394,7 +402,6 @@ object TextQueries {
         round($"actual_tokens" * $"weight", 0).cast("long"))
       .select($"lang", $"n_docs", $"actual_tokens", $"weight",
         $"expected_tokens")
-      .orderBy($"lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -174,6 +174,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"chunk emission must stay narrow (${shuffles.size})")
   }
 
+  test("d15: weight table broadcasts onto the corpus — no shuffle by document") {
+    val nodes = allNodes(
+      graft.ext.SampleQueries.queries("d15_weighted_sample")(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the 5-row weight table must broadcast")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // weight aggregate, its |languages|-row window, the report aggregate,
+    // the output sort — nothing keyed by document
+    assert(shuffles.size <= 4, s"unexpected shuffle count ${shuffles.size}")
+  }
+
   test("m04: perceptual near-dup pairs only inside band buckets — never all-pairs") {
     val nodes = allNodes(
       graft.ext.Multimodal.queries("m04_perceptual_neardup")(spark, sf))
