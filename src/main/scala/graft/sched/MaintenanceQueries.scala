@@ -400,12 +400,19 @@ object MaintenanceQueries {
     t.optimizePartitions(Seq("days_ts" -> lit(minDay)), clock = t0)
     val hotFilesAfter = t.files.filter(t.partitionScope(
       Seq("days_ts" -> lit(minDay)))).count()
+    // layout-independent output (oracle-able): the hot day's row count
+    // read back through the `"t$partitions"` metadata relation, the
+    // pinned hot-partition file deltas (4 micro-appends → 1 compacted),
+    // and the global reclaim delta — cold-day FILE placement derives
+    // from range-shuffle sampling and stays out of the contract
     spark.read.format("graft").option("metadata", "partitions").load(loc)
-      .withColumn("files_before", lit(filesBefore))
-      .withColumn("hot_partition_files_before", lit(hotFilesBefore))
-      .withColumn("hot_partition_files_after", lit(hotFilesAfter))
-      .withColumn("files_after", lit(nFiles))
-      .orderBy(col("days_ts").asc_nulls_last, col("record_count"))
+      .filter(col("days_ts") === minDay.toString)
+      .agg(sum(col("record_count")).as("hot_rows"))
+      .select(lit(minDay.toLong).as("hot_day"), col("hot_rows"),
+        lit(hotFilesBefore).as("hot_files_before"),
+        lit(hotFilesAfter).as("hot_files_after"),
+        lit(filesBefore - nFiles).as("files_reclaimed"),
+        lit(t.rowCount).as("total_rows"))
   }
 
   /** MERGE INTO (Trino's Iceberg upsert spelling) + equality-delete
@@ -512,11 +519,16 @@ object MaintenanceQueries {
     val b = graft.meta.PartitionSpec.bucket(4, "user_id").expr(lit(3L))
     val scan = t.readPrunedPartition("bucket4_user_id" -> b)
     import spark.implicits._
+    // layout-independent cells only (exact file counts derive from
+    // range-shuffle placement): pruning evidence = the scan skipped at
+    // least one file AND still returned every user-3 row from BOTH
+    // appends (superset guarantee) — the row count is data-derived and
+    // oracle-checked against the events table
     Seq((specBefore, t.partitionSpec.map(_.name).mkString(","), untouched,
-      scan.filesScanned, scan.filesTotal,
+      scan.filesScanned < scan.filesTotal,
       scan.df.filter(col("user_id") === 3L).count()))
       .toDF("spec_before", "spec_after", "evolution_left_files_untouched",
-        "files_scanned_bucket_of_user3", "files_total", "rows_user_3")
+        "scan_skipped_files", "rows_user_3")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -694,6 +706,28 @@ object MaintenanceQueries {
         |  CAST(1 AS BIGINT) AS eq_delete_files_after,
         |  total AS rows_after, k9 AS rows_with_merged_price
         |FROM c""".stripMargin,
+    "x13_partitions" ->
+      """WITH h AS (
+        |  SELECT CAST(CAST(min(ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS hot_day
+        |  FROM events)
+        |SELECT hot_day,
+        |  (SELECT count(*) FROM events
+        |   WHERE CAST(ts AS DATE) - DATE '1970-01-01' = hot_day) AS hot_rows,
+        |  CAST(4 AS BIGINT) AS hot_files_before,
+        |  CAST(1 AS BIGINT) AS hot_files_after,
+        |  CAST(3 AS BIGINT) AS files_reclaimed,
+        |  (SELECT count(*) FROM events) AS total_rows
+        |FROM h""".stripMargin,
+    "x16_partition_evolution" ->
+      // the table holds the events data appended TWICE (pre- and
+      // post-evolution); spec names and the untouched/skipped booleans
+      // are pinned by the commit sequence
+      """SELECT 'days_ts' AS spec_before,
+        |  'bucket4_user_id' AS spec_after,
+        |  true AS evolution_left_files_untouched,
+        |  true AS scan_skipped_files,
+        |  (SELECT 2 * count(*) FROM events WHERE user_id = 3) AS rows_user_3""".stripMargin,
     "x15_schema_ddl" ->
       """SELECT 'k,label,score,hits' AS columns_now,
         |  CAST(6 AS BIGINT) AS rows_now,
