@@ -43,14 +43,17 @@ object Bench {
     }
     val passes = Seq.fill(3)(timedPass())
     // A failed query's elapsed-to-exception time is meaningless — record
-    // a -1 sentinel for it and keep it OUT of the headline total, so a
-    // failure can only make the total look missing, never fast.
+    // a -1 sentinel for it, and make the HEADLINE total -1 too: a
+    // partial sum would read as a round-over-round speedup to anything
+    // parsing only `value`, which is exactly the mistaken signal a
+    // failure must not produce.
     val results = passes.head.keys.map { k =>
       k -> (if (failed.contains(k)) -1.0 else passes.map(_(k)).min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total =
+      if (failed.nonEmpty) -1.0 else results.values.sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Totals LAST: the driver persists only a ~2000-char TAIL of stdout,
     // which truncated the front-loaded headline total away in rounds

@@ -21,7 +21,6 @@ object DevScale {
   private final class Metrics extends SparkListener {
     val shuffleRead = new LongAdder
     val shuffleWrite = new LongAdder
-    val maxResult = new LongAdder // max via accumulate-compare below
     @volatile var maxTaskResult: Long = 0L
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics

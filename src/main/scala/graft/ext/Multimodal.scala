@@ -139,9 +139,17 @@ object Multimodal {
         "transform(regexp_extract_all(CAST(payload AS STRING), '.', 0), c -> ascii(c))"))
       .withColumn("total",
         aggregate($"codes", lit(0L), (a, x) => a + x))
+      // CONTIGUOUS block regions (classic aHash): the 64 block sums
+      // together traverse the array ONCE via slices — a strided
+      // (i % 64) layout would force 64 full filter passes per row.
+      // BALANCED bounds [j·n/64, (j+1)·n/64): ceil-sized blocks would
+      // leave the tail blocks empty on short payloads, zeroing the top
+      // band and degenerately bucketing every short item together.
+      .withColumn("n", size($"codes"))
+    def bound(j: Int) = expr(s"(n * $j) DIV $SigBits")
     val sig = (0 until SigBits).map { j =>
       val bs = aggregate(
-        filter($"codes", (_, i) => i % SigBits === lit(j)),
+        slice($"codes", bound(j) + 1, bound(j + 1) - bound(j)),
         lit(0L), (a, x) => a + x)
       // blockMean > payloadMean, cross-multiplied to stay integer-exact
       when(bs * SigBits > $"total", lit(1L << j)).otherwise(lit(0L))
@@ -171,15 +179,16 @@ object Multimodal {
     "m04_perceptual_neardup" -> (m04PerceptualNearDup _),
   )
 
-  /** The 64 aHash bit terms, unrolled for DuckDB (1-based list indices;
-    * `& 65535` after the shift makes arithmetic-vs-logical shift moot). */
+  /** The 64 aHash bit terms, unrolled for DuckDB (contiguous block
+    * slices, 1-based inclusive bounds; `& 65535` after the shift makes
+    * arithmetic-vs-logical shift moot). */
   private def sigTermsSql: String = (0 until SigBits).map { j =>
     // -2^63 can't be written as a literal (the unary minus binds after
     // the cast and 2^63 overflows INT64) — spell it arithmetically
     val bit = if (j == 63) "(-9223372036854775807 - 1)::BIGINT"
               else s"${1L << j}::BIGINT"
     s"""CASE WHEN $SigBits * coalesce(list_sum(
-       |      list_filter(codes, (x, i) -> (i - 1) % $SigBits = $j)), 0)
+       |      codes[((n * $j) // $SigBits + 1):((n * ${j + 1}) // $SigBits)]), 0)
        |      > total THEN $bit ELSE 0::BIGINT END""".stripMargin
   }.mkString("(", "\n    + ", ")")
 
@@ -194,7 +203,8 @@ object Multimodal {
         |  SELECT doc_id,
         |    list_apply(regexp_extract_all(text, '.'), x -> ascii(x)) AS codes
         |  FROM documents),
-        |t AS (SELECT doc_id, codes, list_sum(codes) AS total FROM c),
+        |t AS (SELECT doc_id, codes, list_sum(codes) AS total,
+        |    len(codes) AS n FROM c),
         |s AS (SELECT doc_id, $sigTermsSql AS sig FROM t),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object TrinoCompat {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    // Trino cardinality(array|map) = Spark size() (Spark also defines
-    // cardinality — the registry check keeps the built-in if present).
-    // Trino returns BIGINT where Spark's Size is INT — cast to match.
+    // Trino cardinality(array|map) = Spark size(). In practice Spark
+    // DEFINES cardinality as a built-in (INT-returning), and the
+    // registry check below deliberately keeps built-ins — so this
+    // BIGINT-shaped mapping is only a fallback for a session whose
+    // registry lacks the name; dispatcher queries get Spark's INT.
     "cardinality" -> (es => Cast(Size(es.head), LongType)),
     // Trino strpos(string, substring) = 1-based position, 0 if absent;
     // BIGINT in Trino (Spark's StringLocate is INT) — cast to match

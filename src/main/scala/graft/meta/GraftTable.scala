@@ -148,19 +148,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * sort columns — Iceberg's write.distribution-mode=range + local
     * sort. Empty when the property is unset. */
   def sortOrder: Seq[(String, Boolean)] =
-    properties.get("sorted_by").toSeq.flatMap(_.split(","))
-      .map(_.trim).filter(_.nonEmpty).map { e =>
-        val parts = e.split("\\s+").toSeq
-        require(parts.length == 1 ||
-          (parts.length == 2 && (parts(1).equalsIgnoreCase("ASC") ||
-            parts(1).equalsIgnoreCase("DESC"))),
-          s"bad sorted_by entry: $e")
-        (parts.head, parts.length == 2 && parts(1).equalsIgnoreCase("DESC"))
-      }
+    properties.get("sorted_by").toSeq
+      .flatMap(GraftTable.parseSortOrderProp)
 
   /** [[sortOrder]] as sort expressions over `df`'s columns. */
   private[graft] def sortExprs(df: DataFrame): Seq[Column] =
-    sortOrder.map { case (c, desc) =>
+    sortExprsFrom(df, sortOrder)
+
+  private def sortExprsFrom(df: DataFrame,
+                            order: Seq[(String, Boolean)]): Seq[Column] =
+    order.map { case (c, desc) =>
       require(df.columns.contains(c), s"sorted_by column $c not in schema")
       if (desc) df(c).desc else df(c).asc
     }
@@ -1572,15 +1569,18 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * to ONE partition on small batches), merging every transform value
     * into one file and defeating pruning. */
   private def clusterBySpec(df: DataFrame): DataFrame =
-    clusterBy(df, partitionSpec)
+    clusterBy(df, partitionSpec, sortOrder)
 
-  /** [[clusterBySpec]] against an EXPLICIT spec — [[replace]] clusters
-    * by the post-replace spec before it is committed. */
-  private def clusterBy(df: DataFrame, spec: Seq[PartitionField]): DataFrame = {
+  /** [[clusterBySpec]] against an EXPLICIT spec and sort order —
+    * [[replace]] clusters by the post-replace spec/order before they
+    * are committed. */
+  private def clusterBy(df: DataFrame, spec: Seq[PartitionField],
+                        order: Seq[(String, Boolean)]): DataFrame = {
     // partition transforms first (coarse grouping), sort order within —
     // the Iceberg range-distribution write shape
     val exprs = spec.map(f =>
-      f.expr(df(f.column), df.schema(f.column).dataType)) ++ sortExprs(df)
+      f.expr(df(f.column), df.schema(f.column).dataType)) ++
+      sortExprsFrom(df, order)
     if (exprs.isEmpty) df
     else {
       df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
@@ -1618,11 +1618,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * land; if the snapshot commit throws, the schema version and spec
     * are rolled back so no new-schema/old-data hybrid is ever visible. */
   def replace(df: DataFrame, clock: Clock = Clock.systemUTC(),
-              newSpec: Option[Seq[PartitionField]] = None): Unit =
+              newSpec: Option[Seq[PartitionField]] = None,
+              newSortedBy: Option[Option[String]] = None): Unit =
     commitLock.synchronized {
       val spec = newSpec.getOrElse(
         partitionSpec.filter(f => df.schema.fieldNames.contains(f.column)))
       validateSpec(df.schema, spec)
+      // sorted_by follows the same definition-swap rule as the spec:
+      // outer None (library callers) keeps the surviving columns of the
+      // current order; Some(None) clears; Some(Some(v)) sets — always
+      // validated against the NEW schema, never the pre-replace one
+      val priorSortProp = properties.get("sorted_by")
+      val sortProp: Option[String] = newSortedBy.getOrElse(
+        priorSortProp.map(v => GraftTable.parseSortOrderProp(v)
+          .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+          .map { case (c, d) => if (d) s"$c DESC" else c }.mkString(", "))
+          .filter(_.nonEmpty))
+      val order = sortProp.toSeq.flatMap(GraftTable.parseSortOrderProp)
+      order.foreach { case (c, _) =>
+        require(df.schema.fieldNames.contains(c),
+          s"sorted_by column $c not in the replacing schema") }
       val shape = (t: StructType) => t.fields.map(f => (f.name, f.dataType)).toSeq
       // Compute (but do not commit) the post-replace schema version.
       val nextVersion: Option[SchemaVersion] =
@@ -1642,13 +1657,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           val since = snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
           Some(SchemaVersion(vs.last.version + 1, since, StructType(fields)))
         }
-      // 1. Data first: cluster by the POST-replace spec so the new files
-      //    prune on it; nothing visible has changed if this throws.
+      // 1. Data first: cluster by the POST-replace spec/order so the new
+      //    files prune on them; nothing visible has changed if this throws.
       val commitDir = new Path(tableDir, s"data/${UUID.randomUUID()}")
-      dataWrite(clusterBy(df, spec)).parquet(commitDir.toString)
+      dataWrite(clusterBy(df, spec, order)).parquet(commitDir.toString)
       fs.delete(new Path(commitDir, "_SUCCESS"), false)
-      // 2. Metadata: schema + spec + overwrite snapshot, rolled back
-      //    together on failure.
+      // 2. Metadata: schema + spec + sort property + overwrite snapshot,
+      //    rolled back together on failure.
       val priorSpec = partitionSpec
       val priorSchemaJson = schema.json
       try {
@@ -1657,9 +1672,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           writeAtomic(new Path(tableDir, "_graft/schema.json"), v.schema.json)
         }
         if (spec != priorSpec) PartitionSpec.write(fs, tableDir, spec)
+        if (sortProp != priorSortProp)
+          setProperties(Map("sorted_by" -> sortProp.orNull))
         commit("overwrite", inventory(commitDir), clock, carryPrior = false)
       } catch {
         case e: Throwable =>
+          if (sortProp != priorSortProp)
+            setProperties(Map("sorted_by" -> priorSortProp.orNull))
           if (spec != priorSpec) PartitionSpec.write(fs, tableDir, priorSpec)
           nextVersion.foreach { v =>
             fs.delete(new Path(schemasDir,
@@ -2382,6 +2401,18 @@ final case class SchemaVersion(version: Int, since: Long, schema: StructType)
 
 object GraftTable {
   /** Field-metadata key holding a column's stable id across renames. */
+  /** Parse the stored `sorted_by` property value (`a, b DESC`) into
+    * (column, descending) pairs. */
+  private[graft] def parseSortOrderProp(v: String): Seq[(String, Boolean)] =
+    v.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      val parts = e.split("\\s+").toSeq
+      require(parts.length == 1 ||
+        (parts.length == 2 && (parts(1).equalsIgnoreCase("ASC") ||
+          parts(1).equalsIgnoreCase("DESC"))),
+        s"bad sorted_by entry: $e")
+      (parts.head, parts.length == 2 && parts(1).equalsIgnoreCase("DESC"))
+    }
+
   private[meta] val GidKey = "gid"
   private[meta] val SchemaFileName = """v(\d+)_s(\d+)\.json""".r
 

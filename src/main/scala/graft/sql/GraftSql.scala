@@ -65,12 +65,12 @@ object GraftSql {
           // ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(ts)']
           case PartitioningProp(items) =>
             resolve(unquote(t)).updatePartitionSpec(
-              "'([^']*)'".r.findAllMatchIn(items)
-                .map(m => parsePartitionField(m.group(1))).toSeq)
+              parsePartitioningArray(items))
           // Trino's write sort order: sorted_by = ARRAY['a', 'b DESC']
           case SortedByProp(items) =>
             val tbl = resolve(unquote(t))
-            tbl.setProperties(Map("sorted_by" -> parseSortedBy(tbl, items)))
+            tbl.setProperties(Map("sorted_by" ->
+              parseSortedBy(tbl.schema.fieldNames.toSeq, items)))
           case _ => resolve(unquote(t)).setProperties(parseProps(props))
         }
         None
@@ -97,14 +97,19 @@ object GraftSql {
         val target = resolve(unquote(t))
         val df = selectBody(spark, resolve, body)
         if (GraftTable.exists(spark, target.location)) {
-          // CORTAS is a definition swap (Trino): `partitioning` refers
-          // to the NEW schema, so it is validated and applied inside the
-          // atomic replace — never against the pre-replace table. No
-          // partitioning clause resets the spec (the new definition
-          // simply has none). Non-spec props apply as before.
-          val (spec, rest) = splitPartitioning(Option(withProps))
+          // CORTAS is a definition swap (Trino): `partitioning` AND
+          // `sorted_by` refer to the NEW schema, so both are validated
+          // and applied inside the atomic replace — never against the
+          // pre-replace table. Absent clauses reset (the new definition
+          // simply has none). Plain props apply only AFTER the replace
+          // succeeds, so a failed statement mutates nothing.
+          val (spec, sortedItems, rest) = splitSpecProps(Option(withProps))
+          val sortProp = sortedItems.map(items =>
+            parseSortedBy(df.schema.fieldNames.toSeq, items))
+          target.replace(df, clock,
+            newSpec = Some(spec.getOrElse(Seq.empty)),
+            newSortedBy = Some(sortProp))
           applyWithProps(target, rest)
-          target.replace(df, clock, newSpec = Some(spec.getOrElse(Seq.empty)))
         } else {
           val created = GraftTable.create(spark, target.location, df.schema)
           applyWithProps(created, Option(withProps))
@@ -414,16 +419,18 @@ object GraftSql {
   private val SortedByProp =
     """(?is)^sorted_by ?= ?ARRAY ?\[(.*)\]$""".r
 
-  /** Validate a `sorted_by` ARRAY body against the table's schema and
-    * canonicalize it to the stored property form (`a, b DESC`). */
-  private def parseSortedBy(t: GraftTable, items: String): String = {
+  /** Validate a `sorted_by` ARRAY body against the given schema columns
+    * and canonicalize it to the stored property form (`a, b DESC`) —
+    * callers pass the CURRENT schema (ALTER/CREATE) or the REPLACING
+    * query's schema (CORTAS). */
+  private def parseSortedBy(fieldNames: Seq[String], items: String): String = {
     val entries = "'([^']*)'".r.findAllMatchIn(items)
       .map(_.group(1).trim).filter(_.nonEmpty).toSeq
     require(entries.nonEmpty, "sorted_by requires at least one column")
     entries.map { e =>
       val parts = e.split("\\s+").toSeq
       val name = unquote(parts.head)
-      require(t.schema.fieldNames.contains(name),
+      require(fieldNames.contains(name),
         s"sorted_by: no such column $name")
       parts.map(_.toUpperCase).drop(1) match {
         case Seq() | Seq("ASC") => name
@@ -610,24 +617,34 @@ object GraftSql {
     applyWithProps(created, withProps)
   }
 
+  /** Parse a `partitioning = ARRAY[...]` body into partition fields —
+    * the one shared implementation for ALTER SET PROPERTIES, the WITH
+    * clause, and CORTAS. */
+  private def parsePartitioningArray(items: String)
+      : Seq[graft.meta.PartitionField] =
+    "'([^']*)'".r.findAllMatchIn(items)
+      .map(m => parsePartitionField(m.group(1))).toSeq
+
   /** Split a WITH(...) property list into its parsed `partitioning`
-    * spec and the remaining raw property text — CORTAS applies the spec
-    * atomically inside [[GraftTable.replace]] instead of mutating the
-    * pre-replace table. */
-  private def splitPartitioning(withProps: Option[String])
-      : (Option[Seq[graft.meta.PartitionField]], Option[String]) =
+    * spec, the raw `sorted_by` ARRAY body, and the remaining property
+    * text — CORTAS validates BOTH spec props against the NEW schema and
+    * applies them atomically inside [[GraftTable.replace]] instead of
+    * mutating the pre-replace table. */
+  private def splitSpecProps(withProps: Option[String])
+      : (Option[Seq[graft.meta.PartitionField]], Option[String], Option[String]) =
     withProps.map(_.trim).filter(_.nonEmpty) match {
-      case None => (None, None)
+      case None => (None, None, None)
       case Some(raw) =>
         var spec: Option[Seq[graft.meta.PartitionField]] = None
+        var sorted: Option[String] = None
         val rest = splitTop(raw, ',').map(_.trim).filter {
           case PartitioningProp(items) =>
-            spec = Some("'([^']*)'".r.findAllMatchIn(items)
-              .map(m => parsePartitionField(m.group(1))).toSeq)
-            false
+            spec = Some(parsePartitioningArray(items)); false
+          case SortedByProp(items) =>
+            sorted = Some(items); false
           case _ => true
         }
-        (spec, Some(rest.mkString(", ")).filter(_.nonEmpty))
+        (spec, sorted, Some(rest.mkString(", ")).filter(_.nonEmpty))
     }
 
   /** Trino's WITH clause: `partitioning` becomes the partition spec,
@@ -639,11 +656,10 @@ object GraftSql {
       val plain = scala.collection.mutable.ArrayBuffer.empty[String]
       splitTop(raw, ',').foreach(_.trim match {
         case PartitioningProp(items) =>
-          created.updatePartitionSpec("'([^']*)'".r.findAllMatchIn(items)
-            .map(m => parsePartitionField(m.group(1))).toSeq)
+          created.updatePartitionSpec(parsePartitioningArray(items))
         case SortedByProp(items) =>
-          created.setProperties(
-            Map("sorted_by" -> parseSortedBy(created, items)))
+          created.setProperties(Map("sorted_by" ->
+            parseSortedBy(created.schema.fieldNames.toSeq, items)))
         case p => plain += p
       })
       if (plain.nonEmpty)

@@ -1129,6 +1129,37 @@ class GraftSqlSpec extends SparkSpec {
     assert(fx.resolve("t").read.count() == 4)
   }
 
+  test("CREATE OR REPLACE sorted_by refers to the NEW schema; plain props only on success") {
+    val fx = fixture("sqlcorsort")
+    fx.sql("CREATE TABLE src (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO src VALUES (1,'ab'), (2,'c'), (3,'d')")
+    fx.sql("CREATE TABLE t (a BIGINT) WITH (sorted_by = ARRAY['a'])")
+    fx.sql("INSERT INTO t VALUES (7)")
+    // sorted_by names a NEW-schema-only column: accepted (old bug: the
+    // pre-replace schema rejected it); the old order on the dropped
+    // column must not survive either (old bug: clusterBy threw on it)
+    fx.sql("CREATE OR REPLACE TABLE t WITH (sorted_by = ARRAY['kk DESC']) " +
+      "AS SELECT k * 10 AS kk, v FROM src")
+    val t = fx.resolve("t")
+    assert(t.schema.fieldNames.toSeq == Seq("kk", "v"))
+    assert(t.sortOrder == Seq(("kk", true)))
+    assert(t.read.count() == 3)
+    // sorted_by on a column the replace removes fails up front and
+    // leaves the table untouched — including its properties
+    intercept[IllegalArgumentException] {
+      fx.sql("CREATE OR REPLACE TABLE t WITH (sorted_by = ARRAY['kk'], " +
+        "foo = 'x') AS SELECT v FROM src")
+    }
+    val t2 = fx.resolve("t")
+    assert(t2.schema.fieldNames.toSeq == Seq("kk", "v"))
+    assert(t2.sortOrder == Seq(("kk", true)))
+    assert(!t2.properties.contains("foo"),
+      "a failed replace must not leave plain props behind")
+    // no sorted_by clause = the new definition has none: order resets
+    fx.sql("CREATE OR REPLACE TABLE t AS SELECT kk, v FROM t")
+    assert(fx.resolve("t").sortOrder.isEmpty)
+  }
+
   test("TrinoCompat rewrite converts calls but never touches string literals") {
     import graft.functions.TrinoCompat.rewriteSql
     assert(rewriteSql("SELECT date_diff('hour', a, b)") ==
