@@ -326,6 +326,49 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  // t13: broadcast vocabulary size and the OOV-share flag threshold
+  private val TopVocab = 50
+
+  /** UNIGRAM RARITY scoring (t13) — the CCNet/LM quality-filter shape
+    * without an external model: score every document by the mean
+    * inverse corpus probability of its words and flag OOV-heavy docs.
+    * All arithmetic is INTEGER (per-word weight = `total div count`,
+    * OOV = `2·total`), so scores are exact in both engines and group
+    * aggregation is order-free — no float-summation drift to manage.
+    *
+    * Scale shape: ONE shuffle counts the vocabulary (unavoidable and
+    * linear); the top-[[TopVocab]] table is bounded METADATA collected
+    * to the driver (like d13's centroids) and baked into the scoring
+    * pass as a literal map — scoring is a pure projection, the corpus
+    * never shuffles by word, and a 100 TB corpus pays one count pass
+    * plus one scoring pass. */
+  def t13RarityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vc = t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val total = vc.agg(sum($"c")).head().getLong(0)
+    // deterministic top-K: count DESC, word ASC — bounded driver collect
+    val top = vc.orderBy($"c".desc, $"word").limit(TopVocab).collect()
+    val invMap = map(top.toSeq.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(total / r.getLong(1)))): _*)
+    val oov = lit(2L * total)
+    val d = t(s, dir, "documents")
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_words", size($"ws").cast("long"))
+      .withColumn("rarity", aggregate($"ws", lit(0L),
+        (a, x) => a + coalesce(element_at(invMap, x), oov)))
+      .withColumn("n_oov",
+        size(filter($"ws", x => element_at(invMap, x).isNull)).cast("long"))
+    d.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        // flagged: more than 10% of tokens outside the top vocabulary
+        count(when($"n_oov" * 10 > $"n_words", 1)).as("n_flagged"),
+        sum($"rarity").as("sum_rarity"),
+        min($"rarity").as("min_rarity"), max($"rarity").as("max_rarity"))
+      .orderBy($"lang")
+  }
+
   // context-window chunking geometry (t12): window / stride in tokens
   private val ChunkTokens = 64
   private val ChunkStride = 48
@@ -405,6 +448,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_rarity_filter" -> (t13RarityFilter _),
     "t12_chunking" -> (t12Chunking _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t10_domain_mix" -> (t10DomainMix _),
@@ -426,6 +470,28 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "t13_rarity_filter" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |vc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vc),
+        |topk AS (
+        |  SELECT word, total // c AS inv FROM vc, tot
+        |  ORDER BY c DESC, word LIMIT $TopVocab),
+        |scored AS (
+        |  SELECT w.doc_id, w.lang, count(*) AS n_words,
+        |    CAST(sum(coalesce(k.inv, 2 * (SELECT total FROM tot)))
+        |      AS BIGINT) AS rarity,
+        |    CAST(count(CASE WHEN k.inv IS NULL THEN 1 END) AS BIGINT) AS n_oov
+        |  FROM w LEFT JOIN topk k ON w.word = k.word
+        |  GROUP BY w.doc_id, w.lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN n_oov * 10 > n_words THEN 1 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(sum(rarity) AS BIGINT) AS sum_rarity,
+        |  min(rarity) AS min_rarity, max(rarity) AS max_rarity
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
     "t12_chunking" ->
       s"""WITH d AS (
         |  SELECT doc_id, source,

@@ -185,6 +185,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 4, s"unexpected shuffle count ${shuffles.size}")
   }
 
+  test("t13: rarity scoring is a literal-map projection — no join, no shuffle by word") {
+    val df = graft.ext.TextQueries.queries("t13_rarity_filter")(spark, sf)
+    val nodes = allNodes(df)
+    // the vocabulary was counted in its own bounded pass at query-build
+    // time (like d13's centroids); the SCORING plan must be one scan,
+    // the per-lang aggregate, and the output sort — no join of the
+    // corpus against a vocabulary relation
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join")),
+      "scoring must not join the corpus against the vocabulary")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"one scoring pass over the corpus (${scans.size})")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 2, s"unexpected shuffle count ${shuffles.size}")
+  }
+
   test("m04: perceptual near-dup pairs only inside band buckets — never all-pairs") {
     val nodes = allNodes(
       graft.ext.Multimodal.queries("m04_perceptual_neardup")(spark, sf))
