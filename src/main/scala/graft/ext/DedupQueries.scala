@@ -254,7 +254,7 @@ object DedupQueries {
     * `p.a` / `p.b`), applied AT EXPANSION — pairs it rejects never
     * reach the verify join (d11 uses it to keep only pairs touching a
     * new batch). */
-  private[ext] def verifiedNgramPairs(docs: DataFrame,
+  private[graft] def verifiedNgramPairs(docs: DataFrame,
                                       residual: String = ""): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

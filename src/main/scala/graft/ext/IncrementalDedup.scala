@@ -35,7 +35,7 @@ object IncrementalDedup {
     new Path(s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_$dirKey")
   }
 
-  private val BatchResidual =
+  private[graft] val BatchResidual =
     " AND (p.a.doc_id % 10 = 0 OR p.b.doc_id % 10 = 0)"
 
   // ---- index stamp: "<lastIndexedSnapshotId>\n<sourceFingerprint>" ----

@@ -440,7 +440,49 @@ object StreamOps {
       .orderBy("lang"))
   }
 
+  /** st09: STREAMING INCREMENTAL INDEXING — the streaming twin of d11's
+    * nightly catch-up. The persisted shingle index seeds from the
+    * standing corpus (`doc_id % 10 != 0`); the overnight batch arrives
+    * as a FILE STREAM, is shingled with narrow ops inside the stream,
+    * and lands in the index through the exactly-once graft sink (batch
+    * markers commit atomically with the data — a replayed micro-batch
+    * no-ops). Near-dup pairs touching the batch are then answered from
+    * the STREAMED index, and must equal d11's batch answer exactly —
+    * the oracle is d11's from-scratch recompute verbatim. At 100 TB the
+    * arriving stream is shingled once, the standing corpus never
+    * re-shingles, and candidate pairs exist only inside prefix buckets. */
+  def st09StreamIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{DedupQueries, IncrementalDedup}
+    import graft.meta.GraftTable
+    import org.apache.spark.sql.functions._
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val loc = java.nio.file.Files.createTempDirectory("graft_st09")
+      .resolve("index").toString
+    val seed = DedupQueries.shingleRelation(
+      graft.rel.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .filter(col("doc_id") % 10 =!= 0))
+    val index = GraftTable.create(s, loc, seed.schema)
+    index.append(seed)
+    val arrivingShingles = DedupQueries.shingleRelation(
+      s.readStream.schema(rawSchema).option("basePath", dir)
+        .parquet(s"$dir/{documents.parquet}")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_chars"), col("text")))
+    val q = arrivingShingles.writeStream
+      .foreachBatch(GraftSink.appendBatch(index, "st09") _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_st09_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    DedupQueries.verifiedNgramPairs(index.read,
+        IncrementalDedup.BatchResidual)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_stream_index" -> (st09StreamIndex _),
     "st08_stream_decontaminate" -> (st08StreamDecontaminate _),
     "st07_session_window" -> (st07SessionWindow _),
     "st01_hourly_stream" -> (st01HourlyStream _),
@@ -462,6 +504,10 @@ object StreamOps {
     // documents the batch decontamination pass flags
     "st08_stream_decontaminate" ->
       graft.ext.DedupQueries.oracles("d08_decontaminate"),
+    // the batch d11 oracle verbatim: pairs answered from the STREAMED
+    // index must equal the nightly catch-up's from-scratch recompute
+    "st09_stream_index" ->
+      graft.ext.IncrementalDedup.oracles("d11_incremental_dedup"),
     // Gap-based sessionization (new session at gap >= 30 min, matching
     // session_window's strict-overlap merge), emitted-only filter =
     // append mode's watermark rule: end <= max(ts) - 2h.
