@@ -119,7 +119,7 @@ object SimilarityQueries {
     * of every data file under the source path — the plain-parquet
     * analogue of a graft/Iceberg source snapshot id. Listing-only, no
     * data read; any append/rewrite of the source changes it. */
-  private[ext] def sourceFingerprint(s: SparkSession, src: String): String = {
+  private[graft] def sourceFingerprint(s: SparkSession, src: String): String = {
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) "absent"

@@ -333,8 +333,11 @@ object TextQueries {
     * without an external model: score every document by the mean
     * inverse corpus probability of its words and flag OOV-heavy docs.
     * All arithmetic is INTEGER (per-word weight = `total div count`,
-    * OOV = `2·total`), so scores are exact in both engines and group
-    * aggregation is order-free — no float-summation drift to manage.
+    * OOV = `2·total`), so scores agree bit-for-bit across engines and
+    * group aggregation is order-free — no float-summation drift to
+    * manage. (BIGINT bounds the per-language sum; a corpus whose rarity
+    * sums approach 2^63 would need the weights rescaled, not a wider
+    * type — the SCORE is a ratio signal, not a count.)
     *
     * Scale shape: ONE shuffle counts the vocabulary (unavoidable and
     * linear); the top-[[TopVocab]] table is bounded METADATA collected
@@ -344,14 +347,23 @@ object TextQueries {
     * plus one scoring pass. */
   def t13RarityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persist the counted vocabulary so the total and the top-K come
+    // from ONE corpus scan + ONE word shuffle (two uncached actions
+    // would re-run both — the exact cost this operator exists to avoid)
     val vc = t(s, dir, "documents")
       .select(explode(split($"text", " ")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("c"))
-    val total = vc.agg(sum($"c")).head().getLong(0)
-    // deterministic top-K: count DESC, word ASC — bounded driver collect
-    val top = vc.orderBy($"c".desc, $"word").limit(TopVocab).collect()
-    val invMap = map(top.toSeq.flatMap(r =>
-      Seq(lit(r.getString(0)), lit(total / r.getLong(1)))): _*)
+      .persist()
+    val (total, top) = try {
+      val totalRow = vc.agg(sum($"c")).head()
+      val tot = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      // deterministic top-K: count DESC, word ASC — bounded driver collect
+      (tot, vc.orderBy($"c".desc, $"word").limit(TopVocab).collect())
+    } finally vc.unpersist()
+    val invMap =
+      if (top.isEmpty) typedLit(Map.empty[String, Long])
+      else map(top.toSeq.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(total / r.getLong(1)))): _*)
     val oov = lit(2L * total)
     val d = t(s, dir, "documents")
       .withColumn("ws", split($"text", " "))

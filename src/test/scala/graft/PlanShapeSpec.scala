@@ -248,6 +248,18 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus-wide total must not re-derive the aggregate (${scans.size} scans)")
   }
 
+  test("st09: pairs from the streamed index stay prefix-bucket-local — no cartesian") {
+    val nodes = allNodes(
+      graft.streaming.StreamOps.queries("st09_stream_index")(spark, sf))
+    // the standing corpus must never re-shingle into an all-pairs join:
+    // candidates exist only inside prefix buckets over the PERSISTED
+    // index, exactly like d11's nightly catch-up
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "no cartesian product over the signature index")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "no nested-loop join over the signature index")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
