@@ -132,6 +132,15 @@ object Multimodal {
     * count all hash-mismatch. */
   def m04PerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    m04Pairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The m04 near-dup pair relation, cached per (session, dir) — m04
+    * orders it, m05 runs components over it; the signature + band-join
+    * pipeline executes once per session either way. */
+  private def m04Pairs(s: SparkSession, dir: String): DataFrame =
+   RelCache.cached(s, s"$dir#m04_pairs") {
+    import s.implicits._
     // per-char codes of the payload (ASCII fixture ⇒ chars = bytes);
     // regexp_extract_all mirrors the oracle exactly, index-for-index
     val d0 = mediaCorpus(s, dir).toDF()
@@ -169,7 +178,17 @@ object Multimodal {
         bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long"))
       .filter($"hamming" <= MaxHamming)
       .select($"doc_a", $"doc_b", $"hamming")
-      .orderBy($"doc_a", $"doc_b")
+   }
+
+  /** m05: MEDIA DEDUP CLUSTERS — connected components over the m04
+    * perceptual-hash near-dup graph, each cluster keeping its min-id
+    * representative with a capped member list — the multimodal rung of
+    * the cluster ladder (d09 lexical → d10 semantic → this). Same
+    * O(diameter)-round propagation; the edge set comes from m04's band
+    * buckets, so pipeline width tracks near-dup density, never corpus². */
+  def m05MediaDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.clusterSummary(m04Pairs(s, dir).select($"doc_a", $"doc_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,6 +196,7 @@ object Multimodal {
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_batch_inference" -> (m03BatchInference _),
     "m04_perceptual_neardup" -> (m04PerceptualNearDup _),
+    "m05_media_dedup_clusters" -> (m05MediaDedupClusters _),
   )
 
   /** The 64 aHash bit terms, unrolled for DuckDB (contiguous block
@@ -197,7 +217,46 @@ object Multimodal {
     s"((a.sig >> $k) & 65535) = ((b.sig >> $k) & 65535)"
   }.mkString("(", "\n      OR ", ")")
 
+  /** The m04 signature/band/verify pipeline as DuckDB CTEs ending in a
+    * hamming-filtered `pairs(doc_a, doc_b)` — shared by the m04 and m05
+    * oracles, exactly like the s05/d10 fragment-sharing pattern. */
+  private def m04PairsCte: String =
+    s"""WITH RECURSIVE c AS (
+      |  SELECT doc_id,
+      |    list_apply(regexp_extract_all(text, '.'), x -> ascii(x)) AS codes
+      |  FROM documents),
+      |t AS (SELECT doc_id, codes, list_sum(codes) AS total,
+      |    len(codes) AS n FROM c),
+      |s AS (SELECT doc_id, $sigTermsSql AS sig FROM t),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |    FROM s a, s b
+      |    WHERE a.doc_id < b.doc_id AND $bandEqSql)
+      |  WHERE hamming <= $MaxHamming)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "m05_media_dedup_clusters" ->
+      s"""$m04PairsCte,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
+        |ranked AS (
+        |  SELECT doc, cluster_rep, row_number() OVER (
+        |    PARTITION BY cluster_rep ORDER BY doc) AS rn FROM comp)
+        |SELECT cluster_rep, count(*) AS n_members,
+        |  string_agg(CASE WHEN rn <= ${DedupQueries.MaxMembers}
+        |               THEN CAST(doc AS VARCHAR) END, ',' ORDER BY doc)
+        |    AS members,
+        |  CAST(sum(CASE WHEN rn > ${DedupQueries.MaxMembers} THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overflow
+        |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
     "m04_perceptual_neardup" ->
       s"""WITH c AS (
         |  SELECT doc_id,
