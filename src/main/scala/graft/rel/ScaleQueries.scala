@@ -557,8 +557,44 @@ object ScaleQueries {
         countDistinct($"o_orderkey").as("n_orders"))
   }
 
+  /** Bucketed interval join (range join): every purchase joined to the
+    * same user's clicks in the preceding 30 minutes. Written naively —
+    * `ON p.user = c.user AND c.ts BETWEEN p.ts - 30m AND p.ts` — Spark
+    * plans the inequality as a per-user join residual, which is fine
+    * until one user dominates; with no equality key at all it degrades
+    * to a nested loop. The scale path (the "range join optimization"
+    * Databricks/Trino special-case): quantize time into 30-min epochs,
+    * explode each probe row to the two epochs its window can overlap,
+    * equi-join on (user_id, epoch), then apply the exact residual. The
+    * join becomes a plain hash exchange on a composite key; candidate
+    * width per probe is bounded by events-per-user-per-window —
+    * a data-density constant, independent of corpus size. Epoch math is
+    * integer `div` on epoch-micros (µs-since-epoch ≈ 1.7e18 overflows
+    * double's 2^53 mantissa — float division would mis-bucket). */
+  def q43IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val winUs = 30L * 60 * 1000000 // 30-min attribution window, in µs
+    val ev = t(s, dir, "events")
+    val us = unix_micros($"ts".cast("timestamp"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts",
+        us.as("p_us"), expr(s"unix_micros(cast(ts as timestamp)) div $winUs").as("p_epoch"))
+      .withColumn("epoch", explode(array($"p_epoch" - 1, $"p_epoch")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), us.as("c_us"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $winUs").as("epoch"))
+    purchases.join(clicks, Seq("user_id", "epoch"))
+      .filter($"c_us" >= $"p_us" - winUs && $"c_us" < $"p_us")
+      .groupBy(dayofmonth($"ts").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"purchase_id").as("n_purchases"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_join_pruned" -> (q39JoinPruned _),
+    "q43_interval_join" -> (q43IntervalJoin _),
     "a01_asof_join" -> (a01AsofJoin _),
     "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
@@ -581,6 +617,19 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT CAST(day(p.ts) AS INT) AS day, count(*) AS n_pairs,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  count(DISTINCT p.user_id) AS n_users
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
+        |GROUP BY day ORDER BY day""".stripMargin,
     "a01_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id AS click_id FROM events

@@ -535,7 +535,45 @@ object MaintenanceQueries {
         "scan_skipped_files", "rows_user_3")
   }
 
+  /** rollback_to_snapshot (Iceberg's table-maintenance escape hatch for
+    * a bad commit): one atomic ref move in the claimed state. The demo
+    * pins every contract cell: the bad commit's rows vanish from `main`
+    * but the bad snapshot stays readable by id (until expiry), and the
+    * next append chains onto the rolled-back head — its `parentId` is
+    * the rolled-back snapshot, not the abandoned one — with a fresh,
+    * still-monotonic snapshot id. All counts derive from part-table
+    * key-filter subsets; ids/parents are commit-sequence constants. */
+  private def rollbackDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val df = seed(spark, sfDir)
+    val t = GraftTable.create(spark, freshDir("rollback"), df.schema)
+    t.append(df.filter(col("p_partkey") <= 100).repartition(2), t0)  // s1
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t0)                                            // s2: good head
+    t.append(df.filter(col("p_partkey") > 150 && col("p_partkey") <= 180)
+      .repartition(1), t0)                                            // s3: bad commit
+    val badId = t.currentSnapshot.get.snapshotId
+    val rowsBad = t.read.count()
+    t.rollback(badId - 1)
+    val rowsAfterRollback = t.read.count()
+    val badStillReadable = t.readAsOf(badId).count()
+    t.append(df.filter(col("p_partkey") > 180 && col("p_partkey") <= 200)
+      .repartition(1), t0)                                            // s4: chains onto s2
+    val head = t.currentSnapshot.get
+    val live = t.read
+    import spark.implicits._
+    Seq((rowsBad, rowsAfterRollback, badStillReadable))
+      .toDF("rows_before_rollback", "rows_after_rollback", "rows_bad_snapshot")
+      .withColumn("head_snapshot_id", lit(head.snapshotId))
+      .withColumn("head_parent_id", lit(head.parentId))
+      .withColumn("n_snapshots", lit(t.snapshots.size.toLong))
+      .withColumn("rows_final", lit(live.count()))
+      .withColumn("distinct_keys_final",
+        lit(live.select("p_partkey").distinct().count()))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_rollback" -> (rollbackDemo _),
     "x16_partition_evolution" -> (partitionEvolutionDemo _),
     "x15_schema_ddl" -> (schemaDdlDemo _),
     "x14_sql_merge" -> (sqlMergeDemo _),
@@ -567,6 +605,25 @@ object MaintenanceQueries {
     * x13/x16 (hot-partition file layout derives from hash-shuffle
     * placement, not from data content). */
   val oracles: Map[String, String] = Map(
+    "x17_rollback" ->
+      """WITH k AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150 THEN 1 END) AS b,
+        |  count(CASE WHEN p_partkey > 150 AND p_partkey <= 180 THEN 1 END) AS c,
+        |  count(CASE WHEN p_partkey > 180 AND p_partkey <= 200 THEN 1 END) AS d,
+        |  count(DISTINCT CASE WHEN p_partkey <= 150
+        |    OR (p_partkey > 180 AND p_partkey <= 200)
+        |    THEN p_partkey END) AS dk
+        |  FROM part)
+        |SELECT a + b + c AS rows_before_rollback,
+        |  a + b AS rows_after_rollback,
+        |  a + b + c AS rows_bad_snapshot,
+        |  CAST(4 AS BIGINT) AS head_snapshot_id,
+        |  CAST(2 AS BIGINT) AS head_parent_id,
+        |  CAST(4 AS BIGINT) AS n_snapshots,
+        |  a + b + d AS rows_final,
+        |  dk AS distinct_keys_final
+        |FROM k""".stripMargin,
     "x01_optimize" ->
       // compaction preserves the row MULTISET: full-content compare
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,

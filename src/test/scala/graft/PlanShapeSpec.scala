@@ -201,8 +201,26 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("m04: perceptual near-dup pairs only inside band buckets — never all-pairs") {
-    val nodes = allNodes(
+    // the pair relation is RelCache-persisted (m05 shares it), so the
+    // outer plan ends at an InMemoryTableScan: assert the pinned shape
+    // on the CACHED BUILD plan, where the signature pass and band join
+    // actually live
+    val outer = allNodes(
       graft.ext.Multimodal.queries("m04_perceptual_neardup")(spark, sf))
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached m04 pair relation")
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val nodes = outer ++ cachedPlans.flatMap(walk)
     // the oracle brute-forces a.doc_id < b.doc_id over the cross product;
     // the ENGINE must not — candidates come from bucket-local expansion
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
@@ -258,6 +276,23 @@ class PlanShapeSpec extends SparkSpec {
       "no cartesian product over the signature index")
     assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
       "no nested-loop join over the signature index")
+  }
+
+  test("q43: the interval join runs as an equi-join on (user, epoch) — no nested loop") {
+    val nodes = allNodes(ScaleQueries.queries("q43_interval_join")(spark, sf))
+    // the epoch bucketing must carry the whole join: the interval
+    // predicate is a residual FILTER on equi-join candidates, never a
+    // nested-loop/cartesian condition — that's the property that keeps
+    // the pair width bounded by per-user event density at 100 TB
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "interval join fell back to a cartesian product")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "interval join fell back to a nested loop")
+    assert(nodes.exists(n =>
+      n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.getClass.getSimpleName.contains("SortMergeJoin") ||
+        n.getClass.getSimpleName.contains("ShuffledHashJoin")),
+      "expected a hash/merge equi-join on (user_id, epoch)")
   }
 
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
