@@ -381,6 +381,46 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  // t14 linear-classifier geometry: hashing-trick bucket count and the
+  // integer weight formula (Knuth multiplicative constant), mirrored
+  // verbatim in the oracle
+  private val ClsBuckets = 64
+
+  /** LINEAR CLASSIFIER SCORING (t14): fastText-shaped quality-classifier
+    * inference with the hashing trick — every distinct token hashes into
+    * one of [[ClsBuckets]] weight buckets, the document score is the sum
+    * of its buckets' weights, and the sign is the keep/drop label. This
+    * is the shape of every learned quality gate (fastText, DSIR-style
+    * importance classifiers) at inference time; the weights here are a
+    * deterministic integer function of the bucket id (a trained model
+    * would broadcast its weight vector — same plan) so the DuckDB oracle
+    * reproduces scores exactly, with no float dot product to drift.
+    *
+    * Scale shape: scoring is a PURE PROJECTION (portable md5-prefix
+    * hash, per-row lambda fold — no vocabulary relation, no join, no
+    * shuffle by token); the only exchange is the final per-(lang,source)
+    * report. A 100 TB corpus pays one scan. The weight table itself is
+    * O(buckets) and lives in the instruction stream — the 100 TB analogue
+    * broadcasts a few-MB float vector. */
+  def t14ClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val weight = (b: Column) => (b * lit(2654435761L)) % 997L - 498L
+    val score = aggregate(
+      array_distinct(split($"text", " ")),
+      lit(0L),
+      (a, x) => a + weight(h32(x) % ClsBuckets))
+    t(s, dir, "documents")
+      .withColumn("score", score)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"score" > 0, 1)).as("n_positive"),
+        sum($"score").as("sum_score"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+      .orderBy($"lang", $"source")
+  }
+
   // context-window chunking geometry (t12): window / stride in tokens
   private val ChunkTokens = 64
   private val ChunkStride = 48
@@ -460,6 +500,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_classifier_score" -> (t14ClassifierScore _),
     "t13_rarity_filter" -> (t13RarityFilter _),
     "t12_chunking" -> (t12Chunking _),
     "t11_pii_redact" -> (t11PiiRedact _),
@@ -482,6 +523,19 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "t14_classifier_score" ->
+      s"""WITH scored AS (
+        |  SELECT lang, source,
+        |    CAST(list_sum(list_transform(
+        |      list_distinct(string_split(text, ' ')),
+        |      x -> ((('0x' || substring(md5(x), 1, 8))::BIGINT % $ClsBuckets)
+        |            * 2654435761) % 997 - 498)) AS BIGINT) AS score
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  count(CASE WHEN score > 0 THEN 1 END) AS n_positive,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t13_rarity_filter" ->
       s"""WITH w AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word

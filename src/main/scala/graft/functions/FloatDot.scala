@@ -110,5 +110,10 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_fdot")))
       reg.createOrReplaceTempFunction("graft_fdot",
         exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+    // raw AggregateFunction: the analyzer wraps it in AggregateExpression
+    // itself (and would reject a pre-wrapped one for DISTINCT/FILTER)
+    if (!reg.functionExists(FunctionIdentifier("graft_top_k")))
+      reg.createOrReplaceTempFunction("graft_top_k",
+        exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 }

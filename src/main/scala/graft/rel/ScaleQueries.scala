@@ -592,9 +592,31 @@ object ScaleQueries {
       .orderBy($"day")
   }
 
+  /** Single-pass grouped top-k via the custom [[graft.functions.TopKAgg]]
+    * aggregate: the window spelling (q11) shuffles and sorts EVERY order
+    * by (group, price) before discarding all but k; this plan partial-
+    * aggregates a bounded O(k) buffer map-side, ships k pairs per
+    * (mapper, group), and never sorts the corpus. PlanShapeSpec pins the
+    * two-stage ObjectHashAggregate and the absence of Window/corpus-sort
+    * nodes. */
+  def q44TopKAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(call_function("graft_top_k",
+        $"o_totalprice", $"o_orderkey", lit(3)).as("top"))
+      .select($"o_orderpriority", posexplode($"top"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rn"),
+        $"col.id".as("o_orderkey"),
+        round($"col.score", 2).as("o_totalprice"))
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_join_pruned" -> (q39JoinPruned _),
     "q43_interval_join" -> (q43IntervalJoin _),
+    "q44_topk_agg" -> (q44TopKAgg _),
     "a01_asof_join" -> (a01AsofJoin _),
     "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
@@ -630,6 +652,15 @@ object ScaleQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
         |GROUP BY day ORDER BY day""".stripMargin,
+    "q44_topk_agg" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "a01_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id AS click_id FROM events

@@ -295,6 +295,35 @@ class PlanShapeSpec extends SparkSpec {
       "expected a hash/merge equi-join on (user_id, epoch)")
   }
 
+  test("q44: top-k is a two-stage ObjectHashAggregate — no window, no corpus sort") {
+    val nodes = allNodes(ScaleQueries.queries("q44_topk_agg")(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "top-k must not sort every row under a window")
+    val oha = nodes.filter(
+      _.getClass.getSimpleName.contains("ObjectHashAggregate"))
+    assert(oha.size >= 2,
+      s"expected partial+final ObjectHashAggregate stages (${oha.size}) — " +
+        "the k-bounded buffer must combine map-side")
+    // the only sort is the final presentation ORDER BY over ~k·groups
+    // rows, above the aggregate; nothing sorts below it
+    val agg = oha.head
+    def below(p: SparkPlan): Seq[SparkPlan] = p.children.flatMap(c => c +: below(c))
+    assert(!below(agg).exists(_.getClass.getSimpleName == "SortExec"),
+      "no sort below the aggregate")
+  }
+
+  test("t14: classifier scoring is a pure projection — no vocabulary join, one scan") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t14_classifier_score")(spark, sf))
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join")),
+      "hashing-trick scoring must not join a weight/vocabulary relation")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"one scoring pass over the corpus (${scans.size})")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 2,
+      s"only the report aggregate + sort may shuffle (${shuffles.size})")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
