@@ -191,7 +191,54 @@ object Multimodal {
     DedupQueries.clusterSummary(m04Pairs(s, dir).select($"doc_a", $"doc_b"))
   }
 
+  /** m06: SCENE-BOUNDARY DETECTION — the video-curation step between
+    * frame sampling (m02) and dedup (m04): find cut points so a pipeline
+    * can keep one keyframe per scene instead of per stride. Each item's
+    * payload is divided into its n_frames balanced "frame" blocks (the
+    * decode stub's frame count, same contiguous-slice structure as
+    * m04's aHash); a boundary fires where the block-sum jump between
+    * consecutive frames exceeds the payload mean (cross-multiplied to
+    * stay integer-exact: |Δblock|·n_frames > total).
+    *
+    * Scale shape: boundary detection is INTRA-ROW — one array fold per
+    * item, no per-frame explode, no window over (doc, frame) — so a
+    * 100 TB corpus pays one scan and shuffles only the per-source
+    * report. The per-(doc,frame) window spelling would shuffle every
+    * frame of every video by doc_id first. */
+  def m06SceneDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = mediaCorpus(s, dir).toDF()
+      .withColumn("codes", expr(
+        "transform(regexp_extract_all(CAST(payload AS STRING), '.', 0), c -> ascii(c))"))
+      .withColumn("total", aggregate($"codes", lit(0L), (a, x) => a + x))
+      .withColumn("n", size($"codes").cast("long"))
+      .withColumn("nf", $"n" % 16 + 1) // the decode stub's n_frames
+      // jj ranges 2..nf (empty when nf = 1 — slice of length 0, unlike
+      // sequence(1, 0) which would DESCEND); boundary jj compares frame
+      // blocks jj-2 and jj-1 with balanced bounds [n·b/nf, n·(b+1)/nf)
+      .withColumn("n_scenes", expr(
+        """1L + size(filter(
+          |  transform(slice(sequence(1L, nf), 2, CAST(nf - 1 AS INT)),
+          |    jj -> abs(
+          |      aggregate(slice(codes,
+          |          CAST((n * (jj-1)) DIV nf + 1 AS INT),
+          |          CAST((n * jj) DIV nf - (n * (jj-1)) DIV nf AS INT)),
+          |        0L, (a, x) -> a + x)
+          |      - aggregate(slice(codes,
+          |          CAST((n * (jj-2)) DIV nf + 1 AS INT),
+          |          CAST((n * (jj-1)) DIV nf - (n * (jj-2)) DIV nf AS INT)),
+          |        0L, (a, x) -> a + x))),
+          |  d -> d * nf > total))""".stripMargin))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"n_scenes").as("total_scenes"),
+        max($"n_scenes").as("max_scenes"),
+        count(when($"n_scenes" > 1, 1)).as("n_multi"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_scene_detect" -> (m06SceneDetect _),
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_batch_inference" -> (m03BatchInference _),
@@ -237,6 +284,27 @@ object Multimodal {
       |  WHERE hamming <= $MaxHamming)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "m06_scene_detect" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    list_apply(regexp_extract_all(text, '.'), x -> ascii(x)) AS codes
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, codes,
+        |    coalesce(list_sum(codes), 0) AS total, len(codes) AS n FROM c),
+        |f AS (SELECT doc_id, source, codes, total, n, n % 16 + 1 AS nf FROM t),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    1 + len(list_filter(list_transform(range(1, nf),
+        |      j -> abs(
+        |        coalesce(list_sum(codes[((n*j)//nf + 1):((n*(j+1))//nf)]), 0)
+        |        - coalesce(list_sum(codes[((n*(j-1))//nf + 1):((n*j)//nf)]), 0))),
+        |      d -> d * nf > total)) AS n_scenes
+        |  FROM f)
+        |SELECT source, count(*) AS n_items,
+        |  CAST(sum(n_scenes) AS BIGINT) AS total_scenes,
+        |  CAST(max(n_scenes) AS BIGINT) AS max_scenes,
+        |  count(CASE WHEN n_scenes > 1 THEN 1 END) AS n_multi
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "m05_media_dedup_clusters" ->
       s"""$m04PairsCte,
         |edges AS (

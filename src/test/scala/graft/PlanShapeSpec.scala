@@ -324,6 +324,20 @@ class PlanShapeSpec extends SparkSpec {
       s"only the report aggregate + sort may shuffle (${shuffles.size})")
   }
 
+  test("m06: scene detection is intra-row — no per-frame explode, no window, one scan") {
+    val nodes = allNodes(
+      graft.ext.Multimodal.queries("m06_scene_detect")(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "boundary detection must not window over (doc, frame)")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Generate")),
+      "frames must fold inside the row, not explode")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"one pass over the corpus (${scans.size})")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 2,
+      s"only the report aggregate + sort may shuffle (${shuffles.size})")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
