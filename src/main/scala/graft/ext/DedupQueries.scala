@@ -508,7 +508,34 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
+  /** BLOCKED FUZZY JOIN (d16): entity resolution over a string domain —
+    * near-identical part names matched by edit distance. The two scale
+    * moves: (1) resolution runs over the DISTINCT value domain, not the
+    * row corpus — at 100 TB the name domain is orders of magnitude
+    * smaller than the table, and the row→domain map is the d01 hash
+    * aggregate; (2) candidates come from an equi-join on a BLOCKING key
+    * (here the type token — the last word), never an all-pairs
+    * levenshtein: the quadratic work is per-block, bounded by block
+    * width. Blocking is part of the operator's declared semantics (the
+    * oracle applies the identical predicate), as in any production ER
+    * pipeline — a cross-block match is out of contract by design. */
+  def d16FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MaxDist = 4
+    val names = t(s, dir, "part").select($"p_name").distinct()
+      .withColumn("blk", element_at(split($"p_name", " "), -1))
+    val a = names.select($"blk", $"p_name".as("name_a"))
+    val b = names.select($"blk", $"p_name".as("name_b"))
+    a.join(b, "blk")
+      .filter($"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= MaxDist)
+      .select($"blk", $"name_a", $"name_b", $"dist")
+      .orderBy($"blk", $"name_a", $"name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_fuzzy_join" -> (d16FuzzyJoin _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_keep_first" -> (d02KeepFirst _),
     "d03_minhash_lsh" -> (d03MinHashLsh _),
@@ -534,6 +561,14 @@ object DedupQueries {
       |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d16_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.blk, a.p_name AS name_a, bb.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, bb.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+        |WHERE levenshtein(a.p_name, bb.p_name) <= 4
+        |ORDER BY a.blk, name_a, name_b""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_distinct,

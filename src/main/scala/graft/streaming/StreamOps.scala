@@ -497,7 +497,35 @@ object StreamOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Streaming windowed TOP-K (st10): the custom
+    * [[graft.functions.TopKAgg]] aggregate running INSIDE a watermarked
+    * streaming aggregation — per (day, event_type), the 3 highest-value
+    * events. The state store holds one bounded O(k) buffer per group
+    * (TypedImperativeAggregate serialize/merge is exactly the state-store
+    * contract), so an unbounded feed keeps constant state per window —
+    * the streaming twin of q44, where the window spelling would be
+    * impossible (row_number over an unbounded stream isn't incremental).
+    * Checked against the batch DuckDB window oracle: stream and batch
+    * must agree on the final answer. */
+  def st10StreamTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val sink = s"st10_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    runFileStream(s, dir, df =>
+      df.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(call_function("graft_top_k",
+          col("value"), col("event_id"), lit(3)).as("top")),
+      "complete", sink)
+      .select(col("window.start").cast("string").as("day"),
+        col("event_type"), posexplode(col("top")))
+      .select($"day", $"event_type", ($"pos" + 1).cast("long").as("rn"),
+        $"col.id".as("event_id"), round($"col.score", 2).as("value"))
+      .orderBy("day", "event_type", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_stream_topk" -> (st10StreamTopK _),
     "st09_stream_index" -> (st09StreamIndex _),
     "st08_stream_decontaminate" -> (st08StreamDecontaminate _),
     "st07_session_window" -> (st07SessionWindow _),
@@ -547,6 +575,16 @@ object StreamOps {
         |HAVING max(ts) + INTERVAL 30 MINUTE <=
         |  (SELECT max(ts) FROM events WHERE user_id < 50) - INTERVAL 2 HOUR
         |ORDER BY user_id, session_start""".stripMargin,
+    "st10_stream_topk" ->
+      """WITH ranked AS (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+        |    event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT day, event_type, CAST(rn AS BIGINT) AS rn, event_id,
+        |  round(value, 2) AS value
+        |FROM ranked WHERE rn <= 3 ORDER BY day, event_type, rn""".stripMargin,
     "st01_hourly_stream" -> HourlyOracle,
     // Same single-copy oracle: the stream saw every event TWICE, so a
     // hash match is proof the dedup removed exactly the duplicates.
