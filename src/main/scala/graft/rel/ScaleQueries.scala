@@ -613,10 +613,43 @@ object ScaleQueries {
       .orderBy($"o_orderpriority", $"rn")
   }
 
+  /** Recursive CTE (q45): name canonicalization as PURE SQL — every
+    * part name resolves to the lexicographically-smallest name reachable
+    * backwards through the d16 fuzzy-match graph (`WITH RECURSIVE`,
+    * Spark 4's iterative-query surface; DuckDB runs the same shape).
+    * The match edges are ordered (name_a < name_b), so the recursion
+    * walks a DAG and the UNION ALL fixpoint terminates in ≤ block-width
+    * steps. Each recursive step is one equi-join on the (tiny) edge
+    * relation — the same per-round plan as d09's iterative components,
+    * here delegated to the engine's recursion operator. Runs over the
+    * DISTINCT name domain, like d16: at 100 TB the recursion input is
+    * the value domain, never the row corpus. */
+  def q45RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    val view = "part_q45"
+    t(s, dir, "part").createOrReplaceTempView(view)
+    s.sql(s"""
+      |WITH RECURSIVE
+      |n AS (SELECT DISTINCT p_name FROM $view),
+      |b AS (SELECT p_name, element_at(split(p_name, ' '), -1) AS blk FROM n),
+      |e AS (
+      |  SELECT a.p_name AS src, bb.p_name AS dst
+      |  FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+      |  WHERE levenshtein(a.p_name, bb.p_name) <= 4),
+      |reach(node, anc) AS (
+      |  SELECT p_name, p_name FROM n
+      |  UNION ALL
+      |  SELECT r.node, e.src FROM reach r JOIN e ON e.dst = r.anc)
+      |SELECT node AS p_name, min(anc) AS canonical,
+      |  count(DISTINCT anc) AS n_reachable
+      |FROM reach GROUP BY node ORDER BY p_name
+      |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_join_pruned" -> (q39JoinPruned _),
     "q43_interval_join" -> (q43IntervalJoin _),
     "q44_topk_agg" -> (q44TopKAgg _),
+    "q45_recursive_cte" -> (q45RecursiveCte _),
     "a01_asof_join" -> (a01AsofJoin _),
     "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
@@ -661,6 +694,21 @@ object ScaleQueries {
         |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
         |  round(o_totalprice, 2) AS o_totalprice
         |FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q45_recursive_cte" ->
+      """WITH RECURSIVE
+        |n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n),
+        |e AS (
+        |  SELECT a.p_name AS src, bb.p_name AS dst
+        |  FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+        |  WHERE levenshtein(a.p_name, bb.p_name) <= 4),
+        |reach(node, anc) AS (
+        |  SELECT p_name, p_name FROM n
+        |  UNION ALL
+        |  SELECT r.node, e.src FROM reach r JOIN e ON e.dst = r.anc)
+        |SELECT node AS p_name, min(anc) AS canonical,
+        |  count(DISTINCT anc) AS n_reachable
+        |FROM reach GROUP BY node ORDER BY p_name""".stripMargin,
     "a01_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id AS click_id FROM events
