@@ -110,6 +110,17 @@ object Multimodal {
       .orderBy($"source", $"batch_idx")
   }
 
+  /** Per-char codes and their sum for a payload — the decode shared by
+    * m04's aHash blocks and m06's frame blocks. `regexp_extract_all`
+    * mirrors the DuckDB oracles exactly, index-for-index; the ASCII
+    * fixture ⇒ chars = bytes is the load-bearing equivalence that keeps
+    * these block sums (and m06's `n % 16 + 1` frame count) aligned with
+    * the decode stub's byte-length formulas — change it in ONE place. */
+  private def withPayloadCodes(df: DataFrame): DataFrame =
+    df.withColumn("codes", expr(
+        "transform(regexp_extract_all(CAST(payload AS STRING), '.', 0), c -> ascii(c))"))
+      .withColumn("total", aggregate(col("codes"), lit(0L), (a, x) => a + x))
+
   // ---- m04: perceptual-hash media near-dup ------------------------------
 
   private val SigBits = 64   // aHash signature width
@@ -141,13 +152,7 @@ object Multimodal {
   private def m04Pairs(s: SparkSession, dir: String): DataFrame =
    RelCache.cached(s, s"$dir#m04_pairs") {
     import s.implicits._
-    // per-char codes of the payload (ASCII fixture ⇒ chars = bytes);
-    // regexp_extract_all mirrors the oracle exactly, index-for-index
-    val d0 = mediaCorpus(s, dir).toDF()
-      .withColumn("codes", expr(
-        "transform(regexp_extract_all(CAST(payload AS STRING), '.', 0), c -> ascii(c))"))
-      .withColumn("total",
-        aggregate($"codes", lit(0L), (a, x) => a + x))
+    val d0 = withPayloadCodes(mediaCorpus(s, dir).toDF())
       // CONTIGUOUS block regions (classic aHash): the 64 block sums
       // together traverse the array ONCE via slices — a strided
       // (i % 64) layout would force 64 full filter passes per row.
@@ -207,10 +212,7 @@ object Multimodal {
     * frame of every video by doc_id first. */
   def m06SceneDetect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = mediaCorpus(s, dir).toDF()
-      .withColumn("codes", expr(
-        "transform(regexp_extract_all(CAST(payload AS STRING), '.', 0), c -> ascii(c))"))
-      .withColumn("total", aggregate($"codes", lit(0L), (a, x) => a + x))
+    val d = withPayloadCodes(mediaCorpus(s, dir).toDF())
       .withColumn("n", size($"codes").cast("long"))
       .withColumn("nf", $"n" % 16 + 1) // the decode stub's n_frames
       // jj ranges 2..nf (empty when nf = 1 — slice of length 0, unlike

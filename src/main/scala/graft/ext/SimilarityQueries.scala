@@ -303,28 +303,44 @@ object SimilarityQueries {
   def s06QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    // the quantized relation: int8 codes + integer self-dot ONLY — this
+    // is all the candidate stage ever scans or shuffles (the 4×-fewer-
+    // bytes claim is about THIS projection; carrying the float vectors
+    // through the ranking exchange would forfeit it)
+    val quant = e
       .withColumn("maxabs",
         array_max(transform($"embedding", x => abs(x.cast("double")))))
       .withColumn("q", transform($"embedding",
         x => when($"maxabs" === 0.0, lit(0L))
           .otherwise(floor(x.cast("double") * 127.0 / $"maxabs"))))
       .withColumn("qn2", aggregate($"q", lit(0L), (a, x) => a + x * x))
-    val qs = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        $"nrm".as("qnrm"), $"q".as("qq"), $"qn2".as("qqn2"))
-    val cand = e.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"vec_id", $"q", $"qn2")
+    val qs = quant.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"qn2".as("qqn2"))
+    val cand = quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
       .withColumn("idot", aggregate(zip_with($"qq", $"q", (x, y) => x * y),
         lit(0L), (a, x) => a + x))
       .withColumn("qcos",
         when($"qqn2" === 0L || $"qn2" === 0L, lit(-2.0))
           .otherwise(round($"idot" / (sqrt($"qqn2") * sqrt($"qn2")), 6)))
+      .select($"query_id", $"vec_id", $"qcos") // skinny rows into the rank
     val wq = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"vec_id")
-    val top = cand.withColumn("qrn", row_number().over(wq))
+    val survivors = cand.withColumn("qrn", row_number().over(wq))
       .filter($"qrn" <= TopK * CandMult)
+      .select($"query_id", $"vec_id")
+    // float vectors re-enter ONLY for the 3k survivors per query: the
+    // tiny survivor set broadcasts onto the float relation (an index
+    // gather at scale — never a shuffle of the floats)
+    val ef = withNorm(e)
+    val qe = ef.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qnrm"))
+    val reranked = ef.join(broadcast(survivors), "vec_id")
+      .join(broadcast(qe), "query_id")
       .withColumn("cos", round(dot($"qe", $"embedding") / ($"qnrm" * $"nrm"), 6))
     val wr = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    top.withColumn("rn", row_number().over(wr))
+    reranked.withColumn("rn", row_number().over(wr))
       .filter($"rn" <= TopK)
       .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
       .orderBy($"query_id", $"rn")

@@ -48,7 +48,8 @@ case class TopKAgg(
 
   // AbstractDataType (ExpectsInputTypes' vocabulary) is private[sql], so
   // input typing is enforced here instead of via ImplicitCastInputTypes —
-  // callers cast explicitly
+  // callers cast explicitly. k's VALUE is validated here too: a zero/
+  // negative/NULL k must fail analysis, not every task mid-job.
   override def checkInputDataTypes(): TypeCheckResult = {
     if (score.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
@@ -56,10 +57,11 @@ case class TopKAgg(
     else if (id.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_top_k: id must be BIGINT, got ${id.dataType.simpleString}")
-    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        "graft_top_k: k must be an INT literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr match {
+      case Literal(v: Int, IntegerType) if v > 0 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_top_k: k must be a positive INT literal")
+    }
   }
 
   override def nullable: Boolean = false
@@ -71,9 +73,15 @@ case class TopKAgg(
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
     mutable.ArrayBuffer.empty
 
-  /** total order: true iff a ranks strictly ahead of b. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** total order: true iff a ranks strictly ahead of b.
+    * java.lang.Double.compare — not the primitive operators — so NaN is
+    * totally ordered (greatest, like Spark's own double ordering in a
+    * window ORDER BY ... DESC) instead of comparing false both ways and
+    * making the result partitioning-dependent. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   /** keep the buffer bounded: amortized — entries accumulate to ~2k
     * before each O(n log n) compaction back to k. */

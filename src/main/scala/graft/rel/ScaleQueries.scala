@@ -619,11 +619,16 @@ object ScaleQueries {
     * Spark 4's iterative-query surface; DuckDB runs the same shape).
     * The match edges are ordered (name_a < name_b), so the recursion
     * walks a DAG and the UNION ALL fixpoint terminates in ≤ block-width
-    * steps. Each recursive step is one equi-join on the (tiny) edge
-    * relation — the same per-round plan as d09's iterative components,
-    * here delegated to the engine's recursion operator. Runs over the
-    * DISTINCT name domain, like d16: at 100 TB the recursion input is
-    * the value domain, never the row corpus. */
+    * steps. The recursive step SELECTs DISTINCT (supported identically
+    * in Spark and DuckDB — verified including per-step multiplicities):
+    * without it a clique-heavy block would enumerate every backward
+    * PATH (2^(m-1) for m mutually-similar names — exactly the shape ER
+    * data takes); with it each step is bounded by the (node, ancestor)
+    * PAIR count, polynomial in block width. Each step is one equi-join
+    * on the (tiny) edge relation — d09's per-round plan, delegated to
+    * the engine's recursion operator. Runs over the DISTINCT name
+    * domain, like d16: at 100 TB the recursion input is the value
+    * domain, never the row corpus. */
   def q45RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     val view = "part_q45"
     t(s, dir, "part").createOrReplaceTempView(view)
@@ -638,7 +643,7 @@ object ScaleQueries {
       |reach(node, anc) AS (
       |  SELECT p_name, p_name FROM n
       |  UNION ALL
-      |  SELECT r.node, e.src FROM reach r JOIN e ON e.dst = r.anc)
+      |  SELECT DISTINCT r.node, e.src FROM reach r JOIN e ON e.dst = r.anc)
       |SELECT node AS p_name, min(anc) AS canonical,
       |  count(DISTINCT anc) AS n_reachable
       |FROM reach GROUP BY node ORDER BY p_name
@@ -705,7 +710,7 @@ object ScaleQueries {
         |reach(node, anc) AS (
         |  SELECT p_name, p_name FROM n
         |  UNION ALL
-        |  SELECT r.node, e.src FROM reach r JOIN e ON e.dst = r.anc)
+        |  SELECT DISTINCT r.node, e.src FROM reach r JOIN e ON e.dst = r.anc)
         |SELECT node AS p_name, min(anc) AS canonical,
         |  count(DISTINCT anc) AS n_reachable
         |FROM reach GROUP BY node ORDER BY p_name""".stripMargin,

@@ -505,8 +505,12 @@ object StreamOps {
     * contract), so an unbounded feed keeps constant state per window —
     * the streaming twin of q44, where the window spelling would be
     * impossible (row_number over an unbounded stream isn't incremental).
-    * Checked against the batch DuckDB window oracle: stream and batch
-    * must agree on the final answer. */
+    * APPEND mode: a window's top-k row is emitted once, when the
+    * watermark passes the window end, and its state is then EVICTED —
+    * that eviction is what keeps state constant on an unbounded feed
+    * (complete mode would ignore the watermark and re-emit/retain every
+    * window forever). The oracle applies the same finalization rule:
+    * only windows whose end precedes max(ts) - delay appear. */
   def st10StreamTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -516,7 +520,7 @@ object StreamOps {
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(call_function("graft_top_k",
           col("value"), col("event_id"), lit(3)).as("top")),
-      "complete", sink)
+      "append", sink)
       .select(col("window.start").cast("string").as("day"),
         col("event_type"), posexplode(col("top")))
       .select($"day", $"event_type", ($"pos" + 1).cast("long").as("rn"),
@@ -575,16 +579,22 @@ object StreamOps {
         |HAVING max(ts) + INTERVAL 30 MINUTE <=
         |  (SELECT max(ts) FROM events WHERE user_id < 50) - INTERVAL 2 HOUR
         |ORDER BY user_id, session_start""".stripMargin,
+    // append mode's finalization rule mirrored: only day windows whose
+    // end has passed max(ts) - 2h (the final watermark) are emitted
     "st10_stream_topk" ->
       """WITH ranked AS (
         |  SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+        |    date_trunc('day', ts) + INTERVAL 1 DAY AS day_end,
         |    event_type, event_id, value,
         |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events)
         |SELECT day, event_type, CAST(rn AS BIGINT) AS rn, event_id,
         |  round(value, 2) AS value
-        |FROM ranked WHERE rn <= 3 ORDER BY day, event_type, rn""".stripMargin,
+        |FROM ranked
+        |WHERE rn <= 3
+        |  AND day_end <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        |ORDER BY day, event_type, rn""".stripMargin,
     "st01_hourly_stream" -> HourlyOracle,
     // Same single-copy oracle: the stream saw every event TWICE, so a
     // hash match is proof the dedup removed exactly the duplicates.

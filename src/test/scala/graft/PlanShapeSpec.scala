@@ -17,19 +17,21 @@ import graft.ext.SimilarityQueries
 class PlanShapeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  /** Execute df and walk the FINAL adaptive plan, descending into AQE
-    * wrappers and materialized query stages. */
+  /** Walk a physical plan, descending into AQE wrappers and
+    * materialized query stages. */
+  private def walkPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(walkPlan)
+  }
+
+  /** Execute df and walk the FINAL adaptive plan. */
   private def allNodes(df: DataFrame): Seq[SparkPlan] = {
     df.collect()
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
+    walkPlan(df.queryExecution.executedPlan)
   }
 
   test("q01: ship-date filter pushed into the parquet scan; columns pruned") {
@@ -212,15 +214,7 @@ class PlanShapeSpec extends SparkSpec {
         im.relation.cachedPlan
     }
     assert(cachedPlans.nonEmpty, "expected the cached m04 pair relation")
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(walk)
-    }
-    val nodes = outer ++ cachedPlans.flatMap(walk)
+    val nodes = outer ++ cachedPlans.flatMap(walkPlan)
     // the oracle brute-forces a.doc_id < b.doc_id over the cross product;
     // the ENGINE must not — candidates come from bucket-local expansion
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
@@ -336,6 +330,18 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
     assert(shuffles.size <= 2,
       s"only the report aggregate + sort may shuffle (${shuffles.size})")
+  }
+
+  test("s06: the quantized rank shuffles skinny rows — no float vectors ride the exchange") {
+    val nodes = allNodes(SimilarityQueries.queries("s06_quantized_topk")(spark, sf))
+    val rankExchanges = nodes.collect {
+      case sh: ShuffleExchangeExec if sh.output.exists(_.name == "qcos") => sh
+    }
+    assert(rankExchanges.nonEmpty, "expected the candidate-rank exchange")
+    assert(rankExchanges.forall(!_.output.exists(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "the candidate ranking must shuffle (query_id, vec_id, qcos) only — " +
+        "carrying the vectors would forfeit the SQ8 bandwidth win")
   }
 
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
