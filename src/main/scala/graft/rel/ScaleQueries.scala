@@ -650,11 +650,43 @@ object ScaleQueries {
       |""".stripMargin)
   }
 
+  /** VARIANT shredding (q46): Spark 4's semi-structured type. Ingest
+    * builds one nested JSON document per event, parses it ONCE into a
+    * binary-encoded VARIANT, and every downstream access is a typed
+    * `variant_get` path extraction — the scale argument vs q20/q26's
+    * `get_json_object`, which re-parses the JSON STRING on every
+    * extraction (k extractions = k parses; VARIANT pays one parse and
+    * k O(log fields) binary lookups, and a columnar store can shred the
+    * variant into per-path columns). The oracle never touches JSON: it
+    * recomputes from the plain columns, so a hash match proves the
+    * build → parse → typed-extract round-trip lossless (including the
+    * double through JSON text). */
+  def q46VariantShred(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val j = to_json(struct($"event_type", $"value",
+      struct($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k")).as("m")))
+    ev.withColumn("v", parse_json(j))
+      .select(
+        expr("variant_get(v, '$.event_type', 'string')").as("etype"),
+        expr("variant_get(v, '$.m.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.m.user_id', 'bigint')").as("uid"),
+        expr("variant_get(v, '$.value', 'double')").as("value"))
+      .groupBy($"etype")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        countDistinct($"uid").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"etype")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_join_pruned" -> (q39JoinPruned _),
     "q43_interval_join" -> (q43IntervalJoin _),
     "q44_topk_agg" -> (q44TopKAgg _),
     "q45_recursive_cte" -> (q45RecursiveCte _),
+    "q46_variant_shred" -> (q46VariantShred _),
     "a01_asof_join" -> (a01AsofJoin _),
     "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
@@ -699,6 +731,13 @@ object ScaleQueries {
         |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
         |  round(o_totalprice, 2) AS o_totalprice
         |FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q46_variant_shred" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY etype ORDER BY etype""".stripMargin,
     "q45_recursive_cte" ->
       """WITH RECURSIVE
         |n AS (SELECT DISTINCT p_name FROM part),
