@@ -650,6 +650,49 @@ object ScaleQueries {
       |""".stripMargin)
   }
 
+  /** FUNNEL (q47): signup → first click (≤24 h) → first purchase
+    * (≤24 h of the click), reported per signup day — the product-
+    * analytics shape MATCH_RECOGNIZE covers in warehouses, built here
+    * by COMPOSING two forward as-of joins (graft.operators.AsOfJoin):
+    * stage N's matched timestamp becomes stage N+1's probe time. Each
+    * as-of stage is the same one-shuffle merge as a01/a03, and the
+    * funnel relation stays one row per user (first-signup anchor), so
+    * K funnel stages cost K key-shuffles of the USER domain — never a
+    * per-event blowup, and no cross-stage window over the corpus. The
+    * 24 h gates are post-match projections (a03's tolerance pattern),
+    * not join conditions. */
+  def q47Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("ts"))
+    // dedupe equal-timestamp rows per user so each as-of match is
+    // uniquely defined in both engines (the a01/a03 convention)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(min($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(min($"event_id").as("purchase_id"))
+    val s1 = graft.operators.AsOfJoin.forward(
+        signups, clicks, Seq("user_id"), "ts", "ts", "click_id")
+      .select($"user_id", $"ts".as("signup_ts"), $"matched_ts".as("click_ts"))
+    val clicked = s1.filter($"click_ts".isNotNull &&
+      $"click_ts" <= $"signup_ts" + expr("INTERVAL 24 HOURS"))
+    val s2 = graft.operators.AsOfJoin.forward(
+        clicked.select($"user_id", $"click_ts".as("ts")),
+        purchases, Seq("user_id"), "ts", "ts", "purchase_id")
+      .select($"user_id", $"matched_ts".as("purchase_ts"))
+    s1.join(s2, Seq("user_id"), "left")
+      .groupBy(dayofmonth($"signup_ts").as("day"))
+      .agg(count(lit(1)).as("n_signups"),
+        count(when($"click_ts".isNotNull &&
+          $"click_ts" <= $"signup_ts" + expr("INTERVAL 24 HOURS"), 1))
+          .as("n_clicked"),
+        count(when($"purchase_ts".isNotNull &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 24 HOURS"), 1))
+          .as("n_purchased"))
+      .orderBy($"day")
+  }
+
   /** VARIANT shredding (q46): Spark 4's semi-structured type. Ingest
     * builds one nested JSON document per event, parses it ONCE into a
     * binary-encoded VARIANT, and every downstream access is a typed
@@ -687,6 +730,7 @@ object ScaleQueries {
     "q44_topk_agg" -> (q44TopKAgg _),
     "q45_recursive_cte" -> (q45RecursiveCte _),
     "q46_variant_shred" -> (q46VariantShred _),
+    "q47_funnel" -> (q47Funnel _),
     "a01_asof_join" -> (a01AsofJoin _),
     "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
@@ -731,6 +775,41 @@ object ScaleQueries {
         |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
         |  round(o_totalprice, 2) AS o_totalprice
         |FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q47_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |ck AS (
+        |  SELECT user_id, ts, min(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |pu AS (
+        |  SELECT user_id, ts, min(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |s1 AS (
+        |  SELECT su.user_id, su.signup_ts, min(ck.ts) AS click_ts
+        |  FROM su LEFT JOIN ck
+        |    ON su.user_id = ck.user_id AND ck.ts >= su.signup_ts
+        |  GROUP BY su.user_id, su.signup_ts),
+        |cl AS (
+        |  SELECT * FROM s1 WHERE click_ts IS NOT NULL
+        |    AND click_ts <= signup_ts + INTERVAL 24 HOUR),
+        |s2 AS (
+        |  SELECT cl.user_id, min(pu.ts) AS purchase_ts
+        |  FROM cl LEFT JOIN pu
+        |    ON cl.user_id = pu.user_id AND pu.ts >= cl.click_ts
+        |  GROUP BY cl.user_id),
+        |f AS (
+        |  SELECT s1.user_id, s1.signup_ts, s1.click_ts, s2.purchase_ts
+        |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT CAST(day(signup_ts) AS INT) AS day,
+        |  count(*) AS n_signups,
+        |  count(CASE WHEN click_ts IS NOT NULL
+        |    AND click_ts <= signup_ts + INTERVAL 24 HOUR THEN 1 END)
+        |    AS n_clicked,
+        |  count(CASE WHEN purchase_ts IS NOT NULL
+        |    AND purchase_ts <= click_ts + INTERVAL 24 HOUR THEN 1 END)
+        |    AS n_purchased
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
     "q46_variant_shred" ->
       """SELECT event_type AS etype, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
