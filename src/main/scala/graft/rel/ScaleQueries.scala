@@ -149,6 +149,27 @@ object ScaleQueries {
       .orderBy($"event_type")
   }
 
+  /** ORC ingest (q48): the third file format beside CSV (q25) and JSON
+    * (q26) — events round-trip through ORC (columnar + predicate-
+    * pushdown-capable, the warehouse interchange format Parquet shops
+    * still receive), read back with a pushed event_type filter, and
+    * aggregated. DuckDB cannot read ORC, so the oracle recomputes from
+    * the original parquet with the same filter: a hash match proves the
+    * ORC round-trip lossless — types, timestamps, and doubles included. */
+  def q48OrcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    t(s, dir, "events").write.mode(SaveMode.Overwrite).orc(tmp)
+    s.read.orc(tmp)
+      .filter($"event_type" =!= "error") // pushed into the ORC scan
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 4).as("sum_value"),
+        max($"ts".cast("string")).as("max_ts"))
+      .orderBy($"event_type")
+  }
+
   /** JSON ingest: events round-trip through JSON-lines, then the nested
     * props payload is extracted — the lake-landing pattern for
     * semi-structured feeds. */
@@ -741,6 +762,7 @@ object ScaleQueries {
     "q24_bucketed_join" -> (q24BucketedJoin _),
     "q25_csv_ingest" -> (q25CsvIngest _),
     "q26_json_ingest" -> (q26JsonIngest _),
+    "q48_orc_ingest" -> (q48OrcIngest _),
     "q27_percentiles" -> (q27Percentiles _),
     "q28_cube" -> (q28Cube _),
     "q34_grouping_sets" -> (q34GroupingSets _),
@@ -946,6 +968,13 @@ object ScaleQueries {
         |  round(sum(value), 4) AS sum_value,
         |  max(CAST(ts AS VARCHAR)) AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q48_orc_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value,
+        |  max(CAST(ts AS VARCHAR)) AS max_ts
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_json_ingest" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
