@@ -344,6 +344,18 @@ class PlanShapeSpec extends SparkSpec {
         "carrying the vectors would forfeit the SQ8 bandwidth win")
   }
 
+  test("q48: the read-back filter reaches the ORC scan as a pushed filter") {
+    val nodes = allNodes(ScaleQueries.queries("q48_orc_ingest")(spark, sf))
+    val orcScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.fileFormat.toString.toLowerCase.contains("orc") => f
+    }
+    assert(orcScans.nonEmpty, "expected an ORC scan on read-back")
+    assert(orcScans.exists(_.metadata("PushedFilters").contains("event_type")),
+      s"event_type filter must push into the ORC scan: " +
+        orcScans.map(_.metadata("PushedFilters")).mkString(","))
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
