@@ -82,33 +82,44 @@ object DevScale {
           .as("embedding"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events/part synthesis only when a requested query reads them —
+    // the default documents/embeddings probe list must not pay two
+    // extra explode×N write jobs
+    val eventQueries = Set("q43_interval_join", "q47_funnel")
+    val partQueries = Set("d16_fuzzy_join", "q45_recursive_cte")
     // events: copies get fresh users (user_id offset per copy), so the
     // corpus grows xN while PER-USER event density stays constant — the
     // exact regime q43/q47's "pair width is a density constant" claim
-    // lives in
-    spark.read.parquet(s"$base/events.parquet")
-      .select(col("*"), copies)
-      .select(
-        (col("event_id") + col("c").cast("long") * 100000000L).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("c").cast("long") * 100000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // lives in. Read through Tables.load (NOT raw parquet): the harness
+    // has re-encoded events.ts µs→ns before, and only the loader
+    // normalizes that.
+    val nEvents = if (!names.exists(eventQueries)) -1L else {
+      graft.rel.Tables.load(spark, base, "events")
+        .select(col("*"), copies)
+        .select(
+          (col("event_id") + col("c").cast("long") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("c").cast("long") * 100000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      spark.read.parquet(s"$dir/events.parquet").count()
+    }
     // part: fresh keys, SAME names — the row corpus grows xN while the
     // distinct name domain is constant, the regime d16/q45's
     // "resolution runs on the value domain" claim lives in
-    spark.read.parquet(s"$base/part.parquet")
-      .select(col("*"), copies)
-      .select(
-        (col("p_partkey") + col("c").cast("long") * 10000000L).as("p_partkey"),
-        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
-        col("p_retailprice"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    if (names.exists(partQueries)) {
+      spark.read.parquet(s"$base/part.parquet")
+        .select(col("*"), copies)
+        .select(
+          (col("p_partkey") + col("c").cast("long") * 10000000L).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    }
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
     println(s"""{"corpus":"x$mult","docs":$nDocs,"vecs":$nVecs,"events":$nEvents,"dir":"$dir"}""")
 
     val metrics = new Metrics

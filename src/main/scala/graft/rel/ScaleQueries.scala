@@ -18,6 +18,22 @@ object ScaleQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Temp dir for an ingest round-trip, reclaimed at JVM exit — the
+    * CSV/JSON/ORC entries run once per Verify pass and three times per
+    * bench pass; without the hook each call would leak a full copy of
+    * the corpus under /tmp. */
+  private def tempIngestDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft_$tag")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Backward as-of join (graft.operators.AsOfJoin): every click joined
     * to the user's most recent purchase at or before the click. */
   def a01AsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -132,7 +148,7 @@ object ScaleQueries {
     * rendering both ways). */
   def q25CsvIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_csv").toString
+    val tmp = tempIngestDir("csv")
     t(s, dir, "events")
       .select($"event_id", $"user_id", $"event_type",
         $"ts".cast("string").as("ts_str"), $"value")
@@ -158,7 +174,7 @@ object ScaleQueries {
     * ORC round-trip lossless — types, timestamps, and doubles included. */
   def q48OrcIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_orc").toString
+    val tmp = tempIngestDir("orc")
     t(s, dir, "events").write.mode(SaveMode.Overwrite).orc(tmp)
     s.read.orc(tmp)
       .filter($"event_type" =!= "error") // pushed into the ORC scan
@@ -175,7 +191,7 @@ object ScaleQueries {
     * semi-structured feeds. */
   def q26JsonIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_json").toString
+    val tmp = tempIngestDir("json")
     t(s, dir, "events")
       .select($"event_id", $"user_id", $"event_type", $"props")
       .write.mode(SaveMode.Overwrite).json(tmp)
