@@ -356,6 +356,38 @@ class PlanShapeSpec extends SparkSpec {
         orcScans.map(_.metadata("PushedFilters")).mkString(","))
   }
 
+  test("d16: fuzzy-join candidates come from the blocking equi-join — never all-pairs") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d16_fuzzy_join")(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "levenshtein must only run inside blocks, not across the cross product")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "the blocking key must carry the join as an equi-join")
+  }
+
+  test("q46: variant shredding is a pure projection — one scan, no join, no UDF") {
+    val nodes = allNodes(ScaleQueries.queries("q46_variant_shred")(spark, sf))
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join")),
+      "parse + typed extraction must not join anything")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"one pass over events (${scans.size})")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BatchEvalPython")) &&
+      !nodes.exists(_.getClass.getSimpleName.contains("Eval")),
+      "no UDF node anywhere in the variant pipeline")
+  }
+
+  test("q47: the funnel is chained equi-merges — no cartesian, bounded shuffles") {
+    val nodes = allNodes(ScaleQueries.queries("q47_funnel")(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "stage matching must never cross-product events")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "stage matching must stay keyed on user_id")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 8,
+      s"two as-of merges + stage join + report should bound the " +
+        s"exchanges (${shuffles.size})")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
