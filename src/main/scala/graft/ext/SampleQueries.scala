@@ -84,13 +84,55 @@ object SampleQueries {
       .orderBy($"lang")
   }
 
+  // d17: per-source document cap (binds at every shipped sf)
+  private val SourceQuota = 15
+
+  /** PER-SOURCE QUOTA (d17): cap every source at [[SourceQuota]]
+    * documents — the Common-Crawl-style per-domain cap that stops one
+    * crawler-friendly host from dominating the corpus, the rung of the
+    * sampling family between stratified (d07: fixed N per class) and
+    * weighted (d15: probabilistic per-class rate). Selection within a
+    * source is by hash order (portable md5-prefix of doc_id, doc_id
+    * tie-break) — reproducible under retries and re-clustering like
+    * d06/d07, and unbiased w.r.t. document position in the crawl. One
+    * shuffle by source (bounded groups: the per-source doc list), one
+    * report aggregate; at 100 TB the window never sees more than a
+    * source's documents in one partition. */
+  def d17SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", $"rn" <= SourceQuota)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"kept", 1)).as("n_kept"),
+        sum(when($"kept", $"doc_id")).as("kept_id_sum"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_hash_sample" -> (d06HashSample _),
     "d07_stratified_sample" -> (d07StratifiedSample _),
     "d15_weighted_sample" -> (d15WeightedSample _),
+    "d17_source_quota" -> (d17SourceQuota _),
   )
 
   val oracles: Map[String, String] = Map(
+    "d17_source_quota" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN rn <= $SourceQuota THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= $SourceQuota THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "d06_hash_sample" ->
       """SELECT doc_id, lang, source,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
