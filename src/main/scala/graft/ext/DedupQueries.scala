@@ -508,6 +508,51 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
+  /** BLOOM-PREFILTERED decontamination (d18): d08's exact answer
+    * through Spark's own runtime-filter machinery, hand-placed. The
+    * benchmark shingle set is sketched into a driver-side bloom filter
+    * (the same bounded footprint as Spark's InjectRuntimeFilter
+    * materializing a runtime filter on the driver), inlined as a BINARY
+    * literal, and probed by the codegen'd `BloomFilterMightContain`
+    * predicate over the exploded corpus shingles BEFORE the broadcast
+    * verify join. False positives pass the prefilter and die in the
+    * exact join; false negatives cannot happen — so the result is
+    * bit-identical to d08 and shares its oracle. The 100 TB point: the
+    * probe runs inside the scan stage's codegen loop and drops the
+    * overwhelmingly-clean shingle stream before ANY join machinery —
+    * the explicit form of the runtime filtering Spark only injects for
+    * shuffle joins, and the shape that stays cheap when the benchmark
+    * set outgrows a broadcast hash table (a bloom is ~10 bits/item vs
+    * ~100+ bytes/entry). */
+  def d18BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+      .select(explode(hashedShingles($"text")).as("sh")).distinct()
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val bloom = bench.select(xxhash64($"sh").as("h"))
+      .stat.bloomFilter("h", 1L << 20, 0.01)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      os.toByteArray
+    }
+    val hits = corpus
+      .select($"doc_id", explode(hashedShingles($"text")).as("sh"))
+      .filter(call_function("graft_might_contain", lit(bytes),
+        xxhash64($"sh")))
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id").agg(countDistinct($"sh").as("n_shared"))
+    corpus.select($"doc_id", $"lang")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        count($"n_shared").as("n_contaminated"),
+        sum(coalesce($"n_shared", lit(0L))).as("total_shared"))
+      .orderBy($"lang")
+  }
+
   /** BLOCKED FUZZY JOIN (d16): entity resolution over a string domain —
     * near-identical part names matched by edit distance. The two scale
     * moves: (1) resolution runs over the DISTINCT value domain, not the
@@ -535,6 +580,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_bloom_decontaminate" -> (d18BloomDecontaminate _),
     "d16_fuzzy_join" -> (d16FuzzyJoin _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_keep_first" -> (d02KeepFirst _),
@@ -751,22 +797,27 @@ object DedupQueries {
         |  round(avg(coalesce(c.covered, 0)::DOUBLE / n), 6) AS avg_cover_frac
         |FROM base LEFT JOIN cov c USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    "d08_decontaminate" ->
-      s"""WITH bench AS (
-        |  SELECT DISTINCT unnest($hashedShingleSql) AS sh
-        |  FROM documents WHERE doc_id % 50 = 0),
-        |corpus AS (
-        |  SELECT doc_id, unnest($hashedShingleSql) AS sh
-        |  FROM documents WHERE doc_id % 50 <> 0),
-        |hits AS (
-        |  SELECT doc_id, count(DISTINCT c.sh) AS n_shared
-        |  FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY doc_id),
-        |base AS (
-        |  SELECT doc_id, lang FROM documents WHERE doc_id % 50 <> 0)
-        |SELECT base.lang, count(*) AS n_docs,
-        |  CAST(count(h.n_shared) AS BIGINT) AS n_contaminated,
-        |  CAST(coalesce(sum(h.n_shared), 0) AS BIGINT) AS total_shared
-        |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id
-        |GROUP BY base.lang ORDER BY base.lang""".stripMargin,
+    "d08_decontaminate" -> decontaminateOracle,
+    // the bloom prefilter must be invisible in the answer: exact-join
+    // verification kills every false positive, so d18 shares d08's oracle
+    "d18_bloom_decontaminate" -> decontaminateOracle,
   )
+
+  private lazy val decontaminateOracle =
+    s"""WITH bench AS (
+      |  SELECT DISTINCT unnest($hashedShingleSql) AS sh
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |corpus AS (
+      |  SELECT doc_id, unnest($hashedShingleSql) AS sh
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT doc_id, count(DISTINCT c.sh) AS n_shared
+      |  FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id, lang FROM documents WHERE doc_id % 50 <> 0)
+      |SELECT base.lang, count(*) AS n_docs,
+      |  CAST(count(h.n_shared) AS BIGINT) AS n_contaminated,
+      |  CAST(coalesce(sum(h.n_shared), 0) AS BIGINT) AS total_shared
+      |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id
+      |GROUP BY base.lang ORDER BY base.lang""".stripMargin
 }

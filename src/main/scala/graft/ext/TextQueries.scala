@@ -499,7 +499,48 @@ object TextQueries {
         $"expected_tokens")
   }
 
+  /** TF-IDF keyword extraction (t15): the top-5 most CHARACTERISTIC
+    * terms per source — the classic per-domain vocabulary fingerprint
+    * used to label corpus slices before mixing. score(source, word) =
+    * total_tf(source, word) × ln(N / df(word)): the per-doc tf×idf sum
+    * factors exactly (idf is constant per word), so the double arithmetic
+    * is ONE multiply on an integer total — no float summation order to
+    * disagree with the oracle (the t07 lesson). Two corpus-wide shapes:
+    * tf by (source, word) and document frequency by word, both map-side
+    * combinable hash aggregates over a single exploded scan; the final
+    * top-k is a window over the tiny (source × vocab) aggregate, never
+    * over documents. At 100 TB the aggregates shuffle O(vocab), not
+    * O(corpus), and nothing collects to the driver. */
+  def t15TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    // ONE corpus scan: the per-(doc, word) postings relation is cached
+    // and feeds BOTH downstream aggregates — without it, Catalyst
+    // re-executes the explode per branch, i.e. three corpus scans.
+    val dw = RelCache.cached(s, s"$dir#tfidf_dw") {
+      docs.select($"source", $"doc_id",
+          explode(split($"text", " ")).as("word"))
+        .groupBy("source", "doc_id", "word")
+        .agg(count(lit(1)).as("tfd"))
+    }
+    val tf = dw.groupBy("source", "word").agg(sum($"tfd").as("tf"))
+    val dfreq = dw.groupBy("word")
+      .agg(count(lit(1)).as("df_docs"))
+    val ndocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score", $"tf" * log($"n_docs" / $"df_docs"))
+    val w = Window.partitionBy("source")
+      .orderBy($"score".desc, $"word")
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"source", $"rn", $"word", $"tf", $"df_docs",
+        round($"score", 6).as("tfidf"))
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_tfidf_terms" -> (t15TfidfTerms _),
     "t14_classifier_score" -> (t14ClassifierScore _),
     "t13_rarity_filter" -> (t13RarityFilter _),
     "t12_chunking" -> (t12Chunking _),
@@ -523,6 +564,26 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    // idf factored out of the per-doc sum: score = tf_total * ln(N/df),
+    // one double multiply on integer inputs — bit-identical both engines
+    "t15_tfidf_terms" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfx AS (SELECT word, count(DISTINCT doc_id) AS df_docs FROM w GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT source, word, tf, df_docs,
+        |    tf * ln(n_docs / df_docs) AS score
+        |  FROM tf JOIN dfx USING (word) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |         ORDER BY score DESC, word) AS rn
+        |      FROM scored)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, word, tf,
+        |  CAST(df_docs AS BIGINT) AS df_docs, round(score, 6) AS tfidf
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "t14_classifier_score" ->
       s"""WITH scored AS (
         |  SELECT lang, source,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -115,5 +115,13 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_top_k")))
       reg.createOrReplaceTempFunction("graft_top_k",
         exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    // Spark's runtime-filter probe (codegen'd, Predicate) surfaced as a
+    // callable function: graft_might_contain(<serialized bloom literal>,
+    // xxhash64(value)). Spark keeps BloomFilterMightContain internal to
+    // InjectRuntimeFilter; exposing it lets an operator hand-place the
+    // sketch prefilter where the optimizer can't infer it (d18).
+    if (!reg.functionExists(FunctionIdentifier("graft_might_contain")))
+      reg.createOrReplaceTempFunction("graft_might_contain",
+        exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 }

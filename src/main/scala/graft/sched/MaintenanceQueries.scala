@@ -572,7 +572,44 @@ object MaintenanceQueries {
         lit(live.select("p_partkey").distinct().count()))
   }
 
+  /** Tag retention (Iceberg tags = immutable named refs): a tag PINS its
+    * snapshot — and, transitively, that snapshot's data files — through
+    * expire_snapshots, which is how production tables keep an audited
+    * release readable while routine expiry trims everything else. The
+    * demo makes the pin observable at the FILE level: s1's two files are
+    * superseded by the optimize compaction (s2), so without the tag the
+    * first expiry would reclaim them — `files_deleted_while_tagged`
+    * must be 0, the tagged read must return identical rows after expiry,
+    * and only dropping the tag lets the second expiry reclaim exactly
+    * those 2 files. All row cells derive from part-table key subsets;
+    * ids/counts are commit-sequence constants under the fixed clocks. */
+  private def tagRetentionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t1 = fixedClock(20011) // +11 days; retention 5 ⇒ t0 commits age out
+    val df = seed(spark, sfDir)
+    val t = GraftTable.create(spark, freshDir("tagret"), df.schema)
+    t.append(df.filter(col("p_partkey") <= 100).repartition(2), t0) // s1
+    t.createTag("v1")                                               // pins s1
+    t.optimize(clock = t0)                                          // s2: 1 file
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t1)                                          // s3: head
+    val rowsTag = t.readTag("v1").count()
+    val delWhileTagged = t.expireSnapshots(retentionDays = 5, clock = t1)
+    val rowsTagAfter = t.readTag("v1").count()
+    val headRows = t.read.count()
+    t.dropTag("v1")
+    val delAfterDrop = t.expireSnapshots(retentionDays = 5, clock = t1)
+    import spark.implicits._
+    Seq((rowsTag, rowsTagAfter, delWhileTagged, headRows, delAfterDrop))
+      .toDF("rows_at_tag", "rows_at_tag_after_expire",
+        "files_deleted_while_tagged", "head_rows", "files_deleted_after_drop")
+      .withColumn("n_snapshots_final", lit(t.snapshots.size.toLong))
+      .withColumn("head_snapshot_id",
+        lit(t.currentSnapshot.get.snapshotId))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_tag_retention" -> (tagRetentionDemo _),
     "x17_rollback" -> (rollbackDemo _),
     "x16_partition_evolution" -> (partitionEvolutionDemo _),
     "x15_schema_ddl" -> (schemaDdlDemo _),
@@ -605,6 +642,18 @@ object MaintenanceQueries {
     * x13/x16 (hot-partition file layout derives from hash-shuffle
     * placement, not from data content). */
   val oracles: Map[String, String] = Map(
+    "x18_tag_retention" ->
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150 THEN 1 END) AS b
+        |  FROM part)
+        |SELECT a AS rows_at_tag, a AS rows_at_tag_after_expire,
+        |  CAST(0 AS BIGINT) AS files_deleted_while_tagged,
+        |  a + b AS head_rows,
+        |  CAST(2 AS BIGINT) AS files_deleted_after_drop,
+        |  CAST(1 AS BIGINT) AS n_snapshots_final,
+        |  CAST(3 AS BIGINT) AS head_snapshot_id
+        |FROM c""".stripMargin,
     "x17_rollback" ->
       """WITH k AS (SELECT
         |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,

@@ -528,7 +528,68 @@ object StreamOps {
       .orderBy("day", "event_type", "rn")
   }
 
+  /** Streaming CDC APPLY (st11): an OUT-OF-ORDER changelog stream
+    * upserted into a graft table — the reference's row-level UPDATE
+    * semantics (`__main__.py` delegates them to Trino MERGE) driven from
+    * an unbounded feed. Each micro-batch (a) reduces to its latest row
+    * per key, (b) merges against the CURRENT table row for exactly those
+    * keys — greater (ts, event_id) wins, so the result is independent of
+    * batch ARRIVAL order (max-combining is commutative across batches) —
+    * and (c) lands as ONE atomic eq-delete + append commit through
+    * [[GraftSink.upsertBatch]]'s (query, batchId) idempotence marker.
+    * The feed is deliberately split into 4 INTERLEAVED chunk files
+    * (event_id mod 4 — not time-ordered) delivered one per micro-batch
+    * (maxFilesPerTrigger=1), and the final batch is redelivered after
+    * the query drains: the marker no-ops the replay (n_commits pins 4).
+    * Final table state = latest event per user, checked against DuckDB's
+    * window over the whole feed. At 100 TB/day: per-batch cost is
+    * O(batch + matched keys) — a key-equi join against matched table
+    * rows plus a delta commit, never a table rewrite; compaction is the
+    * scheduler's job ([[graft.cmd.Optimize]]), not the stream's. */
+  def st11StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"),
+      target = "timestamp")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_st11")
+    (0 until 4).foreach { g =>
+      src.filter($"event_id" % 4 === g).repartition(1)
+        .write.parquet(streamDir.resolve(s"w$g").toString)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"ts".desc, $"event_id".desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val loc = java.nio.file.Files.createTempDirectory("graft_st11t")
+      .resolve("t").toString
+    val table = graft.meta.GraftTable.create(s, loc, src.schema)
+    val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cand = latest(batch)
+      val cur = table.read
+        .join(cand.select("user_id").distinct(), Seq("user_id"), "left_semi")
+      GraftSink.upsertBatch(table, "st11", Seq("user_id"))(
+        latest(cand.unionByName(cur)), id)
+    }
+    val q = s.readStream.schema(src.schema)
+      .option("basePath", streamDir.toString)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/{w0,w1,w2,w3}/*.parquet")
+      .writeStream.foreachBatch(applyBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // at-least-once redelivery of the last micro-batch: the (query,
+    // batchId) marker committed with the data must make this a no-op
+    applyBatch(src.filter($"event_id" % 4 === 3), 3L)
+    table.read
+      .select($"user_id", $"ts".cast("string").as("last_ts"),
+        $"event_type".as("last_type"), round($"value", 2).as("last_value"))
+      .withColumn("n_commits", lit(table.snapshots.size.toLong))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_stream_upsert" -> (st11StreamUpsert _),
     "st10_stream_topk" -> (st10StreamTopK _),
     "st09_stream_index" -> (st09StreamIndex _),
     "st08_stream_decontaminate" -> (st08StreamDecontaminate _),
@@ -548,6 +609,21 @@ object StreamOps {
       |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the streamed CDC apply must land exactly the batch answer: latest
+    // event per user over the WHOLE feed, regardless of how the feed was
+    // chunked into micro-batches; n_commits pins one commit per batch
+    // (the replayed batch no-ops)
+    "st11_stream_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(ts AS VARCHAR) AS last_ts,
+        |  event_type AS last_type, round(value, 2) AS last_value,
+        |  CAST(4 AS BIGINT) AS n_commits
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     // the batch d08 oracle verbatim: the stream must flag exactly the
     // documents the batch decontamination pass flags
     "st08_stream_decontaminate" ->
