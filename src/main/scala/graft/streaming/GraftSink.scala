@@ -73,4 +73,35 @@ object GraftSink {
       if (!lastBatch(table, queryName).exists(_ >= batchId))
         table.upsertOp(df, keys, opFor(UpsertPrefix, queryName, batchId), clock)
     }
+
+  /** `foreachBatch` CDC APPLY tolerant of OUT-OF-ORDER delivery: reduce
+    * the micro-batch to its latest row per key (greatest `orderBy`
+    * column tuple wins, descending lexicographic), merge against the
+    * CURRENT table row for exactly those keys, and land the winners via
+    * [[upsertBatch]]. Because the winner of {batch rows, table row} is
+    * the MAX under the ordering — and max-combining is commutative and
+    * associative — the final table state is independent of how the feed
+    * was chunked into batches AND of batch arrival order; a stale row
+    * arriving late can never overwrite a newer one. Per-batch cost is
+    * O(batch + matched keys): the table-side read is a key semi-join,
+    * never a full-table rewrite. */
+  def applyLatestBatch(table: GraftTable, queryName: String,
+                       keys: Seq[String], orderBy: Seq[String],
+                       clock: Clock = Clock.systemUTC())
+                      (df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).desc): _*)
+    def latest(d: DataFrame): DataFrame =
+      d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    table.lock.synchronized {
+      val cand = latest(df)
+      val cur = table.read
+        .join(cand.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      upsertBatch(table, queryName, keys, clock)(
+        latest(cand.unionByName(cur)), batchId)
+    }
+  }
 }

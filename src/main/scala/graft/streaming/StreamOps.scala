@@ -531,12 +531,13 @@ object StreamOps {
   /** Streaming CDC APPLY (st11): an OUT-OF-ORDER changelog stream
     * upserted into a graft table — the reference's row-level UPDATE
     * semantics (`__main__.py` delegates them to Trino MERGE) driven from
-    * an unbounded feed. Each micro-batch (a) reduces to its latest row
-    * per key, (b) merges against the CURRENT table row for exactly those
-    * keys — greater (ts, event_id) wins, so the result is independent of
-    * batch ARRIVAL order (max-combining is commutative across batches) —
-    * and (c) lands as ONE atomic eq-delete + append commit through
-    * [[GraftSink.upsertBatch]]'s (query, batchId) idempotence marker.
+    * an unbounded feed. Each micro-batch runs
+    * [[GraftSink.applyLatestBatch]]: reduce to the latest row per key,
+    * merge against the CURRENT table row for exactly those keys —
+    * greater (ts, event_id) wins, so the result is independent of batch
+    * ARRIVAL order (max-combining is commutative across batches) — and
+    * land as ONE atomic eq-delete + append commit under the
+    * (query, batchId) idempotence marker.
     * The feed is deliberately split into 4 INTERLEAVED chunk files
     * (event_id mod 4 — not time-ordered) delivered one per micro-batch
     * (maxFilesPerTrigger=1), and the final batch is redelivered after
@@ -556,20 +557,11 @@ object StreamOps {
       src.filter($"event_id" % 4 === g).repartition(1)
         .write.parquet(streamDir.resolve(s"w$g").toString)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy($"ts".desc, $"event_id".desc)
-    def latest(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
     val loc = java.nio.file.Files.createTempDirectory("graft_st11t")
       .resolve("t").toString
     val table = graft.meta.GraftTable.create(s, loc, src.schema)
-    val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
-      val cand = latest(batch)
-      val cur = table.read
-        .join(cand.select("user_id").distinct(), Seq("user_id"), "left_semi")
-      GraftSink.upsertBatch(table, "st11", Seq("user_id"))(
-        latest(cand.unionByName(cur)), id)
-    }
+    val applyBatch: (DataFrame, Long) => Unit = GraftSink.applyLatestBatch(
+      table, "st11", Seq("user_id"), Seq("ts", "event_id"))
     val q = s.readStream.schema(src.schema)
       .option("basePath", streamDir.toString)
       .option("maxFilesPerTrigger", "1")

@@ -388,6 +388,62 @@ class PlanShapeSpec extends SparkSpec {
         s"exchanges (${shuffles.size})")
   }
 
+  test("d17: quota selection is one scan, one window shuffle by source — no join") {
+    val nodes = allNodes(
+      graft.ext.SampleQueries.queries("d17_source_quota")(spark, sf))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, s"corpus must be scanned once (${scans.size})")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join")),
+      "the per-source cap must not join anything")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // the window's by-source exchange, the lang aggregate, the output sort
+    assert(shuffles.size <= 3, s"unexpected shuffle count (${shuffles.size})")
+  }
+
+  test("t15: ONE corpus pass builds the cached postings; top-k runs over the aggregate") {
+    val outer = allNodes(
+      graft.ext.TextQueries.queries("t15_tfidf_terms")(spark, sf))
+    // tf and df both read the RelCache'd (doc, word) relation — without
+    // it each branch would re-run the explode (three corpus scans)
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached postings relation")
+    val build = cachedPlans.flatMap(walkPlan)
+    assert(build.collect { case f: FileSourceScanExec => f }.distinct.size == 1,
+      "the postings build is a single corpus scan")
+    // the outer plan may scan documents only for the single-row count
+    val outerScans = outer.collect { case f: FileSourceScanExec => f }.distinct
+    assert(outerScans.size <= 1,
+      s"outer plan re-scans the corpus (${outerScans.size})")
+    assert(!(outer ++ build).exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the single-row N broadcast must not be a cartesian hazard")
+  }
+
+  test("d18: the bloom probe filters the shingle stream INSIDE the scan stage") {
+    val df = graft.ext.DedupQueries
+      .queries("d18_bloom_decontaminate")(spark, sf)
+    val nodes = allNodes(df)
+    // the probe must sit scan-side: a FilterExec mentioning the bloom
+    // predicate with the corpus scan below it and NO join underneath —
+    // rows die before any join machinery, which is the whole point
+    val probeFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeFilters.nonEmpty, "bloom probe filter missing from the plan")
+    val below = probeFilters.flatMap(walkPlan)
+    assert(below.exists(_.isInstanceOf[FileSourceScanExec]),
+      "the probe must be pushed against the corpus scan")
+    assert(!below.exists(_.getClass.getSimpleName.contains("Join")),
+      "the probe must run BEFORE the verify join, not after")
+    // the exact verify join still broadcasts the benchmark side
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "exact verification joins the broadcast benchmark set")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

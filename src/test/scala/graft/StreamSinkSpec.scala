@@ -61,6 +61,28 @@ class StreamSinkSpec extends SparkSpec {
     assert(t.rowCount == 3, "metadata-only count agrees post-publish")
   }
 
+  test("applyLatestBatch: final state independent of batch arrival order") {
+    // two overlapping batches: key 1's newest row is in A, key 2's in B
+    def batchA = Seq((1L, 5L, "a5"), (2L, 1L, "a1")).toDF("k", "ver", "v")
+    def batchB = Seq((1L, 3L, "b3"), (2L, 9L, "b9")).toDF("k", "ver", "v")
+    def mk() = GraftTable.create(spark, tmpDir("cdc") + "/t", batchA.schema)
+    val inOrder = mk(); val reversed = mk()
+    val fwd = GraftSink.applyLatestBatch(inOrder, "q", Seq("k"), Seq("ver")) _
+    fwd(batchA, 0L); fwd(batchB, 1L)
+    val rev = GraftSink.applyLatestBatch(reversed, "q", Seq("k"), Seq("ver")) _
+    rev(batchB, 0L); rev(batchA, 1L) // the LATE batch holds STALE rows
+    val want = Set((1L, 5L, "a5"), (2L, 9L, "b9"))
+    def state(t: GraftTable) = t.read.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(state(inOrder) == want)
+    assert(state(reversed) == want,
+      "a stale row delivered late must not overwrite the newer table row")
+    // replay of the last batch under the same id: still a no-op
+    rev(batchA, 1L)
+    assert(state(reversed) == want)
+    assert(reversed.snapshots.size == 2)
+  }
+
   test("marker survives restart: a fresh table handle still dedups") {
     val loc = tmpDir("sink") + "/t"
     val t = GraftTable.create(spark, loc, Seq((0L, "x")).toDF("id", "tag").schema)

@@ -65,4 +65,27 @@ class TimeTravelReadSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       sql("SELECT * FROM t FOR VERSION AS OF 'nope'"))
   }
+
+  test("a tag pins its snapshot AND files through expiry; drop releases both") {
+    val loc = tmpDir("tagpin") + "/t"
+    val clock = new TestClock
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 10).repartition(2), clock) // s1: 2 files
+    t.createTag("audit")                        // pins s1
+    t.optimize(clock = clock)                   // s2: supersedes s1's files
+    clock.advanceDays(11)
+    t.append(rows(10, 15), clock)               // s3: head
+    // while tagged: s1 survives the cutoff, and so do its 2 superseded
+    // files — nothing is reclaimable
+    assert(t.expireSnapshots(retentionDays = 5, clock = clock) == 0L)
+    assert(t.readTag("audit").count() == 10)
+    assert(t.snapshots.map(_.snapshotId).toSet == Set(1L, 3L),
+      "unpinned old s2 expires; pinned s1 and current s3 stay")
+    t.dropTag("audit")
+    // released: s1 expires and exactly its 2 compacted-away files go
+    assert(t.expireSnapshots(retentionDays = 5, clock = clock) == 2L)
+    assert(t.snapshots.map(_.snapshotId) == Seq(3L))
+    assert(t.read.count() == 15, "live content untouched throughout")
+    intercept[IllegalArgumentException](t.readTag("audit"))
+  }
 }
