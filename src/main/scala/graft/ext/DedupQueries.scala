@@ -528,11 +528,17 @@ object DedupQueries {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = t(s, dir, "documents")
-    val bench = docs.filter($"doc_id" % 50 === 0)
-      .select(explode(hashedShingles($"text")).as("sh")).distinct()
+    val bench = cached(s, dir, "d18_bench") {
+      docs.filter($"doc_id" % 50 === 0)
+        .select(explode(hashedShingles($"text")).as("sh")).distinct()
+    }
     val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    // size the sketch from the actual benchmark cardinality (a count
+    // over the persisted small side): a fixed capacity would silently
+    // degrade the fpp — and the prefilter's selectivity — as the
+    // benchmark set grows
     val bloom = bench.select(xxhash64($"sh").as("h"))
-      .stat.bloomFilter("h", 1L << 20, 0.01)
+      .stat.bloomFilter("h", math.max(bench.count(), 1024L), 0.01)
     val bytes = {
       val os = new java.io.ByteArrayOutputStream()
       bloom.writeTo(os)

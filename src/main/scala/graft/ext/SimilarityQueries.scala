@@ -346,7 +346,47 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
+  /** k-NN LABEL PROPAGATION (s07): semi-supervised auto-labeling — the
+    * curation step that turns a small labeled seed set into labels for
+    * the whole corpus (each unlabeled vector takes the majority label
+    * of its k nearest labeled neighbors). Two scale choices: (1) the
+    * neighbor search is the [[graft.functions.TopKAgg]] aggregate, NOT
+    * a row_number window — the scored corpus partial-aggregates
+    * map-side and ships k (cos, id) pairs per (mapper, query) instead
+    * of shuffling every scored row by query_id; (2) neighbor labels
+    * re-enter via a broadcast gather of the ≤ NumQueries·k surviving
+    * ids against the corpus (s06's pattern), so the label join never
+    * shuffles the embedding table. Vote ranking (votes DESC, best
+    * cosine DESC, label ASC — a total order) runs over ≤ queries·k
+    * rows. The oracle brute-forces the identical semantics in DuckDB. */
+  def s07KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = withNorm(t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val labeled = e.filter($"vec_id" >= NumQueries)
+    val nbrs = labeled.join(broadcast(q), lit(true))
+      .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+      .groupBy($"query_id")
+      .agg(call_function("graft_top_k", $"cos", $"vec_id", lit(TopK)).as("top"))
+      .select($"query_id", explode($"top").as("nb"))
+      .select($"query_id", $"nb.id".as("vec_id"), $"nb.score".as("cos"))
+    val withLabels = labeled.select($"vec_id", $"label")
+      .join(broadcast(nbrs), "vec_id")
+    val votes = withLabels.groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("n_votes"), max($"cos").as("best_cos"))
+    val wVote = Window.partitionBy($"query_id")
+      .orderBy($"n_votes".desc, $"best_cos".desc, $"label")
+    votes.withColumn("vr", row_number().over(wVote)).filter($"vr" === 1)
+      .select($"query_id", $"label".as("predicted_label"),
+        $"n_votes", $"best_cos")
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_knn_label" -> (s07KnnLabel _),
     "s06_quantized_topk" -> (s06QuantizedTopK _),
     "s05_lsh_neardup" -> (s05LshNearDup _),
     "s01_cosine_topk" -> (s01CosineTopK _),
@@ -361,6 +401,31 @@ object SimilarityQueries {
     "sqrt(list_sum(list_apply(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "s07_knn_label" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM e WHERE vec_id < $NumQueries),
+        |pairs AS (
+        |  SELECT query_id, e.vec_id, e.label,
+        |    round(${dotSql.format("qe", "embedding")} / (qn * nrm), 6) AS cos
+        |  FROM e, q WHERE e.vec_id >= $NumQueries),
+        |nbrs AS (
+        |  SELECT query_id, vec_id, label, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM pairs),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS n_votes, max(cos) AS best_cos
+        |  FROM nbrs WHERE rn <= $TopK GROUP BY query_id, label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n_votes DESC, best_cos DESC, label) AS vr
+        |  FROM votes)
+        |SELECT query_id, label AS predicted_label, n_votes, best_cos
+        |FROM ranked WHERE vr = 1 ORDER BY query_id""".stripMargin,
     "s06_quantized_topk" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm,

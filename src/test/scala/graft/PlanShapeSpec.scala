@@ -444,6 +444,26 @@ class PlanShapeSpec extends SparkSpec {
       "exact verification joins the broadcast benchmark set")
   }
 
+  test("s07: neighbor search is the top-k aggregate — no corpus window, no array on any exchange") {
+    val nodes = allNodes(SimilarityQueries.queries("s07_knn_label")(spark, sf))
+    // the scored corpus partial-aggregates map-side (q44's two-stage
+    // ObjectHashAggregate); a row_number spelling would shuffle EVERY
+    // scored row by query_id
+    assert(nodes.exists(_.getClass.getSimpleName.contains("ObjectHashAggregate")),
+      "top-k must run as the TypedImperativeAggregate")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"only the vote window (≤ queries·k rows) " +
+      s"may be a Window node (${windows.size})")
+    // nothing wide rides any shuffle: not the embeddings, not the top-k
+    // arrays (exploded before the vote aggregate)
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "no array column may ride an exchange in the label-propagation plan")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
