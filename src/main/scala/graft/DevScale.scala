@@ -127,11 +127,16 @@ object DevScale {
     names.foreach { name =>
       metrics.reset()
       val t0 = System.nanoTime()
-      // collect(), NOT count(): count lets Catalyst PRUNE computation the
-      // row count doesn't depend on (d17's window, d18's verify join),
-      // under-reporting shuffle bytes for the plan actually being graded;
-      // registry outputs are bounded summaries, so collecting them is safe
-      val rows = try SparkEntry.queries(name)(spark, dir).collect().length.toLong
+      // queryExecution.toRdd.count(), NOT Dataset.count(): the Dataset
+      // count is rewritten by Catalyst to prune computation the row
+      // count doesn't depend on (d17's window, d18's verify join),
+      // under-reporting shuffle bytes for the plan actually being
+      // graded. Counting the PHYSICAL plan's RDD runs that plan as
+      // planned — and keeps driver memory bounded where a collect()
+      // would not (d06 returns 12.5% of the corpus, s05 ~N²/2 pairs
+      // per synthesized clone cluster).
+      val rows = try SparkEntry.queries(name)(spark, dir)
+        .queryExecution.toRdd.count()
         catch { case e: Throwable => println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}"""); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       def mb(b: Long) = math.round(b / 1048.576) / 1000.0

@@ -495,8 +495,20 @@ object DedupQueries {
     val bench = docs.filter($"doc_id" % 50 === 0)
       .select(explode(hashedShingles($"text")).as("sh")).distinct()
     val corpus = docs.filter($"doc_id" % 50 =!= 0)
-    val hits = corpus
+    val stream = corpus
       .select($"doc_id", explode(hashedShingles($"text")).as("sh"))
+    decontaminationReport(corpus, stream, bench)
+  }
+
+  /** Shared d08/d18 tail: exact verify of a (doc_id, sh) candidate
+    * stream against the broadcast benchmark shingle set, then the
+    * per-lang contamination report. One definition because BOTH entries
+    * hash-match the same `decontaminateOracle` — a shape change here
+    * must move both or the shared oracle catches the divergence. */
+  private def decontaminationReport(corpus: DataFrame, stream: DataFrame,
+                                    bench: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val hits = stream
       .join(broadcast(bench), "sh")
       .groupBy($"doc_id").agg(countDistinct($"sh").as("n_shared"))
     corpus.select($"doc_id", $"lang")
@@ -544,19 +556,11 @@ object DedupQueries {
       bloom.writeTo(os)
       os.toByteArray
     }
-    val hits = corpus
+    val stream = corpus
       .select($"doc_id", explode(hashedShingles($"text")).as("sh"))
       .filter(call_function("graft_might_contain", lit(bytes),
         xxhash64($"sh")))
-      .join(broadcast(bench), "sh")
-      .groupBy($"doc_id").agg(countDistinct($"sh").as("n_shared"))
-    corpus.select($"doc_id", $"lang")
-      .join(hits, Seq("doc_id"), "left")
-      .groupBy($"lang").agg(
-        count(lit(1)).as("n_docs"),
-        count($"n_shared").as("n_contaminated"),
-        sum(coalesce($"n_shared", lit(0L))).as("total_shared"))
-      .orderBy($"lang")
+    decontaminationReport(corpus, stream, bench)
   }
 
   /** BLOCKED FUZZY JOIN (d16): entity resolution over a string domain —

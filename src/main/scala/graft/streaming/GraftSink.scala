@@ -84,7 +84,15 @@ object GraftSink {
     * was chunked into batches AND of batch arrival order; a stale row
     * arriving late can never overwrite a newer one. Per-batch cost is
     * O(batch + matched keys): the table-side read is a key semi-join,
-    * never a full-table rewrite. */
+    * never a full-table rewrite.
+    *
+    * PRECONDITION: `orderBy` must TOTALLY order the rows of any one key
+    * — include a unique column (sequence number, event id) after the
+    * timestamp. If two versions of a key compare equal, `row_number`
+    * breaks the tie arbitrarily and the batch-order-independence
+    * guarantee degrades to arrival order for exactly those ties. Do NOT
+    * use a key column as the tie-break: it is constant within the
+    * window partition, so it orders nothing. */
   def applyLatestBatch(table: GraftTable, queryName: String,
                        keys: Seq[String], orderBy: Seq[String],
                        clock: Clock = Clock.systemUTC())
@@ -97,11 +105,15 @@ object GraftSink {
       d.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     table.lock.synchronized {
-      val cand = latest(df)
+      // One window pass: the batch's key set (a cheap distinct, no
+      // window) semi-joins the current rows in, then a single `latest`
+      // reduces {batch rows, table row} per key. Reducing the batch
+      // first and again after the union would shuffle+sort twice for
+      // the same result.
       val cur = table.read
-        .join(cand.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .join(df.select(keys.map(col): _*).distinct(), keys, "left_semi")
       upsertBatch(table, queryName, keys, clock)(
-        latest(cand.unionByName(cur)), batchId)
+        latest(df.unionByName(cur)), batchId)
     }
   }
 }
