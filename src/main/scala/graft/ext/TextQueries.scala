@@ -539,7 +539,64 @@ object TextQueries {
       .orderBy("source", "rn")
   }
 
+  /** C4-style corpus-level LINE DEDUP with document reconstruction
+    * (t16): every repeated text segment is removed from all but its
+    * first occurrence (corpus order: lowest doc, then position), and
+    * each document is REASSEMBLED from its surviving segments — the
+    * C4 "three-sentence span" dedup stage, the one d-family rung that
+    * edits documents instead of dropping them (d14 scrubs against a
+    * FREQUENT set; this dedups against ALL segments). "Lines" are
+    * fixed 8-word segments because the synthetic corpus has no
+    * newlines; the operator is delimiter-agnostic.
+    *
+    * Scale shape: keep-first is a min-AGGREGATE on the segment key
+    * (partial-combines map-side; never a global window), the winner
+    * check is an equi-join back on that key, and reconstruction
+    * shuffles by doc_id with per-doc bounded state (`collect_list`
+    * over one document's segments — the t08 packing bound). At 100 TB
+    * the segment key would be a 64-bit hash instead of the string;
+    * grouping by the string keeps the oracle transparent and is
+    * semantically identical. Output is the per-(lang, source) edit
+    * report; the rebuilt text's length pins the reconstruction. */
+  def t16LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SegWords = 8
+    val base = t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("words"))
+    // encoded winner key: p < 100000 makes (doc_id, p) lexicographic
+    // order equal to doc_id*100000+p numeric order in both engines
+    val segs = RelCache.cached(s, s"$dir#t16_segs") {
+      base.select($"doc_id", $"lang", $"source",
+        posexplode(transform(
+          // floor + cast: Spark's `/` on ints is DOUBLE division
+          sequence(lit(0),
+            floor((size($"words") - 1) / lit(SegWords)).cast("int")),
+          i => concat_ws(" ",
+            slice($"words", i * SegWords + 1, lit(SegWords)))))
+          .as(Seq("p", "seg")))
+        .withColumn("pk", $"doc_id" * 100000L + $"p")
+    }
+    val winners = segs.groupBy($"seg").agg(min($"pk").as("wk"))
+    val perDoc = segs.join(winners, "seg")
+      .filter($"pk" === $"wk")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        length(array_join(
+          transform(array_sort(collect_list(struct($"p", $"seg"))),
+            x => x.getField("seg")), " ")).as("chars_kept"))
+    segs.groupBy($"doc_id", $"lang", $"source")
+      .agg(count(lit(1)).as("n_segs"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_segs").as("segs_total"),
+        sum(coalesce($"n_kept", lit(0L))).as("segs_kept"),
+        sum(coalesce($"chars_kept", lit(0L))).as("chars_kept"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_line_dedup" -> (t16LineDedup _),
     "t15_tfidf_terms" -> (t15TfidfTerms _),
     "t14_classifier_score" -> (t14ClassifierScore _),
     "t13_rarity_filter" -> (t13RarityFilter _),
@@ -564,6 +621,33 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    // chars_kept's closed form (sum of segment lengths + count-1 join
+    // spaces) pins the Spark side's actual array_join reconstruction
+    "t16_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, lang, source, i AS p,
+        |    array_to_string(w[i*8+1:i*8+8], ' ') AS seg,
+        |    doc_id * 100000 + i AS pk
+        |  FROM (SELECT doc_id, lang, source, w,
+        |        unnest(range(0, (len(w) - 1) // 8 + 1)) AS i FROM docs)),
+        |winners AS (SELECT seg, min(pk) AS wk FROM segs GROUP BY seg),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    sum(strlen(seg)) + count(*) - 1 AS chars_kept
+        |  FROM segs JOIN winners USING (seg)
+        |  WHERE pk = wk GROUP BY doc_id),
+        |docsegs AS (
+        |  SELECT doc_id, lang, source, count(*) AS n_segs
+        |  FROM segs GROUP BY doc_id, lang, source)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_segs) AS BIGINT) AS segs_total,
+        |  CAST(coalesce(sum(p.n_kept), 0) AS BIGINT) AS segs_kept,
+        |  CAST(coalesce(sum(p.chars_kept), 0) AS BIGINT) AS chars_kept
+        |FROM docsegs LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // idf factored out of the per-doc sum: score = tf_total * ln(N/df),
     // one double multiply on integer inputs — bit-identical both engines
     "t15_tfidf_terms" ->

@@ -242,7 +242,61 @@ object AnalyticQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** SCD TYPE 2 dimension build (q49): a dated change feed (orders as
+    * per-customer attribute changes) becomes validity intervals
+    * `[valid_from, valid_to)` — the Kimball dimension-versioning
+    * operator downstream of every CDC ingest (the reference's MERGE
+    * tables feed exactly this shape). The interval close is `lead()`
+    * over the per-key change sequence and `is_current` falls out as
+    * lead-IS-NULL, so the whole build is ONE shuffle on the dimension
+    * key shared by both window functions and the version numbering —
+    * no self-join, no per-row table probe. At 100 TB the key
+    * (customer) is high-cardinality, so the exchange is even; ties on
+    * the change date are totally ordered by the unique change id,
+    * making the versioning deterministic under any input order (the
+    * [[graft.streaming.GraftSink.applyLatestBatch]] precondition,
+    * applied batch-side). */
+  def q49Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .filter($"o_custkey" % 50 === 0)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey".as("custkey"), $"version",
+        $"o_orderpriority".as("priority"),
+        $"o_orderdate".cast("string").as("valid_from"),
+        $"valid_to_ts".cast("string").as("valid_to"),
+        when($"valid_to_ts".isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy($"custkey", $"version")
+  }
+
+  /** Cohort retention matrix (q50): users bucketed by first-seen day,
+    * activity counted per (cohort, day offset) — the product-analytics
+    * complement of the q47 funnel. The first-seen relation is a
+    * min-aggregate (partial-combines map-side; never a window over the
+    * full event stream), and the join back to events is keyed on
+    * user_id — co-partitioned with the aggregate's own exchange, so
+    * Catalyst reuses one shuffle layout across first-seen, join, and
+    * the per-user distinct. Events only carry (user_id, day) into the
+    * exchange: the scan prunes every other column. */
+  def q50CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", to_date($"ts").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    ev.join(first, "user_id")
+      .groupBy($"cohort_d",
+        datediff($"d", $"cohort_d").cast("long").as("offset_days"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select($"cohort_d".cast("string").as("cohort_day"),
+        $"offset_days", $"n_users")
+      .orderBy($"cohort_day", $"offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_scd2" -> (q49Scd2 _),
+    "q50_cohort_retention" -> (q50CohortRetention _),
     "q41_rank_family" -> (q41RankFamily _),
     "q42_not_in" -> (q42NotIn _),
     "q40_rolling_window" -> (q40RollingWindow _),
@@ -261,6 +315,30 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_scd2" ->
+      """SELECT o_custkey AS custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  o_orderpriority AS priority,
+        |  CAST(o_orderdate AS VARCHAR) AS valid_from,
+        |  CAST(lead(o_orderdate) OVER w AS VARCHAR) AS valid_to,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, version""".stripMargin,
+    "q50_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |firsts AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id)
+        |SELECT CAST(cohort_d AS VARCHAR) AS cohort_day,
+        |  CAST(date_diff('day', cohort_d, d) AS BIGINT) AS offset_days,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN firsts USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, offset_days""".stripMargin,
     "q41_rank_family" ->
       """SELECT c_mktsegment, c_custkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -464,6 +464,57 @@ class PlanShapeSpec extends SparkSpec {
       "no array column may ride an exchange in the label-propagation plan")
   }
 
+  test("q49: SCD2 versions + interval close + current flag share ONE window over ONE key exchange") {
+    val nodes = allNodes(
+      graft.rel.AnalyticQueries.queries("q49_scd2")(spark, sf))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.distinct
+    assert(windows.size == 1,
+      s"row_number + lead must collapse into one WindowExec (${windows.size})")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Join")),
+      "the SCD2 build is window-only — no self-join, no table probe")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    // the per-key hash exchange + the output sort's range exchange
+    assert(shuffles.size <= 2, s"unexpected shuffle count (${shuffles.size})")
+  }
+
+  test("q50: cohort events scan is pruned to (user_id, ts); no cartesian") {
+    val nodes = allNodes(
+      graft.rel.AnalyticQueries.queries("q50_cohort_retention")(spark, sf))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      val read = sc.metadata("ReadSchema")
+      assert(!read.contains("props") && !read.contains("event_type") &&
+        !read.contains("value"),
+        s"cohort build must prune the wide event columns: $read")
+    }
+    assert(!nodes.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct") ||
+      n.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "first-seen join must be an equi-join on user_id")
+  }
+
+  test("t16: keep-first is a min-AGGREGATE (no window); documents scanned once into the cached segments") {
+    val outer = allNodes(
+      graft.ext.TextQueries.queries("t16_line_dedup")(spark, sf))
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached segments relation")
+    val build = cachedPlans.flatMap(walkPlan)
+    assert(build.collect { case f: FileSourceScanExec => f }.distinct.size == 1,
+      "the segments build is a single corpus scan")
+    // winners + per-doc + report all read the cache; nothing re-scans files
+    assert(outer.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "outer plan must read segments from cache, not re-scan the corpus")
+    assert(!(outer ++ build).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "keep-first must be the min-aggregate, never a global window")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
