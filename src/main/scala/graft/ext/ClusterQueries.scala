@@ -125,8 +125,67 @@ object ClusterQueries {
       .orderBy($"cluster_id")
   }
 
+  private val RankScale = 1000000000000L // 1e12 fixed-point rank unit
+  private val RankIters = 3
+  private val RankOutDeg = 3
+
+  /** Fixed-point PageRank over a deterministic link graph (d19):
+    * document/domain authority scoring — the crawl-quality weighting
+    * signal (OPIC/PageRank-weighted sampling) between dedup and domain
+    * mixing in a web-scale curation pipeline. Links are synthesized
+    * (v = h32(u:k) mod N, self-loops dropped, parallel edges deduped)
+    * because the corpus has no real hyperlinks; the operator is
+    * edge-list-agnostic.
+    *
+    * Determinism across engines is ABSOLUTE, not rounded: ranks are
+    * 64-bit fixed-point integers and every divide is integral
+    * (`div` / DuckDB `//`), so there is NO float summation order to
+    * disagree about — the stronger form of d13's per-round rounding
+    * contract. Dangling nodes (none in practice with 3 out-links) would
+    * simply not contribute, the standard simplification.
+    *
+    * Scale shape: each iteration is ONE equi-join of the O(nodes) rank
+    * relation against the cached edge list (shuffled by src) plus one
+    * hash-aggregate by dst — the d09 bounded-rounds plan. Ranks never
+    * collect to the driver; the final key filter cuts the OUTPUT, not
+    * the computation (rank needs the whole graph). */
+  def d19LinkRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val nodes = docs.select($"doc_id".as("node")).crossJoin(broadcast(nRow))
+    val edges = RelCache.cached(s, s"$dir#d19_edges") {
+      docs.crossJoin(broadcast(nRow))
+        .select($"doc_id".as("u"),
+          explode(array((1 to RankOutDeg).map(lit): _*)).as("k"), $"n")
+        .withColumn("v", DedupQueries.h32(
+          concat($"u".cast("string"), lit(":"), $"k".cast("string"))) % $"n")
+        .filter($"v" =!= $"u")
+        .select($"u", $"v").distinct()
+    }
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select($"node", expr(s"${RankScale}L div n").as("r"))
+    for (_ <- 1 to RankIters) {
+      val contrib = edges.join(deg, "u")
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .select($"v".as("node"), expr("r div deg").as("c"))
+      val sums = contrib.groupBy($"node").agg(sum($"c").as("sc"))
+      ranks = nodes
+        .join(sums, Seq("node"), "left")
+        .select($"node",
+          expr(s"(${RankScale / 100 * 15}L div n) + " +
+            "(85 * coalesce(sc, 0L)) div 100").as("r"))
+    }
+    ranks.join(deg.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .filter($"node" % 97 === 0)
+      .select($"node", coalesce($"deg", lit(0L)).as("out_deg"),
+        $"r".as("rank_fp"))
+      .orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_kmeans_topics" -> (d13KmeansTopics _),
+    "d19_link_rank" -> (d19LinkRank _),
   )
 
   // ---- oracle SQL (DuckDB): the same fixed-iteration pipeline, CTEs
@@ -155,6 +214,43 @@ object ClusterQueries {
       |$out AS (SELECT cid, list(cv ORDER BY i) AS ce FROM ${out}u GROUP BY cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same fixed-point integer arithmetic, iterations unrolled as CTEs;
+    // HUGEINT intermediates collapse back to BIGINT at the end
+    "d19_link_rank" -> {
+      val iters = (1 to RankIters).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (
+          |  SELECT e.v AS node, sum(r.r // d.deg) AS sc
+          |  FROM edges e JOIN deg d USING (u) JOIN $prev r ON r.node = e.u
+          |  GROUP BY e.v),
+          |r$i AS (
+          |  SELECT nodes.node,
+          |    (${RankScale / 100 * 15} // nn.n)
+          |      + (85 * coalesce(c$i.sc, 0)) // 100 AS r
+          |  FROM nodes CROSS JOIN nn LEFT JOIN c$i USING (node))"""
+      }.mkString(",\n")
+      val last = s"r$RankIters"
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS node FROM documents),
+        |e0 AS (
+        |  SELECT u,
+        |    ('0x' || substring(md5(u::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
+        |      % nn.n AS v
+        |  FROM (SELECT doc_id AS u,
+        |        unnest([${(1 to RankOutDeg).mkString(", ")}]) AS k
+        |        FROM documents)
+        |  CROSS JOIN nn),
+        |edges AS (SELECT DISTINCT u, v FROM e0 WHERE v <> u),
+        |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        |r0 AS (SELECT node, ($RankScale // nn.n) AS r
+        |       FROM nodes CROSS JOIN nn),
+        |$iters
+        |SELECT $last.node, CAST(coalesce(deg.deg, 0) AS BIGINT) AS out_deg,
+        |  CAST($last.r AS BIGINT) AS rank_fp
+        |FROM $last LEFT JOIN deg ON $last.node = deg.u
+        |WHERE $last.node % 97 = 0
+        |ORDER BY node""".stripMargin
+    },
     "d13_kmeans_topics" -> {
       val rounds = (0 until Iters).map { i =>
         assignCte(s"c$i", s"a$i") + ",\n        |" + updateCte(s"a$i", s"c${i + 1}")

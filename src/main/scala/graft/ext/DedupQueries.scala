@@ -33,7 +33,7 @@ object DedupQueries {
   private val JaccardThreshold = 0.8
 
   /** portable 32-bit hash of a string column. */
-  private def h32(c: Column): Column =
+  private[ext] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Persisted-relation cache — see [[RelCache]] for keying/eviction. */

@@ -239,7 +239,50 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  private val NegPerAnchor = 4
+
+  /** Contrastive training-pair generation (m07): each media item pairs
+    * with its own caption (positive) and [[NegPerAnchor]] hash-sampled
+    * foreign captions (negatives) — the CLIP-style batch construction
+    * step, done corpus-side so the training job streams ready pairs.
+    * Negative ids are h32(anchor:k) mod N: deterministic (resumable
+    * shards re-produce the same pairs — no RNG state), uniform over the
+    * corpus, and self-collisions are dropped rather than re-drawn so
+    * the pair count stays a pure function of the ids.
+    *
+    * Scale shape: positives are a projection; negatives are an
+    * EQUI-JOIN on the sampled id — hash-uniform, so the caption-fetch
+    * shuffle is skew-free by construction, and only (id, caption-len)
+    * ever rides it, never payload bytes. N is a single-row broadcast
+    * (the t15 idiom). Output is the per-(source, kind) audit report a
+    * pipeline would log, not the pair stream itself. */
+  def m07ContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val negs = docs.crossJoin(broadcast(nRow))
+      .select($"doc_id", $"source",
+        explode(array((1 to NegPerAnchor).map(lit): _*)).as("k"), $"n")
+      .withColumn("partner", DedupQueries.h32(
+        concat($"doc_id".cast("string"), lit(":"), $"k".cast("string"))) % $"n")
+      .filter($"partner" =!= $"doc_id")
+      .select($"source", $"partner")
+      .join(docs.select($"doc_id".as("partner"),
+        $"n_chars".as("cap_chars")), "partner")
+      .select($"source", lit("neg").as("kind"), $"partner", $"cap_chars")
+    val pos = docs.select($"source", lit("pos").as("kind"),
+      $"doc_id".as("partner"), $"n_chars".as("cap_chars"))
+    pos.unionByName(negs)
+      .groupBy($"source", $"kind")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"cap_chars").as("caption_chars"),
+        countDistinct($"partner").as("n_partners"))
+      .orderBy($"source", $"kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_contrastive_pairs" -> (m07ContrastivePairs _),
     "m06_scene_detect" -> (m06SceneDetect _),
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
@@ -286,6 +329,28 @@ object Multimodal {
       |  WHERE hamming <= $MaxHamming)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "m07_contrastive_pairs" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |negs AS (
+        |  SELECT x.source, 'neg' AS kind, x.partner, p.n_chars AS cap_chars
+        |  FROM (SELECT doc_id, source,
+        |          ('0x' || substring(md5(doc_id::VARCHAR || ':' || k::VARCHAR),
+        |            1, 8))::BIGINT % nn.n AS partner
+        |        FROM (SELECT doc_id, source,
+        |              unnest([${(1 to NegPerAnchor).mkString(", ")}]) AS k
+        |              FROM documents)
+        |        CROSS JOIN nn) x
+        |  JOIN documents p ON p.doc_id = x.partner
+        |  WHERE x.partner <> x.doc_id),
+        |pos AS (
+        |  SELECT source, 'pos' AS kind, doc_id AS partner, n_chars AS cap_chars
+        |  FROM documents),
+        |pairs AS (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+        |SELECT source, kind, count(*) AS n_pairs,
+        |  CAST(sum(cap_chars) AS BIGINT) AS caption_chars,
+        |  count(DISTINCT partner) AS n_partners
+        |FROM pairs GROUP BY source, kind
+        |ORDER BY source, kind""".stripMargin,
     "m06_scene_detect" ->
       """WITH c AS (
         |  SELECT doc_id, source,

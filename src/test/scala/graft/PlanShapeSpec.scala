@@ -515,6 +515,46 @@ class PlanShapeSpec extends SparkSpec {
       "keep-first must be the min-aggregate, never a global window")
   }
 
+  test("d19: every PageRank iteration is an equi-join + aggregate — no cartesian, no window") {
+    val outer = allNodes(
+      graft.ext.ClusterQueries.queries("d19_link_rank")(spark, sf))
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached edge list")
+    val all = outer ++ cachedPlans.flatMap(walkPlan)
+    // the only nested-loop is the single-row N broadcast (scalar idiom)
+    assert(!all.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "rank propagation must never be all-pairs")
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "no window anywhere: contributions aggregate, they are not ranked")
+    assert(all.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.getClass.getSimpleName.contains("SortMergeJoin") ||
+      n.getClass.getSimpleName.contains("ShuffledHashJoin")),
+      "contribution routing must be a hash equi-join on the edge key")
+  }
+
+  test("m07: only skinny (id, len) rows ride the negative-caption join — never text") {
+    val nodes = allNodes(
+      graft.ext.Multimodal.queries("m07_contrastive_pairs")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "negative sampling must not expand all-pairs")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(a =>
+      a.name == "text" || a.name == "payload")),
+      "caption text/payload bytes must never ride an exchange")
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    scans.foreach { sc =>
+      val read = sc.metadata("ReadSchema")
+      assert(!read.contains("text"),
+        s"pair generation needs lengths, not the text column: $read")
+    }
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
