@@ -288,6 +288,22 @@ object SimilarityQueries {
   // s06: candidate-pool multiplier for the quantized pre-rank
   private val CandMult = 3
 
+  /** SQ8 quantization of a (vec_id, embedding) relation — int8 codes +
+    * integer self-dot ONLY (shared by s06 and s08). This skinny
+    * projection is all a candidate stage ever scans or shuffles: the
+    * 4×-fewer-bytes claim is about THIS relation, and carrying the
+    * float vectors through a ranking exchange would forfeit it. */
+  private def quantize(e: DataFrame): DataFrame = {
+    val emb = col("embedding")
+    e.withColumn("maxabs",
+        array_max(transform(emb, x => abs(x.cast("double")))))
+      .withColumn("q", transform(emb,
+        x => when(col("maxabs") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") * 127.0 / col("maxabs")))))
+      .withColumn("qn2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .select(col("vec_id"), col("q"), col("qn2"))
+  }
+
   /** QUANTIZED TOP-K (s06): int8 scalar quantization with exact rerank —
     * the memory-bandwidth rung of the ANN ladder (SQ8 in faiss terms),
     * between brute force (s01) and IVF cell-restriction (s02). Every
@@ -304,18 +320,7 @@ object SimilarityQueries {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-    // the quantized relation: int8 codes + integer self-dot ONLY — this
-    // is all the candidate stage ever scans or shuffles (the 4×-fewer-
-    // bytes claim is about THIS projection; carrying the float vectors
-    // through the ranking exchange would forfeit it)
-    val quant = e
-      .withColumn("maxabs",
-        array_max(transform($"embedding", x => abs(x.cast("double")))))
-      .withColumn("q", transform($"embedding",
-        x => when($"maxabs" === 0.0, lit(0L))
-          .otherwise(floor(x.cast("double") * 127.0 / $"maxabs"))))
-      .withColumn("qn2", aggregate($"q", lit(0L), (a, x) => a + x * x))
-      .select($"vec_id", $"q", $"qn2")
+    val quant = quantize(e)
     val qs = quant.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"qn2".as("qqn2"))
     val cand = quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
@@ -385,7 +390,107 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  private val MmrK = 8            // diversified picks per query
+  private val MmrCand = 24        // relevance candidate pool per query
+  private val MmrLambdaTenths = 7 // λ=0.7: mmr = 7·rel − 3·max-sim
+
+  /** s08 candidate pool: top-[[MmrCand]] corpus vectors per query by
+    * QUANTIZED integer dot product, selected with the
+    * [[graft.functions.TopKAgg]] aggregate (bounded per-group state,
+    * map-side combine — never a corpus-wide row_number window). */
+  private[graft] def s08CandidateRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    RelCache.cached(s, s"$dir#s08_cand") {
+      val quant = quantize(t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding"))
+      val qs = quant.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"q".as("qq"))
+      quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
+        .withColumn("rel", aggregate(zip_with($"qq", $"q", (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+        .groupBy($"query_id")
+        .agg(call_function("graft_top_k",
+          $"rel".cast("double"), $"vec_id", lit(MmrCand)).as("top"))
+        .select($"query_id", explode($"top").as("nb"))
+        // integer dots are exact in DOUBLE far below 2^53 — the cast
+        // round-trips losslessly
+        .select($"query_id", $"nb.id".as("vec_id"),
+          $"nb.score".cast("long").as("rel"))
+    }
+  }
+
+  /** s08 pairwise integer dots AMONG the candidate pool only: the
+    * candidate ids broadcast-gather their codes from the quantized
+    * relation (never a shuffle of it), then a per-query equi-join
+    * yields ≤ [[MmrCand]]² skinny rows per query. */
+  private[graft] def s08PairRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#s08_pair") {
+      val quant = quantize(t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding"))
+      val candQ = quant
+        .join(broadcast(s08CandidateRel(s, dir).select($"query_id", $"vec_id")),
+          "vec_id")
+      candQ.select($"query_id", $"vec_id".as("a"), $"q".as("qa"))
+        .join(candQ.select($"query_id", $"vec_id".as("b"), $"q".as("qb")),
+          "query_id")
+        .filter($"a" =!= $"b")
+        .withColumn("pdot", aggregate(zip_with($"qa", $"qb", (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+        .select($"query_id", $"a", $"b", $"pdot")
+    }
+  }
+
+  /** MMR DIVERSIFIED RE-RANK (s08): maximal marginal relevance — the
+    * context/example-selection step that wants results RELEVANT to the
+    * query but not redundant with EACH OTHER (diverse few-shot pools,
+    * dedup'd retrieval contexts). Greedily picks [[MmrK] ] items per
+    * query maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`,
+    * λ in tenths so every score is a 64-bit INTEGER over quantized
+    * dots (the d19 fixed-point contract: no float fold, no
+    * cross-engine drift; ties break on vec_id — a total order).
+    *
+    * Scale shape: relevance scoring + top-[[MmrCand]] pooling are the
+    * s06/s07 distributed kernels (quantized scan, TopKAgg); pairwise
+    * sims live only on the ≤ Cand² per-query pool. The greedy loop is
+    * inherently sequential, so each round picks the arg-max via ONE
+    * struct-max aggregate over the cached pool and collects only the
+    * PICKED rows — bounded K×queries control state on the driver, the
+    * d13-centroid pattern, never data-plane rows. */
+  def s08MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = s08CandidateRel(s, dir)
+    val pair = s08PairRel(s, dir)
+    // arg-max by (mscore DESC, vec_id ASC): max of (score, -id) structs
+    def pick(df: DataFrame, step: Int): Seq[(Long, Long, Long, Long)] =
+      df.groupBy($"query_id")
+        .agg(max(struct($"mscore".as("sc"), (-$"vec_id").as("nid"))).as("m"))
+        .select($"query_id", $"m.sc", $"m.nid")
+        .collect().toSeq
+        .map(r => (r.getLong(0), step.toLong, -r.getLong(2), r.getLong(1)))
+    var sel = pick(cand.withColumn("mscore",
+      $"rel" * MmrLambdaTenths), 1)
+    for (i <- 2 to MmrK) {
+      val selDf = sel.toDF("query_id", "step", "vec_id", "mmr_score")
+        .select($"query_id", $"vec_id")
+      val rem = cand.join(selDf, Seq("query_id", "vec_id"), "left_anti")
+      val mms = pair
+        .join(broadcast(selDf.withColumnRenamed("vec_id", "b")),
+          Seq("query_id", "b"))
+        .groupBy($"query_id", $"a").agg(max($"pdot").as("mms"))
+      sel = sel ++ pick(
+        rem.join(mms.withColumnRenamed("a", "vec_id"),
+            Seq("query_id", "vec_id"))
+          .withColumn("mscore", $"rel" * MmrLambdaTenths -
+            $"mms" * (10 - MmrLambdaTenths)), i)
+    }
+    sel.toDF("query_id", "step", "vec_id", "mmr_score")
+      .orderBy($"query_id", $"step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_mmr_rerank" -> (s08MmrRerank _),
     "s07_knn_label" -> (s07KnnLabel _),
     "s06_quantized_topk" -> (s06QuantizedTopK _),
     "s05_lsh_neardup" -> (s05LshNearDup _),
@@ -401,6 +506,78 @@ object SimilarityQueries {
     "sqrt(list_sum(list_apply(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    // the greedy MMR rounds unroll as CTEs (the d13/d19 pattern); all
+    // scores are integer quantized dots, so hashes match exactly
+    "s08_mmr_rerank" -> {
+      val lam = MmrLambdaTenths
+      val steps = (2 to MmrK).map { i =>
+        val p = i - 1
+        s"""rem$i AS (
+          |  SELECT c.* FROM cand c LEFT JOIN selall$p s
+          |    ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+          |  WHERE s.vec_id IS NULL),
+          |mms$i AS (
+          |  SELECT p.query_id, p.a AS vec_id, max(p.pdot) AS mms
+          |  FROM pair p JOIN selall$p s
+          |    ON p.query_id = s.query_id AND p.b = s.vec_id
+          |  GROUP BY p.query_id, p.a),
+          |sel$i AS (
+          |  SELECT query_id, $i AS step, vec_id, mscore AS mmr_score
+          |  FROM (SELECT r.query_id, r.vec_id,
+          |          $lam * r.rel - ${10 - lam} * m.mms AS mscore,
+          |          row_number() OVER (PARTITION BY r.query_id
+          |            ORDER BY $lam * r.rel - ${10 - lam} * m.mms DESC,
+          |                     r.vec_id) AS rn
+          |        FROM rem$i r JOIN mms$i m
+          |          ON r.query_id = m.query_id AND r.vec_id = m.vec_id)
+          |  WHERE rn = 1),
+          |selall$i AS (SELECT * FROM selall$p
+          |             UNION ALL SELECT * FROM sel$i)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 THEN
+        |      list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
+        |    END AS q
+        |  FROM e),
+        |qry AS (SELECT vec_id AS query_id, q AS qq FROM qz
+        |        WHERE vec_id < $NumQueries),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(list_sum(list_apply(list_zip(qq, q),
+        |      p -> p[1] * p[2])) AS BIGINT) AS rel
+        |  FROM qz, qry WHERE vec_id <> query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id, rel
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rel DESC, vec_id) AS rn FROM scored)
+        |  WHERE rn <= $MmrCand),
+        |candq AS (SELECT c.query_id, c.vec_id, qz.q
+        |          FROM cand c JOIN qz USING (vec_id)),
+        |pair AS (
+        |  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+        |    CAST(list_sum(list_apply(list_zip(x.q, y.q),
+        |      p -> p[1] * p[2])) AS BIGINT) AS pdot
+        |  FROM candq x JOIN candq y
+        |    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+        |sel1 AS (
+        |  SELECT query_id, 1 AS step, vec_id, $lam * rel AS mmr_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY $lam * rel DESC, vec_id) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |selall1 AS (SELECT * FROM sel1),
+        |$steps
+        |SELECT query_id, CAST(step AS BIGINT) AS step, vec_id,
+        |  CAST(mmr_score AS BIGINT) AS mmr_score
+        |FROM selall$MmrK ORDER BY query_id, step""".stripMargin
+    },
     "s07_knn_label" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding, label,

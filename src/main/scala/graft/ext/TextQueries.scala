@@ -595,7 +595,145 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  private val RelFilterPct = 10 // keep docs >= the per-source P10 length
+
+  /** Relative (per-source percentile) quality filtering (t17): each
+    * source keeps documents at or above its OWN 10th-percentile length
+    * — the FineWeb/Gopher "relative filtering" stage, where thresholds
+    * adapt to each source's distribution instead of one global cutoff
+    * (a global floor over-prunes terse sources and under-prunes
+    * verbose ones). The cutoff is the k-th smallest value with
+    * k = (n-1) div 10 + 1 — an exact order statistic, identically
+    * integer-defined in both engines (no percentile interpolation to
+    * disagree about).
+    *
+    * Scale shape: the corpus is scanned ONCE into a per-(source,
+    * length) HISTOGRAM (hash-aggregate, partial-combines map-side);
+    * the order statistic is a cumulative-sum window over the histogram
+    * — thousands of rows, not the corpus — and the kept/dropped report
+    * is computed FROM the histogram too (counts and char totals are
+    * linear in it), so no corpus row ever rides a window, a sort, or a
+    * second scan. At 100 TB the histogram is |sources|x|distinct
+    * lengths|, still driver-trivial but never collected. */
+  def t17RelativeFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = RelCache.cached(s, s"$dir#t17_hist") {
+      t(s, dir, "documents")
+        .groupBy($"source", $"n_chars")
+        .agg(count(lit(1)).as("c"))
+    }
+    val cum = hist
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"n_chars")))
+    val tot = hist.groupBy($"source").agg(sum($"c").as("n"))
+    val cutoff = cum.join(tot, "source")
+      .filter($"cum" >= expr(s"(n - 1) div $RelFilterPct + 1"))
+      .groupBy($"source").agg(min($"n_chars").as("cutoff_chars"))
+    hist.join(broadcast(cutoff), "source")
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_docs"),
+        min($"cutoff_chars").as("cutoff_chars"),
+        sum(when($"n_chars" >= $"cutoff_chars", $"c").otherwise(0L))
+          .as("n_kept"),
+        sum(when($"n_chars" >= $"cutoff_chars", $"n_chars" * $"c")
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  private val VocabTopK = 20
+
+  /** Vocabulary induction (t18): corpus-wide word frequencies, the
+    * top-[[VocabTopK]] vocabulary ranked by (count desc, word asc),
+    * and each prefix's cumulative token coverage in basis points —
+    * the "how big must the vocab be to cover X% of tokens" curve that
+    * sizes a tokenizer before BPE training. Coverage is integral
+    * (cum*10000 div total), so there is no float fold to disagree
+    * about.
+    *
+    * Scale shape: ONE corpus pass — explode + hash-aggregate
+    * partial-combines map-side, so the shuffle carries one row per
+    * (mapper, distinct word), i.e. the vocabulary, not the corpus —
+    * cached and shared by the total and the top-K branch. The top-K is
+    * `TakeOrderedAndProject` (per-partition heads of K rows each —
+    * never a global sort of the vocabulary), and both windows run over
+    * the K selected rows only. */
+  /** corpus unigram table (word, n_occ) — ONE tokenize+aggregate pass,
+    * cached and shared by t18 (vocab ranking) and t19 (LM scoring). */
+  private def vocabRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#t18_vocab") {
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n_occ"))
+    }
+  }
+
+  def t18Vocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = vocabRel(s, dir)
+    val tot = vocab.agg(sum($"n_occ").as("total"))
+    vocab.orderBy($"n_occ".desc, $"word").limit(VocabTopK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"n_occ".desc, $"word"))
+          .cast("long"))
+      .withColumn("cum", sum($"n_occ").over(Window.orderBy($"rank")))
+      .select($"rank", $"word", $"n_occ",
+        expr("(cum * 10000) div total").as("cum_coverage_bp"))
+      .orderBy($"rank")
+  }
+
+  private val HeadCentibits = 800 // head/tail split: 8 bits/token
+
+  /** Unigram LM quality scoring (t19): each document scored by its
+    * average per-token SURPRISAL against a corpus unigram model — the
+    * CCNet/perplexity-filter stage that splits a crawl into head
+    * (LM-familiar) and tail (LM-surprising) before training. The float
+    * trap is deliberate: -log2 p(w) = log2 N - log2 c computed in
+    * DOUBLES can differ between engines in the last ulp and flip a
+    * floor, so surprisal is INTEGER bits — `length(bin(N)) -
+    * length(bin(c))` = floor(log2 N) - floor(log2 c) — and per-doc
+    * sums/averages are integral (centibits, div), the d19 fixed-point
+    * contract applied to LM scoring.
+    *
+    * Scale shape: the unigram table is the cached t18 vocabulary (one
+    * tokenize pass shared across both entries within a session); the
+    * dictionary BROADCASTS to the token stream — frequency dictionaries
+    * are small (|vocab| ~ millions) and the corpus-side join must not
+    * shuffle by word, whose frequency skew ("the" rides one reducer) is
+    * exactly what broadcast avoids. Per-doc aggregation partial-combines
+    * map-side; the report is per source. */
+  def t19LmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = vocabRel(s, dir)
+    val nRow = vocab.agg(sum($"n_occ").as("n"))
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val perDoc = toks
+      .join(broadcast(vocab), "word")
+      .crossJoin(broadcast(nRow))
+      .select($"doc_id", $"source",
+        (length(bin($"n")) - length(bin($"n_occ"))).cast("long").as("bits"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tok"), sum($"bits").as("bits_sum"))
+      .withColumn("avg_centibits", expr("(bits_sum * 100) div n_tok"))
+    perDoc.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(avg_centibits) div count(1)").as("mean_centibits"),
+        count(when($"avg_centibits" <= HeadCentibits, 1)).as("n_head"),
+        count(when($"avg_centibits" > HeadCentibits, 1)).as("n_tail"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_lm_surprisal" -> (t19LmSurprisal _),
+    "t18_vocab" -> (t18Vocab _),
+    "t17_relative_filter" -> (t17RelativeFilter _),
     "t16_line_dedup" -> (t16LineDedup _),
     "t15_tfidf_terms" -> (t15TfidfTerms _),
     "t14_classifier_score" -> (t14ClassifierScore _),
@@ -621,6 +759,72 @@ object TextQueries {
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    // the same k-th-smallest order statistic over the same histogram;
+    // integer k, no percentile interpolation anywhere
+    "t17_relative_filter" ->
+      s"""WITH hist AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |cum AS (
+        |  SELECT source, n_chars, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+        |  FROM hist),
+        |tot AS (SELECT source, sum(c) AS n FROM hist GROUP BY source),
+        |cutoff AS (
+        |  SELECT cum.source, min(n_chars) AS cutoff_chars
+        |  FROM cum JOIN tot USING (source)
+        |  WHERE cum.cum >= (tot.n - 1) // $RelFilterPct + 1
+        |  GROUP BY cum.source)
+        |SELECT h.source, CAST(sum(h.c) AS BIGINT) AS n_docs,
+        |  min(co.cutoff_chars) AS cutoff_chars,
+        |  CAST(sum(CASE WHEN h.n_chars >= co.cutoff_chars
+        |               THEN h.c ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN h.n_chars >= co.cutoff_chars
+        |               THEN h.n_chars * h.c ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM hist h JOIN cutoff co USING (source)
+        |GROUP BY h.source ORDER BY source""".stripMargin,
+    // same integer surprisal: strlen(bin(x)) = floor(log2 x) + 1 in
+    // both engines (unpadded binary), so no log/float anywhere
+    "t19_lm_surprisal" ->
+      s"""WITH words AS (
+        |  SELECT doc_id, source, word
+        |  FROM (SELECT doc_id, source,
+        |        unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> ''),
+        |vocab AS (SELECT word, count(*) AS n_occ FROM words GROUP BY word),
+        |nn AS (SELECT CAST(sum(n_occ) AS BIGINT) AS n FROM vocab),
+        |perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_tok,
+        |    sum(strlen(bin(nn.n)) - strlen(bin(v.n_occ))) AS bits_sum
+        |  FROM words JOIN vocab v USING (word) CROSS JOIN nn
+        |  GROUP BY doc_id, source),
+        |scored AS (
+        |  SELECT source, (bits_sum * 100) // n_tok AS avg_centibits
+        |  FROM perdoc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(avg_centibits) // count(*) AS BIGINT) AS mean_centibits,
+        |  count(CASE WHEN avg_centibits <= $HeadCentibits THEN 1 END) AS n_head,
+        |  count(CASE WHEN avg_centibits > $HeadCentibits THEN 1 END) AS n_tail
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+    // same (count desc, word asc) total order; coverage is integral
+    "t18_vocab" ->
+      s"""WITH vocab AS (
+        |  SELECT word, count(*) AS n_occ
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |tot AS (SELECT sum(n_occ) AS total FROM vocab),
+        |ranked AS (
+        |  SELECT word, n_occ,
+        |    row_number() OVER (ORDER BY n_occ DESC, word) AS rank
+        |  FROM vocab)
+        |SELECT rank, word, n_occ,
+        |  CAST(sum(n_occ) OVER (ORDER BY rank) * 10000 // tot.total
+        |    AS BIGINT) AS cum_coverage_bp
+        |FROM ranked CROSS JOIN tot
+        |WHERE rank <= $VocabTopK
+        |ORDER BY rank""".stripMargin,
     // chars_kept's closed form (sum of segment lengths + count-1 join
     // spaces) pins the Spark side's actual array_join reconstruction
     "t16_line_dedup" ->

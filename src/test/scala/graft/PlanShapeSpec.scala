@@ -555,6 +555,96 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t17: order statistic runs over the cached histogram — no corpus row rides a window") {
+    val outer = allNodes(
+      graft.ext.TextQueries.queries("t17_relative_filter")(spark, sf))
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached histogram")
+    // the histogram is referenced three times (cumsum, totals, report):
+    // dedupe the shared cached plan before counting its scans
+    val distinctCached = cachedPlans.distinct
+    // every file scan lives INSIDE the cached histogram build: the
+    // corpus is read once, and nothing downstream (windows, joins,
+    // the report) ever touches a file again
+    assert(!outer.exists(_.isInstanceOf[FileSourceScanExec]),
+      "downstream of the histogram there must be no corpus scan")
+    val inner = distinctCached.flatMap(walkPlan)
+    val scans = inner.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"histogram build should scan once, got ${scans.size}")
+    assert(!scans.head.metadata("ReadSchema").contains("text"),
+      "length filtering needs (source, n_chars), never the text")
+    assert(outer.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the per-source cutoff set must broadcast back to the histogram")
+  }
+
+  test("t18: vocab top-k is TakeOrderedAndProject; windows only over the K selected rows") {
+    val outer = allNodes(
+      graft.ext.TextQueries.queries("t18_vocab")(spark, sf))
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached vocabulary")
+    // one corpus pass builds the vocab; the total and the top-K branch
+    // both read the cache, never the files
+    assert(!outer.exists(_.isInstanceOf[FileSourceScanExec]),
+      "downstream of the vocab there must be no corpus scan")
+    assert(cachedPlans.distinct.flatMap(walkPlan)
+      .count(_.isInstanceOf[FileSourceScanExec]) == 1,
+      "vocab build should scan the corpus exactly once")
+    assert(outer.exists(
+      _.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "top-K over the vocabulary must be per-partition heads, not a global sort")
+    val windows = outer.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "ranking/coverage windows expected")
+    windows.foreach { w =>
+      assert(walkPlan(w).drop(1).exists(
+        _.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+        "every window must sit above the K-row limit, never the vocabulary")
+    }
+  }
+
+  test("t19: the unigram dictionary broadcasts — corpus tokens never shuffle by word") {
+    val outer = allNodes(
+      graft.ext.TextQueries.queries("t19_lm_surprisal")(spark, sf))
+    assert(outer.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the frequency dictionary must broadcast to the token stream")
+    // the only exchanges downstream carry the skinny per-doc partials
+    // (doc_id, source, counts) — never the exploded word column, whose
+    // frequency skew would pile 'the' onto one reducer
+    val shuffles = outer.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.name == "word")),
+      "no corpus-side exchange may be keyed or loaded by word")
+  }
+
+  test("s08: candidate pooling is the top-k aggregate; pair dots never cartesian the corpus") {
+    val candPlans = allNodes(
+      SimilarityQueries.s08CandidateRel(spark, sf)).collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }.flatMap(walkPlan)
+    assert(candPlans.exists(n =>
+      n.getClass.getSimpleName.contains("ObjectHashAggregate") &&
+        n.toString.contains("graft_top_k")),
+      "the candidate pool must come from the bounded-state top-k aggregate")
+    assert(!candPlans.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "no corpus-wide ranking window in the candidate stage")
+    val pairPlans = allNodes(
+      SimilarityQueries.s08PairRel(spark, sf)).collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }.flatMap(walkPlan)
+    assert(!pairPlans.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "pairwise sims are per-query equi-joins over the pool, never all-pairs")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
