@@ -153,17 +153,20 @@ object ClusterQueries {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id")
     val nRow = docs.agg(count(lit(1)).as("n"))
-    val nodes = docs.select($"doc_id".as("node")).crossJoin(broadcast(nRow))
-    val edges = RelCache.cached(s, s"$dir#d19_edges") {
-      docs.crossJoin(broadcast(nRow))
-        .select($"doc_id".as("u"),
-          explode(array((1 to RankOutDeg).map(lit): _*)).as("k"), $"n")
-        .withColumn("v", DedupQueries.h32(
-          concat($"u".cast("string"), lit(":"), $"k".cast("string"))) % $"n")
-        .filter($"v" =!= $"u")
-        .select($"u", $"v").distinct()
+    // nodes, edges, and out-degrees are each referenced once PER
+    // ITERATION — cached, so one run scans the documents file once
+    // instead of once per join that re-embeds this lineage
+    val nodes = RelCache.cached(s, s"$dir#d19_nodes") {
+      docs.select($"doc_id".as("node")).crossJoin(broadcast(nRow))
     }
-    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val edges = RelCache.cached(s, s"$dir#d19_edges") {
+      DedupQueries.hashedPartners(
+          docs.select($"doc_id".as("u")), "u", RankOutDeg, nRow)
+        .select($"u", $"partner".as("v")).distinct()
+    }
+    val deg = RelCache.cached(s, s"$dir#d19_deg") {
+      edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    }
     var ranks = nodes.select($"node", expr(s"${RankScale}L div n").as("r"))
     for (_ <- 1 to RankIters) {
       val contrib = edges.join(deg, "u")

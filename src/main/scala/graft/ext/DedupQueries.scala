@@ -36,6 +36,25 @@ object DedupQueries {
   private[ext] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic hash-sampled partners (shared by d19's link graph
+    * and m07's negative sampling): each row's `idCol` gets `k`
+    * pseudo-random partner ids `h32(id:j) mod n` — uniform over dense
+    * 0..n-1 ids, resumable (no RNG state), skew-free by
+    * hash-uniformity; self-collisions are DROPPED, not re-drawn, so
+    * the output is a pure function of the ids. `nRow` must be a
+    * single-row aggregate with one BIGINT column `n` — it broadcasts
+    * (the scalar idiom). Input columns named `j`, `n`, or `partner`
+    * would collide and are the caller's responsibility to avoid. */
+  private[ext] def hashedPartners(
+      df: DataFrame, idCol: String, k: Int, nRow: DataFrame): DataFrame =
+    df.crossJoin(broadcast(nRow))
+      .withColumn("j", explode(array((1 to k).map(lit): _*)))
+      .withColumn("partner",
+        h32(concat(col(idCol).cast("string"), lit(":"),
+          col("j").cast("string"))) % col("n"))
+      .filter(col("partner") =!= col(idCol))
+      .drop("j", "n")
+
   /** Persisted-relation cache — see [[RelCache]] for keying/eviction. */
   private def cached(s: SparkSession, dir: String, tag: String)
                     (build: => DataFrame): DataFrame =

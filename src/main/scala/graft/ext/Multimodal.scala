@@ -261,12 +261,8 @@ object Multimodal {
     val docs = Tables.load(s, dir, "documents")
       .select($"doc_id", $"source", $"n_chars")
     val nRow = docs.agg(count(lit(1)).as("n"))
-    val negs = docs.crossJoin(broadcast(nRow))
-      .select($"doc_id", $"source",
-        explode(array((1 to NegPerAnchor).map(lit): _*)).as("k"), $"n")
-      .withColumn("partner", DedupQueries.h32(
-        concat($"doc_id".cast("string"), lit(":"), $"k".cast("string"))) % $"n")
-      .filter($"partner" =!= $"doc_id")
+    val negs = DedupQueries
+      .hashedPartners(docs, "doc_id", NegPerAnchor, nRow)
       .select($"source", $"partner")
       .join(docs.select($"doc_id".as("partner"),
         $"n_chars".as("cap_chars")), "partner")

@@ -304,6 +304,16 @@ object SimilarityQueries {
       .select(col("vec_id"), col("q"), col("qn2"))
   }
 
+  /** the session-cached SQ8 relation: s06's candidate stage and both
+    * s08 stages read THIS, so one embeddings scan + quantization pass
+    * serves all of them. */
+  private def sq8Rel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#sq8") {
+      quantize(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    }
+  }
+
   /** QUANTIZED TOP-K (s06): int8 scalar quantization with exact rerank —
     * the memory-bandwidth rung of the ANN ladder (SQ8 in faiss terms),
     * between brute force (s01) and IVF cell-restriction (s02). Every
@@ -320,7 +330,7 @@ object SimilarityQueries {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-    val quant = quantize(e)
+    val quant = sq8Rel(s, dir)
     val qs = quant.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"qn2".as("qqn2"))
     val cand = quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
@@ -402,8 +412,7 @@ object SimilarityQueries {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
     RelCache.cached(s, s"$dir#s08_cand") {
-      val quant = quantize(t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding"))
+      val quant = sq8Rel(s, dir)
       val qs = quant.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"q".as("qq"))
       quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
@@ -427,8 +436,7 @@ object SimilarityQueries {
   private[graft] def s08PairRel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     RelCache.cached(s, s"$dir#s08_pair") {
-      val quant = quantize(t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding"))
+      val quant = sq8Rel(s, dir)
       val candQ = quant
         .join(broadcast(s08CandidateRel(s, dir).select($"query_id", $"vec_id")),
           "vec_id")

@@ -643,6 +643,19 @@ object TextQueries {
 
   private val VocabTopK = 20
 
+  /** corpus unigram table (word, n_occ) — ONE tokenize+aggregate pass,
+    * cached and shared by t18 (vocab ranking) and t19 (LM scoring). */
+  private def vocabRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#t18_vocab") {
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n_occ"))
+    }
+  }
+
   /** Vocabulary induction (t18): corpus-wide word frequencies, the
     * top-[[VocabTopK]] vocabulary ranked by (count desc, word asc),
     * and each prefix's cumulative token coverage in basis points —
@@ -658,19 +671,6 @@ object TextQueries {
     * `TakeOrderedAndProject` (per-partition heads of K rows each —
     * never a global sort of the vocabulary), and both windows run over
     * the K selected rows only. */
-  /** corpus unigram table (word, n_occ) — ONE tokenize+aggregate pass,
-    * cached and shared by t18 (vocab ranking) and t19 (LM scoring). */
-  private def vocabRel(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    RelCache.cached(s, s"$dir#t18_vocab") {
-      t(s, dir, "documents")
-        .select(explode(split($"text", " ")).as("word"))
-        .filter($"word" =!= "")
-        .groupBy($"word")
-        .agg(count(lit(1)).as("n_occ"))
-    }
-  }
-
   def t18Vocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = vocabRel(s, dir)
