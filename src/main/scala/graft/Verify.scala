@@ -22,15 +22,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = Seq.newBuilder[(String, String)]
+    val timings = Seq.newBuilder[(String, Double)]
     SparkEntry.queries
       .filter(kv => only.isEmpty || only.contains(kv._1))
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
+      timings += name -> (System.nanoTime() - t0) / 1e9
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -51,6 +54,12 @@ object Verify {
     // record them durably so a broken round diagnoses itself
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errors.result()
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // per-entry dump wall time — the r9 verdict flagged the full dump at
+    // ~7 min against a possible driver time budget; this makes the slow
+    // tail diagnosable without re-instrumenting
+    Files.writeString(Paths.get(s"$outDir/_timings.json"), timings.result()
+      .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }

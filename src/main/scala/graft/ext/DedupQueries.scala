@@ -608,7 +608,74 @@ object DedupQueries {
       .orderBy($"blk", $"name_a", $"name_b")
   }
 
+  private val SubstrL = 8 // minimum repeat length in tokens (Lee et al.'s 50, scaled)
+
+  /** EXACT SUBSTRING DEDUP (d20): remove every repeated token span of
+    * length >= [[SubstrL]] from all but its first corpus occurrence —
+    * the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" exact-substring stage, the last rung of the dedup
+    * ladder (t16 dedups FIXED 8-word segments on aligned boundaries;
+    * this catches repeats at ANY offset and ANY length >= L).
+    *
+    * The suffix-array formulation distributes via the window-cover
+    * identity: a token position is inside a repeated span of length
+    * >= L iff some length-L window covering it occurs >= 2 times in
+    * the corpus. So the operator (1) emits EVERY stride-1 length-L
+    * window (one row per token position — the distributed analogue of
+    * the suffix array's sorted-adjacent comparison), (2) keeps the
+    * first occurrence of each duplicated window content (min encoded
+    * position pk = doc_id*100000+p — corpus order), and (3) removes
+    * the union of token positions covered by non-first duplicate
+    * windows. Documents shorter than L have no window and survive
+    * intact.
+    *
+    * Scale shape: windows are a pure projection (posexplode — no
+    * shuffle); the duplicate test is ONE hash-aggregate on the window
+    * key with map-side partial combines; the cover explode runs ONLY
+    * on non-first duplicated occurrences, so its width is L x
+    * duplicated-text volume, not corpus volume; and the windows
+    * relation is cached so the aggregate and the join-back share one
+    * materialization (pinned in PlanShapeSpec). At 100 TB the window
+    * key is the 64-bit rolling hash of the span instead of the string
+    * (same plan; the string keeps the oracle transparent — the t16
+    * contract). Reference anchor: BASELINE.json `north_star` dedup
+    * mandate; SURVEY.md §2.3. */
+  def d20ExactSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("words"))
+    val wins = cached(s, dir, "d20_wins") {
+      base.filter(size($"words") >= SubstrL)
+        .select($"doc_id",
+          posexplode(transform(
+            sequence(lit(0), size($"words") - SubstrL),
+            i => concat_ws(" ", slice($"words", i + 1, lit(SubstrL)))))
+            .as(Seq("p", "win")))
+        .withColumn("pk", $"doc_id" * 100000L + $"p")
+    }
+    val dup = wins.groupBy($"win")
+      .agg(min($"pk").as("wk"), count(lit(1)).as("c"))
+      .filter($"c" >= 2).drop("c")
+    val removed = wins.join(dup, "win")
+      .filter($"pk" > $"wk")
+      .select($"doc_id",
+        explode(sequence($"p", $"p" + SubstrL - 1)).as("pos"))
+      .distinct()
+    val perDoc = removed.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    base.select($"doc_id", $"lang", $"source", size($"words").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").cast("long").as("tokens_total"),
+        sum(coalesce($"n_removed", lit(0L))).as("tokens_removed"),
+        sum(when(coalesce($"n_removed", lit(0L)) > 0, 1L).otherwise(0L))
+          .as("docs_affected"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_exact_substring_dedup" -> (d20ExactSubstringDedup _),
     "d18_bloom_decontaminate" -> (d18BloomDecontaminate _),
     "d16_fuzzy_join" -> (d16FuzzyJoin _),
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -636,6 +703,34 @@ object DedupQueries {
       |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the window-cover identity spelled directly: duplicated length-L
+    // windows -> keep-first -> union of covered positions
+    "d20_exact_substring_dedup" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS p,
+        |    array_to_string(w[i+1:i+$SubstrL], ' ') AS win,
+        |    doc_id * 100000 + i AS pk
+        |  FROM (SELECT doc_id, w,
+        |        unnest(range(0, len(w) - $SubstrL + 1)) AS i
+        |        FROM docs WHERE len(w) >= $SubstrL)),
+        |dup AS (SELECT win, min(pk) AS wk FROM wins GROUP BY win
+        |        HAVING count(*) >= 2),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(range(p, p + $SubstrL)) AS pos
+        |    FROM wins JOIN dup USING (win) WHERE pk > wk)),
+        |perdoc AS (SELECT doc_id, count(*) AS n_removed FROM rem
+        |           GROUP BY doc_id)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS tokens_total,
+        |  CAST(coalesce(sum(n_removed), 0) AS BIGINT) AS tokens_removed,
+        |  CAST(sum(CASE WHEN coalesce(n_removed, 0) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_affected
+        |FROM docs LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d16_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)

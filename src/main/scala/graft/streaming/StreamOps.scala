@@ -538,10 +538,12 @@ object StreamOps {
     * ARRIVAL order (max-combining is commutative across batches) — and
     * land as ONE atomic eq-delete + append commit under the
     * (query, batchId) idempotence marker.
-    * The feed is deliberately split into 4 INTERLEAVED chunk files
-    * (event_id mod 4 — not time-ordered) delivered one per micro-batch
+    * The feed is deliberately split into 3 INTERLEAVED chunk files
+    * (event_id mod 3 — not time-ordered) delivered one per micro-batch
     * (maxFilesPerTrigger=1), and the final batch is redelivered after
-    * the query drains: the marker no-ops the replay (n_commits pins 4).
+    * the query drains: the marker no-ops the replay (n_commits pins 3;
+    * 3 batches pin the same order-independence + idempotence semantics
+    * as 4 at one less micro-batch floor — r9 verdict bench-budget item).
     * Final table state = latest event per user, checked against DuckDB's
     * window over the whole feed. At 100 TB/day: per-batch cost is
     * O(batch + matched keys) — a key-equi join against matched table
@@ -553,8 +555,8 @@ object StreamOps {
     val src = Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"),
       target = "timestamp")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_st11")
-    (0 until 4).foreach { g =>
-      src.filter($"event_id" % 4 === g).repartition(1)
+    (0 until 3).foreach { g =>
+      src.filter($"event_id" % 3 === g).repartition(1)
         .write.parquet(streamDir.resolve(s"w$g").toString)
     }
     val loc = java.nio.file.Files.createTempDirectory("graft_st11t")
@@ -565,14 +567,14 @@ object StreamOps {
     val q = s.readStream.schema(src.schema)
       .option("basePath", streamDir.toString)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$streamDir/{w0,w1,w2,w3}/*.parquet")
+      .parquet(s"$streamDir/{w0,w1,w2}/*.parquet")
       .writeStream.foreachBatch(applyBatch)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // at-least-once redelivery of the last micro-batch: the (query,
     // batchId) marker committed with the data must make this a no-op
-    applyBatch(src.filter($"event_id" % 4 === 3), 3L)
+    applyBatch(src.filter($"event_id" % 3 === 2), 2L)
     table.read
       .select($"user_id", $"ts".cast("string").as("last_ts"),
         $"event_type".as("last_type"), round($"value", 2).as("last_value"))
@@ -613,7 +615,7 @@ object StreamOps {
         |  FROM events)
         |SELECT user_id, CAST(ts AS VARCHAR) AS last_ts,
         |  event_type AS last_type, round(value, 2) AS last_value,
-        |  CAST(4 AS BIGINT) AS n_commits
+        |  CAST(3 AS BIGINT) AS n_commits
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
     // the batch d08 oracle verbatim: the stream must flag exactly the
