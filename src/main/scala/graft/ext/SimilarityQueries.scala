@@ -497,7 +497,68 @@ object SimilarityQueries {
       .orderBy($"query_id", $"step")
   }
 
+  private val DecontThreshold = 0.30 // exact-cos contamination bar
+  private val DecontPrefilter = 0.25 // quantized-cos candidate bar
+
+  /** SEMANTIC DECONTAMINATION (s09): embedding-based benchmark leakage
+    * detection — d08/d18 catch verbatim (shingle) leaks; eval sets
+    * also leak by PARAPHRASE, which only an embedding-space match
+    * sees. Every 50th vector stands in for the eval suite (d08's
+    * convention); a corpus vector is contaminated when its exact
+    * cosine against any benchmark vector reaches [[DecontThreshold]].
+    *
+    * Two-stage contract (declared, like d16's blocking): candidates
+    * are pairs whose SQ8 integer-quantized cosine reaches the looser
+    * [[DecontPrefilter]]; only candidates get the exact float kernel.
+    * The margin (0.25 vs 0.30) absorbs int8 quantization error; the
+    * oracle applies the identical two conditions, so the prefilter is
+    * semantics, not an approximation the gate can't see.
+    *
+    * Scale shape: the benchmark side BROADCASTS twice — quantized
+    * codes to the candidate scan, float vectors to the verify — and
+    * the corpus side is scanned once in quantized (4×-skinnier) form
+    * ([[sq8Rel]], shared with s06/s08 in-session); float vectors
+    * re-enter only via a broadcast gather of surviving pairs (s06's
+    * rerank pattern). The corpus never shuffles by vector; the only
+    * wide stage is the per-label report aggregate. At 100 TB, s02's
+    * IVF cell restriction composes in front of the quantized scan. */
+  def s09SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val quant = sq8Rel(s, dir)
+    val qb = quant.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bench_id"), $"q".as("qb"), $"qn2".as("qbn2"))
+    val candPairs = quant.filter($"vec_id" % 50 =!= 0)
+      .join(broadcast(qb), lit(true))
+      .withColumn("idot", aggregate(zip_with($"q", $"qb", (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("qcos",
+        when($"qn2" === 0L || $"qbn2" === 0L, lit(-2.0))
+          .otherwise(round($"idot" / (sqrt($"qn2") * sqrt($"qbn2")), 6)))
+      .filter($"qcos" >= DecontPrefilter)
+      .select($"vec_id", $"bench_id")
+    val ef = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val bf = ef.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bench_id"), $"embedding".as("be"), $"nrm".as("bn"))
+    val hits = ef.join(broadcast(candPairs), "vec_id")
+      .join(broadcast(bf), "bench_id")
+      .withColumn("cos", round(dot($"be", $"embedding") / ($"bn" * $"nrm"), 6))
+      .filter($"cos" >= DecontThreshold)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_matches"), max($"cos").as("best_cos"))
+    t(s, dir, "embeddings").filter($"vec_id" % 50 =!= 0)
+      .select($"vec_id", $"label")
+      .join(hits, Seq("vec_id"), "left")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count($"n_matches").as("n_contaminated"),
+        sum(coalesce($"n_matches", lit(0L))).as("total_matches"),
+        max($"best_cos").as("max_cos"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_semantic_decontaminate" -> (s09SemanticDecontaminate _),
     "s08_mmr_rerank" -> (s08MmrRerank _),
     "s07_knn_label" -> (s07KnnLabel _),
     "s06_quantized_topk" -> (s06QuantizedTopK _),
@@ -514,6 +575,53 @@ object SimilarityQueries {
     "sqrt(list_sum(list_apply(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    // the s06 quantization CTEs + the two declared thresholds: the
+    // prefilter is part of the contract, so the oracle applies it too
+    "s09_semantic_decontaminate" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    ${normSql.format("embedding")} AS nrm,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, label, embedding, nrm,
+        |    CASE WHEN maxabs = 0 THEN
+        |      list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
+        |    END AS q
+        |  FROM e),
+        |qn AS (
+        |  SELECT *, CAST(list_sum(list_apply(q, x -> x * x)) AS BIGINT)
+        |    AS qn2
+        |  FROM qz),
+        |b AS (SELECT vec_id AS bench_id, embedding AS be, nrm AS bn,
+        |        q AS qb, qn2 AS qbn2
+        |      FROM qn WHERE vec_id % 50 = 0),
+        |pre AS (
+        |  SELECT * FROM (
+        |    SELECT c.vec_id, c.embedding, c.nrm, b.be, b.bn,
+        |      CASE WHEN c.qn2 = 0 OR b.qbn2 = 0 THEN -2.0
+        |           ELSE round(CAST(list_sum(list_apply(list_zip(c.q, b.qb),
+        |             p -> p[1] * p[2])) AS BIGINT)
+        |             / (sqrt(c.qn2) * sqrt(b.qbn2)), 6) END AS qcos
+        |    FROM qn c, b WHERE c.vec_id % 50 <> 0)
+        |  WHERE qcos >= $DecontPrefilter),
+        |ver AS (
+        |  SELECT vec_id,
+        |    round(${dotSql.format("be", "embedding")} / (bn * nrm), 6) AS cos
+        |  FROM pre),
+        |hits AS (
+        |  SELECT vec_id, count(*) AS n_matches, max(cos) AS best_cos
+        |  FROM ver WHERE cos >= $DecontThreshold GROUP BY vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(n_matches) AS n_contaminated,
+        |  CAST(coalesce(sum(n_matches), 0) AS BIGINT) AS total_matches,
+        |  max(best_cos) AS max_cos
+        |FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % 50 <> 0) v
+        |LEFT JOIN hits USING (vec_id)
+        |GROUP BY label ORDER BY label""".stripMargin,
     // the greedy MMR rounds unroll as CTEs (the d13/d19 pattern); all
     // scores are integer quantized dots, so hashes match exactly
     "s08_mmr_rerank" -> {

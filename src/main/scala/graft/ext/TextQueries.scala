@@ -730,7 +730,62 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** ordered BPE merge table — rule i merges adjacent tokens (a, b)
+    * into ab; later rules build on earlier outputs ("jo"+"in"→"join"
+    * requires rules 7 and 3 first). A constant literal because this is
+    * the APPLY operator: in production the merges file is trained once
+    * offline (t18's induction is the counting half) and shipped to
+    * every executor as a broadcast/literal — it never joins the corpus. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "w", "i" -> "n", "s" -> "t", "a" -> "t",
+    "t" -> "h", "j" -> "o", "jo" -> "in", "h" -> "a", "ha" -> "s")
+
+  /** BPE TOKENIZER APPLICATION (t20): tokenize every word with a real
+    * byte-pair-encoding merge table — the step that turns a curated
+    * corpus into the token stream training actually consumes (t03's
+    * counts are whitespace proxies; THIS is the tokenizer). Each word
+    * is exploded to marked characters (`_c` per char, space-joined,
+    * trailing space), then the merge rules apply in priority order as
+    * left-to-right non-overlapping string replaces: the `_` start
+    * marker and the trailing-space end marker make the pattern
+    * `"_a _b "` match exactly a token PAIR boundary — never a token's
+    * interior ("_th _a" cannot lose its `h` to rule (h,a), and
+    * "_a _bc" cannot satisfy rule (a,b)) — so the fold IS greedy BPE
+    * application, unrolled. Output is integral (token counts, basis
+    * points via div): zero cross-engine float surface.
+    *
+    * Scale shape: a PURE PROJECTION per document (the merges are
+    * literals inside one codegen'd expression tree — the corpus never
+    * shuffles by token) followed by one per-(lang, source) report
+    * aggregate with map-side combines. At 100 TB this is the 1000-rule
+    * GPT-2-style table in the same unrolled form, or a native
+    * Expression looping the table — the plan shape is identical. */
+  def t20BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bpe(w: Column): Column = BpeMerges.foldLeft(
+      regexp_replace(w, lit("(.)"), lit("_$1 "))) { case (c, (a, b)) =>
+      replace(c, lit(s"_$a _$b "), lit(s"_$a$b "))
+    }
+    t(s, dir, "documents")
+      .withColumn("wordsarr", filter(split($"text", " "), x => x =!= ""))
+      .select($"lang", $"source",
+        size($"wordsarr").cast("long").as("n_words"),
+        length(replace($"text", lit(" "), lit(""))).cast("long").as("n_chars"),
+        aggregate(transform($"wordsarr",
+            w => size(split(trim(bpe(w)), " ")).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_bpe"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("words_total"),
+        sum($"n_chars").as("chars_total"),
+        sum($"n_bpe").as("bpe_tokens"))
+      .withColumn("tokens_per_char_bp",
+        expr("bpe_tokens * 10000 div chars_total"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_bpe_apply" -> (t20BpeApply _),
     "t19_lm_surprisal" -> (t19LmSurprisal _),
     "t18_vocab" -> (t18Vocab _),
     "t17_relative_filter" -> (t17RelativeFilter _),
@@ -758,7 +813,33 @@ object TextQueries {
 
   private val blockedSql = blocklist.map(b => s"x = '$b'").mkString(" OR ")
 
+  /** DuckDB twin of [[t20BpeApply]]'s per-word merge chain: identical
+    * unrolled replaces over the identical marked-char encoding (RE2
+    * spells group 1 as `\1` where Java spells `$1` — same semantics). */
+  private val bpeChainSql: String = BpeMerges.foldLeft(
+    """regexp_replace(w, '(.)', '_\1 ', 'g')""") { case (c, (a, b)) =>
+    s"replace($c, '_$a _$b ', '_$a$b ')"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t20_bpe_apply" ->
+      s"""WITH perdoc AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS n_words,
+        |    strlen(replace(text, ' ', '')) AS n_chars,
+        |    list_sum(list_transform(
+        |      list_filter(string_split(text, ' '), x -> x <> ''),
+        |      w -> len(string_split(trim($bpeChainSql), ' ')))) AS n_bpe
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS words_total,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(n_bpe) * 10000 // sum(n_chars) AS BIGINT)
+        |    AS tokens_per_char_bp
+        |FROM perdoc GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     // the same k-th-smallest order statistic over the same histogram;
     // integer k, no percentile interpolation anywhere
     "t17_relative_filter" ->
