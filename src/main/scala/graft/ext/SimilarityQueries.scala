@@ -141,11 +141,20 @@ object SimilarityQueries {
     * is that the O(N×16) assignment is paid once at build time, not per
     * query — the ANN-serving shape for a 100 TB embedding corpus.
     *
-    * Index lifecycle: the build stamps the SOURCE fingerprint (see
-    * [[sourceFingerprint]]) beside the index table; a query whose
-    * recomputed fingerprint differs rebuilds instead of serving stale
-    * neighbors. The stamp is written only AFTER the index commit, so a
-    * crash mid-build leaves an unstamped index that rebuilds cleanly. */
+    * Index lifecycle (the d11 cross-run pattern): the vectors live in
+    * a graft CORPUS table beside the index; the build phase seeds the
+    * corpus (90% of vectors), assigns it, and stamps
+    * `(lastIndexedSnapshotId, sourceFingerprint)`; the remaining 10%
+    * land as a later corpus commit, and [[catchUpIvf]] then assigns
+    * ONLY the incremental slice `(lastIndexed, head]` to the EXISTING
+    * centroids and appends it — at 100 TB an append indexes O(batch),
+    * never a rebuild. A changed source fingerprint (see
+    * [[sourceFingerprint]]) still forces a from-scratch rebuild rather
+    * than serving stale neighbors; the stamp is written only AFTER the
+    * index commit, so a crash mid-build rebuilds cleanly. Per-vector
+    * centroid assignment is deterministic, so seed + catch-up produce
+    * the exact index a full build would — the s02-equal oracle pins
+    * it. */
   def s04IvfIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.{GraftTable, PartitionSpec}
@@ -156,7 +165,11 @@ object SimilarityQueries {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g$dirKey/t"
+    val rootDir = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g$dirKey")
+    val corpusLoc = new org.apache.hadoop.fs.Path(rootDir, "corpus").toString
+    val indexLoc = new org.apache.hadoop.fs.Path(rootDir, "index").toString
+    val fs = rootDir.getFileSystem(s.sessionState.newHadoopConf())
     val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     val cents = e.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cell_id"), $"embedding".as("ce"), $"nrm".as("cn"))
@@ -164,35 +177,29 @@ object SimilarityQueries {
       .join(broadcast(cents), lit(true))
       .withColumn("csim", round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
     val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
+    def assign(vecs: DataFrame): DataFrame = centSims(withNorm(vecs))
+      .withColumn("rn", row_number().over(wCell))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
 
     val fp = sourceFingerprint(s, s"$dir/embeddings.parquet")
-    val fpPath = new org.apache.hadoop.fs.Path(loc, "_graft/source_fp")
-    val fs = fpPath.getFileSystem(s.sessionState.newHadoopConf())
-    def stampedFp: Option[String] =
-      if (!fs.exists(fpPath)) None
-      else {
-        val in = fs.open(fpPath)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      }
-    val usable = GraftTable.exists(s, loc) &&
-      GraftTable.load(s, loc).currentSnapshot.exists(_.numFiles > 0) &&
-      stampedFp.contains(fp)
-    if (!usable) { // build (or rebuild-on-stale) phase
-      val p = new org.apache.hadoop.fs.Path(loc)
-      if (fs.exists(p)) fs.delete(p, true)
-      val assigned = centSims(e)
-        .withColumn("rn", row_number().over(wCell))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"nrm", $"cell_id")
-      val tbl = GraftTable.create(s, loc, assigned.schema,
+    val fresh = !IncrementalDedup.readStamp(s, rootDir).exists(_._2 == fp)
+    if (fresh) { // (re)build: the source was regenerated or never indexed
+      if (fs.exists(rootDir)) fs.delete(rootDir, true)
+      val src = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val corpus = GraftTable.create(s, corpusLoc, src.schema)
+      corpus.append(src.filter($"vec_id" % 10 =!= 0)) // seed build
+      val seedAssigned = assign(corpus.read)
+      val index = GraftTable.create(s, indexLoc, seedAssigned.schema,
         partitionBy = Seq(PartitionSpec.identity("cell_id")))
-      tbl.append(assigned)
-      val out = fs.create(fpPath, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      index.append(seedAssigned)
+      IncrementalDedup.writeStamp(s, rootDir,
+        corpus.currentSnapshot.get.snapshotId, fp)
+      // the overnight batch lands AFTER the index was built
+      corpus.append(src.filter($"vec_id" % 10 === 0))
     }
+    catchUpIvf(GraftTable.load(s, corpusLoc), GraftTable.load(s, indexLoc),
+      rootDir, fp, assign) // no-op when already caught up
 
     val probes = centSims(e.filter($"vec_id" < NumQueries))
       .withColumn("prn", row_number().over(wCell))
@@ -201,7 +208,7 @@ object SimilarityQueries {
         $"nrm".as("qn"), $"cell_id")
     val probedCells = probes.select("cell_id").distinct()
       .as[Long].collect().toSeq // tiny: ≤ queries × probes
-    val idx = s.read.format("graft").load(loc)
+    val idx = s.read.format("graft").load(indexLoc)
       .filter($"cell_id".isin(probedCells: _*)) // → file skipping
     val cand = idx.join(broadcast(probes), Seq("cell_id"))
       .filter($"vec_id" =!= $"query_id")
@@ -211,6 +218,25 @@ object SimilarityQueries {
       .filter($"rn" <= TopK)
       .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
       .orderBy($"query_id", $"rn")
+  }
+
+  /** Assign ONLY the corpus rows committed in `(lastIndexed, head]` to
+    * the existing centroids and append them to the IVF index; move the
+    * stamp to `head`. The incremental slice lists only the new commits'
+    * files (planning is metadata-only — pinned in SimilarityIndexSpec),
+    * so an append's indexing cost is O(batch), never O(corpus).
+    * @return vectors newly indexed */
+  private[graft] def catchUpIvf(corpus: graft.meta.GraftTable,
+      index: graft.meta.GraftTable, rootDir: org.apache.hadoop.fs.Path,
+      fp: String, assign: DataFrame => DataFrame): Long = {
+    val s = corpus.spark
+    val last = IncrementalDedup.readStamp(s, rootDir).map(_._1).getOrElse(0L)
+    val head = corpus.currentSnapshot.map(_.snapshotId).getOrElse(0L)
+    if (head <= last) return 0L
+    val before = index.currentSnapshot.map(_.totalRows).getOrElse(0L)
+    index.append(assign(corpus.readIncremental(last, head)))
+    IncrementalDedup.writeStamp(s, rootDir, head, fp)
+    index.currentSnapshot.map(_.totalRows).getOrElse(0L) - before
   }
 
   // ---- s05: random-hyperplane LSH near-dup (label-free) -------------------
