@@ -32,6 +32,10 @@ import graft.meta.GraftTable
   *   - `DELETE FROM t [WHERE ...]` — not issued by the reference itself,
   *     but part of the Trino Iceberg surface its users rely on; routes to
   *     merge-on-read position deletes (Trino's v2 default delete mode)
+  *   - `CREATE [OR REPLACE] VIEW v AS <query>` / `DROP VIEW [IF EXISTS] v`
+  *     — Trino Iceberg named views: SQL text stored in the warehouse
+  *     (`<view>/_graft/view.sql`), validated at creation, re-resolved at
+  *     every read (views on views nest; recursion fails loudly)
   *
   * This is deliberately a STATEMENT dispatcher, not a query engine —
   * general SELECTs belong to Spark SQL over `format("graft")` relations
@@ -85,7 +89,10 @@ object GraftSql {
         update(resolve(unquote(t)), sets.trim, where.trim, clock)
         None
       case CreateStmt(ifNotExists, t, colDefs, withProps) =>
-        create(spark, resolve(unquote(t)), ifNotExists != null, colDefs,
+        val target = resolve(unquote(t))
+        require(viewText(spark, target.location).isEmpty,
+          s"cannot create table ${unquote(t)}: a VIEW exists there")
+        create(spark, target, ifNotExists != null, colDefs,
           Option(withProps))
         None
       case DropStmt(ifExists, t) =>
@@ -93,8 +100,31 @@ object GraftSql {
         if (GraftTable.exists(spark, table.location)) table.drop()
         else require(ifExists != null, s"no graft table at ${table.location}")
         None
+      case CreateViewStmt(orReplace, t, body) =>
+        val target = resolve(unquote(t))
+        require(!GraftTable.exists(spark, target.location),
+          s"cannot create view ${unquote(t)}: a graft TABLE exists at " +
+            target.location)
+        require(orReplace != null ||
+          viewText(spark, target.location).isEmpty,
+          s"view exists: ${unquote(t)} (use CREATE OR REPLACE VIEW)")
+        // Trino validates the view body at creation: resolve + analyze
+        // it NOW against the current tables, store only if it's sound
+        selectBody(spark, resolve, body.trim)
+        writeViewText(spark, target.location, body.trim)
+        None
+      case DropViewStmt(ifExists, t) =>
+        val target = resolve(unquote(t))
+        if (viewText(spark, target.location).isDefined) {
+          val p = new org.apache.hadoop.fs.Path(target.location)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        } else require(ifExists != null,
+          s"no graft view at ${target.location}")
+        None
       case CreateOrReplaceAs(t, withProps, body) =>
         val target = resolve(unquote(t))
+        require(viewText(spark, target.location).isEmpty,
+          s"cannot create table ${unquote(t)}: a VIEW exists there")
         val df = selectBody(spark, resolve, body)
         if (GraftTable.exists(spark, target.location)) {
           // CORTAS is a definition swap (Trino): `partitioning` AND
@@ -118,6 +148,8 @@ object GraftSql {
         None
       case CreateAsSelect(ifNotExists, t, withProps, body) =>
         val target = resolve(unquote(t))
+        require(viewText(spark, target.location).isEmpty,
+          s"cannot create table ${unquote(t)}: a VIEW exists there")
         if (GraftTable.exists(spark, target.location))
           require(ifNotExists != null, s"graft table exists: ${target.location}")
         else {
@@ -247,6 +279,11 @@ object GraftSql {
   private val CreateStmt =
     s"""(?is)^CREATE TABLE (IF NOT EXISTS )?$Ident ?\\((.+?)\\)(?: WITH ?\\((.+)\\))?$$""".r
   private val DropStmt = s"""(?i)^DROP TABLE (IF EXISTS )?$Ident$$""".r
+  // Trino Iceberg supports named views (CREATE VIEW v AS <query>); the
+  // view is SQL text stored in the warehouse, re-resolved at each read
+  private val CreateViewStmt =
+    s"""(?i)^CREATE (OR REPLACE )?VIEW $Ident AS (.+)$$""".r
+  private val DropViewStmt = s"""(?i)^DROP VIEW (IF EXISTS )?$Ident$$""".r
   // Trino: CREATE OR REPLACE TABLE t [WITH (...)] AS <query> — swap
   // schema + content atomically, snapshot history kept (Iceberg
   // connector semantics; `replace` commit)
@@ -1215,7 +1252,9 @@ object GraftSql {
 
   private def selectBody(spark: SparkSession, resolve: String => GraftTable,
                          body: String): DataFrame = body.trim match {
-    case SimpleSelectAll(src) => resolve(unquote(src)).read
+    // through select(), not .read: the source may be a named view or a
+    // metadata-suffix relation
+    case SimpleSelectAll(src) => select(spark, resolve, unquote(src))
     case b => runSelectBody(spark, resolve, b)
   }
 
@@ -1338,7 +1377,59 @@ object GraftSql {
       val table = resolve(id.substring(0, dollar))
       spark.read.format("graft").option("metadata", id.substring(dollar + 1))
         .load(table.location)
-    } else resolve(id).read
+    } else {
+      val table = resolve(id)
+      viewText(spark, table.location) match {
+        case Some(body) => expandView(spark, resolve, id, body)
+        case None => table.read
+      }
+    }
+  }
+
+  // ---- named views ---------------------------------------------------------
+
+  private def viewSqlPath(loc: String) =
+    new org.apache.hadoop.fs.Path(loc, "_graft/view.sql")
+
+  /** The stored SQL text of the view at `loc`, if one exists there. */
+  private[graft] def viewText(spark: SparkSession, loc: String): Option[String] = {
+    val p = viewSqlPath(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeViewText(spark: SparkSession, loc: String,
+                            body: String): Unit = {
+    val p = viewSqlPath(loc)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** In-flight view names on this thread: `CREATE OR REPLACE VIEW v AS
+    * SELECT ... FROM v` validates against the OLD v and stores text
+    * that names itself — without this guard its first read would
+    * recurse forever instead of failing loudly. */
+  private val viewStack = new ThreadLocal[java.util.ArrayDeque[String]] {
+    override def initialValue() = new java.util.ArrayDeque[String]()
+  }
+
+  /** A view read re-resolves the stored text — views on views nest via
+    * the same [[selectBody]] recursion; the result plan holds graft
+    * scans only (the view is a definition, never a materialization). */
+  private def expandView(spark: SparkSession, resolve: String => GraftTable,
+                         name: String, body: String): DataFrame = {
+    val stack = viewStack.get()
+    require(!stack.contains(name), s"recursive view definition: $name")
+    stack.push(name)
+    try selectBody(spark, resolve, body) finally stack.pop()
   }
 
   // ---- literal scanner -----------------------------------------------------

@@ -1200,4 +1200,53 @@ class GraftSqlSpec extends SparkSpec {
     // EXPLAIN of a non-query is still an unsupported statement
     intercept[IllegalArgumentException](fx.sql("EXPLAIN DROP TABLE t"))
   }
+
+  test("CREATE VIEW / DROP VIEW round-trip, nesting, and loud failures") {
+    val fx = fixture("sqlview")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    fx.sql("CREATE VIEW va AS SELECT k, v FROM t WHERE v = 'a'")
+    // reads re-resolve the stored text: both the bare-SELECT path and
+    // the general body path see through the view
+    assert(fx.rows("SELECT * FROM va").map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(fx.rows("SELECT count(*) AS c FROM va").head.getLong(0) == 2L)
+    // a view is a definition, not a materialization: new table rows
+    // appear without any view maintenance
+    fx.sql("INSERT INTO t VALUES (4, 'a')")
+    assert(fx.rows("SELECT count(*) AS c FROM va").head.getLong(0) == 3L)
+    // views on views nest
+    fx.sql("CREATE VIEW vb AS SELECT k FROM va WHERE k > 1")
+    assert(fx.rows("SELECT * FROM vb").map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // CTAS through a view resolves it too
+    fx.sql("CREATE TABLE snap AS SELECT * FROM vb")
+    assert(fx.rows("SELECT * FROM snap").length == 2)
+    // OR REPLACE swaps the definition; plain re-create fails loudly
+    intercept[IllegalArgumentException](
+      fx.sql("CREATE VIEW va AS SELECT k, v FROM t"))
+    fx.sql("CREATE OR REPLACE VIEW va AS SELECT k, v FROM t")
+    assert(fx.rows("SELECT count(*) AS c FROM va").head.getLong(0) == 4L)
+    // a view body that does not analyze is rejected at creation
+    intercept[Exception](
+      fx.sql("CREATE VIEW bad AS SELECT nope FROM t"))
+    assert(fx.sql("DROP VIEW IF EXISTS bad").isEmpty)
+    // name collisions fail loudly in both directions
+    intercept[IllegalArgumentException](
+      fx.sql("CREATE VIEW t AS SELECT 1 AS x"))
+    intercept[IllegalArgumentException](
+      fx.sql("CREATE TABLE va (x BIGINT)"))
+    // self-referencing definition (legal to store via OR REPLACE,
+    // since validation sees the OLD va) fails loudly at read
+    fx.sql("CREATE OR REPLACE VIEW va AS SELECT k, v FROM va")
+    intercept[IllegalArgumentException](fx.rows("SELECT * FROM va"))
+    // drop: the view goes away, the base table is untouched; dropping
+    // an unknown view is loud, IF EXISTS is not
+    fx.sql("DROP VIEW va")
+    fx.sql("DROP VIEW vb")
+    intercept[Exception](fx.rows("SELECT * FROM vb"))
+    intercept[IllegalArgumentException](fx.sql("DROP VIEW vb"))
+    fx.sql("DROP VIEW IF EXISTS vb")
+    assert(fx.rows("SELECT * FROM t").length == 4)
+  }
 }
