@@ -645,6 +645,56 @@ class PlanShapeSpec extends SparkSpec {
       "pairwise sims are per-query equi-joins over the pool, never all-pairs")
   }
 
+  test("d20: windows cached; keep-first is a min-aggregate; no window, no cartesian") {
+    val outer = allNodes(
+      graft.ext.DedupQueries.queries("d20_exact_substring_dedup")(spark, sf))
+    val cachedPlans = outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }
+    assert(cachedPlans.nonEmpty, "expected the cached stride-1 windows relation")
+    val build = cachedPlans.flatMap(walkPlan)
+    assert(build.collect { case f: FileSourceScanExec => f }.distinct.size == 1,
+      "the windows build is a single corpus scan")
+    val all = outer ++ build
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "duplicate detection must be the min/count hash-aggregate, " +
+        "never a corpus window")
+    assert(!all.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the cover join is an equi-join on the window key — never all-pairs")
+  }
+
+  test("s09: benchmark sides broadcast; no array column rides any exchange") {
+    val nodes = allNodes(SimilarityQueries
+      .queries("s09_semantic_decontaminate")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the candidate scan must be a broadcast of the benchmark codes, " +
+        "never a cartesian shuffle")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "no quantized codes or float vectors may ride an exchange — the " +
+        "corpus never shuffles by vector")
+  }
+
+  test("t20: BPE application is a pure projection — one scan, no join, no explode") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t20_bpe_apply")(spark, sf))
+    assert(nodes.collect { case f: FileSourceScanExec => f }.distinct.size == 1,
+      "one corpus scan")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join") ||
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "the merges table is a literal inside the expression tree — no join")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Generate")),
+      "tokenization is intra-row (transform/aggregate) — no explode")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "no window anywhere")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
