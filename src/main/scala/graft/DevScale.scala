@@ -85,8 +85,24 @@ object DevScale {
     // events/part synthesis only when a requested query reads them —
     // the default documents/embeddings probe list must not pay two
     // extra explode×N write jobs
-    val eventQueries = Set("q43_interval_join", "q47_funnel")
+    val eventQueries = Set("q43_interval_join", "q47_funnel",
+      "q50_cohort_retention")
     val partQueries = Set("d16_fuzzy_join", "q45_recursive_cte")
+    // orders: copies get fresh customers — the change-feed corpus grows
+    // xN while PER-CUSTOMER version-chain depth stays constant, the
+    // regime q49's "one window over one key exchange" claim lives in
+    val orderQueries = Set("q49_scd2")
+    if (names.exists(orderQueries)) {
+      spark.read.parquet(s"$base/orders.parquet")
+        .select(col("*"), copies)
+        .select(
+          (col("o_orderkey") + col("c").cast("long") * 100000000L).as("o_orderkey"),
+          (col("o_custkey") + col("c").cast("long") * 10000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
     // events: copies get fresh users (user_id offset per copy), so the
     // corpus grows xN while PER-USER event density stays constant — the
     // exact regime q43/q47's "pair width is a density constant" claim
