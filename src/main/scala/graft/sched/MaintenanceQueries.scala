@@ -608,7 +608,48 @@ object MaintenanceQueries {
         lit(t.currentSnapshot.get.snapshotId))
   }
 
+  /** Named VIEWS through the dispatcher (x19): a graft table seeded
+    * from part, CREATE VIEW, reads through the view (bare-SELECT and
+    * aggregate-body paths), a view over a view, proof that a view is a
+    * DEFINITION (an append shows up with zero view maintenance),
+    * CREATE OR REPLACE swapping the definition, and DROP VIEW making
+    * the name fail loudly. Every report cell is a count through a view
+    * definition, so the oracle recomputes all of them from the seeding
+    * parquet with the definitions inlined. */
+  private def viewsDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val base = Files.createTempDirectory("graft_views")
+    val resolve: String => GraftTable =
+      n => GraftTable.load(spark, base.resolve(n).toString)
+    def sql(s: String) = graft.sql.GraftSql.exec(spark, s, resolve, t0)
+    val df = seed(spark, sfDir).select("p_partkey", "p_size")
+    val t = GraftTable.create(spark, base.resolve("parts").toString, df.schema)
+    t.append(df, t0)
+    sql("CREATE VIEW small AS SELECT p_partkey, p_size FROM parts WHERE p_size <= 10")
+    sql("CREATE VIEW tiny AS SELECT p_partkey FROM small WHERE p_size <= 3")
+    val nSmall = sql("SELECT count(*) AS c FROM small").get
+      .collect()(0).getLong(0)
+    val nTiny = sql("SELECT * FROM tiny").get.count()
+    // a view is a definition, not a materialization: new base rows
+    // appear through it with no refresh step
+    t.append(df.filter(col("p_partkey") % 97 === 0), t0)
+    val nSmallAfter = sql("SELECT count(*) AS c FROM small").get
+      .collect()(0).getLong(0)
+    sql("CREATE OR REPLACE VIEW small AS SELECT p_partkey, p_size FROM parts WHERE p_size <= 20")
+    val nSwapped = sql("SELECT count(*) AS c FROM small").get
+      .collect()(0).getLong(0)
+    sql("DROP VIEW tiny")
+    val tinyGone =
+      try { sql("SELECT * FROM tiny").get.count(); 0L }
+      catch { case _: Exception => 1L }
+    import spark.implicits._
+    Seq((nSmall, nTiny, nSmallAfter, nSwapped, tinyGone))
+      .toDF("n_small", "n_tiny", "n_small_after_append", "n_swapped",
+        "tiny_gone_after_drop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_views" -> (viewsDemo _),
     "x18_tag_retention" -> (tagRetentionDemo _),
     "x17_rollback" -> (rollbackDemo _),
     "x16_partition_evolution" -> (partitionEvolutionDemo _),
@@ -642,6 +683,18 @@ object MaintenanceQueries {
     * x13/x16 (hot-partition file layout derives from hash-shuffle
     * placement, not from data content). */
   val oracles: Map[String, String] = Map(
+    // each cell is a count through a view DEFINITION, inlined here
+    "x19_views" ->
+      """WITH p AS (SELECT p_partkey, p_size FROM part),
+        |p2 AS (SELECT * FROM p
+        |       UNION ALL SELECT * FROM p WHERE p_partkey % 97 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM p WHERE p_size <= 10) AS n_small,
+        |  (SELECT count(*) FROM p WHERE p_size <= 3) AS n_tiny,
+        |  (SELECT count(*) FROM p2 WHERE p_size <= 10)
+        |    AS n_small_after_append,
+        |  (SELECT count(*) FROM p2 WHERE p_size <= 20) AS n_swapped,
+        |  CAST(1 AS BIGINT) AS tiny_gone_after_drop""".stripMargin,
     "x18_tag_retention" ->
       """WITH c AS (SELECT
         |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,
