@@ -58,7 +58,11 @@ object Verify {
     // ~7 min against a possible driver time budget; this makes the slow
     // tail diagnosable without re-instrumenting
     Files.writeString(Paths.get(s"$outDir/_timings.json"), timings.result()
-      .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      // Locale.ROOT: a comma-decimal default locale would emit 1,234
+      // and break the JSON the driver/dev side parses
+      .map { case (k, v) =>
+        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))}" }
       .mkString("{", ",", "}"))
     spark.stop()
   }

@@ -624,7 +624,9 @@ object DedupQueries {
     * window (one row per token position — the distributed analogue of
     * the suffix array's sorted-adjacent comparison), (2) keeps the
     * first occurrence of each duplicated window content (min encoded
-    * position pk = doc_id*100000+p — corpus order), and (3) removes
+    * position pk = doc_id*2^20+p — corpus order; the 2^20 stride keeps
+    * the encoding alias-free for documents up to ~1M tokens), and (3)
+    * removes
     * the union of token positions covered by non-first duplicate
     * windows. Documents shorter than L have no window and survive
     * intact.
@@ -651,7 +653,7 @@ object DedupQueries {
             sequence(lit(0), size($"words") - SubstrL),
             i => concat_ws(" ", slice($"words", i + 1, lit(SubstrL)))))
             .as(Seq("p", "win")))
-        .withColumn("pk", $"doc_id" * 100000L + $"p")
+        .withColumn("pk", $"doc_id" * 1048576L + $"p")
     }
     val dup = wins.groupBy($"win")
       .agg(min($"pk").as("wk"), count(lit(1)).as("c"))
@@ -712,7 +714,7 @@ object DedupQueries {
         |wins AS (
         |  SELECT doc_id, i AS p,
         |    array_to_string(w[i+1:i+$SubstrL], ' ') AS win,
-        |    doc_id * 100000 + i AS pk
+        |    doc_id * 1048576 + i AS pk
         |  FROM (SELECT doc_id, w,
         |        unnest(range(0, len(w) - $SubstrL + 1)) AS i
         |        FROM docs WHERE len(w) >= $SubstrL)),

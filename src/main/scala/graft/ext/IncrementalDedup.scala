@@ -65,21 +65,46 @@ object IncrementalDedup {
     finally out.close()
   }
 
-  /** Shingle exactly the corpus rows committed in `(lastIndexed, head]`
-    * and append them to the index; move the stamp to `head`. The
-    * incremental slice lists ONLY the new commits' files — the catch-up
-    * cost is O(new batch), never O(corpus).
-    * @return docs newly indexed */
+  /** Marker ops the catch-up stamps INTO the index's snapshot log:
+    * `index_catchup:from=<last>:to=<head>` commits in the same atomic
+    * log write as the appended slice, so "which corpus commits are
+    * indexed" is derivable from the index itself even if the stamp
+    * FILE write that follows never happens. */
+  private val CatchupOp = """index_catchup:from=(\d+):to=(\d+)""".r
+
+  /** Transform the corpus rows committed in `(lastIndexed, head]` and
+    * append them to the index under an atomic range marker; move the
+    * stamp to `head`. Shared by d11 (transform = shingling) and s04
+    * (transform = centroid assignment) — one copy of the
+    * stamp/slice/append protocol.
+    *
+    * Crash-idempotent: the effective `lastIndexed` is the max of the
+    * stamp and the markers already in the index log, so a crash
+    * BETWEEN the index append and the stamp write cannot re-append the
+    * slice on rerun (the marker committed with the data), and a crash
+    * before the append leaves no marker — the rerun redoes the whole
+    * slice. The incremental slice lists ONLY the new commits' files —
+    * the catch-up cost is O(new batch), never O(corpus).
+    * @return rows newly indexed */
   private[graft] def catchUp(corpus: GraftTable, index: GraftTable,
-                             rootDir: Path, fp: String): Long = {
+                             rootDir: Path, fp: String,
+                             transform: DataFrame => DataFrame): Long = {
     val s = corpus.spark
-    val last = readStamp(s, rootDir).map(_._1).getOrElse(0L)
+    val marked = index.snapshots.map(_.operation)
+      .collect { case CatchupOp(_, to) => to.toLong }
+    val last = (readStamp(s, rootDir).map(_._1).toSeq ++ marked)
+      .foldLeft(0L)(math.max)
     val head = corpus.currentSnapshot.map(_.snapshotId).getOrElse(0L)
-    if (head <= last) return 0L
-    val fresh = DedupQueries.shingleRelation(
-      corpus.readIncremental(last, head))
+    if (head <= last) {
+      // the data may be committed while the stamp write crashed — heal
+      // the stamp so staleness checks see the true fingerprint
+      if (!readStamp(s, rootDir).exists(t => t._1 >= last && t._2 == fp))
+        writeStamp(s, rootDir, math.max(last, head), fp)
+      return 0L
+    }
     val before = index.currentSnapshot.map(_.totalRows).getOrElse(0L)
-    index.append(fresh)
+    index.appendOp(transform(corpus.readIncremental(last, head)),
+      s"index_catchup:from=$last:to=$head", java.time.Clock.systemUTC())
     writeStamp(s, rootDir, head, fp)
     index.currentSnapshot.map(_.totalRows).getOrElse(0L) - before
   }
@@ -103,14 +128,19 @@ object IncrementalDedup {
       corpus.append(docs.filter($"doc_id" % 10 =!= 0))
       val seedShingles = DedupQueries.shingleRelation(corpus.read)
       val index = GraftTable.create(s, indexLoc, seedShingles.schema)
+      val seedSnapshot = corpus.currentSnapshot.get.snapshotId
       index.append(seedShingles)
-      writeStamp(s, rootDir, corpus.currentSnapshot.get.snapshotId, fp)
-      // the overnight batch lands AFTER the index was built
+      // the overnight batch lands AFTER the index was built; the stamp
+      // is written LAST so its presence implies the whole build-phase
+      // commit sequence completed — a crash anywhere above leaves a
+      // fp-mismatched (or absent) stamp and the next call rebuilds
       corpus.append(docs.filter($"doc_id" % 10 === 0))
+      writeStamp(s, rootDir, seedSnapshot, fp)
     }
     val corpus = GraftTable.load(s, corpusLoc)
     val index = GraftTable.load(s, indexLoc)
-    catchUp(corpus, index, rootDir, fp) // no-op when already caught up
+    catchUp(corpus, index, rootDir, fp,
+      DedupQueries.shingleRelation) // no-op when already caught up
     DedupQueries.verifiedNgramPairs(index.read, BatchResidual)
       .orderBy($"doc_a", $"doc_b")
   }

@@ -145,7 +145,7 @@ object SimilarityQueries {
     * a graft CORPUS table beside the index; the build phase seeds the
     * corpus (90% of vectors), assigns it, and stamps
     * `(lastIndexedSnapshotId, sourceFingerprint)`; the remaining 10%
-    * land as a later corpus commit, and [[catchUpIvf]] then assigns
+    * land as a later corpus commit, and [[IncrementalDedup.catchUp]] then assigns
     * ONLY the incremental slice `(lastIndexed, head]` to the EXISTING
     * centroids and appends it — at 100 TB an append indexes O(batch),
     * never a rebuild. A changed source fingerprint (see
@@ -192,14 +192,18 @@ object SimilarityQueries {
       val seedAssigned = assign(corpus.read)
       val index = GraftTable.create(s, indexLoc, seedAssigned.schema,
         partitionBy = Seq(PartitionSpec.identity("cell_id")))
+      val seedSnapshot = corpus.currentSnapshot.get.snapshotId
       index.append(seedAssigned)
-      IncrementalDedup.writeStamp(s, rootDir,
-        corpus.currentSnapshot.get.snapshotId, fp)
-      // the overnight batch lands AFTER the index was built
+      // the overnight batch lands AFTER the index was built; the stamp
+      // is written LAST — its presence implies the build-phase commit
+      // sequence completed, so a crash mid-build rebuilds cleanly
       corpus.append(src.filter($"vec_id" % 10 === 0))
+      IncrementalDedup.writeStamp(s, rootDir, seedSnapshot, fp)
     }
-    catchUpIvf(GraftTable.load(s, corpusLoc), GraftTable.load(s, indexLoc),
-      rootDir, fp, assign) // no-op when already caught up
+    // the d11 shared catch-up (marker-idempotent): assign ONLY the
+    // incremental corpus slice to the existing centroids and append
+    IncrementalDedup.catchUp(GraftTable.load(s, corpusLoc),
+      GraftTable.load(s, indexLoc), rootDir, fp, assign)
 
     val probes = centSims(e.filter($"vec_id" < NumQueries))
       .withColumn("prn", row_number().over(wCell))
@@ -218,25 +222,6 @@ object SimilarityQueries {
       .filter($"rn" <= TopK)
       .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
       .orderBy($"query_id", $"rn")
-  }
-
-  /** Assign ONLY the corpus rows committed in `(lastIndexed, head]` to
-    * the existing centroids and append them to the IVF index; move the
-    * stamp to `head`. The incremental slice lists only the new commits'
-    * files (planning is metadata-only — pinned in SimilarityIndexSpec),
-    * so an append's indexing cost is O(batch), never O(corpus).
-    * @return vectors newly indexed */
-  private[graft] def catchUpIvf(corpus: graft.meta.GraftTable,
-      index: graft.meta.GraftTable, rootDir: org.apache.hadoop.fs.Path,
-      fp: String, assign: DataFrame => DataFrame): Long = {
-    val s = corpus.spark
-    val last = IncrementalDedup.readStamp(s, rootDir).map(_._1).getOrElse(0L)
-    val head = corpus.currentSnapshot.map(_.snapshotId).getOrElse(0L)
-    if (head <= last) return 0L
-    val before = index.currentSnapshot.map(_.totalRows).getOrElse(0L)
-    index.append(assign(corpus.readIncremental(last, head)))
-    IncrementalDedup.writeStamp(s, rootDir, head, fp)
-    index.currentSnapshot.map(_.totalRows).getOrElse(0L) - before
   }
 
   // ---- s05: random-hyperplane LSH near-dup (label-free) -------------------

@@ -563,8 +563,9 @@ object TextQueries {
     val SegWords = 8
     val base = t(s, dir, "documents")
       .select($"doc_id", $"lang", $"source", split($"text", " ").as("words"))
-    // encoded winner key: p < 100000 makes (doc_id, p) lexicographic
-    // order equal to doc_id*100000+p numeric order in both engines
+    // encoded winner key: p < 2^20 makes (doc_id, p) lexicographic
+    // order equal to doc_id*2^20+p numeric order in both engines
+    // (alias-free for documents up to ~1M segments)
     val segs = RelCache.cached(s, s"$dir#t16_segs") {
       base.select($"doc_id", $"lang", $"source",
         posexplode(transform(
@@ -574,7 +575,7 @@ object TextQueries {
           i => concat_ws(" ",
             slice($"words", i * SegWords + 1, lit(SegWords)))))
           .as(Seq("p", "seg")))
-        .withColumn("pk", $"doc_id" * 100000L + $"p")
+        .withColumn("pk", $"doc_id" * 1048576L + $"p")
     }
     val winners = segs.groupBy($"seg").agg(min($"pk").as("wk"))
     val perDoc = segs.join(winners, "seg")
@@ -827,7 +828,7 @@ object TextQueries {
         |  SELECT lang, source,
         |    len(list_filter(string_split(text, ' '), x -> x <> ''))
         |      AS n_words,
-        |    strlen(replace(text, ' ', '')) AS n_chars,
+        |    length(replace(text, ' ', '')) AS n_chars,
         |    list_sum(list_transform(
         |      list_filter(string_split(text, ' '), x -> x <> ''),
         |      w -> len(string_split(trim($bpeChainSql), ' ')))) AS n_bpe
@@ -915,7 +916,7 @@ object TextQueries {
         |segs AS (
         |  SELECT doc_id, lang, source, i AS p,
         |    array_to_string(w[i*8+1:i*8+8], ' ') AS seg,
-        |    doc_id * 100000 + i AS pk
+        |    doc_id * 1048576 + i AS pk
         |  FROM (SELECT doc_id, lang, source, w,
         |        unnest(range(0, (len(w) - 1) // 8 + 1)) AS i FROM docs)),
         |winners AS (SELECT seg, min(pk) AS wk FROM segs GROUP BY seg),

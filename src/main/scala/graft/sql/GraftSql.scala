@@ -282,7 +282,7 @@ object GraftSql {
   // Trino Iceberg supports named views (CREATE VIEW v AS <query>); the
   // view is SQL text stored in the warehouse, re-resolved at each read
   private val CreateViewStmt =
-    s"""(?i)^CREATE (OR REPLACE )?VIEW $Ident AS (.+)$$""".r
+    s"""(?is)^CREATE (OR REPLACE )?VIEW $Ident AS (.+)$$""".r
   private val DropViewStmt = s"""(?i)^DROP VIEW (IF EXISTS )?$Ident$$""".r
   // Trino: CREATE OR REPLACE TABLE t [WITH (...)] AS <query> — swap
   // schema + content atomically, snapshot history kept (Iceberg

@@ -48,12 +48,24 @@ class IncrementalDedupSpec extends SparkSpec {
       s"incremental slice must read only the batch files: " +
         s"slice=${sliceFiles.size}, batch=${commit2Files.size}")
 
-    val indexed = IncrementalDedup.catchUp(corpus, index, root, "fp0")
+    val indexed = IncrementalDedup.catchUp(corpus, index, root, "fp0", DedupQueries.shingleRelation)
     assert(indexed == batch.size.toLong)
     assert(index.read.count() == (seed.size + batch.size).toLong)
     assert(IncrementalDedup.readStamp(spark, root).contains((head, "fp0")))
     // caught up → a second catch-up indexes nothing
-    assert(IncrementalDedup.catchUp(corpus, index, root, "fp0") == 0L)
+    assert(IncrementalDedup.catchUp(corpus, index, root, "fp0", DedupQueries.shingleRelation) == 0L)
+
+    // crash-idempotence: simulate "index append committed, stamp write
+    // died" by rewinding the stamp file to the pre-batch snapshot. The
+    // range marker committed atomically with the slice must prevent a
+    // re-append (duplicate index rows), and the rerun heals the stamp.
+    IncrementalDedup.writeStamp(spark, root, last, "fp0")
+    assert(IncrementalDedup.catchUp(corpus, index, root, "fp0",
+      DedupQueries.shingleRelation) == 0L)
+    assert(index.read.count() == (seed.size + batch.size).toLong,
+      "a rewound stamp must not duplicate the already-committed slice")
+    assert(IncrementalDedup.readStamp(spark, root).contains((head, "fp0")),
+      "the healed stamp points at the marker's head again")
   }
 
   test("d11 equals a from-scratch recomputation and is repeatable") {

@@ -98,10 +98,10 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(sliceFiles.nonEmpty && sliceFiles == batchFiles,
       s"slice=${sliceFiles.size}, batch=${batchFiles.size}")
 
-    val n = SimilarityQueries.catchUpIvf(corpus, index, root, "fp0", assign)
+    val n = graft.ext.IncrementalDedup.catchUp(corpus, index, root, "fp0", assign)
     assert(n == 6L)
     assert(index.read.count() == 38L)
     // caught up → a second catch-up indexes nothing
-    assert(SimilarityQueries.catchUpIvf(corpus, index, root, "fp0", assign) == 0L)
+    assert(graft.ext.IncrementalDedup.catchUp(corpus, index, root, "fp0", assign) == 0L)
   }
 }
