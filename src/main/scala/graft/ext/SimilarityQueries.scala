@@ -568,7 +568,98 @@ object SimilarityQueries {
       .orderBy($"label")
   }
 
+  /** ANN RECALL EVALUATION (s10): recall@k of the IVF search (s02
+    * semantics) against the exact brute-force ground truth (s01) —
+    * the measurement that tunes nprobe/cell-count on every real ANN
+    * deployment; an index without a recall number is unshippable.
+    * Both sides are the EXISTING query definitions, composed — the
+    * evaluation operator is a join of two result relations, so any
+    * future change to either pipeline is automatically what gets
+    * measured. Output is integral (hits, basis points).
+    *
+    * Scale shape: both inputs are bounded (k rows per query); the
+    * comparison join and per-query aggregate touch queries×k rows. At
+    * 100 TB the ground-truth side runs over a SAMPLED query set (the
+    * standard recall protocol) — the exact brute-force pass is the
+    * expensive side and its cost is the sample's, not the corpus'. */
+  def s10RecallEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = s01CosineTopK(s, dir).select($"query_id", $"vec_id")
+    val ivf = s02IvfTopK(s, dir)
+      .select($"query_id", $"vec_id", $"rn".as("ivf_rn"))
+    brute.join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy($"query_id")
+      .agg(count($"ivf_rn").as("hits"))
+      .withColumn("recall_bp", $"hits" * lit(10000 / TopK))
+      .orderBy($"query_id")
+  }
+
+  private val PqSub = 8    // subspaces (dim 64 → 8 × 8)
+  private val PqSubDim = 8
+
+  /** PRODUCT QUANTIZATION top-k (s11): the next ANN-ladder rung after
+    * SQ8 — faiss's IVFPQ encoding. Each vector splits into
+    * [[PqSub]] 8-dim subvectors; each subvector is replaced by the id
+    * of its nearest codebook entry (codebooks = the [[NumCells]]
+    * seed vectors' subvectors, data-derived like s02's cells), so a
+    * 256-byte float vector becomes 8 single-byte codes — 32× smaller
+    * than floats, 4× smaller than SQ8. Queries score candidates by
+    * ADC: per-subspace distance TABLES to the 16 codes, approx
+    * distance = Σ table[code] — a lookup-sum, no per-candidate float
+    * math. All distances are fixed-point micro-units (round(L2²·1e6)
+    * as BIGINT, the d19 integer contract), so per-candidate sums are
+    * EXACT in any summation order and both engines rank identically.
+    *
+    * Scale shape: encoding is one broadcast join against the 128-row
+    * codebook + a min-struct AGGREGATE (map-side combine — never a
+    * window over the corpus); the ADC join broadcasts the 1024-row
+    * query distance tables onto the skinny (vec, m, code) relation; no
+    * array column rides any exchange (pinned). At 100 TB the codebook
+    * and tables become literals inside one codegen'd projection (the
+    * d13 centroid pattern) and the per-candidate work is 8 integer
+    * adds — the memory-bandwidth regime PQ exists for. */
+  def s11PqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val sub = e
+      .select($"vec_id",
+        explode(sequence(lit(0), lit(PqSub - 1))).as("m"), $"embedding")
+      .select($"vec_id", $"m",
+        expr(s"slice(embedding, m * $PqSubDim + 1, $PqSubDim)").as("sv"))
+    val cb = sub.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("c"), $"m", $"sv".as("cv"))
+    def l2micro(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
+    val dists = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("di", l2micro($"sv", $"cv"))
+      .select($"vec_id", $"m", $"c", $"di")
+    // argmin per (vector, subspace): min of (di, c) structs — an
+    // aggregate with partial combines, not a corpus window
+    val enc = dists.groupBy($"vec_id", $"m")
+      .agg(min(struct($"di", $"c")).as("mc"))
+      .select($"vec_id", $"m", $"mc.c".as("code"))
+    val qdt = dists.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"m".as("qm"), $"c".as("qc"), $"di")
+    val scored = enc
+      .join(broadcast(qdt), $"m" === $"qm" && $"code" === $"qc")
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"di").as("adist_micro"))
+    val wTop = Window.partitionBy($"query_id")
+      .orderBy($"adist_micro", $"vec_id")
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= TopK)
+      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id",
+        $"adist_micro")
+      .orderBy($"query_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_pq_topk" -> (s11PqTopK _),
+    "s10_recall_eval" -> (s10RecallEval _),
     "s09_semantic_decontaminate" -> (s09SemanticDecontaminate _),
     "s08_mmr_rerank" -> (s08MmrRerank _),
     "s07_knn_label" -> (s07KnnLabel _),
@@ -584,6 +675,59 @@ object SimilarityQueries {
     "list_sum(list_apply(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private val normSql =
     "sqrt(list_sum(list_apply(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // s01/s02 as named vals: shared by their own oracle entries and by
+  // s10's recall composition over both result relations
+  private lazy val s01OracleSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+      |      FROM e WHERE vec_id < $NumQueries),
+      |pairs AS (
+      |  SELECT query_id, vec_id,
+      |    round(${dotSql.format("qe", "embedding")} / (qn * nrm), 6) AS cos
+      |  FROM e, q WHERE vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, vec_id) AS rn
+      |  FROM pairs)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+      |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  private lazy val s02OracleSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+      |          FROM e WHERE vec_id < $NumCells),
+      |sims AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, cell_id,
+      |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+      |  FROM e, cents),
+      |assigned AS (
+      |  SELECT vec_id, embedding, nrm, cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY csim DESC, cell_id) AS arn
+      |    FROM sims) WHERE arn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY csim DESC, cell_id) AS prn
+      |    FROM sims WHERE vec_id < $NumQueries) WHERE prn <= $NumProbes),
+      |cand AS (
+      |  SELECT query_id, a.vec_id,
+      |    round(${dotSql.format("qe", "a.embedding")} / (qn * a.nrm), 6) AS cos
+      |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, vec_id) AS rn
+      |  FROM cand)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+      |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the s06 quantization CTEs + the two declared thresholds: the
@@ -777,55 +921,54 @@ object SimilarityQueries {
         |  FROM rer)
         |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
         |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
-    "s01_cosine_topk" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        |      FROM e WHERE vec_id < $NumQueries),
-        |pairs AS (
-        |  SELECT query_id, vec_id,
-        |    round(${dotSql.format("qe", "embedding")} / (qn * nrm), 6) AS cos
-        |  FROM e, q WHERE vec_id <> query_id),
+    "s01_cosine_topk" -> s01OracleSql,
+    "s02_ivf_topk" -> s02OracleSql,
+    // fixed-point micro-unit distances make every sum exact — the
+    // row_number argmin here is semantically the Spark min-struct
+    "s11_pq_topk" -> {
+      val l2 = "CAST(round(list_sum(list_apply(list_zip(%s, %s), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e6) AS BIGINT)"
+      s"""WITH sub AS (
+        |  SELECT vec_id, m,
+        |    embedding[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+        |  FROM embeddings, (SELECT unnest(range(0, $PqSub)) AS m)),
+        |cb AS (SELECT vec_id AS c, m, sv AS cv FROM sub
+        |       WHERE vec_id < $NumCells),
+        |dists AS (
+        |  SELECT s.vec_id, s.m, cb.c, ${l2.format("s.sv", "cb.cv")} AS di
+        |  FROM sub s JOIN cb USING (m)),
+        |enc AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |                                 ORDER BY di, c) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qdt AS (
+        |  SELECT vec_id AS query_id, m, c, di FROM dists
+        |  WHERE vec_id < $NumQueries),
+        |scored AS (
+        |  SELECT query_id, e.vec_id, sum(di) AS adist_micro
+        |  FROM enc e JOIN qdt ON e.m = qdt.m AND e.code = qdt.c
+        |  WHERE e.vec_id <> query_id
+        |  GROUP BY query_id, e.vec_id),
         |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cos DESC, vec_id) AS rn
-        |  FROM pairs)
-        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
-        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
-    "s02_ivf_topk" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
-        |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
-        |          FROM e WHERE vec_id < $NumCells),
-        |sims AS (
-        |  SELECT e.vec_id, e.embedding, e.nrm, cell_id,
-        |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
-        |  FROM e, cents),
-        |assigned AS (
-        |  SELECT vec_id, embedding, nrm, cell_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                                 ORDER BY csim DESC, cell_id) AS arn
-        |    FROM sims) WHERE arn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                                 ORDER BY csim DESC, cell_id) AS prn
-        |    FROM sims WHERE vec_id < $NumQueries) WHERE prn <= $NumProbes),
-        |cand AS (
-        |  SELECT query_id, a.vec_id,
-        |    round(${dotSql.format("qe", "a.embedding")} / (qn * a.nrm), 6) AS cos
-        |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
-        |  WHERE a.vec_id <> p.query_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cos DESC, vec_id) AS rn
-        |  FROM cand)
-        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
-        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY adist_micro, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id,
+        |  CAST(adist_micro AS BIGINT) AS adist_micro
+        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+    },
+    // the two result relations composed verbatim: recall@k is ivf hits
+    // within the brute ground truth, in basis points
+    "s10_recall_eval" ->
+      s"""WITH brute AS (SELECT query_id, vec_id FROM ($s01OracleSql)),
+        |ivf AS (SELECT query_id, vec_id FROM ($s02OracleSql))
+        |SELECT b.query_id, count(i.vec_id) AS hits,
+        |  CAST(count(i.vec_id) * ${10000 / TopK} AS BIGINT) AS recall_bp
+        |FROM brute b LEFT JOIN ivf i
+        |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     // identical parameters to s02 — the persisted index must return
     // exactly what the inline IVF computes
     "s04_ivf_index" ->

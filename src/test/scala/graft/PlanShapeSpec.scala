@@ -695,6 +695,30 @@ class PlanShapeSpec extends SparkSpec {
       "no window anywhere")
   }
 
+  test("s11: PQ encode is a min-struct aggregate; no array rides any exchange") {
+    val nodes = allNodes(SimilarityQueries.queries("s11_pq_topk")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "codebook and ADC tables must broadcast — never a cartesian")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "only codes and integer distances may ride an exchange")
+    // exactly one window: the final per-query top-k over skinny rows.
+    // Encoding argmin must be the min-struct aggregate, not a window.
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.distinct.size == 1,
+      s"expected only the top-k window, got ${windows.distinct.size}")
+  }
+
+  test("s10: recall eval joins two bounded result relations — no cartesian") {
+    val nodes = allNodes(SimilarityQueries.queries("s10_recall_eval")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "comparison of two k-rows-per-query relations must be an equi-join")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
