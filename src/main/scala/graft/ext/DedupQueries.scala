@@ -676,7 +676,51 @@ object DedupQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** DEDUP-SCHEME RECALL EVALUATION (d21): recall of the two
+    * candidate-generation schemes — MinHash banding (d03) and
+    * length-blocked expansion (d05) — against the exact all-pairs
+    * Jaccard ground truth at each scheme's own threshold. The s10
+    * pattern applied to dedup: a banding scheme without a measured
+    * recall number is a guess about how much duplication survives it.
+    * Both "found" sides are the EXISTING query definitions composed,
+    * so what gets measured is exactly what d03/d05 ship.
+    *
+    * Scale shape: the ground truth is inherently all-pairs — that is
+    * WHY banded/blocked schemes exist — so at 100 TB this evaluation
+    * runs over a SAMPLED document subset (the standard protocol, as
+    * in s10's sampled queries); the truth join here covers the demo
+    * corpus exactly. The found sides and the comparison join stay
+    * bounded by pair-output size. */
+  def d21DedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = cached(s, dir, "minhash_docs") {
+      t(s, dir, "documents")
+        .filter(size(split($"text", " ")) >= 3)
+        .select($"doc_id", hashedShingles($"text").as("hs"))
+    }
+    val a = docs.select($"doc_id".as("da"), $"hs".as("sa"))
+    val b = docs.select($"doc_id".as("db"), $"hs".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb")).cast("double")
+    val truthAll = a.join(b, $"da" < $"db")
+      .withColumn("jac",
+        round(inter / (size($"sa") + size($"sb") - inter), 6))
+    def recallOf(scheme: String, truthTh: Double,
+                 found: DataFrame): DataFrame =
+      truthAll.filter($"jac" >= truthTh).select($"da", $"db")
+        .join(found.withColumn("hit", lit(1)), Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_true"), count($"hit").as("n_found"))
+        .select(lit(scheme).as("scheme"), $"n_true", $"n_found")
+    recallOf("blocked_ngram", 0.5, d05NgramJaccard(s, dir)
+        .select($"doc_a".as("da"), $"doc_b".as("db")))
+      .unionByName(recallOf("minhash_lsh", JaccardThreshold,
+        d03MinHashLsh(s, dir).select($"doc_a".as("da"), $"doc_b".as("db"))))
+      .withColumn("recall_bp", expr(
+        "case when n_true = 0 then 10000 else n_found * 10000 div n_true end"))
+      .orderBy($"scheme")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_dedup_recall" -> (d21DedupRecall _),
     "d20_exact_substring_dedup" -> (d20ExactSubstringDedup _),
     "d18_bloom_decontaminate" -> (d18BloomDecontaminate _),
     "d16_fuzzy_join" -> (d16FuzzyJoin _),
@@ -703,6 +747,61 @@ object DedupQueries {
   private[ext] val hashedShingleSql =
     s"""list_distinct(list_transform($shingleSql,
       |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT))""".stripMargin
+
+  // d03/d05 as named vals: shared by their own oracle entries and by
+  // d21's recall composition over both pair relations
+  private lazy val d03OracleSql: String = {
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"min((h * ${hashA(j)} + ${hashB(j)}) % $P) AS m$j"
+    }.mkString(",\n      |    ")
+    val bandSelects = (0 until NumHashes / BandSize).map { b =>
+      val key = (0 until BandSize).map(r => s"m${b * BandSize + r}")
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH docs AS (
+      |  SELECT doc_id, $hashedShingleSql AS shingles
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |hashed AS (SELECT doc_id, unnest(shingles) AS h FROM docs),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigExprs
+      |  FROM hashed GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.band_key = y.band_key
+      |   AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(da.shingles, db.shingles))::DOUBLE /
+      |    (len(da.shingles) + len(db.shingles)
+      |     - len(list_intersect(da.shingles, db.shingles))), 6) AS jac
+      |FROM cand
+      |JOIN docs da ON da.doc_id = doc_a
+      |JOIN docs db ON db.doc_id = doc_b
+      |WHERE round(len(list_intersect(da.shingles, db.shingles))::DOUBLE /
+      |    (len(da.shingles) + len(db.shingles)
+      |     - len(list_intersect(da.shingles, db.shingles))), 6) >= $JaccardThreshold
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val d05OracleSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
+      |    $hashedShingleSql AS shingles
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |    (len(a.shingles) + len(b.shingles)
+      |     - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
+      |FROM docs a JOIN docs b
+      |  ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |    (len(a.shingles) + len(b.shingles)
+      |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the window-cover identity spelled directly: duplicated length-L
@@ -756,42 +855,35 @@ object DedupQueries {
         |SELECT user_id, event_type, event_id AS kept_event_id,
         |  CAST(group_size - 1 AS BIGINT) AS n_dropped
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
-    "d03_minhash_lsh" -> {
-      val sigExprs = (0 until NumHashes).map { j =>
-        s"min((h * ${hashA(j)} + ${hashB(j)}) % $P) AS m$j"
-      }.mkString(",\n        |    ")
-      val bandSelects = (0 until NumHashes / BandSize).map { b =>
-        val key = (0 until BandSize).map(r => s"m${b * BandSize + r}")
-          .mkString("concat_ws(',', ", ", ", ")")
-        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
-      }.mkString("\n        |  UNION ALL ")
+    "d03_minhash_lsh" -> d03OracleSql,
+    "d21_dedup_recall" ->
       s"""WITH docs AS (
-        |  SELECT doc_id, $hashedShingleSql AS shingles
+        |  SELECT doc_id, $hashedShingleSql AS hs
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |hashed AS (SELECT doc_id, unnest(shingles) AS h FROM docs),
-        |sig AS (
-        |  SELECT doc_id,
-        |    $sigExprs
-        |  FROM hashed GROUP BY doc_id),
-        |bands AS (
-        |  $bandSelects),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.band_key = y.band_key
-        |   AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        |  round(len(list_intersect(da.shingles, db.shingles))::DOUBLE /
-        |    (len(da.shingles) + len(db.shingles)
-        |     - len(list_intersect(da.shingles, db.shingles))), 6) AS jac
-        |FROM cand
-        |JOIN docs da ON da.doc_id = doc_a
-        |JOIN docs db ON db.doc_id = doc_b
-        |WHERE round(len(list_intersect(da.shingles, db.shingles))::DOUBLE /
-        |    (len(da.shingles) + len(db.shingles)
-        |     - len(list_intersect(da.shingles, db.shingles))), 6) >= $JaccardThreshold
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
+        |truth AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+        |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)
+        |      AS jac
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id),
+        |lsh AS (SELECT doc_a AS da, doc_b AS db FROM ($d03OracleSql)),
+        |blocked AS (SELECT doc_a AS da, doc_b AS db FROM ($d05OracleSql)),
+        |r1 AS (
+        |  SELECT 'blocked_ngram' AS scheme, count(*) AS n_true,
+        |    count(f.da) AS n_found
+        |  FROM (SELECT da, db FROM truth WHERE jac >= 0.5) t
+        |  LEFT JOIN blocked f ON t.da = f.da AND t.db = f.db),
+        |r2 AS (
+        |  SELECT 'minhash_lsh' AS scheme, count(*) AS n_true,
+        |    count(f.da) AS n_found
+        |  FROM (SELECT da, db FROM truth WHERE jac >= $JaccardThreshold) t
+        |  LEFT JOIN lsh f ON t.da = f.da AND t.db = f.db)
+        |SELECT scheme, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_found AS BIGINT) AS n_found,
+        |  CAST(CASE WHEN n_true = 0 THEN 10000
+        |       ELSE n_found * 10000 // n_true END AS BIGINT) AS recall_bp
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY scheme""".stripMargin,
     "d04_simhash" -> {
       val bitSums = (0 until 32).map { i =>
         s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
@@ -810,21 +902,7 @@ object DedupQueries {
         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
         |FROM agg ORDER BY doc_id""".stripMargin
     },
-    "d05_ngram_jaccard" ->
-      s"""WITH docs AS (
-        |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
-        |    $hashedShingleSql AS shingles
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |    (len(a.shingles) + len(b.shingles)
-        |     - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
-        |FROM docs a JOIN docs b
-        |  ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |    (len(a.shingles) + len(b.shingles)
-        |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_ngram_jaccard" -> d05OracleSql,
     // Pairs exactly as d05; components via a recursive min-label CTE
     // (UNION set semantics terminates it), matching the Spark
     // propagation fixed point: lbl(doc) = min doc_id reachable.

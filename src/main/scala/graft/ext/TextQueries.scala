@@ -785,7 +785,74 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  // Gopher repetition thresholds in basis points of document chars
+  private val RepTop2Bp = 2000 // top 2-gram covers > 20% of chars
+  private val RepTop3Bp = 1800 // top 3-gram covers > 18%
+  private val RepDup2Bp = 4000 // repeated 2-grams cover > 40%
+
+  /** N-GRAM REPETITION FILTERS (t21): the second half of the Gopher
+    * quality suite — t06 covers the length/stopword/lexical-diversity
+    * rules; THIS covers the repetition rules (Rae et al. 2021 §A1.1):
+    * the character fraction covered by the single most frequent 2-gram
+    * and 3-gram, and by ALL 2-grams occurring more than once, each
+    * per document in integer basis points (the d19 fixed-point
+    * contract — no float fraction crosses engines). A document fails
+    * on any signal over its threshold; the report counts failures per
+    * signal and clean passes per (lang, source).
+    *
+    * Scale shape: ONE corpus scan explodes both gram lengths (tagged
+    * structs, one Generate); counts and per-doc argmax are hash
+    * aggregates with map-side combines (the argmax is a min-struct on
+    * (-count, gram) — never a per-doc window over the gram stream);
+    * the three per-doc signals join back on doc_id. Nothing wider
+    * than (doc_id, gram) ever shuffles. */
+  def t21RepetitionFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("w"),
+        length(replace($"text", lit(" "), lit(""))).cast("long").as("chars"))
+    // sequence(1, size-n+1) is DESCENDING when size < n — guard short docs
+    def gramArr(n: Int): Column = when(size($"w") >= n,
+      expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(w, i, $n)))"))
+      .otherwise(expr("cast(array() as array<string>)"))
+    val grams = base.select($"doc_id",
+      explode(concat(
+        transform(gramArr(2), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(gramArr(3), g => struct(lit(3).as("n"), g.as("g")))))
+        .as("x"))
+      .select($"doc_id", $"x.n".as("n"), $"x.g".as("g"))
+    val cnt = grams.groupBy($"doc_id", $"n", $"g")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("gchars", (length($"g") - ($"n" - 1)).cast("long"))
+    val top = cnt.groupBy($"doc_id", $"n")
+      .agg(min(struct((-$"c").as("nc"), $"g".as("g"),
+        ($"c" * $"gchars").as("tc"))).as("m"))
+      .select($"doc_id", $"n", $"m.tc".as("topchars"))
+    val dup2 = cnt.filter($"n" === 2 && $"c" > 1)
+      .groupBy($"doc_id").agg(sum($"c" * $"gchars").as("dupchars"))
+    val perDoc = base.select($"doc_id", $"lang", $"source", $"chars")
+      .join(top.filter($"n" === 2)
+        .select($"doc_id", $"topchars".as("t2")), Seq("doc_id"), "left")
+      .join(top.filter($"n" === 3)
+        .select($"doc_id", $"topchars".as("t3")), Seq("doc_id"), "left")
+      .join(dup2, Seq("doc_id"), "left")
+      .withColumn("top2_bp", expr("coalesce(t2, 0) * 10000 div chars"))
+      .withColumn("top3_bp", expr("coalesce(t3, 0) * 10000 div chars"))
+      .withColumn("dup2_bp", expr("coalesce(dupchars, 0) * 10000 div chars"))
+    perDoc.groupBy($"lang", $"source").agg(
+      count(lit(1)).as("n_docs"),
+      expr("sum(top2_bp) div count(1)").as("mean_top2_bp"),
+      count(when($"top2_bp" > RepTop2Bp, 1)).as("n_fail_top2"),
+      count(when($"top3_bp" > RepTop3Bp, 1)).as("n_fail_top3"),
+      count(when($"dup2_bp" > RepDup2Bp, 1)).as("n_fail_dup2"),
+      count(when($"top2_bp" <= RepTop2Bp && $"top3_bp" <= RepTop3Bp &&
+        $"dup2_bp" <= RepDup2Bp, 1)).as("n_pass"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_repetition_filters" -> (t21RepetitionFilters _),
     "t20_bpe_apply" -> (t20BpeApply _),
     "t19_lm_surprisal" -> (t19LmSurprisal _),
     "t18_vocab" -> (t18Vocab _),
@@ -823,6 +890,47 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t21_repetition_filters" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w,
+        |    length(replace(text, ' ', '')) AS chars
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, 2 AS n, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM docs WHERE len(w) >= 2)),
+        |g3 AS (SELECT doc_id, 3 AS n, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM docs WHERE len(w) >= 3)),
+        |cnt AS (SELECT doc_id, n, g, count(*) AS c
+        |  FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+        |  GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id, n, c * (length(g) - (n - 1)) AS topchars
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |          ORDER BY c DESC, g) AS rn FROM cnt) WHERE rn = 1),
+        |dup2 AS (SELECT doc_id, sum(c * (length(g) - 1)) AS dupchars
+        |  FROM cnt WHERE n = 2 AND c > 1 GROUP BY doc_id),
+        |per AS (SELECT d.doc_id, d.lang, d.source,
+        |    coalesce(t2.topchars, 0) * 10000 // d.chars AS top2_bp,
+        |    coalesce(t3.topchars, 0) * 10000 // d.chars AS top3_bp,
+        |    coalesce(dup2.dupchars, 0) * 10000 // d.chars AS dup2_bp
+        |  FROM docs d
+        |  LEFT JOIN (SELECT doc_id, topchars FROM top WHERE n = 2) t2
+        |    USING (doc_id)
+        |  LEFT JOIN (SELECT doc_id, topchars FROM top WHERE n = 3) t3
+        |    USING (doc_id)
+        |  LEFT JOIN dup2 USING (doc_id))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(top2_bp) // count(*) AS BIGINT) AS mean_top2_bp,
+        |  CAST(count(*) FILTER (top2_bp > $RepTop2Bp) AS BIGINT)
+        |    AS n_fail_top2,
+        |  CAST(count(*) FILTER (top3_bp > $RepTop3Bp) AS BIGINT)
+        |    AS n_fail_top3,
+        |  CAST(count(*) FILTER (dup2_bp > $RepDup2Bp) AS BIGINT)
+        |    AS n_fail_dup2,
+        |  CAST(count(*) FILTER (top2_bp <= $RepTop2Bp
+        |    AND top3_bp <= $RepTop3Bp AND dup2_bp <= $RepDup2Bp) AS BIGINT)
+        |    AS n_pass
+        |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t20_bpe_apply" ->
       s"""WITH perdoc AS (
         |  SELECT lang, source,

@@ -719,6 +719,17 @@ class PlanShapeSpec extends SparkSpec {
       "comparison of two k-rows-per-query relations must be an equi-join")
   }
 
+  test("t21: gram argmax is a min-struct aggregate — no window over the gram stream") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t21_repetition_filters")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "per-doc top-gram selection must aggregate, never rank the stream")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the three per-doc signals join back on doc_id only")
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
