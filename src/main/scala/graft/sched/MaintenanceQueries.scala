@@ -648,7 +648,67 @@ object MaintenanceQueries {
         "tiny_gone_after_drop")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE (x20): a materialized per-(day,
+    * event_type) rollup kept current by folding ONLY the event commits
+    * that arrived since the last maintenance run — incremental view
+    * maintenance, the d11 cross-run pattern applied to an AGGREGATE
+    * (sum/count are the self-combining case: maintain = aggregate the
+    * `readIncremental` slice, add onto the matched rollup rows, land
+    * as ONE atomic upsert commit). The `agg_catchup:to=<head>` marker
+    * commits atomically with the merged rows, so a replayed
+    * maintenance run no-ops instead of double-counting — pinned by
+    * calling maintain() twice and by n_commits. Values are integer
+    * cents (the d19 fixed-point contract), so fold order is
+    * irrelevant. At 100 TB: maintenance cost is O(new events +
+    * matched rollup rows), never a rollup rebuild — the alternative
+    * the operator exists to avoid. */
+  private def incrementalAggDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t0 = fixedClock(20000)
+    val root = Files.createTempDirectory("graft_incagg")
+    val ev = graft.rel.Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    val events = GraftTable.create(spark,
+      root.resolve("events").toString, ev.schema)
+    events.append(ev.filter($"event_id" % 5 =!= 0), t0)
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).cast("string").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+    val seedAgg = aggOf(events.read)
+    val agg = GraftTable.create(spark, root.resolve("agg").toString,
+      seedAgg.schema)
+    val seedSnapshot = events.currentSnapshot.get.snapshotId
+    agg.append(seedAgg, t0)
+    events.append(ev.filter($"event_id" % 5 === 0), t0) // overnight batch
+    val MarkerRe = """agg_catchup:to=(\d+)""".r
+    def maintain(): Unit = {
+      val marked = agg.snapshots.map(_.operation)
+        .collect { case MarkerRe(to) => to.toLong }
+      val last = (seedSnapshot +: marked).max
+      val head = events.currentSnapshot.get.snapshotId
+      if (head > last) {
+        val delta = aggOf(events.readIncremental(last, head))
+        val cur = agg.read.select($"day", $"event_type",
+          $"n_events".as("old_n"), $"total_cents".as("old_t"))
+        val combined = delta.join(cur, Seq("day", "event_type"), "left")
+          .select($"day", $"event_type",
+            ($"n_events" + coalesce($"old_n", lit(0L))).as("n_events"),
+            ($"total_cents" + coalesce($"old_t", lit(0L))).as("total_cents"))
+        agg.upsertOp(combined, Seq("day", "event_type"),
+          s"agg_catchup:to=$head", t0)
+      }
+    }
+    maintain()
+    maintain() // replayed maintenance must no-op, never double-count
+    agg.read
+      .withColumn("n_commits", lit(agg.snapshots.size.toLong))
+      .orderBy($"day", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_incremental_agg" -> (incrementalAggDemo _),
     "x19_views" -> (viewsDemo _),
     "x18_tag_retention" -> (tagRetentionDemo _),
     "x17_rollback" -> (rollbackDemo _),
@@ -683,6 +743,17 @@ object MaintenanceQueries {
     * x13/x16 (hot-partition file layout derives from hash-shuffle
     * placement, not from data content). */
   val oracles: Map[String, String] = Map(
+    // the maintained rollup must equal a from-scratch aggregation over
+    // the WHOLE feed; n_commits pins seed append + exactly one
+    // maintenance upsert (the replay no-oped)
+    "x20_incremental_agg" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(2 AS BIGINT) AS n_commits
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // each cell is a count through a view DEFINITION, inlined here
     "x19_views" ->
       """WITH p AS (SELECT p_partkey, p_size FROM part),
