@@ -277,7 +277,38 @@ object Multimodal {
       .orderBy($"source", $"kind")
   }
 
+  /** MEDIA QUALITY FILTER (m08): the "drop broken media before
+    * training" gate — the multimodal analogue of t06's text rules,
+    * applied to the DECODED features (m01's extract): undersized
+    * payloads, degenerate aspect ratios (zero or >2:1 tall), and
+    * near-single-frame "videos". Every rule is integer arithmetic
+    * over the decode output, so the oracle reproduces it from the
+    * payload bytes exactly (the stub decoder's contract). In a real
+    * deployment the SAME report runs over real codec output — the
+    * rules and the plumbing (decode → flags → per-(source, mime)
+    * aggregate) are unchanged; only decodeStub's body swaps.
+    *
+    * Scale shape: one mapPartitions decode pass (no shuffle), one
+    * report aggregate with map-side combines. */
+  def m08MediaQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaCorpus(s, dir)).toDF()
+      .withColumn("ok_size", $"byte_len" >= 60)
+      .withColumn("ok_aspect",
+        !($"width" === 0 || $"height" === 0 || $"width" * 2 < $"height"))
+      .withColumn("ok_frames", $"n_frames" > 2)
+      .groupBy($"source", $"mime")
+      .agg(count(lit(1)).as("n_items"),
+        count(when(!$"ok_size", 1)).as("n_fail_size"),
+        count(when(!$"ok_aspect", 1)).as("n_fail_aspect"),
+        count(when(!$"ok_frames", 1)).as("n_fail_frames"),
+        count(when($"ok_size" && $"ok_aspect" && $"ok_frames", 1))
+          .as("n_pass"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_media_quality" -> (m08MediaQualityFilter _),
     "m07_contrastive_pairs" -> (m07ContrastivePairs _),
     "m06_scene_detect" -> (m06SceneDetect _),
     "m01_media_features" -> (m01MediaFeatures _),
@@ -325,6 +356,23 @@ object Multimodal {
       |  WHERE hamming <= $MaxHamming)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // strlen = BYTES (the payload is text cast to binary), mirroring
+    // decodeStub's width/height/frames arithmetic exactly
+    "m08_media_quality" ->
+      """WITH f AS (
+        |  SELECT source, 'text/plain' AS mime, strlen(text) AS len,
+        |    strlen(text) % 640 AS w, (strlen(text) * 7) % 480 AS h,
+        |    strlen(text) % 16 + 1 AS nf
+        |  FROM documents)
+        |SELECT source, mime, count(*) AS n_items,
+        |  CAST(count(*) FILTER (len < 60) AS BIGINT) AS n_fail_size,
+        |  CAST(count(*) FILTER (w = 0 OR h = 0 OR w * 2 < h) AS BIGINT)
+        |    AS n_fail_aspect,
+        |  CAST(count(*) FILTER (nf <= 2) AS BIGINT) AS n_fail_frames,
+        |  CAST(count(*) FILTER (len >= 60
+        |    AND NOT (w = 0 OR h = 0 OR w * 2 < h) AND nf > 2) AS BIGINT)
+        |    AS n_pass
+        |FROM f GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "m07_contrastive_pairs" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
         |negs AS (
