@@ -294,7 +294,42 @@ object AnalyticQueries {
       .orderBy($"cohort_day", $"offset_days")
   }
 
+  /** Forward-fill / LOCF gap-filling (q51): a daily per-user series
+    * densified over the full date spine, missing days carrying the
+    * last observation forward — the time-series preparation step
+    * (feature tables, billing snapshots) SQL engines spell as
+    * `last_value IGNORE NULLS` over a generated calendar. Per-day
+    * winner among same-day events is max(ts, event_id) — a struct-max
+    * AGGREGATE; the LOCF window rides the (user, day) spine, whose
+    * row count is users × days, not events. Values are integer cents
+    * (fixed-point contract). At 100 TB the spine join and the window
+    * both shuffle by user_id once — Catalyst shares the exchange. */
+  def q51ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").filter($"user_id" < 20)
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    val daily = ev.groupBy($"user_id", $"day")
+      .agg(max(struct($"ts", $"event_id", $"cents")).as("m"))
+      .select($"user_id", $"day", $"m.cents".as("obs_cents"))
+    val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("carried", last($"obs_cents", ignoreNulls = true).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        count($"obs_cents").as("n_obs_days"),
+        (count($"carried") - count($"obs_cents")).as("n_filled_days"),
+        sum($"carried").as("carried_total_cents"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_forward_fill" -> (q51ForwardFill _),
     "q49_scd2" -> (q49Scd2 _),
     "q50_cohort_retention" -> (q50CohortRetention _),
     "q41_rank_family" -> (q41RankFamily _),
@@ -315,6 +350,29 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_forward_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 20),
+        |daily AS (SELECT user_id, day, cents AS obs_cents FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |spine AS (SELECT u.user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, b),
+        |filled AS (SELECT s.user_id, s.day, d.obs_cents,
+        |    last_value(d.obs_cents IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, count(*) AS n_days, count(obs_cents) AS n_obs_days,
+        |  CAST(count(carried) - count(obs_cents) AS BIGINT)
+        |    AS n_filled_days,
+        |  CAST(sum(carried) AS BIGINT) AS carried_total_cents
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q49_scd2" ->
       """SELECT o_custkey AS custkey,
         |  CAST(row_number() OVER w AS BIGINT) AS version,
