@@ -113,7 +113,103 @@ object SampleQueries {
       .orderBy($"lang")
   }
 
+  // d22: export shard count (tens of thousands at 100 TB; 8 binds here)
+  private val NumShards = 8
+  private val ShuffleSeed = "seed42:"
+
+  /** Deterministic corpus shuffle + balanced shard assignment (d22):
+    * the step between a curated corpus and training files. Every doc
+    * gets a cryptographic shuffle key md5(seed ‖ doc_id); its SHARD is
+    * an integer hash of the same key (uniform in expectation — no
+    * count-first pass, no global coordination) and its POSITION is the
+    * key-order rank within the shard. Same seed ⇒ byte-identical
+    * shards on retry, on another engine, after a re-cluster — which is
+    * why the report pins a position-weighted checksum, not just
+    * counts. Changing the seed is a full epoch re-shuffle.
+    *
+    * Scale shape: this IS the physical export plan —
+    * `repartition(shard)` + `sortWithinPartitions(key)` + write; the
+    * window partitioned by shard ordered by key is that same
+    * shuffle+sort expressed relationally (one exchange, each shard
+    * sorts independently; no global sort, no single-partition window).
+    * At 100 TB the shard count scales with the cluster and each
+    * shard's sort is one task's spill-friendly local sort. */
+  def d22ShuffleExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = docs(s, dir).select($"doc_id", $"n_chars",
+      md5(concat(lit(ShuffleSeed), $"doc_id".cast("string"))).as("k"))
+      .withColumn("shard",
+        conv(substring($"k", 1, 8), 16, 10).cast("long") % NumShards)
+    val w = Window.partitionBy($"shard").orderBy($"k", $"doc_id")
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"k").as("first_key"),
+        max($"k").as("last_key"),
+        sum($"pos" * ($"doc_id" % 997L)).as("order_checksum"))
+      .orderBy($"shard")
+  }
+
+  // d23: target mix by language (basis points, sums to 10000) and the
+  // token budget as a fraction of the corpus (half of it here)
+  private val MixRecipe: Seq[(String, Long)] =
+    Seq("en" -> 4000L, "zh" -> 2000L, "de" -> 1500L, "fr" -> 1500L,
+      "es" -> 1000L)
+  private val MixBudgetBp = 5000L
+
+  /** Data-mixing recipe planner + applier (d23): given a DECLARED
+    * target distribution over languages and a total character budget,
+    * compute each language's sampling rate capped by availability
+    * (`min(1, target/avail)` — you cannot sample what is not there),
+    * apply it as a deterministic hash-Bernoulli keep, and report
+    * plan-vs-actual per language including the shortfall an
+    * under-supplied language leaves unfilled. This is the DoReMi/Dolma
+    *-style mixture step where a training run pins "40% en, 20% zh, …"
+    * against a crawl whose natural mix is different; d15 applies
+    * weights DERIVED from the corpus itself, d23 solves for rates
+    * against an EXTERNAL recipe — the planner in front of the sampler.
+    *
+    * Scale shape: availability is one partial-combining aggregate
+    * (|langs| rows); the 5-row plan BROADCASTS back onto the corpus
+    * scan, so applying the recipe is a second linear pass with no
+    * corpus shuffle at all; the report aggregate is |langs|-sized.
+    * Everything is fixed-point (chars BIGINT, rates in basis points,
+    * the keep decision an integer congruence) — byte-reproducible
+    * across engines and retries. */
+  def d23MixRecipe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val avail = d.groupBy($"lang")
+      .agg(sum($"n_chars").as("avail_chars"), count(lit(1)).as("avail_docs"))
+    val tot = d.agg(sum($"n_chars").as("total_chars"))
+    val recipe = MixRecipe.toDF("lang", "share_bp")
+    val plan = avail.join(broadcast(recipe), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .withColumn("target_chars",
+        expr(s"(total_chars * $MixBudgetBp div 10000) * share_bp div 10000"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("target_chars * 10000 div avail_chars")))
+    val sampled = d
+      .withColumn("u_bp", ($"doc_id" * 1103515245L + 12345L) % 10000L)
+      .join(broadcast(plan.select($"lang", $"rate_bp")), Seq("lang"))
+      .filter($"u_bp" < $"rate_bp")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"), sum($"n_chars").as("sampled_chars"))
+    plan.join(sampled, Seq("lang"), "left")
+      .select($"lang", $"share_bp", $"avail_chars", $"target_chars",
+        $"rate_bp",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"sampled_chars", lit(0L)).as("sampled_chars"),
+        greatest(lit(0L), $"target_chars" - $"avail_chars")
+          .as("shortfall_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_shuffle_export" -> (d22ShuffleExport _),
+    "d23_mix_recipe" -> (d23MixRecipe _),
     "d06_hash_sample" -> (d06HashSample _),
     "d07_stratified_sample" -> (d07StratifiedSample _),
     "d15_weighted_sample" -> (d15WeightedSample _),
@@ -121,6 +217,55 @@ object SampleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d22_shuffle_export" ->
+      s"""WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT *, ('0x' || substring(k, 1, 8))::BIGINT % $NumShards
+        |    AS shard FROM keyed),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |    ORDER BY k, doc_id) AS pos FROM sh)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(k) AS first_key, max(k) AS last_key,
+        |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "d23_mix_recipe" -> {
+      val recipeValues = MixRecipe
+        .map { case (l, bp) => s"('$l', ${bp}::BIGINT)" }.mkString(", ")
+      s"""WITH recipe(lang, share_bp) AS (VALUES $recipeValues),
+        |avail AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail_chars
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents),
+        |plan AS (
+        |  SELECT a.lang, r.share_bp, a.avail_chars,
+        |    CAST((tot.total_chars * $MixBudgetBp // 10000) * r.share_bp
+        |      // 10000 AS BIGINT) AS target_chars
+        |  FROM avail a JOIN recipe r ON a.lang = r.lang CROSS JOIN tot),
+        |plan2 AS (
+        |  SELECT *, CAST(least(10000, target_chars * 10000 // avail_chars)
+        |    AS BIGINT) AS rate_bp FROM plan),
+        |sampled AS (
+        |  SELECT d.lang, count(*) AS n_sampled,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars
+        |  FROM documents d JOIN plan2 p ON d.lang = p.lang
+        |  WHERE (d.doc_id * 1103515245 + 12345) % 10000 < p.rate_bp
+        |  GROUP BY d.lang)
+        |SELECT p.lang, p.share_bp, p.avail_chars, p.target_chars,
+        |  p.rate_bp,
+        |  coalesce(s.n_sampled, 0) AS n_sampled,
+        |  coalesce(s.sampled_chars, 0) AS sampled_chars,
+        |  CAST(greatest(0, p.target_chars - p.avail_chars) AS BIGINT)
+        |    AS shortfall_chars
+        |FROM plan2 p LEFT JOIN sampled s ON p.lang = s.lang
+        |ORDER BY p.lang""".stripMargin
+    },
     "d17_source_quota" ->
       s"""WITH r AS (
         |  SELECT doc_id, lang, source,

@@ -851,7 +851,44 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** Vocabulary coverage / OOV evaluation (t22): the top-[[VocabTopK]]
+    * induced vocabulary (t18's exact relation, shared via the session
+    * cache) scored against the corpus it was induced from — per
+    * (lang, source): token count, out-of-vocabulary occurrences, OOV
+    * rate in basis points, and distinct OOV types. This is the number
+    * that decides whether a tokenizer's vocab is big enough for a new
+    * data source before a training run wastes compute on `<unk>`
+    * floods — the t18→t22 pair mirrors s02→s10 (build, then measure
+    * the build), the evaluation-family pattern.
+    *
+    * Scale shape: the vocabulary BROADCASTS to the token stream (the
+    * corpus never shuffles by word — word frequency skew would hot-spot
+    * any word-keyed exchange); membership is a broadcast LEFT join with
+    * a null probe. The per-(lang, source) aggregate partial-combines
+    * map-side; the distinct-OOV-type count shuffles one row per
+    * (lang, source, distinct OOV word) — vocabulary-scale, not
+    * corpus-scale. Fixed-point contract: oov_bp is integral
+    * (`n_oov * 10000 div n_tokens`), nothing floats. */
+  def t22OovEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topVocab = vocabRel(s, dir)
+      .orderBy($"n_occ".desc, $"word").limit(VocabTopK)
+      .select($"word", lit(1L).as("in_vocab"))
+    val toks = t(s, dir, "documents")
+      .select($"lang", $"source", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    toks.join(broadcast(topVocab), Seq("word"), "left")
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when($"in_vocab".isNull, 1)).as("n_oov"),
+        countDistinct(when($"in_vocab".isNull, $"word")).as("n_oov_types"))
+      .withColumn("oov_bp", expr("n_oov * 10000 div n_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_oov_eval" -> (t22OovEval _),
     "t21_repetition_filters" -> (t21RepetitionFilters _),
     "t20_bpe_apply" -> (t20BpeApply _),
     "t19_lm_surprisal" -> (t19LmSurprisal _),
@@ -890,6 +927,31 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t22_oov_eval" ->
+      s"""WITH vocab AS (
+        |  SELECT word, count(*) AS n_occ
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |topv AS (
+        |  SELECT word FROM vocab
+        |  ORDER BY n_occ DESC, word LIMIT $VocabTopK),
+        |toks AS (
+        |  SELECT lang, source, word FROM (
+        |    SELECT lang, source,
+        |      unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '')
+        |SELECT lang, source,
+        |  count(*) AS n_tokens,
+        |  count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov,
+        |  count(DISTINCT CASE WHEN v.word IS NULL THEN toks.word END)
+        |    AS n_oov_types,
+        |  CAST(count(CASE WHEN v.word IS NULL THEN 1 END) * 10000
+        |    // count(*) AS BIGINT) AS oov_bp
+        |FROM toks LEFT JOIN topv v ON toks.word = v.word
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "t21_repetition_filters" ->
       s"""WITH docs AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS w,

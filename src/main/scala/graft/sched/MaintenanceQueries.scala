@@ -707,7 +707,43 @@ object MaintenanceQueries {
       .orderBy($"day", $"event_type")
   }
 
+  /** Snapshot diff (x21): [[graft.operators.SnapshotDiff]] driven over
+    * real table history — append, append, DELETE, UPDATE, then the
+    * materialized-state diff from two time-travel reads to the head.
+    * The two diffs pin complementary facts: s1→head sees the second
+    * append as ADDED and the delete as invisible (those keys postdate
+    * s1), while s2→head sees the delete as REMOVED; both see the
+    * UPDATE as CHANGED — net drift, where the x11 CDC read would
+    * replay the churn event by event. Every count is a key-range
+    * aggregate over the seeding parquet; n_commits pins the 4-commit
+    * sequence. */
+  private def snapshotDiffDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t0 = fixedClock(20000)
+    val df = seed(spark, sfDir)
+    val t = GraftTable.create(spark, freshDir("snapdiff"), df.schema)
+    t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)  // s1
+    val s1 = t.currentSnapshot.get.snapshotId
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t0)                                           // s2
+    val s2 = t.currentSnapshot.get.snapshotId
+    t.deleteWhere(col("p_partkey") > 140, t0)                        // s3
+    t.updateWhere(col("p_partkey") <= 20,
+      Map("p_size" -> (col("p_size") + 100)), t0)                    // s4
+    val head = t.read
+    val key = Seq("p_partkey")
+    def labeled(l: String, from: Long): DataFrame =
+      graft.operators.SnapshotDiff.summary(t.readAsOf(from), head, key)
+        .withColumn("diff", lit(l))
+    labeled("s1_to_head", s1).union(labeled("s2_to_head", s2))
+      .withColumn("n_commits", lit(t.snapshots.size.toLong))
+      .select($"diff", $"n_added", $"n_removed", $"n_changed",
+        $"n_unchanged", $"n_rows_from", $"n_rows_to", $"n_commits")
+      .orderBy($"diff")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_snapshot_diff" -> (snapshotDiffDemo _),
     "x20_incremental_agg" -> (incrementalAggDemo _),
     "x19_views" -> (viewsDemo _),
     "x18_tag_retention" -> (tagRetentionDemo _),
@@ -743,6 +779,32 @@ object MaintenanceQueries {
     * x13/x16 (hot-partition file layout derives from hash-shuffle
     * placement, not from data content). */
   val oracles: Map[String, String] = Map(
+    // every diff cell is a key-range count over the seeding parquet;
+    // the UPDATE touches keys <= 20, the DELETE keys 141..150, so
+    // s1→head must see adds-not-removes and s2→head the reverse
+    "x21_snapshot_diff" ->
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS n1,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 140 THEN 1 END)
+        |    AS add1,
+        |  count(CASE WHEN p_partkey <= 20 THEN 1 END) AS chg,
+        |  count(CASE WHEN p_partkey > 20 AND p_partkey <= 100 THEN 1 END)
+        |    AS unchg1,
+        |  count(CASE WHEN p_partkey <= 140 THEN 1 END) AS nto,
+        |  count(CASE WHEN p_partkey <= 150 THEN 1 END) AS n2,
+        |  count(CASE WHEN p_partkey > 140 AND p_partkey <= 150 THEN 1 END)
+        |    AS rem2,
+        |  count(CASE WHEN p_partkey > 20 AND p_partkey <= 140 THEN 1 END)
+        |    AS unchg2
+        |  FROM part)
+        |SELECT 's1_to_head' AS diff, add1 AS n_added,
+        |  CAST(0 AS BIGINT) AS n_removed, chg AS n_changed,
+        |  unchg1 AS n_unchanged, n1 AS n_rows_from, nto AS n_rows_to,
+        |  CAST(4 AS BIGINT) AS n_commits FROM c
+        |UNION ALL
+        |SELECT 's2_to_head', CAST(0 AS BIGINT), rem2, chg, unchg2, n2,
+        |  nto, CAST(4 AS BIGINT) FROM c
+        |ORDER BY diff""".stripMargin,
     // the maintained rollup must equal a from-scratch aggregation over
     // the WHOLE feed; n_commits pins seed append + exactly one
     // maintenance upsert (the replay no-oped)

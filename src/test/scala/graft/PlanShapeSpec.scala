@@ -730,6 +730,46 @@ class PlanShapeSpec extends SparkSpec {
       "the three per-doc signals join back on doc_id only")
   }
 
+  test("d22: shard window sorts locally — no global sort, bounded shuffles") {
+    val nodes = allNodes(
+      graft.ext.SampleQueries.queries("d22_shuffle_export")(spark, sf))
+    val sorts = nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    // the corpus-side window sort must be LOCAL (per-shard, per-task);
+    // the only global sort allowed is the 8-row report orderBy
+    assert(sorts.exists(!_.global),
+      "the shard window must sort within partitions")
+    assert(sorts.count(_.global) <= 1,
+      "only the shard-count-sized report may sort globally — the " +
+        "corpus itself must never range-partition through one ordering")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 2,
+      s"shard assignment + report agg need at most 2 exchanges, " +
+        s"got ${shuffles.size}")
+  }
+
+  test("d23: the 5-row mix plan broadcasts back onto the corpus scan") {
+    val nodes = allNodes(
+      graft.ext.SampleQueries.queries("d23_mix_recipe")(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the per-language rate table must broadcast — applying the " +
+        "recipe is a linear pass, never a corpus shuffle by lang")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("SortMergeJoin")),
+      "no corpus-side shuffle join anywhere in the mix plan")
+  }
+
+  test("t22: vocab membership is a broadcast probe over the token stream") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t22_oov_eval")(spark, sf))
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.exists(_.joinType.toString.contains("LeftOuter")),
+      "the top-K vocabulary must broadcast to the corpus tokens — " +
+        "word-frequency skew would hot-spot any word-keyed exchange " +
+        "of the corpus side")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")))
+  }
+
   test("MOR read: the position-delete anti-join broadcasts the delete side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
