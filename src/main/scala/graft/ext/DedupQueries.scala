@@ -637,11 +637,15 @@ object DedupQueries {
     * on non-first duplicated occurrences, so its width is L x
     * duplicated-text volume, not corpus volume; and the windows
     * relation is cached so the aggregate and the join-back share one
-    * materialization (pinned in PlanShapeSpec). At 100 TB the window
-    * key is the 64-bit rolling hash of the span instead of the string
-    * (same plan; the string keeps the oracle transparent — the t16
-    * contract). Reference anchor: BASELINE.json `north_star` dedup
-    * mandate; SURVEY.md §2.3. */
+    * materialization (pinned in PlanShapeSpec). The window key on the
+    * aggregate and the join-back is the 64-bit xxhash of the span, not
+    * the span string — the DevScale ×50 probe showed the string key
+    * shipping ~7× the bytes (window text dominating the dup-window
+    * shuffle); the hash key is collision-negligible at 2^64 and the
+    * DuckDB oracle keeps the transparent string spelling (identical
+    * result absent a 64-bit collision, which the gate verifies).
+    * Reference anchor: BASELINE.json `north_star` dedup mandate;
+    * SURVEY.md §2.3. */
   def d20ExactSubstringDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = t(s, dir, "documents")
@@ -653,12 +657,13 @@ object DedupQueries {
             sequence(lit(0), size($"words") - SubstrL),
             i => concat_ws(" ", slice($"words", i + 1, lit(SubstrL)))))
             .as(Seq("p", "win")))
+        .withColumn("wh", xxhash64($"win")).drop("win")
         .withColumn("pk", $"doc_id" * 1048576L + $"p")
     }
-    val dup = wins.groupBy($"win")
+    val dup = wins.groupBy($"wh")
       .agg(min($"pk").as("wk"), count(lit(1)).as("c"))
       .filter($"c" >= 2).drop("c")
-    val removed = wins.join(dup, "win")
+    val removed = wins.join(dup, "wh")
       .filter($"pk" > $"wk")
       .select($"doc_id",
         explode(sequence($"p", $"p" + SubstrL - 1)).as("pos"))
@@ -685,25 +690,47 @@ object DedupQueries {
     * Both "found" sides are the EXISTING query definitions composed,
     * so what gets measured is exactly what d03/d05 ship.
     *
-    * Scale shape: the ground truth is inherently all-pairs — that is
-    * WHY banded/blocked schemes exist — so at 100 TB this evaluation
-    * runs over a SAMPLED document subset (the standard protocol, as
-    * in s10's sampled queries); the truth join here covers the demo
-    * corpus exactly. The found sides and the comparison join stay
-    * bounded by pair-output size. */
+    * Scale shape: the ground truth is all-pairs SEMANTICS, but not an
+    * all-pairs JOIN — it runs as an exact prefix-filtered set-similarity
+    * join (Chaudhuri et al. 2006 prefix filtering; Vernica et al. 2010's
+    * MapReduce formulation): if J(A,B) >= t then, under any single global
+    * token order, the (|A| - ceil(t*|A|) + 1)-length prefixes of A and B
+    * share a token, because |A∩B| >= t*|A∪B| >= ceil(t*max(|A|,|B|)).
+    * Tokens are ordered rarest-first (corpus frequency, then token), so
+    * candidate generation is an equi-join on rare prefix tokens and the
+    * exact Jaccard verify touches candidates only — the same bounded-by-
+    * pair-output shape as d03/d05, with NO cartesian anywhere (pinned in
+    * PlanShapeSpec). The prefix order affects only which candidates are
+    * generated, never the verified result, so the DuckDB oracle keeps the
+    * transparent quadratic spelling — identical output by the exactness
+    * of the filter. */
   def d21DedupRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val TruthTh = 0.5 // weakest evaluated threshold; prefix sized to it
     val docs = cached(s, dir, "minhash_docs") {
       t(s, dir, "documents")
         .filter(size(split($"text", " ")) >= 3)
         .select($"doc_id", hashedShingles($"text").as("hs"))
     }
+    val tok = docs.select($"doc_id", size($"hs").as("n"),
+      explode($"hs").as("h"))
+    val freq = tok.groupBy($"h").agg(count(lit(1)).as("c"))
+    val byRarity = Window.partitionBy($"doc_id").orderBy($"c", $"h")
+    val prefix = tok.join(freq, "h")
+      .withColumn("r", row_number().over(byRarity))
+      .filter($"r" <= $"n" - ceil(lit(TruthTh) * $"n") + 1)
+      .select($"doc_id", $"h")
+    val cand = prefix.select($"doc_id".as("da"), $"h")
+      .join(prefix.select($"doc_id".as("db"), $"h"), "h")
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
     val a = docs.select($"doc_id".as("da"), $"hs".as("sa"))
     val b = docs.select($"doc_id".as("db"), $"hs".as("sb"))
     val inter = size(array_intersect($"sa", $"sb")).cast("double")
-    val truthAll = a.join(b, $"da" < $"db")
+    val truthAll = cand.join(a, "da").join(b, "db")
       .withColumn("jac",
         round(inter / (size($"sa") + size($"sb") - inter), 6))
+      .filter($"jac" >= TruthTh)
     def recallOf(scheme: String, truthTh: Double,
                  found: DataFrame): DataFrame =
       truthAll.filter($"jac" >= truthTh).select($"da", $"db")

@@ -664,6 +664,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!all.exists(
       _.getClass.getSimpleName.contains("CartesianProduct")),
       "the cover join is an equi-join on the window key — never all-pairs")
+    // every exchange on the dup-window path (anything carrying the span
+    // key `wh` or the position key `pk`) ships fixed-width longs only —
+    // the 8-word window TEXT never rides a shuffle
+    val winShuffles = all.collect { case sh: ShuffleExchangeExec
+      if sh.output.exists(a => a.name == "wh" || a.name == "pk") => sh }
+    assert(winShuffles.nonEmpty, "expected the dup-key hash-aggregate exchange")
+    assert(winShuffles.forall(!_.output.exists(a => a.name == "win" ||
+      a.dataType == org.apache.spark.sql.types.StringType)),
+      "the dup aggregate and join-back key on the 64-bit span hash — " +
+        "window TEXT never rides an exchange")
+  }
+
+  test("d21: ground truth is the prefix-filtered similarity join — no all-pairs anywhere") {
+    val outer = allNodes(
+      graft.ext.DedupQueries.queries("d21_dedup_recall")(spark, sf))
+    val all = outer ++ outer.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im.relation.cachedPlan
+    }.flatMap(walkPlan)
+    assert(!all.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct") ||
+        n.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "truth candidates come from the rare-prefix-token equi-join " +
+        "(Vernica et al. 2010) — the corpus is never paired all-against-all")
   }
 
   test("s09: benchmark sides broadcast; no array column rides any exchange") {
