@@ -93,6 +93,14 @@ object DevScale {
     // regime q49's "one window over one key exchange" claim lives in
     val orderQueries = Set("q49_scd2")
     if (names.exists(orderQueries)) {
+      // the copy strides must clear the real key ranges or copies would
+      // silently alias into base keys (TPC-H orderkeys pass 1e8 around
+      // sf>=17) and corrupt the synthesized distribution
+      val mx = spark.read.parquet(s"$base/orders.parquet")
+        .agg(max(col("o_orderkey")), max(col("o_custkey"))).collect()(0)
+      require(mx.getAs[Number](0).longValue < 100000000L &&
+        mx.getAs[Number](1).longValue < 10000000L,
+        s"order key ranges exceed the copy strides: $mx")
       spark.read.parquet(s"$base/orders.parquet")
         .select(col("*"), copies)
         .select(

@@ -104,7 +104,7 @@ object AnalyzeIncremental {
         col(s"kll:${f.name}").as("kll_sketch"))
     }: _*)
     val rows = perFile.select(
-        udf((s: String) => GraftTable.normalize(s)).apply(col("raw_path")).as("path"),
+        org.apache.spark.sql.graft.CatalystShims.normalizePath(col("raw_path")).as("path"),
         col("n_rows"), explode(entries).as("e"))
       .select(col("path"), col("e.column_name"), col("n_rows"),
         col("e.n_nonnull"), col("e.ndv_sketch"), col("e.min_str"),

@@ -555,14 +555,23 @@ object DedupQueries {
     * shuffle joins, and the shape that stays cheap when the benchmark
     * set outgrows a broadcast hash table (a bloom is ~10 bits/item vs
     * ~100+ bytes/entry). */
+  /** The benchmark's distinct shingle set — the decontamination probe
+    * side, cached once per session and shared by d18 and the streaming
+    * st08 (same filter, same shingles: the stream must flag exactly the
+    * documents the batch pass flags). */
+  private[graft] def benchShingleRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cached(s, dir, "d18_bench") {
+      t(s, dir, "documents").filter($"doc_id" % 50 === 0)
+        .select(explode(hashedShingles($"text")).as("sh")).distinct()
+    }
+  }
+
   def d18BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = t(s, dir, "documents")
-    val bench = cached(s, dir, "d18_bench") {
-      docs.filter($"doc_id" % 50 === 0)
-        .select(explode(hashedShingles($"text")).as("sh")).distinct()
-    }
+    val bench = benchShingleRel(s, dir)
     val corpus = docs.filter($"doc_id" % 50 =!= 0)
     // size the sketch from the actual benchmark cardinality (a count
     // over the persisted small side): a fixed capacity would silently

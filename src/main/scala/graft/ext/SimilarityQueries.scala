@@ -590,7 +590,7 @@ object SimilarityQueries {
     brute.join(ivf, Seq("query_id", "vec_id"), "left")
       .groupBy($"query_id")
       .agg(count($"ivf_rn").as("hits"))
-      .withColumn("recall_bp", $"hits" * lit(10000 / TopK))
+      .withColumn("recall_bp", expr(s"hits * 10000 div $TopK"))
       .orderBy($"query_id")
   }
 
@@ -965,7 +965,7 @@ object SimilarityQueries {
       s"""WITH brute AS (SELECT query_id, vec_id FROM ($s01OracleSql)),
         |ivf AS (SELECT query_id, vec_id FROM ($s02OracleSql))
         |SELECT b.query_id, count(i.vec_id) AS hits,
-        |  CAST(count(i.vec_id) * ${10000 / TopK} AS BIGINT) AS recall_bp
+        |  CAST(count(i.vec_id) * 10000 // $TopK AS BIGINT) AS recall_bp
         |FROM brute b LEFT JOIN ivf i
         |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,

@@ -761,9 +761,19 @@ object TextQueries {
     * aggregate with map-side combines. At 100 TB this is the 1000-rule
     * GPT-2-style table in the same unrolled form, or a native
     * Expression looping the table — the plan shape is identical. */
-  def t20BpeApply(s: SparkSession, dir: String): DataFrame = {
+  def t20BpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeReport(s, dir, BpeMerges)
+
+  /** the shared tokenize-and-report projection: apply an ordered merge
+    * table (driver literals inside one codegen'd expression tree) to
+    * every word and aggregate the per-(lang, source) compression
+    * report. Shared by t20 (shipped constant table) and t24 (the table
+    * t23 just learned). `merges` tokens are UNMARKED (as t23 emits
+    * them); the marker is added here. */
+  private def bpeReport(s: SparkSession, dir: String,
+                        merges: Seq[(String, String)]): DataFrame = {
     import s.implicits._
-    def bpe(w: Column): Column = BpeMerges.foldLeft(
+    def bpe(w: Column): Column = merges.foldLeft(
       regexp_replace(w, lit("(.)"), lit("_$1 "))) { case (c, (a, b)) =>
       replace(c, lit(s"_$a _$b "), lit(s"_$a$b "))
     }
@@ -887,7 +897,95 @@ object TextQueries {
       .orderBy($"lang", $"source")
   }
 
+  private val BpeTrainRounds = 8
+
+  /** marked-char encoded vocabulary: one row per distinct word with its
+    * corpus count and t20's `_c _c … ` token encoding — BPE training's
+    * working set. Built from the cached [[vocabRel]], so the corpus is
+    * scanned once per session across t18/t19/t22/t23. */
+  private[graft] def t23EncodedVocab(s: SparkSession, dir: String): DataFrame =
+    vocabRel(s, dir).select(col("n_occ"),
+      regexp_replace(col("word"), lit("(.)"), lit("_$1 ")).as("enc"))
+
+  /** adjacent-pair counts over an encoded vocab: explode each word's
+    * token sequence to (a, b) pairs, weight by the word's corpus count,
+    * hash-aggregate. The whole round is ONE aggregate over the
+    * VOCABULARY relation — never the corpus. */
+  private[graft] def t23PairCounts(enc: DataFrame): DataFrame = {
+    val toks = split(trim(col("enc")), " ")
+    enc.filter(size(toks) >= 2)
+      .select(col("n_occ"), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"),
+          element_at(toks, i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n_occ")).as("c"))
+  }
+
+  /** BPE MERGE-TABLE INDUCTION (t23): learn the merge rules t20 applies
+    * — the build half of the tokenizer pair (t18→t22 is build→measure
+    * for the vocab; t23→t20 is train→apply for BPE). Classic Sennrich
+    * et al. 2016 training: for [[BpeTrainRounds]] rounds, count adjacent
+    * token pairs over the word-frequency table (weighted by word count),
+    * take the most frequent pair (ties: count desc, then pair asc — a
+    * total order), record it as the next rule, and merge it everywhere
+    * via t20's marked-char string replace. Output is the ordered merge
+    * table (step, token_a, token_b, n_pair) — all integral.
+    *
+    * Scale shape: training runs over the VOCABULARY (the cached t18
+    * word-count relation — one corpus scan per session), never the
+    * corpus: each round is one explode+hash-aggregate over |vocab| rows
+    * with map-side combines, a top-1 TakeOrdered (never a global sort),
+    * and a 1-row collect — the d13 driver-literal pattern (the merge
+    * list is O(rounds) metadata, exactly what a production BPE trainer
+    * ships between iterations). The chosen rule re-encodes the vocab as
+    * a pure projection. At 100 TB only the one-off vocab build touches
+    * the corpus; rounds cost O(|vocab|) each, independent of corpus
+    * size. The pair aggregate is aggregate-only (no corpus window) —
+    * pinned in PlanShapeSpec. */
+  def t23BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var enc = t23EncodedVocab(s, dir)
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeTrainRounds && !exhausted) {
+      t23PairCounts(enc).orderBy($"c".desc, $"a", $"b").limit(1)
+        .collect().headOption match {
+        case Some(r) =>
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          rules += ((step.toLong, a.stripPrefix("_"), b.stripPrefix("_"), c))
+          enc = enc.withColumn("enc",
+            replace($"enc", lit(s"$a $b "), lit(s"$a${b.stripPrefix("_")} ")))
+          step += 1
+        case None => exhausted = true
+      }
+    }
+    rules.result().toDF("step", "token_a", "token_b", "n_pair")
+      .orderBy($"step")
+  }
+
+  /** LEARNED-BPE APPLICATION (t24): tokenize the corpus with the merge
+    * table [[t23BpeTrain]] just induced — the full train→apply loop
+    * closed on REAL learned rules (t20 applies a shipped constant
+    * table; here the table is the trainer's own output, so the
+    * compression report measures the trained tokenizer, the
+    * curation-loop pattern of d15/t10). The merge list arrives as
+    * driver literals — O(rounds) metadata, exactly how a trained merges
+    * file ships to executors — so the application stays t20's pure
+    * projection (pinned: one corpus scan, no join, no explode, no
+    * window). Contract: the corpus must support [[BpeTrainRounds]]
+    * rounds (a corpus so degenerate that pair counting runs dry would
+    * apply fewer rules). */
+  def t24LearnedBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = t23BpeTrain(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeReport(s, dir, merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_learned_bpe_apply" -> (t24LearnedBpeApply _),
+    "t23_bpe_train" -> (t23BpeTrain _),
     "t22_oov_eval" -> (t22OovEval _),
     "t21_repetition_filters" -> (t21RepetitionFilters _),
     "t20_bpe_apply" -> (t20BpeApply _),
@@ -926,7 +1024,80 @@ object TextQueries {
     s"replace($c, '_$a _$b ', '_$a$b ')"
   }
 
+  /** DuckDB twin of [[t23BpeTrain]]: the iterative trainer unrolled as
+    * one CTE chain per round — pair counts over v{r-1}, top-1 by the
+    * identical (count desc, pair asc) total order, re-encode via the
+    * identical replace. DuckDB range() is end-exclusive and lists are
+    * 1-based, so `i in range(1, len(t))` pairs t[i] with t[i+1]. */
+  private lazy val t23CteBlock: String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT count(*)::BIGINT AS n_occ,
+        |    regexp_replace(word, '(.)', '_\1 ', 'g') AS enc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""p$r AS (
+        |  SELECT t[i] AS a, t[i+1] AS b, sum(n_occ) AS c
+        |  FROM (SELECT n_occ, t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT n_occ, string_split(trim(enc), ' ') AS t
+        |              FROM v${r - 1}))
+        |  GROUP BY t[i], t[i+1]),
+        |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+        |v$r AS (
+        |  SELECT n_occ,
+        |    replace(enc, m.a || ' ' || m.b || ' ',
+        |            m.a || substring(m.b, 2) || ' ') AS enc
+        |  FROM v${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"$v0,\n$rounds"
+  }
+
+  private lazy val t23OracleSql: String = {
+    val steps = (1 to BpeTrainRounds).map { r =>
+      s"""SELECT $r::BIGINT AS step, substring(a, 2) AS token_a,
+        |  substring(b, 2) AS token_b, c::BIGINT AS n_pair FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"WITH $t23CteBlock\n$steps\nORDER BY step"
+  }
+
+  /** DuckDB twin of [[t24LearnedBpeApply]]: the t23 trainer CTE chain,
+    * the 8 learned rules pivoted to one row of scalar subqueries, and
+    * t20's application/report shape folding replaces over those
+    * columns (lambdas may reference row columns; subqueries may not
+    * appear inside a lambda body, hence the pivot). */
+  private lazy val t24OracleSql: String = {
+    val mm = (1 to BpeTrainRounds).map(r =>
+      s"(SELECT a FROM m$r) AS a$r, (SELECT b FROM m$r) AS b$r")
+      .mkString(", ")
+    val chain = (1 to BpeTrainRounds).foldLeft(
+      """regexp_replace(w, '(.)', '_\1 ', 'g')""") { (c, r) =>
+      s"replace($c, a$r || ' ' || b$r || ' ', a$r || substring(b$r, 2) || ' ')"
+    }
+    s"""WITH $t23CteBlock,
+      |mm AS (SELECT $mm),
+      |perdoc AS (
+      |  SELECT lang, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS n_words,
+      |    length(replace(text, ' ', '')) AS n_chars,
+      |    list_sum(list_transform(
+      |      list_filter(string_split(text, ' '), x -> x <> ''),
+      |      w -> len(string_split(trim($chain), ' ')))) AS n_bpe
+      |  FROM documents, mm)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS words_total,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(n_bpe) * 10000 // sum(n_chars) AS BIGINT)
+      |    AS tokens_per_char_bp
+      |FROM perdoc GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t24_learned_bpe_apply" -> t24OracleSql,
+    "t23_bpe_train" -> t23OracleSql,
     "t22_oov_eval" ->
       s"""WITH vocab AS (
         |  SELECT word, count(*) AS n_occ

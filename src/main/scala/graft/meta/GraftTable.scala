@@ -589,7 +589,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       spark.createDataset(group.map(g => (g.path, g.intro)))
         .toDF(MorJoinCol, MorEqSnapCol))
     spark.read.schema(eqKeySchema(group.head)).parquet(group.map(_.path): _*)
-      .withColumn(MorJoinCol, normalizeUdf(col("_metadata.file_path")))
+      .withColumn(MorJoinCol, normalizeCol(col("_metadata.file_path")))
       .join(introDf, Seq(MorJoinCol))
       .withColumn(MorEqSnapCol,
         coalesce(col(EqIntroCol), col(MorEqSnapCol)))
@@ -777,7 +777,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           val cols = base.columns.toSeq.map(col)
           val df = base.filter(matched)
             .select(cols :+
-              normalizeUdf(col("_metadata.file_path")).as(MorPathCol) :+
+              normalizeCol(col("_metadata.file_path")).as(MorPathCol) :+
               col("_metadata.row_index").as(MorPosCol): _*)
           applyDeletes(cur, df, MorPathCol, MorPosCol, pairs)
         } else // evolved tables: aligned multi-generation scan
@@ -1356,7 +1356,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                                       posCol: Option[String] = None): DataFrame = {
     val cur = schema
     def pathProj(df: DataFrame): Seq[Column] =
-      pathCol.map(n => normalizeUdf(col("_metadata.file_path")).as(n)).toSeq ++
+      pathCol.map(n => normalizeCol(col("_metadata.file_path")).as(n)).toSeq ++
         posCol.map(n => col("_metadata.row_index").as(n)).toSeq
     if (pathsWithAdded.isEmpty) {
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
@@ -1805,7 +1805,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .agg(count(lit(1)).as("record_count"), nullMap.as("null_counts"),
         boundMap(min).as("min_values"), boundMap(max).as("max_values"),
         bloomMap.as("blooms"))
-      .withColumn("path", normalizeUdf(col("path")))
+      .withColumn("path", normalizeCol(col("path")))
     // NOT broadcast: with blooms configured the counts side carries
     // filter bytes per file — a shuffle of manifest-sized rows is the
     // scale-safe shape (AQE coalesces the tiny case anyway)
@@ -2510,8 +2510,8 @@ object GraftTable {
   /** `file:///a/b` and `file:/a/b` both → `file:/a/b`. */
   def normalize(p: Path): String = p.toString
   def normalize(s: String): String = new Path(s).toString
-  private[meta] val normalizeUdf =
-    udf((s: String) => normalize(s))
+  private[meta] def normalizeCol(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.CatalystShims.normalizePath(c)
 
   def create(spark: SparkSession, location: String, schema: StructType,
              partitionBy: Seq[PartitionField] = Seq.empty): GraftTable = {

@@ -328,7 +328,54 @@ object AnalyticQueries {
       .orderBy($"user_id")
   }
 
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  /** ORDERED-SEQUENCE FUNNEL (q52): how many users complete
+    * view → click → purchase in strict timestamp order — the
+    * event-sequence analytics shape (product funnels, attrition
+    * analysis) that SQL engines often reach for MATCH_RECOGNIZE to
+    * express. Stage k's entry time is the user's EARLIEST stage-k event
+    * that is strictly later than their stage-(k-1) entry time (earliest-
+    * entry semantics — the standard funnel definition, deterministic
+    * without tie-breaks because each stage time is a min).
+    *
+    * Scale shape: NO per-user event-list materialization and no window
+    * — stage k is one conditional min-aggregate per user co-partitioned
+    * with a key-equi join against stage k-1's (user, ts) rows, all on
+    * the user_id key, so the events table shuffles once per stage and
+    * the join side is one row per surviving user (shrinking every
+    * stage). At 100 TB the funnel is K hash-aggregates over an
+    * ever-smaller keyed relation — never a sort or a sessionized scan.
+    * Output: one row per stage with entrants and conversion from stage
+    * one, in basis points (integral — nothing floats). */
+  def q52Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    // stage 1: earliest 'view' per user
+    var stage = ev.filter($"event_type" === FunnelStages.head)
+      .groupBy($"user_id").agg(min($"ts").as("entered"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += stage.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit(FunnelStages.head).as("event_type"),
+        $"n_users")
+    FunnelStages.zipWithIndex.drop(1).foreach { case (et, i) =>
+      stage = ev.filter($"event_type" === et)
+        .join(stage.select($"user_id", $"entered".as("prev")), "user_id")
+        .filter($"ts" > $"prev" && $"ts" <= $"prev" + expr("INTERVAL 1 DAY"))
+        .groupBy($"user_id").agg(min($"ts").as("entered"))
+      counts += stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(et).as("event_type"), $"n_users")
+    }
+    val top = counts.result().reduce(_ unionByName _)
+    val first = top.filter($"stage" === 1).select($"n_users".as("n_first"))
+    top.crossJoin(broadcast(first))
+      .withColumn("conversion_bp", expr("n_users * 10000 div n_first"))
+      .select($"stage", $"event_type", $"n_users", $"conversion_bp")
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_funnel" -> (q52Funnel _),
     "q51_forward_fill" -> (q51ForwardFill _),
     "q49_scd2" -> (q49Scd2 _),
     "q50_cohort_retention" -> (q50CohortRetention _),
@@ -350,6 +397,32 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS entered FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS entered
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.entered
+        |    AND e.ts <= s1.entered + INTERVAL 1 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS entered
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.entered
+        |    AND e.ts <= s2.entered + INTERVAL 1 DAY
+        |  GROUP BY e.user_id),
+        |top AS (
+        |  SELECT 1::BIGINT AS stage, 'view' AS event_type,
+        |    count(*)::BIGINT AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage, event_type, n_users,
+        |  CAST(n_users * 10000 //
+        |    (SELECT n_users FROM top WHERE stage = 1) AS BIGINT)
+        |    AS conversion_bp
+        |FROM top ORDER BY stage""".stripMargin,
     "q51_forward_fill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents

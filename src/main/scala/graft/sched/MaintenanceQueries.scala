@@ -639,9 +639,17 @@ object MaintenanceQueries {
     val nSwapped = sql("SELECT count(*) AS c FROM small").get
       .collect()(0).getLong(0)
     sql("DROP VIEW tiny")
+    // only the EXPECTED missing-view failure counts as "gone" — a
+    // blanket catch would score any unrelated breakage as the oracle
+    // value and mask a real regression
     val tinyGone =
       try { sql("SELECT * FROM tiny").get.count(); 0L }
-      catch { case _: Exception => 1L }
+      catch { // the dropped view resolves as a (missing) table
+        case e: java.io.FileNotFoundException
+          if e.getMessage.contains("/tiny/") => 1L
+        case e: IllegalArgumentException
+          if e.getMessage.contains("no graft") => 1L
+      }
     import spark.implicits._
     Seq((nSmall, nTiny, nSmallAfter, nSwapped, tinyGone))
       .toDF("n_small", "n_tiny", "n_small_after_append", "n_swapped",

@@ -164,14 +164,6 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
     else Some(lit(CatalystTypeConverters.createToScalaConverter(a.dataType)(v))
       .cast(a.dataType))
 
-  /** Deserialize-and-probe for per-file blooms. Runs once per MANIFEST
-    * row (i.e. per data file) inside the distributed listFiles job —
-    * the data files themselves are never touched. */
-  private val bloomProbe = udf((bytes: Array[Byte], hash: Long) =>
-    bytes == null || org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
-      .mightContainLong(hash))
-
   /** `a = v`: keep iff [min, max] covers v (missing bounds → keep) AND,
     * when the file carries a bloom filter for the column
     * (`write.bloom-filter.columns`), the bloom might contain v — the
@@ -187,7 +179,9 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
       val bloom = element_at(col("blooms"), a.name)
       val hash = org.apache.spark.sql.graft.CatalystShims
         .xxHash64Literal(v, a.dataType)
-      bounds && (bloom.isNull || bloomProbe(bloom, lit(hash)))
+      // codegen'd per-row probe (BloomProbe expression) — a Scala UDF
+      // here would break whole-stage codegen for the whole listFiles job
+      bounds && org.apache.spark.sql.graft.CatalystShims.bloomProbe(bloom, hash)
     }
 
   private def anyOverlap(a: AttributeReference, vs: Seq[Any]): Option[Column] = {

@@ -53,15 +53,42 @@ import graft.meta.GraftTable
 object GraftSql {
 
   /** Execute one statement. Returns a DataFrame for queries
-    * (SELECT / SHOW STATS), None for DDL, DML and maintenance commands. */
+    * (SELECT / SHOW STATS), None for DDL, DML and maintenance commands.
+    * `warehouse` is the catalog root directory for the listing
+    * statements (SHOW TABLES / SHOW SCHEMAS); statements that name a
+    * table resolve through `resolve` as before and don't need it. */
   def exec(spark: SparkSession, sql: String, resolve: String => GraftTable,
-           clock: Clock = Clock.systemUTC()): Option[DataFrame] = {
+           clock: Clock = Clock.systemUTC(),
+           warehouse: Option[String] = None): Option[DataFrame] = {
+    import spark.implicits._
     // Trino-spelled scalar/aggregate functions resolve in every
     // dispatcher statement (codegen'd Catalyst mappings, not UDFs)
     graft.functions.TrinoCompat.ensureRegistered(spark)
+    // Trino rejects writes against a view explicitly ("is not a table");
+    // without this guard they'd only fail incidentally on the missing
+    // snapshot log
+    def notView(t: GraftTable, name: String): GraftTable = {
+      require(viewText(spark, t.location).isEmpty,
+        s"cannot modify a view: ${unquote(name)} is not a table")
+      t
+    }
     normalize(sql) match {
+      case ShowSchemas() =>
+        Some(listWarehouse(spark, warehouseRoot(warehouse, sql),
+          tables = false).toDF("Schema"))
+      case ShowTables(from) =>
+        val root = warehouseRoot(warehouse, sql)
+        val base = Option(from).map(sc => s"$root/${unquote(sc)}")
+          .getOrElse(root)
+        if (from != null) { // unknown schema fails loudly, as in Trino
+          val p = new org.apache.hadoop.fs.Path(base)
+          require(p.getFileSystem(spark.sessionState.newHadoopConf())
+            .isDirectory(p), s"schema not found: ${unquote(from)}")
+        }
+        Some(listWarehouse(spark, base, tables = true).toDF("Table"))
       case AlterExec(t, op, args, where) =>
-        alterExec(resolve(unquote(t)), op, Option(args), Option(where), clock)
+        alterExec(notView(resolve(unquote(t)), t), op, Option(args),
+          Option(where), clock)
         None
       case AlterSetProps(t, props) =>
         props.trim match {
@@ -79,14 +106,15 @@ object GraftSql {
         }
         None
       case AnalyzeStmt(t, cols) =>
-        resolve(unquote(t)).analyze(Option(cols).map(parseStringArray), clock)
+        notView(resolve(unquote(t)), t)
+          .analyze(Option(cols).map(parseStringArray), clock)
         None
       case ShowStats(t) => Some(resolve(unquote(t)).stats)
       case DescribeStmt(t) => Some(describe(spark, resolve(unquote(t))))
       case ShowCreate(t) =>
         Some(showCreate(spark, resolve(unquote(t)), unquote(t)))
       case UpdateStmt(t, sets, where) =>
-        update(resolve(unquote(t)), sets.trim, where.trim, clock)
+        update(notView(resolve(unquote(t)), t), sets.trim, where.trim, clock)
         None
       case CreateStmt(ifNotExists, t, colDefs, withProps) =>
         val target = resolve(unquote(t))
@@ -97,6 +125,8 @@ object GraftSql {
         None
       case DropStmt(ifExists, t) =>
         val table = resolve(unquote(t))
+        require(viewText(spark, table.location).isEmpty,
+          s"${unquote(t)} is a view — use DROP VIEW")
         if (GraftTable.exists(spark, table.location)) table.drop()
         else require(ifExists != null, s"no graft table at ${table.location}")
         None
@@ -162,7 +192,7 @@ object GraftSql {
         }
         None
       case InsertSelect(t, colList, body) =>
-        val target = resolve(unquote(t))
+        val target = notView(resolve(unquote(t)), t)
         val df = selectBody(spark, resolve, body)
         Option(colList) match {
           case None => // full-row: names and types must match exactly
@@ -193,32 +223,38 @@ object GraftSql {
         }
         None
       case InsertStmt(t, cols, values) =>
-        insert(spark, resolve(unquote(t)), Option(cols), values, clock); None
+        insert(spark, notView(resolve(unquote(t)), t), Option(cols), values,
+          clock); None
       case DeleteStmt(t, where) =>
-        delete(spark, resolve, resolve(unquote(t)), Option(where), clock); None
+        delete(spark, resolve, notView(resolve(unquote(t)), t), Option(where),
+          clock); None
       case TruncateStmt(t) => // Trino TRUNCATE: remove every row, keep history
-        resolve(unquote(t)).deleteWhere(lit(true), clock); None
+        notView(resolve(unquote(t)), t).deleteWhere(lit(true), clock); None
       case MergeStmtSub(t, tAlias, body, sAlias, on, whenTail) =>
         // derived-table source (Trino: USING (query) AS alias ON ...):
         // the body runs through the same resolver as any SELECT
-        merge(spark, resolve(unquote(t)), selectBody(spark, resolve, body),
+        merge(spark, notView(resolve(unquote(t)), t),
+          selectBody(spark, resolve, body),
           Option(tAlias).getOrElse(unquote(t)), sAlias,
           on, whenTail, clock)
         None
       case MergeStmt(t, tAlias, s, sAlias, on, whenTail) =>
-        merge(spark, resolve(unquote(t)), resolve(unquote(s)).read,
+        merge(spark, notView(resolve(unquote(t)), t), resolve(unquote(s)).read,
           Option(tAlias).getOrElse(unquote(t)),
           Option(sAlias).getOrElse(unquote(s)),
           on, whenTail, clock)
         None
       case AlterAddCol(t, c, tpe) =>
-        resolve(unquote(t)).addColumn(unquote(c), parseType(tpe.trim)); None
+        notView(resolve(unquote(t)), t)
+          .addColumn(unquote(c), parseType(tpe.trim)); None
       case AlterRenameCol(t, from, to) =>
-        resolve(unquote(t)).renameColumn(unquote(from), unquote(to)); None
+        notView(resolve(unquote(t)), t)
+          .renameColumn(unquote(from), unquote(to)); None
       case AlterDropCol(t, c) =>
-        resolve(unquote(t)).dropColumn(unquote(c)); None
+        notView(resolve(unquote(t)), t).dropColumn(unquote(c)); None
       case AlterColType(t, c, tpe) =>
-        resolve(unquote(t)).updateColumnType(unquote(c), parseType(tpe.trim)); None
+        notView(resolve(unquote(t)), t)
+          .updateColumnType(unquote(c), parseType(tpe.trim)); None
       case SelectVersion(t, ver) =>
         Some(resolve(unquote(t)).readAsOf(ver.toLong))
       case SelectVersionRef(t, ref) => // Trino: branch/tag name version
@@ -269,6 +305,9 @@ object GraftSql {
   private val AnalyzeStmt =
     s"""(?i)^ANALYZE $Ident(?: WITH ?\\( ?columns ?= ?ARRAY\\[(.*?)\\] ?\\))?$$""".r
   private val ShowStats = s"""(?i)^SHOW STATS FOR $Ident$$""".r
+  // Trino's everyday catalog listings; FROM names a warehouse subdirectory
+  private val ShowTables = s"""(?i)^SHOW TABLES(?: FROM $Ident)?$$""".r
+  private val ShowSchemas = """(?i)^SHOW SCHEMAS$""".r
   private val DescribeStmt =
     s"""(?i)^(?:DESCRIBE|DESC|SHOW COLUMNS FROM) $Ident$$""".r
   private val ShowCreate = s"""(?i)^SHOW CREATE TABLE $Ident$$""".r
@@ -1392,6 +1431,30 @@ object GraftSql {
     new org.apache.hadoop.fs.Path(loc, "_graft/view.sql")
 
   /** The stored SQL text of the view at `loc`, if one exists there. */
+  private def warehouseRoot(warehouse: Option[String], sql: String): String =
+    warehouse.getOrElse(throw new IllegalArgumentException(
+      s"no warehouse configured for catalog listing: ${sql.trim}"))
+
+  /** Catalog listing for SHOW TABLES / SHOW SCHEMAS: one directory
+    * listing of the warehouse root — a graft table is a directory with
+    * a snapshot log, a view a directory with stored view SQL, and a
+    * SCHEMA any other subdirectory (a namespace SHOW TABLES FROM can
+    * descend into). Metadata-plane by construction (O(children) RPCs,
+    * no data read). */
+  private def listWarehouse(spark: SparkSession, root: String,
+                            tables: Boolean): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.isDirectory(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { child =>
+        val rel = GraftTable.exists(spark, child.toString) ||
+          viewText(spark, child.toString).isDefined
+        if (tables) rel else !rel
+      }
+      .map(_.getName).sorted
+  }
+
   private[graft] def viewText(spark: SparkSession, loc: String): Option[String] = {
     val p = viewSqlPath(loc)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

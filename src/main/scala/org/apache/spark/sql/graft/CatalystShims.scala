@@ -38,6 +38,16 @@ object CatalystShims {
     new XxHash64(Seq(Literal(value, dt))).eval(InternalRow.empty)
       .asInstanceOf[Long]
 
+  /** Per-row bloom probe as a Column (see [[graft.functions.BloomProbe]]
+    * — catalyst's own probe insists on a constant filter). */
+  def bloomProbe(bloom: Column, hash: Long): Column =
+    ExpressionUtils.column(
+      graft.functions.BloomProbe(expr(bloom), Literal(hash)))
+
+  /** Manifest-path normalization as a codegen'd Column. */
+  def normalizePath(c: Column): Column =
+    ExpressionUtils.column(graft.functions.NormalizePath(expr(c)))
+
   /** DataFrame over an explicit logical plan (`Dataset.ofRows` is
     * `private[sql]`) — lets graft attach ANALYZE statistics to a scan at
     * RESOLUTION time, ahead of optimizer batches that run before user

@@ -1249,4 +1249,56 @@ class GraftSqlSpec extends SparkSpec {
     fx.sql("DROP VIEW IF EXISTS vb")
     assert(fx.rows("SELECT * FROM t").length == 4)
   }
+
+  test("SHOW TABLES / SHOW SCHEMAS list the warehouse; unknown schema is loud") {
+    val fx = fixture("showtbl")
+    def sqlW(s: String) =
+      GraftSql.exec(spark, s, fx.resolve, fx.clock, warehouse = Some(fx.dir))
+    def names(s: String): Seq[String] =
+      sqlW(s).get.collect().map(_.getString(0)).toSeq
+    fx.sql("CREATE TABLE tb (k BIGINT)")
+    fx.sql("CREATE TABLE ta (k BIGINT)")
+    fx.sql("CREATE VIEW va AS SELECT k FROM ta")
+    // a nested namespace with its own table
+    GraftSql.exec(spark, "CREATE TABLE inner_t (k BIGINT)",
+      n => graft.meta.GraftTable.load(spark, s"${fx.dir}/ns/$n"), fx.clock)
+    // SHOW TABLES: tables AND views, sorted; the schema dir is excluded
+    assert(names("SHOW TABLES") == Seq("ta", "tb", "va"))
+    assert(sqlW("SHOW TABLES").get.columns.toSeq == Seq("Table"))
+    // SHOW SCHEMAS: namespaces only, never tables or views
+    assert(names("SHOW SCHEMAS") == Seq("ns"))
+    assert(sqlW("SHOW SCHEMAS").get.columns.toSeq == Seq("Schema"))
+    // FROM descends into the namespace; an unknown schema fails loudly
+    assert(names("SHOW TABLES FROM ns") == Seq("inner_t"))
+    intercept[IllegalArgumentException](sqlW("SHOW TABLES FROM nope"))
+    // no warehouse configured -> loud, not an empty listing
+    intercept[IllegalArgumentException](fx.sql("SHOW TABLES"))
+    // listings round-trip: DROP removes the row
+    fx.sql("DROP TABLE tb")
+    assert(names("SHOW TABLES") == Seq("ta", "va"))
+  }
+
+  test("DML against a view is rejected explicitly, not incidentally") {
+    val fx = fixture("viewdml")
+    fx.sql("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    fx.sql("INSERT INTO t (k, v) VALUES (1, 'a')")
+    fx.sql("CREATE VIEW vw AS SELECT k, v FROM t")
+    def rejected(s: String): Unit = {
+      val e = intercept[IllegalArgumentException](fx.sql(s))
+      assert(e.getMessage.contains("view"), s"$s -> ${e.getMessage}")
+    }
+    rejected("INSERT INTO vw (k, v) VALUES (2, 'b')")
+    rejected("INSERT INTO vw SELECT k, v FROM t")
+    rejected("UPDATE vw SET v = 'x' WHERE k = 1")
+    rejected("DELETE FROM vw WHERE k = 1")
+    rejected("TRUNCATE TABLE vw")
+    rejected("ALTER TABLE vw EXECUTE optimize")
+    rejected("ALTER TABLE vw ADD COLUMN z BIGINT")
+    rejected("ANALYZE vw")
+    rejected("MERGE INTO vw USING t ON k = k WHEN MATCHED THEN DELETE")
+    rejected("DROP TABLE vw") // points at DROP VIEW
+    // the base table still works and the view still reads
+    fx.sql("UPDATE t SET v = 'z' WHERE k = 1")
+    assert(fx.rows("SELECT * FROM vw").head.getString(1) == "z")
+  }
 }

@@ -719,6 +719,50 @@ class PlanShapeSpec extends SparkSpec {
       "no window anywhere")
   }
 
+  test("t24: learned-merge application is t20's pure projection — one scan, no join, no window") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t24_learned_bpe_apply")(spark, sf))
+    assert(nodes.collect { case f: FileSourceScanExec => f }.distinct.size == 1,
+      "one corpus scan — the learned merges arrive as driver literals")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join") ||
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "the learned merge table is a literal inside the expression tree — no join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "no window anywhere")
+  }
+
+  test("q52: funnel stages are chained conditional min-aggregates — no window, no cartesian") {
+    val nodes = allNodes(
+      graft.rel.AnalyticQueries.queries("q52_funnel")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "stage entry times are min-aggregates, never a per-user ordering window")
+    assert(!nodes.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "stage joins are user-keyed equi-joins (the final ratio broadcast " +
+        "is a 1-row BNLJ, not a cartesian)")
+  }
+
+  test("t23: BPE pair counting is one aggregate over the cached vocab — no corpus window, no join") {
+    val pairs = graft.ext.TextQueries.t23PairCounts(
+      graft.ext.TextQueries.t23EncodedVocab(spark, sf))
+    val nodes = allNodes(pairs)
+    // the round's working set is the CACHED word-count relation (one
+    // corpus scan per session shared with t18/t19/t22), not documents
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "pair counting must read the cached vocabulary relation")
+    assert(nodes.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "no direct corpus scan per training round")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join") ||
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "adjacent pairs come from an intra-row transform — no join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "pair counting is a hash-aggregate, never a window")
+  }
+
   test("s11: PQ encode is a min-struct aggregate; no array rides any exchange") {
     val nodes = allNodes(SimilarityQueries.queries("s11_pq_topk")(spark, sf))
     assert(!nodes.exists(
