@@ -728,18 +728,33 @@ object DedupQueries {
     val prefix = tok.join(freq, "h")
       .withColumn("r", row_number().over(byRarity))
       .filter($"r" <= $"n" - ceil(lit(TruthTh) * $"n") + 1)
-      .select($"doc_id", $"h")
-    val cand = prefix.select($"doc_id".as("da"), $"h")
-      .join(prefix.select($"doc_id".as("db"), $"h"), "h")
-      .filter($"da" < $"db")
+      .select($"doc_id", $"n", $"h")
+    // PPJoin's length filter inside the candidate join: J(A,B) >= t
+    // forces t*max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so set sizes must
+    // agree within factor t — pruned BEFORE the pair materializes (a
+    // common token shared by one short and many long documents
+    // otherwise floods the candidate set with pairs the verify would
+    // only discard).
+    val cand = prefix.select($"doc_id".as("da"), $"n".as("na"), $"h")
+      .join(prefix.select($"doc_id".as("db"), $"n".as("nb"), $"h"), "h")
+      .filter($"da" < $"db" &&
+        $"nb" >= ceil(lit(TruthTh) * $"na") &&
+        $"na" >= ceil(lit(TruthTh) * $"nb"))
       .select($"da", $"db").distinct()
     val a = docs.select($"doc_id".as("da"), $"hs".as("sa"))
     val b = docs.select($"doc_id".as("db"), $"hs".as("sb"))
     val inter = size(array_intersect($"sa", $"sb")).cast("double")
-    val truthAll = cand.join(a, "da").join(b, "db")
-      .withColumn("jac",
-        round(inter / (size($"sa") + size($"sb") - inter), 6))
-      .filter($"jac" >= TruthTh)
+    // persisted: BOTH schemes' recalls read the same truth relation —
+    // without the cache the candidate generation + exact verify (the
+    // expensive pass, bounded by true-pair volume) would run once per
+    // evaluated scheme
+    val truthAll = cached(s, dir, "d21_truth") {
+      cand.join(a, "da").join(b, "db")
+        .withColumn("jac",
+          round(inter / (size($"sa") + size($"sb") - inter), 6))
+        .filter($"jac" >= TruthTh)
+        .select($"da", $"db", $"jac")
+    }
     def recallOf(scheme: String, truthTh: Double,
                  found: DataFrame): DataFrame =
       truthAll.filter($"jac" >= truthTh).select($"da", $"db")

@@ -330,11 +330,13 @@ object AnalyticQueries {
 
   private val FunnelStages = Seq("view", "click", "purchase")
 
-  /** ORDERED-SEQUENCE FUNNEL (q52): how many users complete
-    * view → click → purchase in strict timestamp order — the
-    * event-sequence analytics shape (product funnels, attrition
-    * analysis) that SQL engines often reach for MATCH_RECOGNIZE to
-    * express. Stage k's entry time is the user's EARLIEST stage-k event
+  /** STAGE-CONVERSION FUNNEL (q52): how many users complete
+    * view → click → purchase in strict timestamp order — the second
+    * of the two standard funnel formulations (q47 reports per-cohort
+    * via composed forward AS-OF joins; q52 is the AGGREGATE-ONLY
+    * formulation producing the per-stage conversion report, with no
+    * as-of machinery at all — the shape to reach for when the engine
+    * at hand has hash aggregation and equi-joins and nothing else). Stage k's entry time is the user's EARLIEST stage-k event
     * that is strictly later than their stage-(k-1) entry time (earliest-
     * entry semantics — the standard funnel definition, deterministic
     * without tie-breaks because each stage time is a min).
