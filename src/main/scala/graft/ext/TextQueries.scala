@@ -980,6 +980,12 @@ object TextQueries {
   def t24LearnedBpeApply(s: SparkSession, dir: String): DataFrame = {
     val merges = t23BpeTrain(s, dir).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    // loud, not divergent: a corpus that exhausts pair counting early
+    // would silently apply fewer rules here while the unrolled oracle
+    // degenerates to NULL aggregates — fail the declared precondition
+    // instead
+    require(merges.size == BpeTrainRounds,
+      s"BPE training exhausted after ${merges.size} of $BpeTrainRounds rounds")
     bpeReport(s, dir, merges)
   }
 

@@ -336,10 +336,12 @@ object AnalyticQueries {
     * via composed forward AS-OF joins; q52 is the AGGREGATE-ONLY
     * formulation producing the per-stage conversion report, with no
     * as-of machinery at all — the shape to reach for when the engine
-    * at hand has hash aggregation and equi-joins and nothing else). Stage k's entry time is the user's EARLIEST stage-k event
-    * that is strictly later than their stage-(k-1) entry time (earliest-
-    * entry semantics — the standard funnel definition, deterministic
-    * without tie-breaks because each stage time is a min).
+    * at hand has hash aggregation and equi-joins and nothing else).
+    * Stage k's entry time is the user's EARLIEST stage-k event strictly
+    * later than their stage-(k-1) entry time AND within the 1-day
+    * per-step conversion window of it — earliest-entry semantics with a
+    * step deadline (both are load-bearing, mirrored in the oracle),
+    * deterministic without tie-breaks because each stage time is a min.
     *
     * Scale shape: NO per-user event-list materialization and no window
     * — stage k is one conditional min-aggregate per user co-partitioned

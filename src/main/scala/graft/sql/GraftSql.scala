@@ -84,6 +84,12 @@ object GraftSql {
           val p = new org.apache.hadoop.fs.Path(base)
           require(p.getFileSystem(spark.sessionState.newHadoopConf())
             .isDirectory(p), s"schema not found: ${unquote(from)}")
+          // a table or view named where a schema is expected is the
+          // most likely typo — reject it rather than listing the
+          // relation's internal files as an empty schema
+          require(!GraftTable.exists(spark, base) &&
+            viewText(spark, base).isEmpty,
+            s"${unquote(from)} is a table or view, not a schema")
         }
         Some(listWarehouse(spark, base, tables = true).toDF("Table"))
       case AlterExec(t, op, args, where) =>
@@ -91,6 +97,7 @@ object GraftSql {
           Option(where), clock)
         None
       case AlterSetProps(t, props) =>
+        notView(resolve(unquote(t)), t)
         props.trim match {
           // Trino's Iceberg partition-evolution spelling:
           // ALTER TABLE t SET PROPERTIES partitioning = ARRAY['day(ts)']

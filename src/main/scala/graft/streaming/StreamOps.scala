@@ -575,7 +575,12 @@ object StreamOps {
     * O(batch + matched keys) — a key-equi join against matched table
     * rows plus a delta commit, never a table rewrite; compaction is the
     * scheduler's job ([[graft.cmd.Optimize]]), not the stream's. */
-  def st11StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+  // serializes st11's shared-fixture check/rebuild/stamp within the JVM
+  // (concurrent suites share one tmpdir; cross-process runs are
+  // sequential by the driver's design)
+  private val st11Lock = new Object
+
+  def st11StreamUpsert(s: SparkSession, dir: String): DataFrame = st11Lock.synchronized {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"),

@@ -1268,9 +1268,12 @@ class GraftSqlSpec extends SparkSpec {
     // SHOW SCHEMAS: namespaces only, never tables or views
     assert(names("SHOW SCHEMAS") == Seq("ns"))
     assert(sqlW("SHOW SCHEMAS").get.columns.toSeq == Seq("Schema"))
-    // FROM descends into the namespace; an unknown schema fails loudly
+    // FROM descends into the namespace; an unknown schema fails loudly,
+    // and so does naming a table or view where a schema is expected
     assert(names("SHOW TABLES FROM ns") == Seq("inner_t"))
     intercept[IllegalArgumentException](sqlW("SHOW TABLES FROM nope"))
+    intercept[IllegalArgumentException](sqlW("SHOW TABLES FROM ta"))
+    intercept[IllegalArgumentException](sqlW("SHOW TABLES FROM va"))
     // no warehouse configured -> loud, not an empty listing
     intercept[IllegalArgumentException](fx.sql("SHOW TABLES"))
     // listings round-trip: DROP removes the row
@@ -1294,6 +1297,7 @@ class GraftSqlSpec extends SparkSpec {
     rejected("TRUNCATE TABLE vw")
     rejected("ALTER TABLE vw EXECUTE optimize")
     rejected("ALTER TABLE vw ADD COLUMN z BIGINT")
+    rejected("ALTER TABLE vw SET PROPERTIES foo = 'bar'")
     rejected("ANALYZE vw")
     rejected("MERGE INTO vw USING t ON k = k WHEN MATCHED THEN DELETE")
     rejected("DROP TABLE vw") // points at DROP VIEW
