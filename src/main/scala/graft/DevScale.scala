@@ -85,7 +85,7 @@ object DevScale {
     // events/part synthesis only when a requested query reads them —
     // the default documents/embeddings probe list must not pay two
     // extra explode×N write jobs
-    val eventQueries = Set("q43_interval_join", "q47_funnel", "q52_funnel",
+    val eventQueries = Set("q43_interval_join", "q47_funnel", "q52_funnel", "q53_longest_run",
       "q50_cohort_retention")
     val partQueries = Set("d16_fuzzy_join", "q45_recursive_cte")
     // orders: copies get fresh customers — the change-feed corpus grows

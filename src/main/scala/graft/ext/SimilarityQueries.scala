@@ -568,6 +568,49 @@ object SimilarityQueries {
       .orderBy($"label")
   }
 
+  private val RangeThreshold = 0.30 // exact-cos match bar
+  private val RangePrefilter = 0.25 // quantized-cos candidate bar
+
+  /** COSINE RANGE SEARCH (s12): ALL corpus vectors within a declared
+    * cosine threshold of each query — the vector-database operator next
+    * to top-k (s01/s02/s06): top-k answers "the best k whatever their
+    * quality"; range search answers "everything above the quality bar",
+    * the primitive behind near-dup candidate pulls and RAG relevance
+    * floors. Same two-stage shape as s09: the session-cached SQ8
+    * relation prefilters in INTEGER arithmetic at the loose
+    * [[RangePrefilter]], the exact FloatDot verify applies
+    * [[RangeThreshold]] to candidates only, and the float vectors
+    * re-enter via broadcast gathers of the candidate ids — the corpus
+    * never shuffles by vector. Both thresholds are DECLARED semantics
+    * mirrored in the oracle (the s09 contract: no invisible
+    * approximation). Output: the matched (query, vector, cos) pairs —
+    * bounded by match volume, which the threshold controls. */
+  def s12RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val quant = sq8Rel(s, dir)
+    val qq = quant.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"qn2".as("qqn2"))
+    val candPairs = quant.filter($"vec_id" >= NumQueries)
+      .join(broadcast(qq), lit(true))
+      .withColumn("idot", aggregate(zip_with($"q", $"qq", (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("qcos",
+        when($"qn2" === 0L || $"qqn2" === 0L, lit(-2.0))
+          .otherwise(round($"idot" / (sqrt($"qn2") * sqrt($"qqn2")), 6)))
+      .filter($"qcos" >= RangePrefilter)
+      .select($"vec_id", $"query_id")
+    val ef = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val qf = ef.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    ef.join(broadcast(candPairs), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+      .filter($"cos" >= RangeThreshold)
+      .select($"query_id", $"vec_id", $"cos")
+      .orderBy($"query_id", $"vec_id")
+  }
+
   /** ANN RECALL EVALUATION (s10): recall@k of the IVF search (s02
     * semantics) against the exact brute-force ground truth (s01) —
     * the measurement that tunes nprobe/cell-count on every real ANN
@@ -660,6 +703,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_pq_topk" -> (s11PqTopK _),
     "s10_recall_eval" -> (s10RecallEval _),
+    "s12_range_search" -> (s12RangeSearch _),
     "s09_semantic_decontaminate" -> (s09SemanticDecontaminate _),
     "s08_mmr_rerank" -> (s08MmrRerank _),
     "s07_knn_label" -> (s07KnnLabel _),
@@ -732,6 +776,45 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     // the s06 quantization CTEs + the two declared thresholds: the
     // prefilter is part of the contract, so the oracle applies it too
+    "s12_range_search" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    ${normSql.format("embedding")} AS nrm,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    CASE WHEN maxabs = 0 THEN
+        |      list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
+        |    END AS q
+        |  FROM e),
+        |qn AS (
+        |  SELECT *, CAST(list_sum(list_apply(q, x -> x * x)) AS BIGINT)
+        |    AS qn2
+        |  FROM qz),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm,
+        |        q AS qq, qn2 AS qqn2
+        |      FROM qn WHERE vec_id < $NumQueries),
+        |pre AS (
+        |  SELECT * FROM (
+        |    SELECT c.vec_id, c.embedding, c.nrm, qs.query_id, qs.qe,
+        |      qs.qnrm,
+        |      CASE WHEN c.qn2 = 0 OR qs.qqn2 = 0 THEN -2.0
+        |           ELSE round(CAST(list_sum(list_apply(list_zip(c.q, qs.qq),
+        |             p -> p[1] * p[2])) AS BIGINT)
+        |             / (sqrt(c.qn2) * sqrt(qs.qqn2)), 6) END AS qcos
+        |    FROM qn c, qs WHERE c.vec_id >= $NumQueries)
+        |  WHERE qcos >= $RangePrefilter)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT query_id, vec_id,
+        |    round(${dotSql.format("qe", "embedding")} / (qnrm * nrm), 6)
+        |      AS cos
+        |  FROM pre)
+        |WHERE cos >= $RangeThreshold
+        |ORDER BY query_id, vec_id""".stripMargin,
     "s09_semantic_decontaminate" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding,

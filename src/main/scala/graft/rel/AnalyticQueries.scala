@@ -378,7 +378,41 @@ object AnalyticQueries {
       .orderBy($"stage")
   }
 
+  /** GAPS-AND-ISLANDS / LONGEST RUN (q53): per user, the longest
+    * strictly-increasing run of purchase values in event order — the
+    * sequence-pattern analytics shape (MATCH_RECOGNIZE's bread and
+    * butter) expressed with the classic two-window gaps-and-islands
+    * identity: flag a break wherever value <= previous value, the
+    * running sum of breaks names each run, and run lengths reduce by
+    * aggregation. Event order is the (ts, event_id) total order, so
+    * both engines see identical runs.
+    *
+    * Scale shape: ONE shuffle of the purchases by user_id — the lag
+    * window, the running-sum window, and the run-length aggregate all
+    * ride the same user-keyed exchange (Catalyst reuses it), and the
+    * output is one row per user. No self-join, no per-user list. */
+  def q53LongestRun(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "events").filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = p
+      .withColumn("brk",
+        when(lag($"value", 1).over(ord).isNull ||
+          $"value" <= lag($"value", 1).over(ord), 1L).otherwise(0L))
+      .withColumn("run_id", sum($"brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy($"user_id", $"run_id")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_purchases"),
+        count(lit(1)).as("n_runs"),
+        max($"len").as("longest_run"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_longest_run" -> (q53LongestRun _),
     "q52_funnel" -> (q52Funnel _),
     "q51_forward_fill" -> (q51ForwardFill _),
     "q49_scd2" -> (q49Scd2 _),
@@ -401,6 +435,25 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_longest_run" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(value) OVER w IS NULL
+        |           OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM flagged),
+        |lens AS (SELECT user_id, run_id, count(*) AS len
+        |         FROM runs GROUP BY user_id, run_id)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_purchases,
+        |  count(*) AS n_runs, CAST(max(len) AS BIGINT) AS longest_run
+        |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q52_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS entered FROM events

@@ -744,6 +744,28 @@ class PlanShapeSpec extends SparkSpec {
         "is a 1-row BNLJ, not a cartesian)")
   }
 
+  test("s12: range search prefilters in SQ8; no float array rides any exchange") {
+    val nodes = allNodes(SimilarityQueries.queries("s12_range_search")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the candidate scan broadcasts the quantized queries — never a cartesian shuffle")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "no quantized codes or float vectors may ride an exchange")
+  }
+
+  test("q53: longest-run reads only purchases (pushed filter), no join anywhere") {
+    val nodes = allNodes(
+      graft.rel.AnalyticQueries.queries("q53_longest_run")(spark, sf))
+    val scans = nodes.collect { case f: FileSourceScanExec => f }.distinct
+    assert(scans.size == 1, "one events scan")
+    assert(scans.head.metadata("PushedFilters").contains("event_type"),
+      s"purchase filter pushed to parquet: ${scans.head.metadata("PushedFilters")}")
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Join")),
+      "gaps-and-islands is windows + aggregates on one keyed relation — no join")
+  }
+
   test("t23: BPE pair counting is one aggregate over the cached vocab — no corpus window, no join") {
     val pairs = graft.ext.TextQueries.t23PairCounts(
       graft.ext.TextQueries.t23EncodedVocab(spark, sf))
