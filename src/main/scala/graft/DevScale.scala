@@ -86,6 +86,7 @@ object DevScale {
     // the default documents/embeddings probe list must not pay two
     // extra explode×N write jobs
     val eventQueries = Set("q43_interval_join", "q47_funnel", "q52_funnel", "q53_longest_run",
+      "st04_stream_join", "st02_stream_dedup",
       "q50_cohort_retention")
     val partQueries = Set("d16_fuzzy_join", "q45_recursive_cte")
     // orders: copies get fresh customers — the change-feed corpus grows

@@ -120,6 +120,14 @@ object GraftSql {
       case DescribeStmt(t) => Some(describe(spark, resolve(unquote(t))))
       case ShowCreate(t) =>
         Some(showCreate(spark, resolve(unquote(t)), unquote(t)))
+      case ShowCreateView(t) => // Trino: SHOW CREATE VIEW v
+        val target = resolve(unquote(t))
+        val body = viewText(spark, target.location).getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft view at ${target.location}"))
+        import spark.implicits._
+        Some(Seq(s"CREATE VIEW ${unquote(t)} AS $body")
+          .toDF("Create View"))
       case UpdateStmt(t, sets, where) =>
         update(notView(resolve(unquote(t)), t), sets.trim, where.trim, clock)
         None
@@ -318,6 +326,7 @@ object GraftSql {
   private val DescribeStmt =
     s"""(?i)^(?:DESCRIBE|DESC|SHOW COLUMNS FROM) $Ident$$""".r
   private val ShowCreate = s"""(?i)^SHOW CREATE TABLE $Ident$$""".r
+  private val ShowCreateView = s"""(?i)^SHOW CREATE VIEW $Ident$$""".r
   // (?s): SET/WHERE/VALUES literals may legitimately contain newlines
   // (normalize preserves whitespace inside quotes)
   private val UpdateStmt =

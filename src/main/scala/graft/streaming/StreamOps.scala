@@ -202,22 +202,28 @@ object StreamOps {
     val deduped = src.unionByName(src)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
-    val sink = s"st02_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // the deduped feed is ROW-scale — it lands through the exactly-once
+    // graft sink (st03's appendBatch markers), never a memory sink: the
+    // memory sink buffers every row driver-side, which the DevScale x20
+    // probe measured at 25 MB task results — a driver OOM at real scale
+    val loc = java.nio.file.Files.createTempDirectory("graft_st02")
+      .resolve("t").toString
+    val table = graft.meta.GraftTable.create(s, loc,
+      Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"),
+        target = "timestamp").schema)
     val q = scopedStateParts(s) {
       deduped.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        .foreachBatch(GraftSink.appendBatch(table, "st02") _)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
     q.awaitTermination()
-    finishSink(s, sink, s.table(sink)
+    table.read
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .orderBy("hour", "event_type"))
+      .orderBy("hour", "event_type")
   }
 
   /** Streaming ingest into a GraftTable through [[GraftSink]], with a
@@ -452,22 +458,34 @@ object StreamOps {
       .select(col("doc_id"), col("lang"), col("sh"),
         col("bsh").isNotNull.as("hit"))
       .dropDuplicates("doc_id", "sh")
-    val sink = s"st08_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // one row per distinct (doc, shingle) is CORPUS-scale — the flagged
+    // stream lands through the exactly-once graft sink (the DevScale
+    // x20 probe measured the memory sink at 37 MB driver task results)
+    val loc = java.nio.file.Files.createTempDirectory("graft_st08")
+      .resolve("t").toString
+    val table = graft.meta.GraftTable.create(s, loc,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hit",
+          org.apache.spark.sql.types.BooleanType))))
     val q = scopedStateParts(s) {
       flagged.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        .foreachBatch(GraftSink.appendBatch(table, "st08") _)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
     q.awaitTermination()
-    finishSink(s, sink, s.table(sink)
+    table.read
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         countDistinct(when(col("hit"), col("doc_id"))).as("n_contaminated"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("total_shared"))
-      .orderBy("lang"))
+      .orderBy("lang")
   }
 
   /** st09: STREAMING INCREMENTAL INDEXING — the streaming twin of d11's

@@ -1276,6 +1276,11 @@ class GraftSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](sqlW("SHOW TABLES FROM va"))
     // no warehouse configured -> loud, not an empty listing
     intercept[IllegalArgumentException](fx.sql("SHOW TABLES"))
+    // SHOW CREATE VIEW round-trips the stored definition; on a table
+    // it is loud
+    assert(fx.rows("SHOW CREATE VIEW va").head.getString(0) ==
+      "CREATE VIEW va AS SELECT k FROM ta")
+    intercept[IllegalArgumentException](fx.sql("SHOW CREATE VIEW ta"))
     // listings round-trip: DROP removes the row
     fx.sql("DROP TABLE tb")
     assert(names("SHOW TABLES") == Seq("ta", "va"))
