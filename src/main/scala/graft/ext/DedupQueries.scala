@@ -617,6 +617,64 @@ object DedupQueries {
       .orderBy($"blk", $"name_a", $"name_b")
   }
 
+
+  /** CLUSTER REPRESENTATIVE SELECTION (d24): APPLY the near-dup
+    * clustering — keep exactly one document per d09 cluster, chosen by
+    * a quality score, drop the rest — the step that turns "we found the
+    * duplicate clusters" into an actual curated corpus (production
+    * near-dedup keeps the best-quality member, not an arbitrary one:
+    * Lee et al. 2022 §4, SemDeDup §3). The score is the d19 fixed-point
+    * contract applied to t02's signals: integer centi-units of average
+    * word length minus the stopword-rate penalty — an ARGMAX over
+    * floats could flip on a last-ulp engine difference, an integer
+    * score cannot. Winner per cluster = max (score, then min doc_id), a
+    * STRUCT-MAX AGGREGATE, never a cluster-wide ranking window.
+    *
+    * Scale shape: scoring is a pure projection; components come from
+    * the cached pair graph (one build per session, shared with d09);
+    * the winner aggregate and the drop join are keyed on the cluster
+    * label whose width is the CLUSTERED doc count, not the corpus; the
+    * report is one aggregate per lang. */
+  def d24KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_stop",
+        size(filter($"words", w => w === "the" || w === "a")).cast("long"))
+      .withColumn("score", expr(
+        "((length(text) - n_words + 1) * 100 div n_words)" +
+          " - (n_stop * 100 div n_words)"))
+      .select($"doc_id", $"lang", $"n_words", $"score")
+    val labels = connectedComponents(
+        ngramPairs(s, dir).select($"doc_a", $"doc_b"))
+      .withColumnRenamed("doc", "doc_id")
+    val clustered = docs.join(labels, "doc_id")
+    val winners = clustered.groupBy($"lbl")
+      .agg(max(struct($"score", (-$"doc_id").as("negid"))).as("w"))
+      .select($"lbl", (-$"w.negid").as("keep_id"))
+    val drops = clustered.join(winners, "lbl")
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"lang", $"n_words")
+    val perLangAll = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("tokens_total"))
+    val perLangClustered = clustered.groupBy($"lang")
+      .agg(count(lit(1)).as("n_clustered"))
+    val perLangDropped = drops.groupBy($"lang")
+      .agg(count(lit(1)).as("n_dropped"),
+        sum($"n_words").as("tokens_dropped"))
+    perLangAll
+      .join(perLangClustered, Seq("lang"), "left")
+      .join(perLangDropped, Seq("lang"), "left")
+      .select($"lang", $"n_docs",
+        coalesce($"n_clustered", lit(0L)).as("n_clustered"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        $"tokens_total",
+        coalesce($"tokens_dropped", lit(0L)).as("tokens_dropped"))
+      .orderBy($"lang")
+  }
+
   private val SubstrL = 8 // minimum repeat length in tokens (Lee et al.'s 50, scaled)
 
   /** EXACT SUBSTRING DEDUP (d20): remove every repeated token span of
@@ -771,6 +829,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_keep_best" -> (d24KeepBest _),
     "d21_dedup_recall" -> (d21DedupRecall _),
     "d20_exact_substring_dedup" -> (d20ExactSubstringDedup _),
     "d18_bloom_decontaminate" -> (d18BloomDecontaminate _),
@@ -907,6 +966,62 @@ object DedupQueries {
         |  CAST(group_size - 1 AS BIGINT) AS n_dropped
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "d03_minhash_lsh" -> d03OracleSql,
+    "d24_keep_best" ->
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
+        |    $hashedShingleSql AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM docs a JOIN docs b
+        |    ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+        |comp AS (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    ((length(text) - len(string_split(text, ' ')) + 1) * 100
+        |      // len(string_split(text, ' ')))
+        |    - (len(list_filter(string_split(text, ' '),
+        |        x -> x = 'the' OR x = 'a')) * 100
+        |      // len(string_split(text, ' '))) AS score
+        |  FROM documents),
+        |clustered AS (
+        |  SELECT s.doc_id, s.lang, s.n_words, s.score, c.lbl
+        |  FROM scored s JOIN comp c ON s.doc_id = c.doc),
+        |winners AS (
+        |  SELECT lbl, doc_id AS keep_id FROM (
+        |    SELECT lbl, doc_id, row_number() OVER (
+        |      PARTITION BY lbl ORDER BY score DESC, doc_id) AS rn
+        |    FROM clustered) WHERE rn = 1),
+        |drops AS (
+        |  SELECT c.lang, c.n_words FROM clustered c
+        |  JOIN winners w ON c.lbl = w.lbl WHERE c.doc_id <> w.keep_id),
+        |pa AS (SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(n_words) AS BIGINT) AS tokens_total
+        |       FROM scored GROUP BY lang),
+        |pc AS (SELECT lang, count(*) AS n_clustered FROM clustered
+        |       GROUP BY lang),
+        |pd AS (SELECT lang, count(*) AS n_dropped,
+        |         CAST(sum(n_words) AS BIGINT) AS tokens_dropped
+        |       FROM drops GROUP BY lang)
+        |SELECT pa.lang, pa.n_docs,
+        |  CAST(coalesce(pc.n_clustered, 0) AS BIGINT) AS n_clustered,
+        |  CAST(coalesce(pd.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  pa.tokens_total,
+        |  CAST(coalesce(pd.tokens_dropped, 0) AS BIGINT) AS tokens_dropped
+        |FROM pa LEFT JOIN pc ON pa.lang = pc.lang
+        |LEFT JOIN pd ON pa.lang = pd.lang
+        |ORDER BY pa.lang""".stripMargin,
     "d21_dedup_recall" ->
       s"""WITH docs AS (
         |  SELECT doc_id, $hashedShingleSql AS hs

@@ -744,6 +744,18 @@ class PlanShapeSpec extends SparkSpec {
         "is a 1-row BNLJ, not a cartesian)")
   }
 
+  test("d24: winner per cluster is a struct-max aggregate — no cluster-wide window, integer score") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d24_keep_best")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "representative selection must be the (score, -id) struct-max " +
+        "aggregate, never a per-cluster ranking window")
+    assert(!nodes.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "drop detection is a label-keyed equi-join")
+  }
+
   test("s12: range search prefilters in SQ8; no float array rides any exchange") {
     val nodes = allNodes(SimilarityQueries.queries("s12_range_search")(spark, sf))
     assert(!nodes.exists(
