@@ -117,7 +117,14 @@ object GraftSql {
           .analyze(Option(cols).map(parseStringArray), clock)
         None
       case ShowStats(t) => Some(resolve(unquote(t)).stats)
-      case DescribeStmt(t) => Some(describe(spark, resolve(unquote(t))))
+      case DescribeStmt(t) => // Trino DESCRIBE works on views too:
+        // a view's columns are its analyzed body's schema
+        val target = resolve(unquote(t))
+        Some(viewText(spark, target.location) match {
+          case Some(body) =>
+            describeSchema(spark, selectBody(spark, resolve, body).schema)
+          case None => describe(spark, target)
+        })
       case ShowCreate(t) =>
         Some(showCreate(spark, resolve(unquote(t)), unquote(t)))
       case ShowCreateView(t) => // Trino: SHOW CREATE VIEW v
@@ -776,9 +783,13 @@ object GraftSql {
   }
 
   /** `DESCRIBE t` / `SHOW COLUMNS FROM t` (Trino's column listing). */
-  private def describe(spark: SparkSession, t: GraftTable): DataFrame = {
+  private def describe(spark: SparkSession, t: GraftTable): DataFrame =
+    describeSchema(spark, t.schema)
+
+  private def describeSchema(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import spark.implicits._
-    t.schema.fields.toSeq
+    schema.fields.toSeq
       .map(f => (f.name, typeName(f.dataType),
         if (f.nullable) "" else "NOT NULL"))
       .toDF("column", "type", "extra")

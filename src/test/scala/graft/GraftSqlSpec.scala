@@ -1281,6 +1281,9 @@ class GraftSqlSpec extends SparkSpec {
     assert(fx.rows("SHOW CREATE VIEW va").head.getString(0) ==
       "CREATE VIEW va AS SELECT k FROM ta")
     intercept[IllegalArgumentException](fx.sql("SHOW CREATE VIEW ta"))
+    // DESCRIBE works on a view: the analyzed body's schema
+    assert(fx.rows("DESCRIBE va").map(r =>
+      (r.getString(0), r.getString(1))).toSeq == Seq(("k", "BIGINT")))
     // listings round-trip: DROP removes the row
     fx.sql("DROP TABLE tb")
     assert(names("SHOW TABLES") == Seq("ta", "va"))
