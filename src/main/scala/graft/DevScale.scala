@@ -82,12 +82,14 @@ object DevScale {
           .as("embedding"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // events/part synthesis only when a requested query reads them —
-    // the default documents/embeddings probe list must not pay two
-    // extra explode×N write jobs
-    val eventQueries = Set("q43_interval_join", "q47_funnel", "q52_funnel", "q53_longest_run",
-      "st04_stream_join", "st02_stream_dedup",
-      "q50_cohort_retention")
+    // part/orders synthesis only when a requested query reads them;
+    // events synthesize for ANY non-default probe list (a hand-kept
+    // per-query needs-events set kept silently missing entries — one
+    // extra write job is cheaper than a probe that errors on a missing
+    // events.parquet). The default documents/embeddings list skips it.
+    val defaultNames = Set("d03_minhash_lsh", "d09_dedup_clusters",
+      "d11_incremental_dedup", "d13_kmeans_topics", "s05_lsh_neardup",
+      "m04_perceptual_neardup")
     val partQueries = Set("d16_fuzzy_join", "q45_recursive_cte")
     // orders: copies get fresh customers — the change-feed corpus grows
     // xN while PER-CUSTOMER version-chain depth stays constant, the
@@ -118,7 +120,7 @@ object DevScale {
     // lives in. Read through Tables.load (NOT raw parquet): the harness
     // has re-encoded events.ts µs→ns before, and only the loader
     // normalizes that.
-    val nEvents = if (!names.exists(eventQueries)) -1L else {
+    val nEvents = if (names.forall(defaultNames)) -1L else {
       graft.rel.Tables.load(spark, base, "events")
         .select(col("*"), copies)
         .select(

@@ -319,9 +319,17 @@ object DedupQueries {
     * N's plan doesn't replay rounds 1..N-1 — the standard Spark
     * iterative-graph pattern (large-star/small-star reduces to the same
     * joins when diameters are bounded). */
-  def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def d09DedupClusters(s: SparkSession, dir: String): DataFrame =
+    labelSummary(ngramLabels(s, dir))
+
+  /** session-cached component labels over the n-gram pair graph — the
+    * eager propagation loop runs once per session, shared by d09's
+    * summary and d24's representative selection. */
+  private def ngramLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    clusterSummary(ngramPairs(s, dir).select($"doc_a", $"doc_b"))
+    cached(s, dir, "ngram_labels") {
+      connectedComponents(ngramPairs(s, dir).select($"doc_a", $"doc_b"))
+    }
   }
 
   /** Most members a cluster summary row will list verbatim; the rest are
@@ -336,11 +344,14 @@ object DedupQueries {
     * aggregate groups by, so the window adds no extra shuffle, and rows
     * past the cap become nulls BEFORE collect_list — the agg buffer is
     * bounded, not truncated after the fact. */
-  private[graft] def clusterSummary(pairs: DataFrame): DataFrame = {
-    val s = pairs.sparkSession
+  private[graft] def clusterSummary(pairs: DataFrame): DataFrame =
+    labelSummary(connectedComponents(pairs))
+
+  private[graft] def labelSummary(labels: DataFrame): DataFrame = {
+    val s = labels.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"lbl").orderBy($"doc")
-    connectedComponents(pairs)
+    labels
       .withColumn("rn", row_number().over(w))
       .groupBy($"lbl".as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
@@ -646,9 +657,7 @@ object DedupQueries {
         "((length(text) - n_words + 1) * 100 div n_words)" +
           " - (n_stop * 100 div n_words)"))
       .select($"doc_id", $"lang", $"n_words", $"score")
-    val labels = connectedComponents(
-        ngramPairs(s, dir).select($"doc_a", $"doc_b"))
-      .withColumnRenamed("doc", "doc_id")
+    val labels = ngramLabels(s, dir).withColumnRenamed("doc", "doc_id")
     val clustered = docs.join(labels, "doc_id")
     val winners = clustered.groupBy($"lbl")
       .agg(max(struct($"score", (-$"doc_id").as("negid"))).as("w"))
@@ -913,6 +922,30 @@ object DedupQueries {
       |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** docs → pairs → edges → reach CTE chain over the length-blocked
+    * n-gram pair graph — shared by the d09 and d24 oracles (their
+    * `comp` aliases differ), so the pair predicate can never silently
+    * diverge between the summary and the representative selection. */
+  private lazy val clusterReachCtes: String =
+    s"""docs AS (
+      |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
+      |    $hashedShingleSql AS shingles
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM docs a JOIN docs b
+      |    ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |      (len(a.shingles) + len(b.shingles)
+      |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the window-cover identity spelled directly: duplicated length-L
     // windows -> keep-first -> union of covered positions
@@ -967,24 +1000,7 @@ object DedupQueries {
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "d03_minhash_lsh" -> d03OracleSql,
     "d24_keep_best" ->
-      s"""WITH RECURSIVE docs AS (
-        |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
-        |    $hashedShingleSql AS shingles
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM docs a JOIN docs b
-        |    ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |      (len(a.shingles) + len(b.shingles)
-        |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+      s"""WITH RECURSIVE $clusterReachCtes,
         |comp AS (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
         |scored AS (
         |  SELECT doc_id, lang,
@@ -1073,24 +1089,7 @@ object DedupQueries {
     // (UNION set semantics terminates it), matching the Spark
     // propagation fixed point: lbl(doc) = min doc_id reachable.
     "d09_dedup_clusters" ->
-      s"""WITH RECURSIVE docs AS (
-        |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
-        |    $hashedShingleSql AS shingles
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM docs a JOIN docs b
-        |    ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |      (len(a.shingles) + len(b.shingles)
-        |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+      s"""WITH RECURSIVE $clusterReachCtes,
         |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
         |ranked AS (
         |  SELECT doc, cluster_rep, row_number() OVER (

@@ -123,6 +123,19 @@ object StreamOps {
     out
   }
 
+  /** Materialize the (small, post-aggregation) result and DELETE the
+    * per-call temp graft table holding the row-scale sunk stream —
+    * the graft-sink twin of [[finishSink]]'s discipline: repeated
+    * calls (the bench's warmup + three timed passes) must not stack
+    * one full corpus copy per invocation in /tmp. */
+  private def finishTempTable(s: SparkSession,
+      base: java.nio.file.Path, df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(base.toString)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    out
+  }
+
   /** Run `start` with spark.sql.shuffle.partitions=8, restoring the
     * session value once the query is STARTED (a streaming query
     * captures the conf at start). 8 state stores instead of 32 per
@@ -206,11 +219,9 @@ object StreamOps {
     // graft sink (st03's appendBatch markers), never a memory sink: the
     // memory sink buffers every row driver-side, which the DevScale x20
     // probe measured at 25 MB task results — a driver OOM at real scale
-    val loc = java.nio.file.Files.createTempDirectory("graft_st02")
-      .resolve("t").toString
-    val table = graft.meta.GraftTable.create(s, loc,
-      Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"),
-        target = "timestamp").schema)
+    val base = java.nio.file.Files.createTempDirectory("graft_st02")
+    val table = graft.meta.GraftTable.create(s,
+      base.resolve("t").toString, deduped.schema)
     val q = scopedStateParts(s) {
       deduped.writeStream
         .foreachBatch(GraftSink.appendBatch(table, "st02") _)
@@ -218,12 +229,12 @@ object StreamOps {
         .start()
     }
     q.awaitTermination()
-    table.read
+    finishTempTable(s, base, table.read
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .orderBy("hour", "event_type")
+      .orderBy("hour", "event_type"))
   }
 
   /** Streaming ingest into a GraftTable through [[GraftSink]], with a
@@ -461,18 +472,9 @@ object StreamOps {
     // one row per distinct (doc, shingle) is CORPUS-scale — the flagged
     // stream lands through the exactly-once graft sink (the DevScale
     // x20 probe measured the memory sink at 37 MB driver task results)
-    val loc = java.nio.file.Files.createTempDirectory("graft_st08")
-      .resolve("t").toString
-    val table = graft.meta.GraftTable.create(s, loc,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("lang",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("sh",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("hit",
-          org.apache.spark.sql.types.BooleanType))))
+    val base = java.nio.file.Files.createTempDirectory("graft_st08")
+    val table = graft.meta.GraftTable.create(s,
+      base.resolve("t").toString, flagged.schema)
     val q = scopedStateParts(s) {
       flagged.writeStream
         .foreachBatch(GraftSink.appendBatch(table, "st08") _)
@@ -480,12 +482,12 @@ object StreamOps {
         .start()
     }
     q.awaitTermination()
-    table.read
+    finishTempTable(s, base, table.read
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         countDistinct(when(col("hit"), col("doc_id"))).as("n_contaminated"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("total_shared"))
-      .orderBy("lang")
+      .orderBy("lang"))
   }
 
   /** st09: STREAMING INCREMENTAL INDEXING — the streaming twin of d11's
