@@ -989,7 +989,59 @@ object TextQueries {
     bpeReport(s, dir, merges)
   }
 
+
+  private val BigramHeadCentibits = 458 // head/tail split, integer centibits
+
+  /** BIGRAM LM SURPRISAL (t25): per-document average conditional
+    * surprisal -log2 p(w2|w1) against a corpus bigram model — the next
+    * LM-scoring rung after t19's unigram model (a unigram model scores
+    * WORD rarity; the bigram model scores SEQUENCE predictability, the
+    * signal that separates fluent text from shuffled-word salad at
+    * equal vocabulary). The t19 fixed-point contract: conditional bits
+    * = floor(log2 c(w1·)) - floor(log2 c(w1 w2)) via `length(bin(c))`
+    * (c(w1·) counts w1 as a bigram LEFT, so bits >= 0 always), per-doc
+    * means in integer centibits — no float crosses engines.
+    *
+    * Scale shape: the adjacent-pair relation is cached and feeds the
+    * model build AND the scoring join (one tokenize pass); both count
+    * tables BROADCAST to the pair stream — a corpus-side shuffle keyed
+    * by bigram would hot-spot on "of the"-class keys, exactly the skew
+    * broadcast sidesteps. At 100 TB the bigram table is pruned to its
+    * head (the standard LM truncation) to stay broadcastable; the plan
+    * shape is unchanged. */
+  def t25BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bi = RelCache.cached(s, s"$dir#t25_bigrams") {
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          filter(split($"text", " "), w => w =!= "").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", $"source", explode(transform(
+          sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("p"))
+        .select($"doc_id", $"source", $"p.w1", $"p.w2")
+    }
+    val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val uni = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val perDoc = bi
+      .join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .select($"doc_id", $"source",
+        (length(bin($"c1")) - length(bin($"c2"))).cast("long").as("bits"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_bi"), sum($"bits").as("bits_sum"))
+      .withColumn("avg_centibits", expr("(bits_sum * 100) div n_bi"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(avg_centibits) div count(1)").as("mean_centibits"),
+        count(when($"avg_centibits" <= BigramHeadCentibits, 1)).as("n_head"),
+        count(when($"avg_centibits" > BigramHeadCentibits, 1)).as("n_tail"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_bigram_surprisal" -> (t25BigramSurprisal _),
     "t24_learned_bpe_apply" -> (t24LearnedBpeApply _),
     "t23_bpe_train" -> (t23BpeTrain _),
     "t22_oov_eval" -> (t22OovEval _),
@@ -1102,6 +1154,34 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t25_bigram_surprisal" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |        FROM toks WHERE len(w) >= 2)),
+        |big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi
+        |        GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+        |scored AS (
+        |  SELECT b.doc_id, b.source,
+        |    (length(bin(u.c1)) - length(bin(g.c2)))::BIGINT AS bits
+        |  FROM bi b JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+        |            JOIN uni u ON b.w1 = u.w1),
+        |perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_bi,
+        |    (sum(bits) * 100) // count(*) AS avg_centibits
+        |  FROM scored GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  (sum(avg_centibits) // count(*))::BIGINT AS mean_centibits,
+        |  count(CASE WHEN avg_centibits <= $BigramHeadCentibits THEN 1 END)::BIGINT
+        |    AS n_head,
+        |  count(CASE WHEN avg_centibits > $BigramHeadCentibits THEN 1 END)::BIGINT
+        |    AS n_tail
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "t24_learned_bpe_apply" -> t24OracleSql,
     "t23_bpe_train" -> t23OracleSql,
     "t22_oov_eval" ->

@@ -744,6 +744,17 @@ class PlanShapeSpec extends SparkSpec {
         "is a 1-row BNLJ, not a cartesian)")
   }
 
+  test("t25: both LM tables broadcast to the pair stream — no sort-merge join by token") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t25_bigram_surprisal")(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the bigram/unigram count tables must broadcast")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("SortMergeJoin")),
+      "scoring must never shuffle the corpus pair stream by token — " +
+        "'of the'-class keys would hot-spot one reducer")
+  }
+
   test("d24: winner per cluster is a struct-max aggregate — no cluster-wide window, integer score") {
     val nodes = allNodes(
       graft.ext.DedupQueries.queries("d24_keep_best")(spark, sf))
