@@ -991,24 +991,33 @@ object TextQueries {
 
 
   private val BigramHeadCentibits = 458 // head/tail split, integer centibits
+  private val BigramVocab = 4096        // top-K bigram head kept as the model
+  private val BigramBackoffBits = 20L   // surprisal charged to unseen bigrams
 
   /** BIGRAM LM SURPRISAL (t25): per-document average conditional
-    * surprisal -log2 p(w2|w1) against a corpus bigram model — the next
-    * LM-scoring rung after t19's unigram model (a unigram model scores
-    * WORD rarity; the bigram model scores SEQUENCE predictability, the
-    * signal that separates fluent text from shuffled-word salad at
-    * equal vocabulary). The t19 fixed-point contract: conditional bits
-    * = floor(log2 c(w1·)) - floor(log2 c(w1 w2)) via `length(bin(c))`
-    * (c(w1·) counts w1 as a bigram LEFT, so bits >= 0 always), per-doc
-    * means in integer centibits — no float crosses engines.
+    * surprisal -log2 p(w2|w1) against a TRUNCATED corpus bigram model —
+    * the next LM-scoring rung after t19's unigram model (a unigram
+    * model scores WORD rarity; the bigram model scores SEQUENCE
+    * predictability, the signal that separates fluent text from
+    * shuffled-word salad at equal vocabulary). The model is the
+    * standard head-truncated LM: only the top-`BigramVocab` bigrams by
+    * count (ties broken on (w1, w2)) keep explicit probabilities; any
+    * bigram outside the head is charged a flat `BigramBackoffBits`
+    * backoff surprisal. The t19 fixed-point contract: in-head
+    * conditional bits = floor(log2 c(w1·)) - floor(log2 c(w1 w2)) via
+    * `length(bin(c))` (c(w1·) counts w1 as a bigram LEFT, so bits >= 0
+    * always), per-doc means in integer centibits — no float crosses
+    * engines.
     *
     * Scale shape: the adjacent-pair relation is cached and feeds the
-    * model build AND the scoring join (one tokenize pass); both count
+    * model build AND the scoring join (one tokenize pass); both model
     * tables BROADCAST to the pair stream — a corpus-side shuffle keyed
     * by bigram would hot-spot on "of the"-class keys, exactly the skew
-    * broadcast sidesteps. At 100 TB the bigram table is pruned to its
-    * head (the standard LM truncation) to stay broadcastable; the plan
-    * shape is unchanged. */
+    * broadcast sidesteps. Both broadcast sides are K-BOUNDED BY
+    * CONSTRUCTION: the bigram head is a top-K limit and the unigram
+    * table is semi-joined to the head's left words (<= K rows), so the
+    * broadcast stays driver-safe no matter how many distinct bigrams a
+    * 100 TB corpus holds. */
   def t25BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bi = RelCache.cached(s, s"$dir#t25_bigrams") {
@@ -1022,13 +1031,19 @@ object TextQueries {
             element_at($"w", i + 1).as("w2")))).as("p"))
         .select($"doc_id", $"source", $"p.w1", $"p.w2")
     }
-    val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val big = RelCache.cached(s, s"$dir#t25_head") {
+      bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        .orderBy(desc("c2"), $"w1", $"w2").limit(BigramVocab)
+    }
     val uni = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      .join(broadcast(big.select($"w1").distinct()), Seq("w1"))
     val perDoc = bi
-      .join(broadcast(big), Seq("w1", "w2"))
-      .join(broadcast(uni), Seq("w1"))
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
       .select($"doc_id", $"source",
-        (length(bin($"c1")) - length(bin($"c2"))).cast("long").as("bits"))
+        when($"c2".isNotNull,
+          (length(bin($"c1")) - length(bin($"c2"))).cast("long"))
+          .otherwise(lit(BigramBackoffBits)).as("bits"))
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_bi"), sum($"bits").as("bits_sum"))
       .withColumn("avg_centibits", expr("(bits_sum * 100) div n_bi"))
@@ -1164,13 +1179,17 @@ object TextQueries {
         |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
         |        FROM toks WHERE len(w) >= 2)),
         |big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi
-        |        GROUP BY w1, w2),
-        |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+        |        GROUP BY w1, w2
+        |        ORDER BY c2 DESC, w1, w2 LIMIT $BigramVocab),
+        |uni AS (SELECT b.w1, count(*)::BIGINT AS c1 FROM bi b
+        |        WHERE b.w1 IN (SELECT w1 FROM big) GROUP BY b.w1),
         |scored AS (
         |  SELECT b.doc_id, b.source,
-        |    (length(bin(u.c1)) - length(bin(g.c2)))::BIGINT AS bits
-        |  FROM bi b JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
-        |            JOIN uni u ON b.w1 = u.w1),
+        |    CASE WHEN g.c2 IS NOT NULL
+        |      THEN (length(bin(u.c1)) - length(bin(g.c2)))::BIGINT
+        |      ELSE ${BigramBackoffBits}::BIGINT END AS bits
+        |  FROM bi b LEFT JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+        |            LEFT JOIN uni u ON b.w1 = u.w1),
         |perdoc AS (
         |  SELECT doc_id, source, count(*) AS n_bi,
         |    (sum(bits) * 100) // count(*) AS avg_centibits

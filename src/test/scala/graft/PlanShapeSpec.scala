@@ -755,6 +755,24 @@ class PlanShapeSpec extends SparkSpec {
         "'of the'-class keys would hot-spot one reducer")
   }
 
+  test("t25: the broadcast model is K-bounded — a top-K limit caps the bigram head") {
+    // The head table is built once (RelCache) and the unigram side is
+    // semi-joined to it, so a limit in the HEAD's own (cached) plan is
+    // the bound for BOTH broadcast sides. The cache hides it behind an
+    // InMemoryTableScan — walk relation.cachedPlan to find it.
+    val df = graft.ext.TextQueries.queries("t25_bigram_surprisal")(spark, sf)
+    val nodes = allNodes(df)
+    val cachedPlans = nodes.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        walkPlan(m.relation.cachedPlan)
+    }.flatten
+    assert((nodes ++ cachedPlans).exists(n =>
+      n.getClass.getSimpleName.contains("TakeOrderedAndProject") ||
+        n.getClass.getSimpleName.contains("GlobalLimit")),
+      "the bigram head must be a top-K limit so the broadcast side is " +
+        "bounded by the model constant, never by corpus cardinality")
+  }
+
   test("d24: winner per cluster is a struct-max aggregate — no cluster-wide window, integer score") {
     val nodes = allNodes(
       graft.ext.DedupQueries.queries("d24_keep_best")(spark, sf))
