@@ -101,6 +101,10 @@ object DevScale {
       // sf>=17) and corrupt the synthesized distribution
       val mx = spark.read.parquet(s"$base/orders.parquet")
         .agg(max(col("o_orderkey")), max(col("o_custkey"))).collect()(0)
+      // an empty orders table yields NULL maxes — keep the failure
+      // message diagnostic instead of dying on the dereference
+      require(!mx.isNullAt(0) && !mx.isNullAt(1),
+        s"orders.parquet at $base is empty — cannot derive copy strides")
       require(mx.getAs[Number](0).longValue < 100000000L &&
         mx.getAs[Number](1).longValue < 10000000L,
         s"order key ranges exceed the copy strides: $mx")

@@ -65,5 +65,17 @@ object Verify {
           Double.box(v))}" }
       .mkString("{", ",", "}"))
     spark.stop()
+    // A dump that produced no result directories is a broken run, not a
+    // pass — exit nonzero so a silent no-op can never masquerade as
+    // green (round 11's driver artifact came back `{}` with no signal).
+    val produced = Option(new java.io.File(outDir).listFiles()).toSeq
+      .flatten.count(f => f.isDirectory && !f.getName.startsWith("_"))
+    if (produced == 0) {
+      System.err.println(s"[verify] FATAL: no result dirs written to $outDir")
+      sys.exit(2)
+    }
+    // NOTE: per-entry failures stay exit-0 on purpose — they are recorded
+    // in _errors.json and the per-entry artifacts still let the driver
+    // grade the surviving entries; only the produced-nothing case aborts.
   }
 }

@@ -823,11 +823,16 @@ object DedupQueries {
         .select($"da", $"db", $"jac")
     }
     def recallOf(scheme: String, truthTh: Double,
-                 found: DataFrame): DataFrame =
+                 found: DataFrame): DataFrame = {
+      // truthAll is truncated at TruthTh by construction — a lower
+      // threshold would silently score recall against INCOMPLETE truth
+      require(truthTh >= TruthTh,
+        s"ground truth only covers jaccard >= $TruthTh; got $truthTh")
       truthAll.filter($"jac" >= truthTh).select($"da", $"db")
         .join(found.withColumn("hit", lit(1)), Seq("da", "db"), "left")
         .agg(count(lit(1)).as("n_true"), count($"hit").as("n_found"))
         .select(lit(scheme).as("scheme"), $"n_true", $"n_found")
+    }
     recallOf("blocked_ngram", 0.5, d05NgramJaccard(s, dir)
         .select($"doc_a".as("da"), $"doc_b".as("db")))
       .unionByName(recallOf("minhash_lsh", JaccardThreshold,

@@ -373,7 +373,12 @@ object AnalyticQueries {
     val top = counts.result().reduce(_ unionByName _)
     val first = top.filter($"stage" === 1).select($"n_users".as("n_first"))
     top.crossJoin(broadcast(first))
-      .withColumn("conversion_bp", expr("n_users * 10000 div n_first"))
+      // degenerate corpus (zero 'view' events → n_first = 0): define
+      // conversion as 0 bp on BOTH engines — Spark's `div` would yield
+      // NULL while DuckDB's `//` errors, so the engines would diverge
+      .withColumn("conversion_bp", expr(
+        "case when n_first > 0 then n_users * 10000 div n_first " +
+          "else 0 end"))
       .select($"stage", $"event_type", $"n_users", $"conversion_bp")
       .orderBy($"stage")
   }
@@ -476,9 +481,10 @@ object AnalyticQueries {
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |SELECT stage, event_type, n_users,
-        |  CAST(n_users * 10000 //
-        |    (SELECT n_users FROM top WHERE stage = 1) AS BIGINT)
-        |    AS conversion_bp
+        |  CAST(CASE WHEN (SELECT n_users FROM top WHERE stage = 1) > 0
+        |    THEN n_users * 10000 //
+        |      (SELECT n_users FROM top WHERE stage = 1)
+        |    ELSE 0 END AS BIGINT) AS conversion_bp
         |FROM top ORDER BY stage""".stripMargin,
     "q51_forward_fill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,

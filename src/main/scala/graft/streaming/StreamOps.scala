@@ -142,11 +142,42 @@ object StreamOps {
     * stateful operator is a 4x cut in per-micro-batch state I/O at
     * demo rates — at production rates the right number is sized to
     * the key cardinality, not inherited from the batch default. */
-  private def scopedStateParts[T](s: SparkSession)(start: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  // serializes the save/set/restore below: two concurrent scopes on a
+  // shared session could otherwise interleave (A saves 32, sets 8; B
+  // saves 8; A restores 32; B restores 8) and leak 8 as the session
+  // value for every later batch query
+  private val statePartsLock = new Object
+
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Every stateful start also flips the state store to the RocksDB
+    * provider (with changelog checkpointing): the default HDFS-backed
+    * provider keeps each partition's ENTIRE key map on the executor
+    * heap, which caps a dedup key space or join range state at
+    * executor-memory scale — RocksDB spills state to local disk and
+    * checkpoints deltas, the posture an unbounded 100 TB feed needs.
+    * Scoped the same way as the partition count: captured by the query
+    * at start, restored for batch-side work. */
+  private def scopedStateParts[T](s: SparkSession)(start: => T): T =
+    statePartsLock.synchronized {
+      val partsKey = "spark.sql.shuffle.partitions"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val logKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      // getOption: the rocksdb.* keys are provider-read raw confs, not
+      // registered SQLConf entries — a plain get throws when unset
+      val prev = Seq(partsKey, provKey, logKey)
+        .map(k => k -> s.conf.getOption(k))
+      s.conf.set(partsKey, "8")
+      s.conf.set(provKey, RocksDbProvider)
+      s.conf.set(logKey, "true")
+      try start
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
 
   /** Run a transform over the events parquet as a FILE STREAM to
     * completion (Trigger.AvailableNow) and return the final result as a
@@ -617,8 +648,18 @@ object StreamOps {
     val hadoopConf = s.sessionState.newHadoopConf()
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val srcFs = srcPath.getFileSystem(hadoopConf)
-    val srcStat = srcFs.getFileStatus(srcPath)
-    val fp = s"${srcStat.getLen}:${srcStat.getModificationTime}"
+    // Fingerprint the LEAF files, not the directory entry: a directory's
+    // length is meaningless and its mtime only moves on child
+    // create/delete, so an in-place regeneration that rewrites part-file
+    // CONTENTS would otherwise reuse a stale fixture against fresh data.
+    val leaves: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = srcFs.getFileStatus(srcPath)
+      if (st.isFile) Seq(st)
+      else srcFs.listStatus(srcPath).toSeq.filter(_.isFile)
+    }
+    val fp = s"${leaves.map(_.getLen).sum}:" +
+      s"${leaves.map(_.getModificationTime).maxOption.getOrElse(0L)}:" +
+      s"${leaves.size}"
     val base = new org.apache.hadoop.fs.Path(
       s"${System.getProperty("java.io.tmpdir")}/graft_st11_g${math.abs(dir.hashCode)}")
     val fs = base.getFileSystem(hadoopConf)

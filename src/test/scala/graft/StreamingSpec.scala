@@ -91,4 +91,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(2)).sum == batch.map(_.getLong(2)).sum)
     assert(streamed.length == batch.length)
   }
+
+  test("stateful starts run on the RocksDB state store; session conf restored") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val metricKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(
+          _.customMetrics.keySet().forEach(k => metricKeys.add(k)))
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.streams.addListener(listener)
+    try {
+      StreamOps.queries("st02_stream_dedup")(spark, "/root/testdata/sf0.001")
+        .collect()
+      // the listener bus is async — give progress events a moment
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!metricKeys.stream().anyMatch(_.toLowerCase.contains("rocksdb"))
+        && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(metricKeys.stream()
+        .anyMatch(_.toLowerCase.contains("rocksdb")),
+        s"expected RocksDB state-store metrics in query progress; " +
+          s"saw: ${metricKeys.toArray.mkString(", ")}")
+      assert(spark.conf.get(provKey) == prevProv,
+        "provider conf must be restored after the scoped start")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts,
+        "shuffle-partition conf must be restored after the scoped start")
+    } finally spark.streams.removeListener(listener)
+  }
 }
