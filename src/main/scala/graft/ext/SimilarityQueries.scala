@@ -724,7 +724,12 @@ object SimilarityQueries {
     * recall against truth — the latter REPORTS whether the declared
     * 0.05 margin really covered the quantization error (10000 bp =
     * lossless prefilter), so the margin claim is measured, not
-    * asserted. */
+    * asserted. Note the synthetic corpus holds NO high-cosine pairs
+    * (max ≈ 0.49 touching the sample), so every truth pair sits in the
+    * borderline band just above [[LshThreshold]] where 2-band/8-bit
+    * hyperplane LSH collision probability is a few percent — a low LSH
+    * recall here is the scheme's true borderline behavior, exactly the
+    * tradeoff d21's lexical rows expose. */
   def s13SemanticRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -773,7 +778,53 @@ object SimilarityQueries {
       .orderBy($"scheme")
   }
 
+  private val RrfK = 60    // the standard reciprocal-rank-fusion constant
+  private val FusedK = 10  // fused results kept per query
+
+  /** HYBRID RETRIEVAL FUSION (s14): reciprocal-rank fusion of the
+    * LEXICAL ranking (t07's BM25 top-20) and the DENSE rankings (s01's
+    * per-query cosine top-k) — the standard RAG retrieval shape, where
+    * neither sparse keyword match nor embedding similarity alone ranks
+    * best and RRF (Cormack/Clarke/Buettcher) fuses them without score
+    * calibration. `embeddings.vec_id` is declared the dense encoding of
+    * `documents.doc_id` (the tables are row-aligned). Each side
+    * contributes integer MICRO-UNITS `1e6 div (RrfK + rank)` — fixed
+    * point, so the fused sum is exact in any engine.
+    *
+    * Scale shape: both inputs are ALREADY k-bounded rankings (t07 ends
+    * in a top-20 limit; s01 keeps rank <= k per query), so everything
+    * past the corpus-side ranking work is arithmetic over K·queries
+    * rows: the fusion is a UNION + hash aggregate, never a join against
+    * the corpus, and the lexical side reaches each dense query by a
+    * broadcast product of two bounded relations. */
+  def s14HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dense = s01CosineTopK(s, dir)
+      .select($"query_id", $"vec_id".as("doc_id"),
+        expr(s"1000000 div ($RrfK + rn)").cast("long").as("contrib"))
+    // rank the bounded lexical relation; the unpartitioned window runs
+    // over the 20-row limit result, never corpus-scale data
+    val lexRanked = graft.ext.TextQueries.queries("t07_bm25")(s, dir)
+      .withColumn("lrank",
+        row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+      .select($"doc_id",
+        expr(s"1000000 div ($RrfK + lrank)").cast("long").as("contrib"))
+    val qids = dense.select($"query_id").distinct()
+    val lexPerQ = qids.join(broadcast(lexRanked), lit(true))
+      .select($"query_id", $"doc_id", $"contrib")
+    dense.unionByName(lexPerQ)
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib").as("rrf_micro"), count(lit(1)).as("n_sides"))
+      .withColumn("frank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"rrf_micro".desc, $"doc_id")))
+      .filter($"frank" <= FusedK)
+      .select($"query_id", $"frank".cast("long").as("frank"), $"doc_id",
+        $"rrf_micro", $"n_sides")
+      .orderBy($"query_id", $"frank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_hybrid_rrf" -> (s14HybridRrf _),
     "s13_semantic_recall" -> (s13SemanticRecall _),
     "s11_pq_topk" -> (s11PqTopK _),
     "s10_recall_eval" -> (s10RecallEval _),
@@ -848,6 +899,32 @@ object SimilarityQueries {
       |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s14_hybrid_rrf" ->
+      s"""WITH dense AS (
+        |  SELECT query_id, rn, vec_id FROM (${s01OracleSql})),
+        |lex AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+        |  FROM (${graft.ext.TextQueries.t07OracleSql})),
+        |contrib AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    1000000 // ($RrfK + rn) AS contrib
+        |  FROM dense
+        |  UNION ALL
+        |  SELECT q.query_id, l.doc_id, 1000000 // ($RrfK + l.lrank)
+        |  FROM (SELECT DISTINCT query_id FROM dense) q, lex l),
+        |fused AS (
+        |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+        |    count(*)::BIGINT AS n_sides
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, doc_id) AS frank
+        |  FROM fused)
+        |SELECT query_id, CAST(frank AS BIGINT) AS frank, doc_id,
+        |  rrf_micro, n_sides
+        |FROM ranked WHERE frank <= $FusedK
+        |ORDER BY query_id, frank""".stripMargin,
     "s13_semantic_recall" ->
       s"""WITH $lshPairCtes,
         |tmx AS (

@@ -1083,6 +1083,34 @@ object TextQueries {
     "t07_bm25" -> (t07Bm25 _),
   )
 
+  /** DuckDB twin of [[t07Bm25]] — private[ext]: s14's hybrid-retrieval
+    * oracle composes this ranking with s01's dense ranking (the s10
+    * composition pattern). Constants interpolated from the SAME Scala
+    * values the Spark plan uses (shortest round-trip repr) — both
+    * engines see identical doubles, so the per-row arithmetic agrees
+    * bit-for-bit. */
+  private[ext] lazy val t07OracleSql: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (tm, i) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$tm'))::DOUBLE AS tf_$i"
+    }.mkString(",\n        ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"count(CASE WHEN tf_$i > 0 THEN 1 END)::DOUBLE AS df_$i")
+      .mkString(", ")
+    val terms = bm25Terms.indices.map { i =>
+      s"ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1) * " +
+        s"(tf_$i * ${bm25K1 + 1}) / (tf_$i + $bm25K1 * " +
+        s"(${1 - bm25B} + $bm25B * dl / avgdl))"
+    }.mkString("\n          + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+      |    $tfs
+      |  FROM documents),
+      |s AS (
+      |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, $dfs FROM d)
+      |SELECT doc_id, round($terms, 6) AS bm25
+      |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   private val markerSql: Map[String, String] = markers.map { case (l, ws) =>
     l -> ws.map(w => s"x = '$w'").mkString(" OR ")
   }.toMap
@@ -1603,30 +1631,7 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "t07_bm25" -> {
-      // constants interpolated from the SAME Scala values the Spark plan
-      // uses (shortest round-trip repr) — both engines see identical
-      // doubles, so the per-row arithmetic agrees bit-for-bit
-      val tfs = bm25Terms.zipWithIndex.map { case (tm, i) =>
-        s"len(list_filter(string_split(text, ' '), x -> x = '$tm'))::DOUBLE AS tf_$i"
-      }.mkString(",\n        ")
-      val dfs = bm25Terms.indices.map(i =>
-        s"count(CASE WHEN tf_$i > 0 THEN 1 END)::DOUBLE AS df_$i")
-        .mkString(", ")
-      val terms = bm25Terms.indices.map { i =>
-        s"ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1) * " +
-          s"(tf_$i * ${bm25K1 + 1}) / (tf_$i + $bm25K1 * " +
-          s"(${1 - bm25B} + $bm25B * dl / avgdl))"
-      }.mkString("\n          + ")
-      s"""WITH d AS (
-        |  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
-        |    $tfs
-        |  FROM documents),
-        |s AS (
-        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, $dfs FROM d)
-        |SELECT doc_id, round($terms, 6) AS bm25
-        |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "t07_bm25" -> t07OracleSql,
     "t05_prep_pipeline" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, text,

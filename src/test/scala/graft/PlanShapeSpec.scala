@@ -796,6 +796,35 @@ class PlanShapeSpec extends SparkSpec {
       "no quantized codes or float vectors may ride an exchange")
   }
 
+  test("s13: semantic truth is a broadcast range search — no cartesian, no vector on an exchange") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s13_semantic_recall")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "truth candidates come from broadcasting the K-bounded eval " +
+        "sample over ONE corpus pass — never an all-pairs shuffle")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "no quantized codes or float vectors may ride an exchange")
+  }
+
+  test("s14: fusion inputs are k-bounded rankings; the fuse is union+agg, never a corpus join") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s14_hybrid_rrf")(spark, sf))
+    assert(nodes.exists(n =>
+      n.getClass.getSimpleName.contains("TakeOrderedAndProject") ||
+        n.getClass.getSimpleName.contains("GlobalLimit")),
+      "the lexical side must end in its top-20 limit BEFORE fusion")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("SortMergeJoin")),
+      "fused relations are K·queries rows — nothing may sort-merge")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the lexical ranking reaches each query by a bounded broadcast " +
+        "product, never a cartesian shuffle")
+  }
+
   test("q53: longest-run reads only purchases (pushed filter), no join anywhere") {
     val nodes = allNodes(
       graft.rel.AnalyticQueries.queries("q53_longest_run")(spark, sf))
