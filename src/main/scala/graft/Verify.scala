@@ -23,12 +23,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = Seq.newBuilder[(String, String)]
     val timings = Seq.newBuilder[(String, Double)]
+    var produced = 0
     SparkEntry.queries
       .filter(kv => only.isEmpty || only.contains(kv._1))
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        produced += 1
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
@@ -65,11 +69,11 @@ object Verify {
           Double.box(v))}" }
       .mkString("{", ",", "}"))
     spark.stop()
-    // A dump that produced no result directories is a broken run, not a
-    // pass — exit nonzero so a silent no-op can never masquerade as
-    // green (round 11's driver artifact came back `{}` with no signal).
-    val produced = Option(new java.io.File(outDir).listFiles()).toSeq
-      .flatten.count(f => f.isDirectory && !f.getName.startsWith("_"))
+    // A run that produced no result dumps is a broken run, not a pass —
+    // exit nonzero so a silent no-op can never masquerade as green
+    // (round 11's driver artifact came back `{}` with no signal).
+    // Counts only writes from THIS run: a reused outDir's stale dirs
+    // from a previous run must not vouch for an empty one.
     if (produced == 0) {
       System.err.println(s"[verify] FATAL: no result dirs written to $outDir")
       sys.exit(2)

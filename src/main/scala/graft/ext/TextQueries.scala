@@ -1031,10 +1031,26 @@ object TextQueries {
             element_at($"w", i + 1).as("w2")))).as("p"))
         .select($"doc_id", $"source", $"p.w1", $"p.w2")
     }
-    val big = RelCache.cached(s, s"$dir#t25_head") {
+    bigramSurprisalCore(bi, BigramVocab, BigramBackoffBits,
+      BigramHeadCentibits,
+      cacheHead = h => RelCache.cached(s, s"$dir#t25_head")(h))
+  }
+
+  /** Scoring core of [[t25BigramSurprisal]] over an adjacent-pair
+    * relation `(doc_id, source, w1, w2)`, with the model size and
+    * backoff INJECTABLE: the gate corpus has fewer distinct bigrams
+    * than the production `BigramVocab`, so only a test driving a small
+    * K can reach the truncation boundary (tie-break at rank K, the
+    * backoff branch, the head-restricted unigram join) —
+    * TextQueriesSpec does exactly that. */
+  private[graft] def bigramSurprisalCore(bi: DataFrame, headK: Int,
+      backoffBits: Long, headCentibits: Int,
+      cacheHead: DataFrame => DataFrame = identity): DataFrame = {
+    val s = bi.sparkSession
+    import s.implicits._
+    val big = cacheHead(
       bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-        .orderBy(desc("c2"), $"w1", $"w2").limit(BigramVocab)
-    }
+        .orderBy(desc("c2"), $"w1", $"w2").limit(headK))
     val uni = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
       .join(broadcast(big.select($"w1").distinct()), Seq("w1"))
     val perDoc = bi
@@ -1043,15 +1059,15 @@ object TextQueries {
       .select($"doc_id", $"source",
         when($"c2".isNotNull,
           (length(bin($"c1")) - length(bin($"c2"))).cast("long"))
-          .otherwise(lit(BigramBackoffBits)).as("bits"))
+          .otherwise(lit(backoffBits)).as("bits"))
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_bi"), sum($"bits").as("bits_sum"))
       .withColumn("avg_centibits", expr("(bits_sum * 100) div n_bi"))
     perDoc.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(avg_centibits) div count(1)").as("mean_centibits"),
-        count(when($"avg_centibits" <= BigramHeadCentibits, 1)).as("n_head"),
-        count(when($"avg_centibits" > BigramHeadCentibits, 1)).as("n_tail"))
+        count(when($"avg_centibits" <= headCentibits, 1)).as("n_head"),
+        count(when($"avg_centibits" > headCentibits, 1)).as("n_tail"))
       .orderBy($"source")
   }
 

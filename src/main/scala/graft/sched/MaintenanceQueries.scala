@@ -58,26 +58,29 @@ object MaintenanceQueries {
                         (build: java.nio.file.Path => Unit): java.nio.file.Path = {
     val hc = spark.sessionState.newHadoopConf()
     val srcPath = new org.apache.hadoop.fs.Path(s"$sfDir/$srcTable.parquet")
-    val sfs = srcPath.getFileSystem(hc)
-    val st = sfs.getFileStatus(srcPath)
-    val leaves =
-      if (st.isFile) Seq(st)
-      else sfs.listStatus(srcPath).toSeq.filter(_.isFile)
-    val fp = s"v$XSeedVer:${leaves.map(_.getLen).sum}:" +
-      s"${leaves.map(_.getModificationTime).maxOption.getOrElse(0L)}:" +
-      s"${leaves.size}"
+    val fp = s"v$XSeedVer:" +
+      graft.SourceFingerprint.of(srcPath.getFileSystem(hc), srcPath)
+    // The fixture dir name embeds the fingerprint hash: a regenerated
+    // testdata dir lands in a FRESH generation dir, so a rebuild never
+    // deleteTree's data files that live clones (manifests pointing at
+    // the old generation) are still reading. Stale generations linger
+    // in tmpdir — the price of never pulling files from under a reader.
     val fixture = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_xseed_${tag}_${math.abs(sfDir.hashCode)}")
+      s"graft_xseed_${tag}_${math.abs(sfDir.hashCode)}_" +
+        java.lang.Integer.toHexString(fp.hashCode))
     // JVM lock (prevents OverlappingFileLockException below) + an OS
     // file lock: a concurrent process (sbt test beside a Verify run)
-    // must not interleave the in-place check/rebuild/stamp. The build
+    // must not interleave the in-place check/rebuild/stamp, and the
+    // clone copy must not race a rebuild of an unstamped (crashed)
+    // generation — so the COPY runs inside the same region. The build
     // cannot publish-by-rename — manifests hold absolute paths — so
     // mutual exclusion is the mechanism.
+    val clone = Files.createTempDirectory(s"graft_$tag")
     xSeedLock.synchronized {
       val lockPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft_xseed_${tag}_${math.abs(sfDir.hashCode)}.lock")
+        s"${fixture.getFileName}.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
@@ -88,42 +91,45 @@ object MaintenanceQueries {
           Files.readAllBytes(fpFile),
           java.nio.charset.StandardCharsets.UTF_8) == fp
         if (!ok) {
+          // only an UNSTAMPED generation (crashed build) is ever
+          // deleted — no clone can reference it
           if (Files.exists(fixture)) deleteTree(fixture)
           Files.createDirectories(fixture)
           build(fixture)
           Files.write(fpFile, fp.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
         }
+        val fixtureStr = fixture.toString
+        val cloneStr = clone.toString
+        import scala.jdk.CollectionConverters._
+        Files.walk(fixture).iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filterNot(_.getFileName.toString == "_fp")
+          // LocalFileSystem checksum sidecars must NOT copy over: the
+          // log JSONs are rewritten below, so a stale .crc would fail
+          // the read
+          .filterNot(_.getFileName.toString.endsWith(".crc"))
+          // data files stay at the fixture (shared, immutable);
+          // everything under a table's _graft tree is the metadata
+          // being cloned
+          .filter(_.toString.contains("/_graft/"))
+          .foreach { src =>
+            val dst = clone.resolve(fixture.relativize(src))
+            Files.createDirectories(dst.getParent)
+            if (src.getFileName.toString.endsWith(".snapshots.json")) {
+              // manifest DIRS move with the clone; data paths inside
+              // the manifest parquets keep pointing at the fixture
+              // (both the plain and file:-scheme spellings rewritten)
+              val txt = new String(Files.readAllBytes(src),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .replace(s"file:$fixtureStr", s"file:$cloneStr")
+                .replace(fixtureStr, cloneStr)
+              Files.write(dst, txt.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            } else Files.copy(src, dst)
+          }
       } finally { flk.release(); ch.close() }
     }
-    val clone = Files.createTempDirectory(s"graft_$tag")
-    val fixtureStr = fixture.toString
-    val cloneStr = clone.toString
-    import scala.jdk.CollectionConverters._
-    Files.walk(fixture).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filterNot(_.getFileName.toString == "_fp")
-      // LocalFileSystem checksum sidecars must NOT copy over: the log
-      // JSONs are rewritten below, so a stale .crc would fail the read
-      .filterNot(_.getFileName.toString.endsWith(".crc"))
-      // data files stay at the fixture (shared, immutable); everything
-      // under a table's _graft tree is the metadata being cloned
-      .filter(_.toString.contains("/_graft/"))
-      .foreach { src =>
-        val dst = clone.resolve(fixture.relativize(src))
-        Files.createDirectories(dst.getParent)
-        if (src.getFileName.toString.endsWith(".snapshots.json")) {
-          // manifest DIRS move with the clone; data paths inside the
-          // manifest parquets keep pointing at the fixture (both the
-          // plain and file:-scheme spellings are rewritten)
-          val txt = new String(Files.readAllBytes(src),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .replace(s"file:$fixtureStr", s"file:$cloneStr")
-            .replace(fixtureStr, cloneStr)
-          Files.write(dst, txt.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-        } else Files.copy(src, dst)
-      }
     clone
   }
 

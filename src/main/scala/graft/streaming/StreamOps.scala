@@ -648,18 +648,9 @@ object StreamOps {
     val hadoopConf = s.sessionState.newHadoopConf()
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val srcFs = srcPath.getFileSystem(hadoopConf)
-    // Fingerprint the LEAF files, not the directory entry: a directory's
-    // length is meaningless and its mtime only moves on child
-    // create/delete, so an in-place regeneration that rewrites part-file
-    // CONTENTS would otherwise reuse a stale fixture against fresh data.
-    val leaves: Seq[org.apache.hadoop.fs.FileStatus] = {
-      val st = srcFs.getFileStatus(srcPath)
-      if (st.isFile) Seq(st)
-      else srcFs.listStatus(srcPath).toSeq.filter(_.isFile)
-    }
-    val fp = s"${leaves.map(_.getLen).sum}:" +
-      s"${leaves.map(_.getModificationTime).maxOption.getOrElse(0L)}:" +
-      s"${leaves.size}"
+    // leaf-file content fingerprint (shared helper): an in-place
+    // regeneration that rewrites part-file contents forces a rebuild
+    val fp = graft.SourceFingerprint.of(srcFs, srcPath)
     val base = new org.apache.hadoop.fs.Path(
       s"${System.getProperty("java.io.tmpdir")}/graft_st11_g${math.abs(dir.hashCode)}")
     val fs = base.getFileSystem(hadoopConf)

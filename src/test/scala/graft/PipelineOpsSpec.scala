@@ -164,4 +164,27 @@ class PipelineOpsSpec extends SparkSpec {
     // the 4 groups remain separated: 4 distinct modal labels
     assert(rows.map(_.getInt(4)).toSet == Set(0, 1, 2, 3))
   }
+
+  test("t25 core at a small K: truncation tie-break, backoff branch, head-restricted unigrams") {
+    import spark.implicits._
+    // pairs: doc1(a) = (x,x),(x,y); doc2(a) = (x,x); doc3(b) = (y,z)
+    // counts: (x,x)=2, (x,y)=1, (y,z)=1. K=2 head by (c2 desc, w1, w2):
+    // (x,x) then — tie at c2=1 broken on (w1,w2) — (x,y); (y,z) FALLS
+    // OUT at the rank-K boundary. uni restricted to head lefts: only
+    // x, c1(x)=3 (bitlen 2).
+    val bi = Seq(
+      (1L, "a", "x", "x"), (1L, "a", "x", "y"),
+      (2L, "a", "x", "x"),
+      (3L, "b", "y", "z"))
+      .toDF("doc_id", "source", "w1", "w2")
+    val out = graft.ext.TextQueries.bigramSurprisalCore(
+      bi, headK = 2, backoffBits = 20L, headCentibits = 458)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc1: bits (2-2)+(2-1)=1 over 2 pairs -> 50 centibits; doc2: 0;
+    // doc3: out-of-head pair -> backoff 20 bits -> 2000 centibits
+    assert(out.toSeq == Seq(
+      ("a", 2L, 25L, 2L, 0L),   // mean (50+0) div 2 = 25; both <= 458
+      ("b", 1L, 2000L, 0L, 1L)))// pure-backoff doc lands in the tail
+  }
 }
