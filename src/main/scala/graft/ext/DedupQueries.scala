@@ -646,6 +646,58 @@ object DedupQueries {
     * the winner aggregate and the drop join are keyed on the cluster
     * label whose width is the CLUSTERED doc count, not the corpus; the
     * report is one aggregate per lang. */
+  private val TestTenths = 2 // 20% of GROUPS land in test
+
+  /** LEAKAGE-SAFE TRAIN/TEST SPLIT (d25): assign every document to
+    * train or test ATOMICALLY BY NEAR-DUP CLUSTER — the step after
+    * detection (d03/d05) and clustering (d09) that a benchmark pipeline
+    * actually needs: a random per-document split leaks near-duplicates
+    * of test documents into train, inflating eval scores (the
+    * contamination d08/d18 scrub AFTER the fact; splitting group-wise
+    * prevents it by construction). Group key = the document's d09
+    * component label, or its own id for singletons; the split decision
+    * reads the HIGH bits of a golden-ratio multiplicative hash of the
+    * group key — exact BIGINT math in both engines, reproducible under
+    * retry (production swaps in md5, d06's note). Output pins the
+    * claim: `n_cross_pairs`
+    * counts verified near-dup pairs straddling the split — zero by
+    * construction, and COMPUTED, not asserted.
+    *
+    * Scale shape: labels come from the session-cached component
+    * relation (shared with d09/d24); the split is a pure projection
+    * over it; the cross check joins the cached pair list (O(pairs))
+    * against the per-doc split by id; the report is one aggregate. */
+  def d25LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = ngramLabels(s, dir).withColumnRenamed("doc", "doc_id")
+    val grouped = t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce($"lbl", $"doc_id"))
+      // HIGH bits of the multiplicative hash, not the raw residue: the
+      // low decimal digits of grp * odd-constant degenerate (a
+      // multiplier ending in 5 makes `% 10` hit only {0,5} — a 50/50
+      // odd/even split, not the declared 20%). Dividing by 4096 first
+      // reads well-mixed bits; exact BIGINT math in both engines.
+      .withColumn("split",
+        when(expr(s"((grp * 2654435761 + 12345) div 4096) % 10")
+          < TestTenths, "test")
+          .otherwise("train"))
+    val ga = grouped.select($"doc_id".as("doc_a"), $"split".as("split_a"))
+    val gb = grouped.select($"doc_id".as("doc_b"), $"split".as("split_b"))
+    val cross = ngramPairs(s, dir).select($"doc_a", $"doc_b")
+      .join(ga, "doc_a").join(gb, "doc_b")
+      .agg(count(when($"split_a" =!= $"split_b", 1)).as("n_cross_pairs"))
+    grouped.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"grp").as("n_groups"),
+        sum($"toks").as("n_tokens"))
+      .crossJoin(broadcast(cross))
+      .select($"split", $"n_docs", $"n_groups", $"n_tokens",
+        $"n_cross_pairs")
+      .orderBy($"split")
+  }
+
   def d24KeepBest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
@@ -843,6 +895,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_leakage_safe_split" -> (d25LeakageSafeSplit _),
     "d24_keep_best" -> (d24KeepBest _),
     "d21_dedup_recall" -> (d21DedupRecall _),
     "d20_exact_substring_dedup" -> (d20ExactSubstringDedup _),
@@ -952,6 +1005,27 @@ object DedupQueries {
       |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d25_leakage_safe_split" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+        |comp AS (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
+        |g AS (
+        |  SELECT d.doc_id,
+        |    len(string_split(d.text, ' '))::BIGINT AS toks,
+        |    coalesce(c.lbl, d.doc_id) AS grp,
+        |    CASE WHEN ((coalesce(c.lbl, d.doc_id) * 2654435761 + 12345)
+        |        // 4096) % 10 < $TestTenths
+        |      THEN 'test' ELSE 'train' END AS split
+        |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+        |cross_cnt AS (
+        |  SELECT count(CASE WHEN a.split <> b.split THEN 1 END)::BIGINT
+        |    AS n_cross_pairs
+        |  FROM pairs p JOIN g a ON a.doc_id = p.doc_a
+        |               JOIN g b ON b.doc_id = p.doc_b)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT grp)::BIGINT AS n_groups,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens, n_cross_pairs
+        |FROM g, cross_cnt
+        |GROUP BY split, n_cross_pairs ORDER BY split""".stripMargin,
     // the window-cover identity spelled directly: duplicated length-L
     // windows -> keep-first -> union of covered positions
     "d20_exact_substring_dedup" ->

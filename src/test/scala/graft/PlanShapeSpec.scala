@@ -796,6 +796,19 @@ class PlanShapeSpec extends SparkSpec {
       "no quantized codes or float vectors may ride an exchange")
   }
 
+  test("d25: split is a projection over cached labels — no window, no corpus cartesian") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d25_leakage_safe_split")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "group assignment is coalesce(label, id) + a hash projection — " +
+        "never a per-group ordering window")
+    assert(!nodes.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "the cross-split check is an id-keyed equi-join over the pair " +
+        "list; the only product is the 1-row verified-count broadcast")
+  }
+
   test("s13: semantic truth is a broadcast range search — no cartesian, no vector on an exchange") {
     val nodes = allNodes(
       SimilarityQueries.queries("s13_semantic_recall")(spark, sf))
