@@ -827,7 +827,65 @@ object SimilarityQueries {
       .orderBy($"query_id", $"frank")
   }
 
+  private val ProbeSweep = Seq(1, 2, 4) // nprobe settings under evaluation
+
+  /** IVF PROBE SWEEP (s15): recall@nprobe against the exact top-k — the
+    * tuning curve every IVF deployment reads before fixing nprobe
+    * (recall rises with probes, scan cost rises linearly; the knee is
+    * the operating point). For each nprobe in [[ProbeSweep]], the s02
+    * retrieval runs with that probe budget and is scored against s01's
+    * exact ranking; the row also carries `cand_pairs`, the candidate
+    * volume that setting actually scanned — the COST axis of the curve,
+    * measured, not estimated.
+    *
+    * Scale shape: the centroid-similarity ranking over the corpus is
+    * computed ONCE (session-cached) and every sweep arm is a FILTER
+    * over it (crn <= p) — the sweep adds zero corpus passes beyond
+    * s02's own; per-arm work is bounded by the probed cells' contents,
+    * and every aggregate is per-query-bounded. */
+  def s15ProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val ranked = RelCache.cached(s, s"$dir#s15_ranked") {
+      val e = withNorm(t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding"))
+      val cents = e.filter($"vec_id" < NumCells)
+        .select($"vec_id".as("cell_id"), $"embedding".as("ce"),
+          $"nrm".as("cn"))
+      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
+      e.join(broadcast(cents), lit(true))
+        .withColumn("csim",
+          round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
+        .withColumn("crn", row_number().over(w))
+        .select($"vec_id", $"embedding", $"nrm", $"cell_id", $"crn")
+    }
+    val assigned = ranked.filter($"crn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+    val exact = s01CosineTopK(s, dir)
+      .select($"query_id", $"vec_id", lit(1).as("hit"))
+    val arms = ProbeSweep.map { p =>
+      val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= p)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"nrm".as("qn"), $"cell_id")
+      val cand = assigned.join(broadcast(probes), Seq("cell_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos",
+          round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      val hits = cand.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= TopK)
+        .join(exact, Seq("query_id", "vec_id"), "left")
+        .agg(count($"hit").as("hits"))
+      cand.agg(count(lit(1)).as("cand_pairs"))
+        .crossJoin(broadcast(hits))
+        .select(lit(p.toLong).as("nprobe"), $"cand_pairs", $"hits",
+          expr(s"hits * 10000 div ${NumQueries * TopK}").as("recall_bp"))
+    }
+    arms.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_probe_sweep" -> (s15ProbeSweep _),
     "s14_hybrid_rrf" -> (s14HybridRrf _),
     "s13_semantic_recall" -> (s13SemanticRecall _),
     "s11_pq_topk" -> (s11PqTopK _),
@@ -902,7 +960,55 @@ object SimilarityQueries {
       |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
       |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
 
+  private lazy val s15OracleSql: String = {
+    val armCtes = ProbeSweep.map { p =>
+      s"""cand$p AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id,
+        |    round(${dotSql.format("q.embedding", "a.embedding")}
+        |      / (q.nrm * a.nrm), 6) AS cos
+        |  FROM assigned a JOIN qsims q ON a.cell_id = q.cell_id
+        |  WHERE q.prn <= $p AND a.vec_id <> q.vec_id),
+        |top$p AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |    FROM cand$p) WHERE rn <= $TopK),
+        |row$p AS (
+        |  SELECT ${p}::BIGINT AS nprobe,
+        |    (SELECT count(*)::BIGINT FROM cand$p) AS cand_pairs,
+        |    (SELECT count(*)::BIGINT FROM top$p t
+        |       JOIN brute b USING (query_id, vec_id)) AS hits)""".stripMargin
+    }.mkString(",\n")
+    val unionRows = ProbeSweep.map(p => s"SELECT * FROM row$p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+      |          FROM e WHERE vec_id < $NumCells),
+      |sims AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, cell_id,
+      |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+      |  FROM e, cents),
+      |assigned AS (
+      |  SELECT vec_id, embedding, nrm, cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY csim DESC, cell_id) AS arn
+      |    FROM sims) WHERE arn = 1),
+      |qsims AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY csim DESC, cell_id) AS prn
+      |  FROM sims WHERE vec_id < $NumQueries),
+      |brute AS (SELECT query_id, vec_id FROM ($s01OracleSql)),
+      |$armCtes
+      |SELECT nprobe, cand_pairs, hits,
+      |  CAST(hits * 10000 // ${NumQueries * TopK} AS BIGINT) AS recall_bp
+      |FROM ($unionRows)
+      |ORDER BY nprobe""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s15_probe_sweep" -> s15OracleSql,
     "s14_hybrid_rrf" ->
       s"""WITH dense AS (
         |  SELECT query_id, rn, vec_id FROM (${s01OracleSql})),

@@ -796,6 +796,25 @@ class PlanShapeSpec extends SparkSpec {
       "no quantized codes or float vectors may ride an exchange")
   }
 
+  test("s15: sweep arms filter ONE cached assignment ranking — no corpus pass per arm") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s15_probe_sweep")(spark, sf))
+    val corpusScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("embeddings")) => f
+    }
+    // s01 truth contributes bounded scans; the sweep itself must read
+    // the corpus through the cached ranking, never once per arm
+    val cached = nodes.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(cached.nonEmpty, "the centroid-assignment ranking must be " +
+      "session-cached so every sweep arm is a filter over it")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "centroids broadcast onto the corpus — never a cartesian shuffle")
+  }
+
   test("d25: split is a projection over cached labels — no window, no corpus cartesian") {
     val nodes = allNodes(
       graft.ext.DedupQueries.queries("d25_leakage_safe_split")(spark, sf))
