@@ -669,11 +669,14 @@ object DedupQueries {
     * against the per-doc split by id; the report is one aggregate. */
   def d25LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val labels = ngramLabels(s, dir).withColumnRenamed("doc", "doc_id")
-    val grouped = t(s, dir, "documents")
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("grp", coalesce($"lbl", $"doc_id"))
+    // cached: three consumers (both cross-check sides + the final
+    // aggregate) read ONE scan + label join + split projection
+    val grouped = cached(s, dir, "d25_grouped") {
+      val labels = ngramLabels(s, dir).withColumnRenamed("doc", "doc_id")
+      t(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce($"lbl", $"doc_id"))
       // HIGH bits of the multiplicative hash, not the raw residue: the
       // low decimal digits of grp * odd-constant degenerate (a
       // multiplier ending in 5 makes `% 10` hit only {0,5} — a 50/50
@@ -683,6 +686,7 @@ object DedupQueries {
         when(expr(s"((grp * 2654435761 + 12345) div 4096) % 10")
           < TestTenths, "test")
           .otherwise("train"))
+    }
     val ga = grouped.select($"doc_id".as("doc_a"), $"split".as("split_a"))
     val gb = grouped.select($"doc_id".as("doc_b"), $"split".as("split_b"))
     val cross = ngramPairs(s, dir).select($"doc_a", $"doc_b")

@@ -44,18 +44,27 @@ object SimilarityQueries {
     * per query; the query side is tiny and broadcast). */
   def s01CosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
-    val q = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
-    val pairs = e.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    pairs.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= TopK)
-      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
-      .orderBy($"query_id", $"rn")
+    s01TopKRel(s, dir).orderBy($"query_id", $"rn")
   }
+
+  /** Session-cached s01 exact top-k — the ground-truth relation s10,
+    * s14, and s15 all score against (the s05Pairs convention: one
+    * corpus pass per session feeds every consumer and every repeated
+    * bench pass). */
+  private def s01TopKRel(s: SparkSession, dir: String): DataFrame =
+    RelCache.cached(s, s"$dir#s01_topk") {
+      import s.implicits._
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      val pairs = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos", round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      pairs.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= TopK)
+        .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
+    }
 
   /** IVF approximate top-k: assign every vector to its nearest of 16
     * data-derived centroids (vec_id < 16), probe the 2 cells nearest to
@@ -627,7 +636,7 @@ object SimilarityQueries {
     * expensive side and its cost is the sample's, not the corpus'. */
   def s10RecallEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val brute = s01CosineTopK(s, dir).select($"query_id", $"vec_id")
+    val brute = s01TopKRel(s, dir).select($"query_id", $"vec_id")
     val ivf = s02IvfTopK(s, dir)
       .select($"query_id", $"vec_id", $"rn".as("ivf_rn"))
     brute.join(ivf, Seq("query_id", "vec_id"), "left")
@@ -803,7 +812,7 @@ object SimilarityQueries {
     * broadcast product of two bounded relations. */
   def s14HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dense = s01CosineTopK(s, dir)
+    val dense = s01TopKRel(s, dir)
       .select($"query_id", $"vec_id".as("doc_id"),
         expr(s"1000000 div ($RrfK + rn)").cast("long").as("contrib"))
     // rank the bounded lexical relation; the unpartitioned window runs
@@ -846,7 +855,10 @@ object SimilarityQueries {
   def s15ProbeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val ranked = RelCache.cached(s, s"$dir#s15_ranked") {
+    // fresh centroid-ranking expression; what gets CACHED are two slim
+    // derivations, never the 16-per-vector relation with the embedding
+    // on every row (a ~16x duplication of the corpus footprint)
+    def rankedRaw: DataFrame = {
       val e = withNorm(t(s, dir, "embeddings")
         .select($"vec_id", $"embedding"))
       val cents = e.filter($"vec_id" < NumCells)
@@ -859,12 +871,27 @@ object SimilarityQueries {
         .withColumn("crn", row_number().over(w))
         .select($"vec_id", $"embedding", $"nrm", $"cell_id", $"crn")
     }
-    val assigned = ranked.filter($"crn" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
-    val exact = s01CosineTopK(s, dir)
+    // slim (vec_id, cell_id, crn) ranking: every sweep arm filters THIS
+    val slim = RelCache.cached(s, s"$dir#s15_ranked") {
+      rankedRaw.select($"vec_id", $"cell_id", $"crn")
+    }
+    // one embedding copy per corpus vector (crn = 1), not sixteen
+    val assigned = RelCache.cached(s, s"$dir#s15_assigned") {
+      rankedRaw.filter($"crn" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+    }
+    // probe vectors re-enter by a BOUNDED pushed-filter read (vec_id <
+    // NumQueries), joined to the slim ranking — 8 rows, never a corpus
+    // pass
+    val qf = withNorm(t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding"))
+      .filter($"vec_id" < NumQueries)
+    val exact = s01TopKRel(s, dir)
       .select($"query_id", $"vec_id", lit(1).as("hit"))
     val arms = ProbeSweep.map { p =>
-      val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= p)
+      val probes = qf
+        .join(broadcast(
+          slim.filter($"vec_id" < NumQueries && $"crn" <= p)), Seq("vec_id"))
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"nrm".as("qn"), $"cell_id")
       val cand = assigned.join(broadcast(probes), Seq("cell_id"))

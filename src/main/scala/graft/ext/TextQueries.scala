@@ -1042,7 +1042,8 @@ object TextQueries {
     * than the production `BigramVocab`, so only a test driving a small
     * K can reach the truncation boundary (tie-break at rank K, the
     * backoff branch, the head-restricted unigram join) —
-    * TextQueriesSpec does exactly that. */
+    * PipelineOpsSpec's "t25 core at a small K" test does exactly
+    * that. */
   private[graft] def bigramSurprisalCore(bi: DataFrame, headK: Int,
       backoffBits: Long, headCentibits: Int,
       cacheHead: DataFrame => DataFrame = identity): DataFrame = {

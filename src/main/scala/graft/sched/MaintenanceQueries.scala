@@ -60,15 +60,17 @@ object MaintenanceQueries {
     val srcPath = new org.apache.hadoop.fs.Path(s"$sfDir/$srcTable.parquet")
     val fp = s"v$XSeedVer:" +
       graft.SourceFingerprint.of(srcPath.getFileSystem(hc), srcPath)
-    // The fixture dir name embeds the fingerprint hash: a regenerated
-    // testdata dir lands in a FRESH generation dir, so a rebuild never
-    // deleteTree's data files that live clones (manifests pointing at
-    // the old generation) are still reading. Stale generations linger
-    // in tmpdir — the price of never pulling files from under a reader.
+    // The fixture dir name embeds the FULL fingerprint (sanitized), not
+    // a 32-bit hash of it: a regenerated testdata dir lands in a FRESH
+    // generation dir with certainty — a hash collision would reuse the
+    // old dir, fail the _fp check, and deleteTree a STAMPED generation
+    // whose shared data files live clones are still reading. Stale
+    // generations linger in tmpdir — the price of never pulling files
+    // from under a reader.
     val fixture = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_xseed_${tag}_${math.abs(sfDir.hashCode)}_" +
-        java.lang.Integer.toHexString(fp.hashCode))
+        fp.replace(':', '-'))
     // JVM lock (prevents OverlappingFileLockException below) + an OS
     // file lock: a concurrent process (sbt test beside a Verify run)
     // must not interleave the in-place check/rebuild/stamp, and the
@@ -76,7 +78,7 @@ object MaintenanceQueries {
     // generation — so the COPY runs inside the same region. The build
     // cannot publish-by-rename — manifests hold absolute paths — so
     // mutual exclusion is the mechanism.
-    val clone = Files.createTempDirectory(s"graft_$tag")
+    var clone: java.nio.file.Path = null
     xSeedLock.synchronized {
       val lockPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
@@ -99,6 +101,9 @@ object MaintenanceQueries {
           Files.write(fpFile, fp.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
         }
+        // created only after a validated/successful build — a failing
+        // build must not leak an empty clone dir per attempt
+        clone = Files.createTempDirectory(s"graft_$tag")
         val fixtureStr = fixture.toString
         val cloneStr = clone.toString
         import scala.jdk.CollectionConverters._

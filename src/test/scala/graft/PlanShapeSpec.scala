@@ -799,17 +799,24 @@ class PlanShapeSpec extends SparkSpec {
   test("s15: sweep arms filter ONE cached assignment ranking — no corpus pass per arm") {
     val nodes = allNodes(
       SimilarityQueries.queries("s15_probe_sweep")(spark, sf))
-    val corpusScans = nodes.collect {
-      case f: FileSourceScanExec
-        if f.metadata.get("Location").exists(_.contains("embeddings")) => f
-    }
-    // s01 truth contributes bounded scans; the sweep itself must read
-    // the corpus through the cached ranking, never once per arm
     val cached = nodes.collect {
       case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
     }
     assert(cached.nonEmpty, "the centroid-assignment ranking must be " +
       "session-cached so every sweep arm is a filter over it")
+    // the ONLY direct embeddings reads in the sweep plan are the probe
+    // vectors' bounded pushed-filter gathers (vec_id < NumQueries) —
+    // an unbounded corpus scan per arm means the cache was bypassed
+    val corpusScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("embeddings")) => f
+    }
+    assert(corpusScans.forall(
+      _.metadata("PushedFilters").contains("vec_id")),
+      "every direct embeddings scan in the sweep must be a bounded " +
+        "probe-vector gather with a pushed vec_id filter, never a " +
+        "corpus pass: " +
+        corpusScans.map(_.metadata("PushedFilters")).mkString("; "))
     assert(!nodes.exists(
       _.getClass.getSimpleName.contains("CartesianProduct")),
       "centroids broadcast onto the corpus — never a cartesian shuffle")
