@@ -492,14 +492,19 @@ object StreamOps {
     val arriving = docStream(s, dir)
       .filter(col("doc_id") % 50 =!= 0)
       // explode_outer: a doc too short to shingle still reaches the
-      // sink (null sh) and counts in n_docs
+      // sink (null sh) and counts in n_docs. array_distinct INSIDE the
+      // row replaces what used to be a streaming dropDuplicates on
+      // (doc_id, sh): the dedup is within-document by construction
+      // (each doc arrives once; repeated shingles repeat inside its own
+      // array), so doing it as a projection removes a stateful operator
+      // whose key space — distinct (doc, shingle) — grew with the
+      // corpus, unbounded state no watermark could evict.
       .select(col("doc_id"), col("lang"),
-        explode_outer(hashedShingles(col("text"))).as("sh"))
+        explode_outer(array_distinct(hashedShingles(col("text")))).as("sh"))
     val flagged = arriving
       .join(broadcast(bench), col("sh") === col("bsh"), "left")
       .select(col("doc_id"), col("lang"), col("sh"),
         col("bsh").isNotNull.as("hit"))
-      .dropDuplicates("doc_id", "sh")
     // one row per distinct (doc, shingle) is CORPUS-scale — the flagged
     // stream lands through the exactly-once graft sink (the DevScale
     // x20 probe measured the memory sink at 37 MB driver task results)

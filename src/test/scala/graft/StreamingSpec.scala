@@ -126,4 +126,35 @@ class StreamingSpec extends SparkSpec {
         "shuffle-partition conf must be restored after the scoped start")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("st08 is stateless end-to-end — no state operator in any micro-batch") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val stateOps = new java.util.concurrent.atomic.AtomicLong(0)
+    val sawProgress = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        sawProgress.incrementAndGet()
+        stateOps.addAndGet(e.progress.stateOperators.length.toLong)
+      }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      StreamOps.queries("st08_stream_decontaminate")(
+        spark, "/root/testdata/sf0.001").collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (sawProgress.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(sawProgress.get() > 0, "expected at least one progress event")
+      // within-document shingle dedup is array_distinct, a projection:
+      // a streaming dropDuplicates here would hold distinct (doc,
+      // shingle) state — corpus-scale, unbounded, no watermark evicts it
+      assert(stateOps.get() == 0L,
+        s"st08 must run with ZERO stateful operators; saw ${stateOps.get()}")
+    } finally spark.streams.removeListener(listener)
+  }
 }
