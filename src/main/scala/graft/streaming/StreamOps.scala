@@ -468,12 +468,13 @@ object StreamOps {
     * enter the corpus. The benchmark shingles are a STATIC relation
     * broadcast into a stream-static left join (eval suites are tiny
     * next to an ingest feed, so the stream side never shuffles by
-    * shingle), and `dropDuplicates(doc_id, sh)` — a STATEFUL streaming
-    * dedup on a composite key — reduces matches to distinct shared
-    * shingles per document. The memory sink holds one row per distinct
-    * (doc, shingle); the final batch shaping aggregates it into
-    * EXACTLY d08's output, so the same DuckDB oracle checks that the
-    * stream flagged precisely the contaminated documents. */
+    * shingle), matches reduce to distinct shared shingles per document
+    * by an IN-ROW `array_distinct` (a projection — the whole pipeline
+    * is stateless, pinned by StreamingSpec), and the flagged stream
+    * lands through the exactly-once graft sink. The final batch shaping
+    * aggregates it into EXACTLY d08's output, so the same DuckDB oracle
+    * checks that the stream flagged precisely the contaminated
+    * documents. */
   /** The documents parquet as a bounded file stream — the shared
     * stream-source setup for the document-processing entries. */
   private def docStream(s: SparkSession, dir: String): DataFrame =
