@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeJson(path: String, kvs: Seq[(String, String)]): Unit =
+    Files.writeString(Paths.get(path),
+      kvs.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // extra args = optional entry-name filter (dev loop; driver passes 2)
@@ -21,53 +38,58 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    val todo = SparkEntry.queries
+      .filter(kv => only.isEmpty || only.contains(kv._1))
+
+    // oracle_sql.json is written BEFORE any query runs: round 12's driver
+    // artifact came back `{}` even though every entry dumped cleanly,
+    // because the checker step downstream died — and an oracle file that
+    // only exists after the LAST entry means any mid-run kill (time
+    // budget, OOM) grades as zero instead of "the entries dumped so far".
+    writeJson(s"$outDir/oracle_sql.json",
+      SparkEntry.oracleSql.toSeq.map { case (k, v) => k -> q(v) })
+
     val errors = Seq.newBuilder[(String, String)]
     val timings = Seq.newBuilder[(String, Double)]
     var produced = 0
-    SparkEntry.queries
-      .filter(kv => only.isEmpty || only.contains(kv._1))
-      .foreach { case (name, fn) =>
+    // _summary.json: cheap driver-side validation handle (n_entries +
+    // per-entry status), rewritten after every entry so a killed run
+    // still documents exactly how far it got.
+    val status = Seq.newBuilder[(String, String)]
+    def flush(): Unit = {
+      writeJson(s"$outDir/_errors.json",
+        errors.result().map { case (k, v) => k -> q(v) })
+      // Locale.ROOT: a comma-decimal default locale would emit 1,234
+      // and break the JSON the driver/dev side parses
+      writeJson(s"$outDir/_timings.json",
+        timings.result().map { case (k, v) =>
+          k -> String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) })
+      val st = status.result()
+      writeJson(s"$outDir/_summary.json", Seq(
+        "n_total" -> todo.size.toString,
+        "n_done" -> st.size.toString,
+        "n_ok" -> produced.toString,
+        "entries" -> st.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}")))
+    }
+    flush()
+    todo.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         produced += 1
+        status += name -> "ok"
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        status += name -> "error"
       }
       timings += name -> (System.nanoTime() - t0) / 1e9
+      flush()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // failed entries are otherwise only a stderr line the driver drops —
-    // record them durably so a broken round diagnoses itself
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errors.result()
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    // per-entry dump wall time — the r9 verdict flagged the full dump at
-    // ~7 min against a possible driver time budget; this makes the slow
-    // tail diagnosable without re-instrumenting
-    Files.writeString(Paths.get(s"$outDir/_timings.json"), timings.result()
-      // Locale.ROOT: a comma-decimal default locale would emit 1,234
-      // and break the JSON the driver/dev side parses
-      .map { case (k, v) =>
-        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f",
-          Double.box(v))}" }
-      .mkString("{", ",", "}"))
     spark.stop()
     // A run that produced no result dumps is a broken run, not a pass —
     // exit nonzero so a silent no-op can never masquerade as green

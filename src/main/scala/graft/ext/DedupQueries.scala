@@ -989,18 +989,18 @@ object DedupQueries {
     * `comp` aliases differ), so the pair predicate can never silently
     * diverge between the summary and the representative selection. */
   private lazy val clusterReachCtes: String =
-    s"""docs AS (
+    s"""docs AS MATERIALIZED (
       |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
       |    $hashedShingleSql AS shingles
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM docs a JOIN docs b
       |    ON (b.bkt = a.bkt OR b.bkt = a.bkt + 1) AND a.doc_id < b.doc_id
       |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       |      (len(a.shingles) + len(b.shingles)
       |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach AS (
@@ -1011,8 +1011,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d25_leakage_safe_split" ->
       s"""WITH RECURSIVE $clusterReachCtes,
-        |comp AS (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
-        |g AS (
+        |comp AS MATERIALIZED (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
+        |g AS MATERIALIZED (
         |  SELECT d.doc_id,
         |    len(string_split(d.text, ' '))::BIGINT AS toks,
         |    coalesce(c.lbl, d.doc_id) AS grp,
@@ -1020,7 +1020,7 @@ object DedupQueries {
         |        // 4096) % 10 < $TestTenths
         |      THEN 'test' ELSE 'train' END AS split
         |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
-        |cross_cnt AS (
+        |cross_cnt AS MATERIALIZED (
         |  SELECT count(CASE WHEN a.split <> b.split THEN 1 END)::BIGINT
         |    AS n_cross_pairs
         |  FROM pairs p JOIN g a ON a.doc_id = p.doc_a
@@ -1033,23 +1033,23 @@ object DedupQueries {
     // the window-cover identity spelled directly: duplicated length-L
     // windows -> keep-first -> union of covered positions
     "d20_exact_substring_dedup" ->
-      s"""WITH docs AS (
+      s"""WITH docs AS MATERIALIZED (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |wins AS (
+        |wins AS MATERIALIZED (
         |  SELECT doc_id, i AS p,
         |    array_to_string(w[i+1:i+$SubstrL], ' ') AS win,
         |    doc_id * 1048576 + i AS pk
         |  FROM (SELECT doc_id, w,
         |        unnest(range(0, len(w) - $SubstrL + 1)) AS i
         |        FROM docs WHERE len(w) >= $SubstrL)),
-        |dup AS (SELECT win, min(pk) AS wk FROM wins GROUP BY win
+        |dup AS MATERIALIZED (SELECT win, min(pk) AS wk FROM wins GROUP BY win
         |        HAVING count(*) >= 2),
-        |rem AS (
+        |rem AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, pos FROM (
         |    SELECT doc_id, unnest(range(p, p + $SubstrL)) AS pos
         |    FROM wins JOIN dup USING (win) WHERE pk > wk)),
-        |perdoc AS (SELECT doc_id, count(*) AS n_removed FROM rem
+        |perdoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_removed FROM rem
         |           GROUP BY doc_id)
         |SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(len(w)) AS BIGINT) AS tokens_total,
@@ -1059,8 +1059,8 @@ object DedupQueries {
         |FROM docs LEFT JOIN perdoc USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d16_fuzzy_join" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part),
-        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+      """WITH n AS MATERIALIZED (SELECT DISTINCT p_name FROM part),
+        |b AS MATERIALIZED (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
         |SELECT a.blk, a.p_name AS name_a, bb.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, bb.p_name) AS BIGINT) AS dist
         |FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
@@ -1072,7 +1072,7 @@ object DedupQueries {
         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d02_keep_first" ->
-      """WITH r AS (
+      """WITH r AS MATERIALIZED (
         |  SELECT user_id, event_type, event_id, ts,
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts, event_id) AS rn,
@@ -1084,8 +1084,8 @@ object DedupQueries {
     "d03_minhash_lsh" -> d03OracleSql,
     "d24_keep_best" ->
       s"""WITH RECURSIVE $clusterReachCtes,
-        |comp AS (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
-        |scored AS (
+        |comp AS MATERIALIZED (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
+        |scored AS MATERIALIZED (
         |  SELECT doc_id, lang,
         |    len(string_split(text, ' '))::BIGINT AS n_words,
         |    ((length(text) - len(string_split(text, ' ')) + 1) * 100
@@ -1094,23 +1094,23 @@ object DedupQueries {
         |        x -> x = 'the' OR x = 'a')) * 100
         |      // len(string_split(text, ' '))) AS score
         |  FROM documents),
-        |clustered AS (
+        |clustered AS MATERIALIZED (
         |  SELECT s.doc_id, s.lang, s.n_words, s.score, c.lbl
         |  FROM scored s JOIN comp c ON s.doc_id = c.doc),
-        |winners AS (
+        |winners AS MATERIALIZED (
         |  SELECT lbl, doc_id AS keep_id FROM (
         |    SELECT lbl, doc_id, row_number() OVER (
         |      PARTITION BY lbl ORDER BY score DESC, doc_id) AS rn
         |    FROM clustered) WHERE rn = 1),
-        |drops AS (
+        |drops AS MATERIALIZED (
         |  SELECT c.lang, c.n_words FROM clustered c
         |  JOIN winners w ON c.lbl = w.lbl WHERE c.doc_id <> w.keep_id),
-        |pa AS (SELECT lang, count(*) AS n_docs,
+        |pa AS MATERIALIZED (SELECT lang, count(*) AS n_docs,
         |         CAST(sum(n_words) AS BIGINT) AS tokens_total
         |       FROM scored GROUP BY lang),
-        |pc AS (SELECT lang, count(*) AS n_clustered FROM clustered
+        |pc AS MATERIALIZED (SELECT lang, count(*) AS n_clustered FROM clustered
         |       GROUP BY lang),
-        |pd AS (SELECT lang, count(*) AS n_dropped,
+        |pd AS MATERIALIZED (SELECT lang, count(*) AS n_dropped,
         |         CAST(sum(n_words) AS BIGINT) AS tokens_dropped
         |       FROM drops GROUP BY lang)
         |SELECT pa.lang, pa.n_docs,
@@ -1173,8 +1173,8 @@ object DedupQueries {
     // propagation fixed point: lbl(doc) = min doc_id reachable.
     "d09_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterReachCtes,
-        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
-        |ranked AS (
+        |comp AS MATERIALIZED (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
+        |ranked AS MATERIALIZED (
         |  SELECT doc, cluster_rep, row_number() OVER (
         |    PARTITION BY cluster_rep ORDER BY doc) AS rn FROM comp)
         |SELECT cluster_rep, count(*) AS n_members,

@@ -346,8 +346,8 @@ object Multimodal {
       |  FROM documents),
       |t AS (SELECT doc_id, codes, list_sum(codes) AS total,
       |    len(codes) AS n FROM c),
-      |s AS (SELECT doc_id, $sigTermsSql AS sig FROM t),
-      |pairs AS (
+      |s AS MATERIALIZED (SELECT doc_id, $sigTermsSql AS sig FROM t),
+      |pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
@@ -418,15 +418,15 @@ object Multimodal {
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "m05_media_dedup_clusters" ->
       s"""$m04PairsCte,
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach AS (
         |  SELECT DISTINCT src AS doc, src AS lbl FROM edges
         |  UNION
         |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
-        |comp AS (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
-        |ranked AS (
+        |comp AS MATERIALIZED (SELECT doc, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
+        |ranked AS MATERIALIZED (
         |  SELECT doc, cluster_rep, row_number() OVER (
         |    PARTITION BY cluster_rep ORDER BY doc) AS rn FROM comp)
         |SELECT cluster_rep, count(*) AS n_members,

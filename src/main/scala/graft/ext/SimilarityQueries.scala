@@ -1208,16 +1208,16 @@ object SimilarityQueries {
       val lam = MmrLambdaTenths
       val steps = (2 to MmrK).map { i =>
         val p = i - 1
-        s"""rem$i AS (
+        s"""rem$i AS MATERIALIZED (
           |  SELECT c.* FROM cand c LEFT JOIN selall$p s
           |    ON c.query_id = s.query_id AND c.vec_id = s.vec_id
           |  WHERE s.vec_id IS NULL),
-          |mms$i AS (
+          |mms$i AS MATERIALIZED (
           |  SELECT p.query_id, p.a AS vec_id, max(p.pdot) AS mms
           |  FROM pair p JOIN selall$p s
           |    ON p.query_id = s.query_id AND p.b = s.vec_id
           |  GROUP BY p.query_id, p.a),
-          |sel$i AS (
+          |sel$i AS MATERIALIZED (
           |  SELECT query_id, $i AS step, vec_id, mscore AS mmr_score
           |  FROM (SELECT r.query_id, r.vec_id,
           |          $lam * r.rel - ${10 - lam} * m.mms AS mscore,
@@ -1227,15 +1227,15 @@ object SimilarityQueries {
           |        FROM rem$i r JOIN mms$i m
           |          ON r.query_id = m.query_id AND r.vec_id = m.vec_id)
           |  WHERE rn = 1),
-          |selall$i AS (SELECT * FROM selall$p
+          |selall$i AS MATERIALIZED (SELECT * FROM selall$p
           |             UNION ALL SELECT * FROM sel$i)"""
       }.mkString(",\n")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
         |  SELECT vec_id, embedding,
         |    list_aggregate(list_transform(embedding,
         |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
         |  FROM embeddings),
-        |qz AS (
+        |qz AS MATERIALIZED (
         |  SELECT vec_id,
         |    CASE WHEN maxabs = 0 THEN
         |      list_transform(embedding, x -> CAST(0 AS BIGINT))
@@ -1243,32 +1243,32 @@ object SimilarityQueries {
         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
         |    END AS q
         |  FROM e),
-        |qry AS (SELECT vec_id AS query_id, q AS qq FROM qz
+        |qry AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq FROM qz
         |        WHERE vec_id < $NumQueries),
-        |scored AS (
+        |scored AS MATERIALIZED (
         |  SELECT query_id, vec_id,
         |    CAST(list_sum(list_apply(list_zip(qq, q),
         |      p -> p[1] * p[2])) AS BIGINT) AS rel
         |  FROM qz, qry WHERE vec_id <> query_id),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT query_id, vec_id, rel
         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |          ORDER BY rel DESC, vec_id) AS rn FROM scored)
         |  WHERE rn <= $MmrCand),
-        |candq AS (SELECT c.query_id, c.vec_id, qz.q
+        |candq AS MATERIALIZED (SELECT c.query_id, c.vec_id, qz.q
         |          FROM cand c JOIN qz USING (vec_id)),
-        |pair AS (
+        |pair AS MATERIALIZED (
         |  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
         |    CAST(list_sum(list_apply(list_zip(x.q, y.q),
         |      p -> p[1] * p[2])) AS BIGINT) AS pdot
         |  FROM candq x JOIN candq y
         |    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
-        |sel1 AS (
+        |sel1 AS MATERIALIZED (
         |  SELECT query_id, 1 AS step, vec_id, $lam * rel AS mmr_score
         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |          ORDER BY $lam * rel DESC, vec_id) AS rn FROM cand)
         |  WHERE rn = 1),
-        |selall1 AS (SELECT * FROM sel1),
+        |selall1 AS MATERIALIZED (SELECT * FROM sel1),
         |$steps
         |SELECT query_id, CAST(step AS BIGINT) AS step, vec_id,
         |  CAST(mmr_score AS BIGINT) AS mmr_score

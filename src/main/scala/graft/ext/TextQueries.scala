@@ -1149,20 +1149,20 @@ object TextQueries {
     * 1-based, so `i in range(1, len(t))` pairs t[i] with t[i+1]. */
   private lazy val t23CteBlock: String = {
     val v0 =
-      """v0 AS (
+      """v0 AS MATERIALIZED (
         |  SELECT count(*)::BIGINT AS n_occ,
         |    regexp_replace(word, '(.)', '_\1 ', 'g') AS enc
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE word <> '' GROUP BY word)""".stripMargin
     val rounds = (1 to BpeTrainRounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
         |  SELECT t[i] AS a, t[i+1] AS b, sum(n_occ) AS c
         |  FROM (SELECT n_occ, t, unnest(range(1, len(t))) AS i
         |        FROM (SELECT n_occ, string_split(trim(enc), ' ') AS t
         |              FROM v${r - 1}))
         |  GROUP BY t[i], t[i+1]),
-        |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
-        |v$r AS (
+        |m$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+        |v$r AS MATERIALIZED (
         |  SELECT n_occ,
         |    replace(enc, m.a || ' ' || m.b || ' ',
         |            m.a || substring(m.b, 2) || ' ') AS enc
@@ -1193,7 +1193,7 @@ object TextQueries {
       s"replace($c, a$r || ' ' || b$r || ' ', a$r || substring(b$r, 2) || ' ')"
     }
     s"""WITH $t23CteBlock,
-      |mm AS (SELECT $mm),
+      |mm AS MATERIALIZED (SELECT $mm),
       |perdoc AS (
       |  SELECT lang, source,
       |    len(list_filter(string_split(text, ' '), x -> x <> ''))
