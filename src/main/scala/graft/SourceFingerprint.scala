@@ -4,21 +4,33 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Content fingerprint of a source parquet file-or-directory, shared by
   * every build-once fixture in the repo (st11's stream-upsert fixture,
-  * the maintenance demos' clone-per-run seeds). Hashes the LEAF files —
-  * sum of lengths + max mtime + count — never the directory entry: a
-  * directory's length is meaningless and its mtime only moves on child
-  * create/delete, so an in-place regeneration that rewrites part-file
-  * CONTENTS would otherwise reuse a stale fixture against fresh data.
-  * Callers prefix their own recipe version so a code change also
-  * invalidates. */
+  * the maintenance demos' clone-per-run seeds). Recurses to the LEAF
+  * files and folds each (relative path, length, mtime) into one digest
+  * — never aggregated sums/maxes: a partitioned/nested source would
+  * fingerprint as empty under a top-level-only listing, and an in-place
+  * regeneration that preserves total bytes + file count + max mtime
+  * would silently reuse a stale fixture. Callers prefix their own
+  * recipe version so a code change also invalidates. */
 object SourceFingerprint {
   def of(fs: FileSystem, src: Path): String = {
     val st = fs.getFileStatus(src)
-    val leaves: Seq[FileStatus] =
-      if (st.isFile) Seq(st)
-      else fs.listStatus(src).toSeq.filter(_.isFile)
-    s"${leaves.map(_.getLen).sum}:" +
-      s"${leaves.map(_.getModificationTime).maxOption.getOrElse(0L)}:" +
-      s"${leaves.size}"
+    val leaves: Seq[FileStatus] = if (st.isFile) Seq(st) else {
+      val it = fs.listFiles(src, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val base = src.toString
+    // sorted by relative path: RemoteIterator order is fs-dependent
+    val entries = leaves
+      .map(f => (f.getPath.toString.stripPrefix(base), f.getLen,
+        f.getModificationTime))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach { case (p, len, mt) =>
+      md.update(s"$p|$len|$mt;".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s"${entries.size}-${md.digest().map("%02x".format(_)).mkString}"
   }
 }

@@ -682,8 +682,12 @@ object DedupQueries {
       // multiplier ending in 5 makes `% 10` hit only {0,5} — a 50/50
       // odd/even split, not the declared 20%). Dividing by 4096 first
       // reads well-mixed bits; exact BIGINT math in both engines.
+      // grp is folded to 31 bits BEFORE the multiply: 2^31 * 2654435761
+      // ≈ 5.7e18 stays inside BIGINT, whereas a raw 100TB-scale id
+      // would overflow — Spark wraps silently (negative residues skew
+      // the split) while DuckDB raises. Identity for grp < 2^31.
       .withColumn("split",
-        when(expr(s"((grp * 2654435761 + 12345) div 4096) % 10")
+        when(expr(s"(((grp % 2147483648) * 2654435761 + 12345) div 4096) % 10")
           < TestTenths, "test")
           .otherwise("train"))
     }
@@ -836,9 +840,19 @@ object DedupQueries {
     * generated, never the verified result, so the DuckDB oracle keeps the
     * transparent quadratic spelling — identical output by the exactness
     * of the filter. */
-  def d21DedupRecall(s: SparkSession, dir: String): DataFrame = {
+  // weakest threshold any consumer evaluates; the prefix filter is
+  // sized to it, so truth below this is INCOMPLETE by construction
+  private val D21TruthTh = 0.5
+
+  /** EXACT near-dup ground truth `(da, db, jac)` with jac >=
+    * [[D21TruthTh]] — the prefix-filtered set-similarity join (Vernica
+    * et al.: rarest-first prefixes + PPJoin length filter + exact
+    * verify), session-cached and shared by d21's scheme recalls and
+    * d26's band/row sweep, so the expensive exact pass (bounded by
+    * true-pair volume, never corpus²) runs once per session. */
+  private[ext] def d21TruthRel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val TruthTh = 0.5 // weakest evaluated threshold; prefix sized to it
+    val TruthTh = D21TruthTh
     val docs = cached(s, dir, "minhash_docs") {
       t(s, dir, "documents")
         .filter(size(split($"text", " ")) >= 3)
@@ -867,17 +881,23 @@ object DedupQueries {
     val a = docs.select($"doc_id".as("da"), $"hs".as("sa"))
     val b = docs.select($"doc_id".as("db"), $"hs".as("sb"))
     val inter = size(array_intersect($"sa", $"sb")).cast("double")
-    // persisted: BOTH schemes' recalls read the same truth relation —
-    // without the cache the candidate generation + exact verify (the
-    // expensive pass, bounded by true-pair volume) would run once per
-    // evaluated scheme
-    val truthAll = cached(s, dir, "d21_truth") {
+    cached(s, dir, "d21_truth") {
       cand.join(a, "da").join(b, "db")
         .withColumn("jac",
           round(inter / (size($"sa") + size($"sb") - inter), 6))
         .filter($"jac" >= TruthTh)
         .select($"da", $"db", $"jac")
     }
+  }
+
+  def d21DedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val TruthTh = D21TruthTh
+    // persisted: BOTH schemes' recalls read the same truth relation —
+    // without the cache the candidate generation + exact verify (the
+    // expensive pass, bounded by true-pair volume) would run once per
+    // evaluated scheme
+    val truthAll = d21TruthRel(s, dir)
     def recallOf(scheme: String, truthTh: Double,
                  found: DataFrame): DataFrame = {
       // truthAll is truncated at TruthTh by construction — a lower
@@ -898,7 +918,71 @@ object DedupQueries {
       .orderBy($"scheme")
   }
 
+  // (bands, rows-per-band) settings swept by d26; every arm spends the
+  // same NumHashes=16 signature values, so the sweep isolates the
+  // banding TRADE-OFF (P[candidate] = 1-(1-j^r)^b) from signature cost
+  private val BandSweepArms = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** MINHASH BAND/ROW SWEEP (d26): the lexical mirror of s15's IVF
+    * probe sweep — recall against the EXACT near-dup truth
+    * ([[d21TruthRel]], jac >= [[JaccardThreshold]]) versus candidate-
+    * pair volume, across LSH banding settings of the SAME 16-value
+    * MinHash signature. (16,1) banding admits any single matching hash
+    * (near-total recall, maximal candidate volume); (2,8) demands an
+    * 8-hash run (few candidates, misses borderline pairs) — the curve
+    * is the tuning surface an operator picks a dedup operating point
+    * from, measured rather than estimated.
+    *
+    * Scale shape: the signature relation is computed ONCE
+    * (session-cached, 16 integers per doc — never the shingle sets);
+    * each arm derives its band keys by PROJECTION over that cache, so
+    * the sweep adds ZERO corpus passes beyond the shared shingle/
+    * signature work. Per-arm cost is the banding expansion itself —
+    * bucket-local with skew salting ([[saltedPairExpansion]]), the
+    * exact quantity the cand_pairs column reports — and the recall
+    * join is bounded by true-pair volume, not corpus size. */
+  def d26MinhashSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = cached(s, dir, "minhash_docs") {
+      t(s, dir, "documents")
+        .filter(size(split($"text", " ")) >= 3)
+        .select($"doc_id", hashedShingles($"text").as("hs"))
+    }
+    val sig = cached(s, dir, "d26_sig") {
+      docs.select(($"doc_id" +: (0 until NumHashes).map { j =>
+        array_min(transform($"hs", h => (h * hashA(j) + hashB(j)) % P))
+          .as(s"m$j")
+      }): _*)
+    }
+    val truth = d21TruthRel(s, dir)
+      .filter($"jac" >= JaccardThreshold).select($"da", $"db")
+    val arms = BandSweepArms.map { case (b, r) =>
+      val bandKeys = array((0 until b).map { bi =>
+        concat_ws(",", (0 until r).map(ri => col(s"m${bi * r + ri}")): _*)
+      }: _*)
+      val bands = sig.select($"doc_id",
+        posexplode(bandKeys).as(Seq("band", "band_key")))
+      val cand = saltedPairExpansion(bands, Seq("band", "band_key"),
+        Seq($"doc_id"), "doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      val vol = cand.agg(count(lit(1)).as("cand_pairs"))
+      val rec = truth
+        .join(cand.withColumn("hit", lit(1)), Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_true"), count($"hit").as("n_found"))
+      // two 1-row aggregates — the only product in the plan
+      vol.crossJoin(broadcast(rec))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          $"cand_pairs", $"n_true", $"n_found",
+          expr("case when n_true = 0 then 10000" +
+            " else n_found * 10000 div n_true end").as("recall_bp"))
+    }
+    arms.reduce(_ unionByName _).orderBy($"bands")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_minhash_sweep" -> (d26MinhashSweep _),
     "d25_leakage_safe_split" -> (d25LeakageSafeSplit _),
     "d24_keep_best" -> (d24KeepBest _),
     "d21_dedup_recall" -> (d21DedupRecall _),
@@ -968,6 +1052,58 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // d26: same signature SQL as d03, one band/cand CTE pair per sweep
+  // arm, truth = the quadratic exact-Jaccard spelling at the 0.8
+  // threshold (identical output to the Spark side's prefix-filtered
+  // exact join). MATERIALIZED: sig/truth/cand are each read by several
+  // consumers — inlining would re-run the corpus scoring per reference.
+  private lazy val d26OracleSql: String = {
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"min((h * ${hashA(j)} + ${hashB(j)}) % $P) AS m$j"
+    }.mkString(",\n      |    ")
+    val candCtes = BandSweepArms.map { case (b, r) =>
+      val bandSelects = (0 until b).map { bi =>
+        val key = (0 until r).map(ri => s"m${bi * r + ri}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"SELECT doc_id, $bi AS band, $key AS band_key FROM sig"
+      }.mkString("\n      |    UNION ALL ")
+      s"""cand_$b AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM ($bandSelects) x
+        |  JOIN ($bandSelects) y
+        |    ON x.band = y.band AND x.band_key = y.band_key
+        |   AND x.doc_id < y.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val armRows = BandSweepArms.map { case (b, r) =>
+      s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+        |  (SELECT count(*)::BIGINT FROM cand_$b) AS cand_pairs,
+        |  (SELECT count(*)::BIGINT FROM truth08) AS n_true,
+        |  (SELECT count(*)::BIGINT FROM truth08 t
+        |     JOIN cand_$b c ON t.da = c.da AND t.db = c.db) AS n_found""".stripMargin
+    }.mkString("\n      |UNION ALL ")
+    s"""WITH docs AS MATERIALIZED (
+      |  SELECT doc_id, $hashedShingleSql AS shingles
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |hashed AS (SELECT doc_id, unnest(shingles) AS h FROM docs),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    $sigExprs
+      |  FROM hashed GROUP BY doc_id),
+      |truth08 AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |      (len(a.shingles) + len(b.shingles)
+      |       - len(list_intersect(a.shingles, b.shingles))), 6)
+      |    >= $JaccardThreshold),
+      |$candCtes
+      |SELECT bands, rows_per_band, cand_pairs, n_true, n_found,
+      |  CAST(CASE WHEN n_true = 0 THEN 10000
+      |       ELSE n_found * 10000 // n_true END AS BIGINT) AS recall_bp
+      |FROM ($armRows)
+      |ORDER BY bands""".stripMargin
+  }
+
   private lazy val d05OracleSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id, CAST(floor(n_chars / 64) AS BIGINT) AS bkt,
@@ -1009,6 +1145,7 @@ object DedupQueries {
       |  SELECT e.dst AS doc, r.lbl FROM reach r JOIN edges e ON e.src = r.doc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d26_minhash_sweep" -> d26OracleSql,
     "d25_leakage_safe_split" ->
       s"""WITH RECURSIVE $clusterReachCtes,
         |comp AS MATERIALIZED (SELECT doc, min(lbl) AS lbl FROM reach GROUP BY doc),
@@ -1016,8 +1153,8 @@ object DedupQueries {
         |  SELECT d.doc_id,
         |    len(string_split(d.text, ' '))::BIGINT AS toks,
         |    coalesce(c.lbl, d.doc_id) AS grp,
-        |    CASE WHEN ((coalesce(c.lbl, d.doc_id) * 2654435761 + 12345)
-        |        // 4096) % 10 < $TestTenths
+        |    CASE WHEN (((coalesce(c.lbl, d.doc_id) % 2147483648)
+        |        * 2654435761 + 12345) // 4096) % 10 < $TestTenths
         |      THEN 'test' ELSE 'train' END AS split
         |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
         |cross_cnt AS MATERIALIZED (

@@ -670,7 +670,19 @@ object SimilarityQueries {
     * and tables become literals inside one codegen'd projection (the
     * d13 centroid pattern) and the per-candidate work is 8 integer
     * adds — the memory-bandwidth regime PQ exists for. */
-  def s11PqTopK(s: SparkSession, dir: String): DataFrame = {
+  private def l2micro(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
+
+  /** PQ subspace distance relation `(vec_id, m, c, di)` — every vector
+    * decomposed into [[PqSub]] subvectors, scored (integer micro-L2)
+    * against each subspace codebook entry (the [[NumCells]] lowest-id
+    * vectors' subvectors, s11's codebook rule). Shared expression tree
+    * of s11 (encoding + query tables) and s16 (codes cache + query
+    * tables). */
+  private def pqDistRel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
     val sub = e
@@ -680,14 +692,14 @@ object SimilarityQueries {
         expr(s"slice(embedding, m * $PqSubDim + 1, $PqSubDim)").as("sv"))
     val cb = sub.filter($"vec_id" < NumCells)
       .select($"vec_id".as("c"), $"m", $"sv".as("cv"))
-    def l2micro(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) =>
-          (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
-    val dists = sub.join(broadcast(cb), Seq("m"))
+    sub.join(broadcast(cb), Seq("m"))
       .withColumn("di", l2micro($"sv", $"cv"))
       .select($"vec_id", $"m", $"c", $"di")
+  }
+
+  def s11PqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dists = pqDistRel(s, dir)
     // argmin per (vector, subspace): min of (di, c) structs — an
     // aggregate with partial combines, not a corpus window
     val enc = dists.groupBy($"vec_id", $"m")
@@ -809,7 +821,15 @@ object SimilarityQueries {
     * past the corpus-side ranking work is arithmetic over K·queries
     * rows: the fusion is a UNION + hash aggregate, never a join against
     * the corpus, and the lexical side reaches each dense query by a
-    * broadcast product of two bounded relations. */
+    * broadcast product of two bounded relations.
+    *
+    * HONESTY NOTE: the lexical leg is query-INDEPENDENT by construction
+    * in this benchmark — t07's BM25 ranks one fixed term set, so every
+    * query receives the same 20 lexical contributions and the entry
+    * exercises the fusion arithmetic plus the dense per-query leg, not
+    * per-query lexical retrieval. A production deployment would swap
+    * `lexRanked` for a per-query BM25 ranking (same bounded shape,
+    * keyed by query_id) and the fusion below is unchanged. */
   def s14HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dense = s01TopKRel(s, dir)
@@ -838,6 +858,29 @@ object SimilarityQueries {
 
   private val ProbeSweep = Seq(1, 2, 4) // nprobe settings under evaluation
 
+  /** Session-cached slim IVF centroid ranking `(vec_id, cell_id, crn)`:
+    * crn = 1 is the vector's home cell (s02's assignment rule), crn <=
+    * p is a query's p probed cells. ONE corpus x NumCells scoring pass
+    * serves s15's whole sweep and s16's cell restriction; the cache
+    * never carries the embedding (that would be a 16x duplication of
+    * the corpus footprint). */
+  private def s15SlimRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#s15_ranked") {
+      val e = withNorm(t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding"))
+      val cents = e.filter($"vec_id" < NumCells)
+        .select($"vec_id".as("cell_id"), $"embedding".as("ce"),
+          $"nrm".as("cn"))
+      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
+      e.join(broadcast(cents), lit(true))
+        .withColumn("csim",
+          round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
+        .withColumn("crn", row_number().over(w))
+        .select($"vec_id", $"cell_id", $"crn")
+    }
+  }
+
   /** IVF PROBE SWEEP (s15): recall@nprobe against the exact top-k — the
     * tuning curve every IVF deployment reads before fixing nprobe
     * (recall rises with probes, scan cost rises linearly; the knee is
@@ -855,29 +898,15 @@ object SimilarityQueries {
   def s15ProbeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
-    // fresh centroid-ranking expression; what gets CACHED are two slim
-    // derivations, never the 16-per-vector relation with the embedding
-    // on every row (a ~16x duplication of the corpus footprint)
-    def rankedRaw: DataFrame = {
-      val e = withNorm(t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding"))
-      val cents = e.filter($"vec_id" < NumCells)
-        .select($"vec_id".as("cell_id"), $"embedding".as("ce"),
-          $"nrm".as("cn"))
-      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
-      e.join(broadcast(cents), lit(true))
-        .withColumn("csim",
-          round(dot($"ce", $"embedding") / ($"cn" * $"nrm"), 6))
-        .withColumn("crn", row_number().over(w))
-        .select($"vec_id", $"embedding", $"nrm", $"cell_id", $"crn")
-    }
-    // slim (vec_id, cell_id, crn) ranking: every sweep arm filters THIS
-    val slim = RelCache.cached(s, s"$dir#s15_ranked") {
-      rankedRaw.select($"vec_id", $"cell_id", $"crn")
-    }
-    // one embedding copy per corpus vector (crn = 1), not sixteen
+    val slim = s15SlimRel(s, dir)
+    // one embedding copy per corpus vector (crn = 1), not sixteen.
+    // Derived from the CACHED slim ranking joined back to a single
+    // embeddings scan — not a second centroid-ranking evaluation, which
+    // would repeat the corpus x NumCells scoring pass at build time.
     val assigned = RelCache.cached(s, s"$dir#s15_assigned") {
-      rankedRaw.filter($"crn" === 1)
+      withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+        .join(slim.filter($"crn" === 1).select($"vec_id", $"cell_id"),
+          Seq("vec_id"))
         .select($"vec_id", $"embedding", $"nrm", $"cell_id")
     }
     // probe vectors re-enter by a BOUNDED pushed-filter read (vec_id <
@@ -911,7 +940,99 @@ object SimilarityQueries {
     arms.reduce(_ unionByName _).orderBy($"nprobe")
   }
 
+  /** Session-cached IVF-PQ index: `(vec_id, cell_id, codes)` — each
+    * corpus vector's home cell (from [[s15SlimRel]], s02's assignment)
+    * plus its [[PqSub]]-byte PQ code word (s11's encoding, folded to
+    * ONE array per vector). This is the production ANN index layout:
+    * integers only, ~PqSub bytes + a cell id per vector, built in one
+    * pass over the shared dist relation and one id-keyed join to the
+    * cached assignment. */
+  private def s16CodesRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#s16_codes") {
+      val codes = pqDistRel(s, dir)
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"di", $"c")).as("mc"))
+        .groupBy($"vec_id")
+        .agg(transform(array_sort(collect_list(struct($"m", $"mc.c".as("code")))),
+          x => x.getField("code")).as("codes"))
+      codes.join(
+        s15SlimRel(s, dir).filter($"crn" === 1)
+          .select($"vec_id", $"cell_id"), Seq("vec_id"))
+    }
+  }
+
+  /** IVF-PQ COMPOSED ANN (s16): PQ codes ADC-scanned INSIDE the probed
+    * IVF cells, then exact rerank — the production billion-vector
+    * layout (faiss IVFxx,PQyy): s02's cell restriction bounds WHICH
+    * vectors are scored, s11's asymmetric distance computation scores
+    * them without touching a float vector, and s06's rerank bound
+    * makes the float kernel a constant-size gather. The three rungs
+    * exist separately as s02 / s11 / s06; this entry is their
+    * composition — what an operator actually deploys.
+    *
+    * Scale shape, stage by stage: (1) probed cells come from the
+    * session-cached slim centroid ranking ([[s15SlimRel]] crn <=
+    * [[NumProbes]]) — queries x nprobe rows, broadcast; (2) the ADC
+    * scan joins the cached integer index ([[s16CodesRel]]) to that
+    * broadcast ON cell_id, so the scan is bounded by the probed cells'
+    * contents and the per-row work is [[PqSub]] table lookups into the
+    * query's broadcast distance table (integers; the corpus' float
+    * vectors are never read, never shuffled); (3) only the top
+    * TopK x [[CandMult]] ADC candidates per query re-enter float space,
+    * via s06's broadcast-gather rerank. Zero full-corpus passes beyond
+    * the cached index build itself. */
+  def s16IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // per-query ADC distance TABLE dist[m][c] as nested arrays — built
+    // from the pushed-filter query slice of the dist relation (tiny:
+    // queries x PqSub x NumCells integers), broadcast with the probes
+    val qtab = pqDistRel(s, dir).filter($"vec_id" < NumQueries)
+      .groupBy($"vec_id", $"m")
+      .agg(transform(array_sort(collect_list(struct($"c", $"di"))),
+        x => x.getField("di")).as("mrow"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"mrow"))),
+        x => x.getField("mrow")).as("qtab"))
+      .select($"vec_id".as("query_id"), $"qtab")
+    val probes = s15SlimRel(s, dir)
+      .filter($"vec_id" < NumQueries && $"crn" <= NumProbes)
+      .select($"vec_id".as("query_id"), $"cell_id")
+      .join(qtab, Seq("query_id"))
+    // ADC scan: probed-cell members only, PqSub integer lookups per row
+    val adc = s16CodesRel(s, dir)
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adist_micro", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> " +
+          "acc + element_at(element_at(qtab, m + 1), " +
+          "int(element_at(codes, m + 1)) + 1))"))
+      .select($"query_id", $"vec_id", $"adist_micro")
+    val wa = Window.partitionBy($"query_id")
+      .orderBy($"adist_micro", $"vec_id")
+    val shortlist = adc.withColumn("arn", row_number().over(wa))
+      .filter($"arn" <= TopK * CandMult)
+      .select($"query_id", $"vec_id")
+    // exact rerank (s06's bound): floats re-enter ONLY as broadcast
+    // gathers of the shortlist + query ids
+    val ef = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val qe = ef.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qnrm"))
+    val reranked = ef.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qe), "query_id")
+      .withColumn("cos",
+        round(dot($"qe", $"embedding") / ($"qnrm" * $"nrm"), 6))
+    val wr = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    reranked.withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= TopK)
+      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_ivfpq_topk" -> (s16IvfPqTopK _),
     "s15_probe_sweep" -> (s15ProbeSweep _),
     "s14_hybrid_rrf" -> (s14HybridRrf _),
     "s13_semantic_recall" -> (s13SemanticRecall _),
@@ -1034,7 +1155,83 @@ object SimilarityQueries {
       |ORDER BY nprobe""".stripMargin
   }
 
+  // s16: s02's cell CTEs + s11's PQ CTEs + ADC-in-probed-cells + exact
+  // rerank. MATERIALIZED on every multi-referenced CTE (sims feeds
+  // assignment AND probes; dists feeds encoding AND query tables).
+  private lazy val s16OracleSql: String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+      |          FROM e WHERE vec_id < $NumCells),
+      |sims AS MATERIALIZED (
+      |  SELECT e.vec_id, cell_id,
+      |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+      |  FROM e, cents),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY csim DESC, cell_id) AS arn
+      |    FROM sims) WHERE arn = 1),
+      |probes AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY csim DESC, cell_id) AS prn
+      |    FROM sims WHERE vec_id < $NumQueries) WHERE prn <= $NumProbes),
+      |sub AS MATERIALIZED (
+      |  SELECT vec_id, m,
+      |    embedding[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+      |  FROM embeddings, (SELECT unnest(range(0, $PqSub)) AS m)),
+      |cb AS (SELECT vec_id AS c, m, sv AS cv FROM sub
+      |       WHERE vec_id < $NumCells),
+      |dists AS MATERIALIZED (
+      |  SELECT s.vec_id, s.m, cb.c,
+      |    CAST(round(list_sum(list_apply(list_zip(s.sv, cb.cv),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e6)
+      |      AS BIGINT) AS di
+      |  FROM sub s JOIN cb USING (m)),
+      |enc AS MATERIALIZED (
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |                                 ORDER BY di, c) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |qdt AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, m, c, di FROM dists
+      |  WHERE vec_id < $NumQueries),
+      |cand AS MATERIALIZED (
+      |  SELECT p.query_id, a.vec_id
+      |  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+      |  WHERE a.vec_id <> p.query_id),
+      |adc AS MATERIALIZED (
+      |  SELECT cd.query_id, cd.vec_id, sum(q.di) AS adist_micro
+      |  FROM cand cd
+      |  JOIN enc en ON en.vec_id = cd.vec_id
+      |  JOIN qdt q ON q.query_id = cd.query_id
+      |             AND q.m = en.m AND q.c = en.code
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |shortlist AS MATERIALIZED (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY adist_micro, vec_id) AS arn
+      |    FROM adc) WHERE arn <= ${TopK * CandMult}),
+      |qv AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+      |       FROM e WHERE vec_id < $NumQueries),
+      |rer AS MATERIALIZED (
+      |  SELECT sl.query_id, sl.vec_id,
+      |    round(${dotSql.format("qe", "e.embedding")} / (qn * e.nrm), 6)
+      |      AS cos
+      |  FROM shortlist sl
+      |  JOIN e ON e.vec_id = sl.vec_id
+      |  JOIN qv ON qv.query_id = sl.query_id)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, vec_id) AS rn
+      |      FROM rer)
+      |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s16_ivfpq_topk" -> s16OracleSql,
     "s15_probe_sweep" -> s15OracleSql,
     "s14_hybrid_rrf" ->
       s"""WITH dense AS (

@@ -822,6 +822,54 @@ class PlanShapeSpec extends SparkSpec {
       "centroids broadcast onto the corpus — never a cartesian shuffle")
   }
 
+  test("d26: sweep arms project ONE cached signature relation — no corpus re-scan per arm") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d26_minhash_sweep")(spark, sf))
+    val cached = nodes.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(cached.nonEmpty, "the 16-value minhash signature relation " +
+      "must be session-cached so every band/row arm is a projection " +
+      "over it")
+    // docs, signatures, and the exact truth are all session-cached:
+    // a direct documents scan in the sweep plan means an arm re-ran
+    // the corpus shingling
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      "no sweep arm may re-scan the documents corpus — shingles, " +
+        "signatures and truth are all cached: " + docScans.size)
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the only products are 1-row count broadcasts — never a " +
+        "cartesian shuffle")
+  }
+
+  test("s16: ADC scan bounded by probed cells over the cached index — no floats on an exchange") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s16_ivfpq_topk")(spark, sf))
+    val cached = nodes.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    // the slim centroid ranking AND the (cell_id, codes) index are
+    // session-cached; the ADC stage must read the index cache, not
+    // rebuild the encoding
+    assert(cached.size >= 2, "expected the cached slim ranking + the " +
+      s"cached IVF-PQ code index in the plan; saw ${cached.size} " +
+      "InMemoryTableScans")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "probes and shortlists broadcast — never a cartesian shuffle")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "neither float vectors nor code words may ride an exchange — " +
+        "the ADC rank ships (query_id, vec_id, adist) integers and the " +
+        "rerank rank ships scalars")
+  }
+
   test("d25: split is a projection over cached labels — no window, no corpus cartesian") {
     val nodes = allNodes(
       graft.ext.DedupQueries.queries("d25_leakage_safe_split")(spark, sf))
