@@ -14,6 +14,8 @@ object DevDemoTiming {
       // stats exist, unlike deprecated INT96 — enables the footer-
       // inventory commit fast path (GraftTable.footerInventory)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem") // fork-free local chmod
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,6 +61,8 @@ object MaintenanceMain {
     val builder = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem") // fork-free local chmod
     if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
       builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
     val spark = builder.getOrCreate()

@@ -20,11 +20,15 @@ object SourceFingerprint {
       while (it.hasNext) b += it.next()
       b.result()
     }
-    val base = src.toString
+    // qualify the base the same way listFiles qualifies its results
+    // (scheme + authority): an unqualified caller path ("/x/y" vs
+    // "file:/x/y") would make stripPrefix a no-op and embed ABSOLUTE
+    // paths in the digest, forcing a spurious rebuild on any move
+    val base = fs.makeQualified(src).toString
     // sorted by relative path: RemoteIterator order is fs-dependent
     val entries = leaves
-      .map(f => (f.getPath.toString.stripPrefix(base), f.getLen,
-        f.getModificationTime))
+      .map(f => (fs.makeQualified(f.getPath).toString.stripPrefix(base),
+        f.getLen, f.getModificationTime))
       .sortBy(_._1)
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.foreach { case (p, len, mt) =>

@@ -226,7 +226,7 @@ object ClusterQueries {
           |  SELECT e.v AS node, sum(r.r // d.deg) AS sc
           |  FROM edges e JOIN deg d USING (u) JOIN $prev r ON r.node = e.u
           |  GROUP BY e.v),
-          |r$i AS (
+          |r$i AS MATERIALIZED (
           |  SELECT nodes.node,
           |    (${RankScale / 100 * 15} // nn.n)
           |      + (85 * coalesce(c$i.sc, 0)) // 100 AS r
@@ -243,9 +243,9 @@ object ClusterQueries {
         |        unnest([${(1 to RankOutDeg).mkString(", ")}]) AS k
         |        FROM documents)
         |  CROSS JOIN nn),
-        |edges AS (SELECT DISTINCT u, v FROM e0 WHERE v <> u),
-        |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-        |r0 AS (SELECT node, ($RankScale // nn.n) AS r
+        |edges AS MATERIALIZED (SELECT DISTINCT u, v FROM e0 WHERE v <> u),
+        |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        |r0 AS MATERIALIZED (SELECT node, ($RankScale // nn.n) AS r
         |       FROM nodes CROSS JOIN nn),
         |$iters
         |SELECT $last.node, CAST(coalesce(deg.deg, 0) AS BIGINT) AS out_deg,

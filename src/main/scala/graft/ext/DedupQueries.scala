@@ -966,12 +966,16 @@ object DedupQueries {
         Seq($"doc_id"), "doc_id")
         .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
         .distinct()
-      val vol = cand.agg(count(lit(1)).as("cand_pairs"))
-      val rec = truth
-        .join(cand.withColumn("hit", lit(1)), Seq("da", "db"), "left")
-        .agg(count(lit(1)).as("n_true"), count($"hit").as("n_found"))
-      // two 1-row aggregates — the only product in the plan
-      vol.crossJoin(broadcast(rec))
+      // ONE pass over cand (the dominant per-arm cost): a full-outer
+      // join against the true-pair set lets a single aggregate count
+      // candidate volume, truth size, and their overlap together —
+      // evaluating cand separately for volume and recall would double
+      // the per-arm expansion work
+      cand.withColumn("hit", lit(1))
+        .join(truth.withColumn("tru", lit(1)), Seq("da", "db"), "full_outer")
+        .agg(count($"hit").as("cand_pairs"),
+          count($"tru").as("n_true"),
+          count(when($"hit" === 1 && $"tru" === 1, 1)).as("n_found"))
         .select(lit(b.toLong).as("bands"),
           lit(r.toLong).as("rows_per_band"),
           $"cand_pairs", $"n_true", $"n_found",

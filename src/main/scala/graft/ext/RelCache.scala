@@ -17,14 +17,24 @@ import org.apache.spark.storage.StorageLevel
   * next lookup — their cached blocks died with the executors, so keeping
   * the entry would pin a dead plan (and the session object) forever. */
 private[ext] object RelCache {
+  /** Holder defers the build behind a `lazy val`: `putIfAbsent` races
+    * resolve to ONE winning holder, whose lazy initializer then runs the
+    * build exactly once (JVM-synchronized on the holder, so a concurrent
+    * warm-up pass can't register two persisted copies of one relation).
+    * Nested builds (d26's signature relation riding d21's truth chain)
+    * lock DIFFERENT holders, so there is no lock-ordering cycle. */
+  private final class Holder(build: () => DataFrame) {
+    lazy val df: DataFrame = build().persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String), Holder]
 
   def cached(s: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
     cache.filterInPlace { case ((owner, _), _) =>
       !owner.sparkContext.isStopped
     }
-    cache.getOrElseUpdate((s, tag),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    val fresh = new Holder(() => build)
+    cache.putIfAbsent((s, tag), fresh).getOrElse(fresh).df
   }
 }

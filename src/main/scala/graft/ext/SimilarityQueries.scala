@@ -805,46 +805,82 @@ object SimilarityQueries {
 
   private val RrfK = 60    // the standard reciprocal-rank-fusion constant
   private val FusedK = 10  // fused results kept per query
+  private val LexTermsPerQuery = 3 // query terms from the query document
+  private val LexTopK = 20         // lexical candidates kept per query
+  private val LexMinTermLen = 4    // skips the stopword-length tokens
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
 
-  /** HYBRID RETRIEVAL FUSION (s14): reciprocal-rank fusion of the
-    * LEXICAL ranking (t07's BM25 top-20) and the DENSE rankings (s01's
+  /** HYBRID RETRIEVAL FUSION (s14): reciprocal-rank fusion of a
+    * PER-QUERY lexical BM25 ranking and the DENSE rankings (s01's
     * per-query cosine top-k) — the standard RAG retrieval shape, where
     * neither sparse keyword match nor embedding similarity alone ranks
     * best and RRF (Cormack/Clarke/Buettcher) fuses them without score
     * calibration. `embeddings.vec_id` is declared the dense encoding of
-    * `documents.doc_id` (the tables are row-aligned). Each side
-    * contributes integer MICRO-UNITS `1e6 div (RrfK + rank)` — fixed
-    * point, so the fused sum is exact in any engine.
+    * `documents.doc_id` (the tables are row-aligned), and each query's
+    * TERM SET is derived from its own document (top [[LexTermsPerQuery]]
+    * terms by in-document frequency — the "more-like-this" query shape),
+    * so two distinct queries receive DIFFERENT lexical contributions.
+    * Each side contributes integer MICRO-UNITS `1e6 div (RrfK + rank)`
+    * — fixed point, so the fused sum is exact in any engine; the BM25
+    * term contributions are fixed-pointed the same way before summing,
+    * so the per-document score is order-independent across engines.
     *
-    * Scale shape: both inputs are ALREADY k-bounded rankings (t07 ends
-    * in a top-20 limit; s01 keeps rank <= k per query), so everything
-    * past the corpus-side ranking work is arithmetic over K·queries
-    * rows: the fusion is a UNION + hash aggregate, never a join against
-    * the corpus, and the lexical side reaches each dense query by a
-    * broadcast product of two bounded relations.
-    *
-    * HONESTY NOTE: the lexical leg is query-INDEPENDENT by construction
-    * in this benchmark — t07's BM25 ranks one fixed term set, so every
-    * query receives the same 20 lexical contributions and the entry
-    * exercises the fusion arithmetic plus the dense per-query leg, not
-    * per-query lexical retrieval. A production deployment would swap
-    * `lexRanked` for a per-query BM25 ranking (same bounded shape,
-    * keyed by query_id) and the fusion below is unchanged. */
+    * Scale shape: the postings build is ONE linear corpus pass (explode
+    * + broadcast semi-join on the ≤ queries x terms term set — a
+    * production deployment maintains this inverted slice incrementally);
+    * corpus statistics (N, avgdl) are ONE single-row aggregate broadcast
+    * back; per-term document frequencies are an aggregate over the
+    * already-bounded postings. Everything downstream of the per-query
+    * rank bound (lrank <= [[LexTopK]], rn <= k) is arithmetic over
+    * K·queries rows: the fusion is a UNION + hash aggregate, never a
+    * join against the corpus. */
   def s14HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dense = s01TopKRel(s, dir)
       .select($"query_id", $"vec_id".as("doc_id"),
         expr(s"1000000 div ($RrfK + rn)").cast("long").as("contrib"))
-    // rank the bounded lexical relation; the unpartitioned window runs
-    // over the 20-row limit result, never corpus-scale data
-    val lexRanked = graft.ext.TextQueries.queries("t07_bm25")(s, dir)
-      .withColumn("lrank",
-        row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
-      .select($"doc_id",
+    // per-query term sets: the query DOCUMENT's most frequent terms
+    // (tf desc, term asc) — queries x LexTermsPerQuery rows, broadcast
+    val wq = Window.partitionBy($"query_id").orderBy($"qtf".desc, $"term")
+    val qterms = t(s, dir, "documents").filter($"doc_id" < NumQueries)
+      .select($"doc_id".as("query_id"), explode(split($"text", " ")).as("term"))
+      .filter(length($"term") >= LexMinTermLen)
+      .groupBy($"query_id", $"term").agg(count(lit(1)).as("qtf"))
+      .withColumn("trn", row_number().over(wq))
+      .filter($"trn" <= LexTermsPerQuery)
+      .select($"query_id", $"term")
+    val words = t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+      .withColumn("dl", size($"words").cast("double"))
+    val stats = words.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val postings = words
+      .select($"doc_id", $"dl", explode($"words").as("term"))
+      .join(broadcast(qterms.select($"term").distinct()), Seq("term"))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfRel = postings.groupBy($"term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1)
+    val termScore = idf * ($"tf" * (Bm25K1 + 1)) /
+      ($"tf" + lit(Bm25K1) *
+        (lit(1 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl"))
+    val wl = Window.partitionBy($"query_id")
+      .orderBy($"bm25_micro".desc, $"doc_id")
+    val lexPerQ = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfRel), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter($"doc_id" =!= $"query_id") // self-match excluded, like s01
+      .withColumn("contrib_fp",
+        round(termScore * 1e6, 0).cast("long"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib_fp").as("bm25_micro"))
+      .withColumn("lrank", row_number().over(wl))
+      .filter($"lrank" <= LexTopK)
+      .select($"query_id", $"doc_id",
         expr(s"1000000 div ($RrfK + lrank)").cast("long").as("contrib"))
-    val qids = dense.select($"query_id").distinct()
-    val lexPerQ = qids.join(broadcast(lexRanked), lit(true))
-      .select($"query_id", $"doc_id", $"contrib")
     dense.unionByName(lexPerQ)
       .groupBy($"query_id", $"doc_id")
       .agg(sum($"contrib").as("rrf_micro"), count(lit(1)).as("n_sides"))
@@ -988,13 +1024,16 @@ object SimilarityQueries {
     // per-query ADC distance TABLE dist[m][c] as nested arrays — built
     // from the pushed-filter query slice of the dist relation (tiny:
     // queries x PqSub x NumCells integers), broadcast with the probes
+    // each sub-table is a MAP keyed by the code VALUE, not an array
+    // indexed by code position: codebook ids are only dense 0..NumCells-1
+    // by to-date construction, and the oracle joins on the code value —
+    // a sparse id space must look up identically on both sides (a
+    // missing code surfaces as NULL, loudly, instead of a wrong-entry)
     val qtab = pqDistRel(s, dir).filter($"vec_id" < NumQueries)
       .groupBy($"vec_id", $"m")
-      .agg(transform(array_sort(collect_list(struct($"c", $"di"))),
-        x => x.getField("di")).as("mrow"))
+      .agg(map_from_entries(collect_list(struct($"c", $"di"))).as("mrow"))
       .groupBy($"vec_id")
-      .agg(transform(array_sort(collect_list(struct($"m", $"mrow"))),
-        x => x.getField("mrow")).as("qtab"))
+      .agg(map_from_entries(collect_list(struct($"m", $"mrow"))).as("qtab"))
       .select($"vec_id".as("query_id"), $"qtab")
     val probes = s15SlimRel(s, dir)
       .filter($"vec_id" < NumQueries && $"crn" <= NumProbes)
@@ -1006,8 +1045,8 @@ object SimilarityQueries {
       .filter($"vec_id" =!= $"query_id")
       .withColumn("adist_micro", expr(
         s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> " +
-          "acc + element_at(element_at(qtab, m + 1), " +
-          "int(element_at(codes, m + 1)) + 1))"))
+          "acc + element_at(element_at(qtab, m), " +
+          "element_at(codes, m + 1)))"))
       .select($"query_id", $"vec_id", $"adist_micro")
     val wa = Window.partitionBy($"query_id")
       .orderBy($"adist_micro", $"vec_id")
@@ -1236,17 +1275,51 @@ object SimilarityQueries {
     "s14_hybrid_rrf" ->
       s"""WITH dense AS (
         |  SELECT query_id, rn, vec_id FROM (${s01OracleSql})),
+        |qterms AS MATERIALIZED (
+        |  SELECT query_id, term FROM (
+        |    SELECT query_id, term, qtf, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY qtf DESC, term) AS trn
+        |    FROM (
+        |      SELECT doc_id AS query_id, u.term, count(*) AS qtf
+        |      FROM documents, unnest(string_split(text, ' ')) AS u(term)
+        |      WHERE doc_id < $NumQueries AND length(u.term) >= $LexMinTermLen
+        |      GROUP BY doc_id, u.term))
+        |  WHERE trn <= $LexTermsPerQuery),
+        |wrds AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |lstats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs,
+        |    avg(len(ws))::DOUBLE AS avgdl FROM wrds),
+        |postings AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, u.term,
+        |    count(*)::DOUBLE AS tf
+        |  FROM wrds, unnest(ws) AS u(term)
+        |  WHERE u.term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY doc_id, len(ws), u.term),
+        |dfr AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+        |lexsc AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(round(
+        |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+        |        * (p.tf * ($Bm25K1 + 1))
+        |        / (p.tf + $Bm25K1 * ((1 - $Bm25B) + $Bm25B * p.dl / s.avgdl))
+        |        * 1e6, 0)) AS BIGINT) AS bm25_micro
+        |  FROM postings p JOIN qterms q USING (term)
+        |    JOIN dfr d USING (term), lstats s
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY q.query_id, p.doc_id),
         |lex AS (
-        |  SELECT doc_id,
-        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
-        |  FROM (${graft.ext.TextQueries.t07OracleSql})),
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25_micro DESC, doc_id) AS lrank
+        |  FROM lexsc),
         |contrib AS (
         |  SELECT query_id, vec_id AS doc_id,
         |    1000000 // ($RrfK + rn) AS contrib
         |  FROM dense
         |  UNION ALL
-        |  SELECT q.query_id, l.doc_id, 1000000 // ($RrfK + l.lrank)
-        |  FROM (SELECT DISTINCT query_id FROM dense) q, lex l),
+        |  SELECT query_id, doc_id, 1000000 // ($RrfK + lrank)
+        |  FROM lex WHERE lrank <= $LexTopK),
         |fused AS (
         |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
         |    count(*)::BIGINT AS n_sides

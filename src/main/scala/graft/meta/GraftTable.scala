@@ -2297,8 +2297,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // Single-FS-op overwrite rename: no window with neither file present.
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicRename.overwrite(fs, tmp, p)
   }
 
   /** DROP TABLE (reference analogue: tests/test_maintenance.py:20) —

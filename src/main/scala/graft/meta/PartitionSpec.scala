@@ -109,8 +109,7 @@ object PartitionSpec {
     val out = fs.create(tmp, true)
     try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicRename.overwrite(fs, tmp, p)
   }
 
   def read(fs: FileSystem, tableDir: Path): Seq[PartitionField] = {

@@ -1,7 +1,7 @@
 package graft.meta
 
 import java.nio.charset.StandardCharsets
-import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** One committed table version.
   *
@@ -182,10 +182,9 @@ object SnapshotLog {
     finally out.close()
     val claimed =
       try {
-        // NO Rename.OVERWRITE: an existing target fails the rename —
-        // this IS the atomic claim (atomic on HDFS; checked on local FS)
-        FileContext.getFileContext(target.toUri, fs.getConf)
-          .rename(tmp, target)
+        // NO overwrite: an existing target fails the rename — this IS
+        // the atomic claim (atomic on HDFS; checked on local FS)
+        AtomicRename.claim(fs, tmp, target)
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |

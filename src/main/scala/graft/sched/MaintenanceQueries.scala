@@ -478,9 +478,18 @@ object MaintenanceQueries {
     // delete does not move filesBefore)
     def nFiles = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
     val filesBefore = nFiles
+    // select the seed commits by OPERATION, not position: the fixture
+    // recipe above pins the log to [append, delete], but a recipe tweak
+    // must fail loudly here rather than misreport rows_deleted
     val snaps = t.snapshots
-    val rowsBefore = snaps.head.totalRows
-    val deleted = (snaps.head.totalRows - snaps(1).totalRows) +
+    val seedAppend = snaps.find(_.operation == "append").getOrElse(
+      sys.error(s"mor seed log has no append commit: " +
+        s"${snaps.map(_.operation)} — check the clonedSeed recipe above"))
+    val seedDelete = snaps.find(_.operation == "delete").getOrElse(
+      sys.error(s"mor seed log has no delete commit: " +
+        s"${snaps.map(_.operation)} — check the clonedSeed recipe above"))
+    val rowsBefore = seedAppend.totalRows
+    val deleted = (seedAppend.totalRows - seedDelete.totalRows) +
       t.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
     val filesAfterDelete = nFiles // unchanged: metadata-only
     // delete-file COUNT per delete derives from task layout (one file

@@ -1413,8 +1413,12 @@ object GraftSql {
     val shadowed = cteNames(body)
     val refs = tableRefs(body)
       .filterNot(r => shadowed.contains(unquote(r).toLowerCase))
+    // invocation-unique view names: two threads resolving the SAME table
+    // name against DIFFERENT warehouses must not share a temp view
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
     val views = refs.zipWithIndex.map { case (raw, i) =>
-      val view = s"graft_body_${i}_${unquote(raw).replaceAll("[^\\w]", "_")}"
+      val view =
+        s"graft_body_${tag}_${i}_${unquote(raw).replaceAll("[^\\w]", "_")}"
       // metadata-suffix names ("t$files") resolve to metadata relations,
       // exactly like SELECT * does
       select(spark, resolve, unquote(raw)).createOrReplaceTempView(view)

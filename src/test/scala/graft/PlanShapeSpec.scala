@@ -899,17 +899,18 @@ class PlanShapeSpec extends SparkSpec {
   test("s14: fusion inputs are k-bounded rankings; the fuse is union+agg, never a corpus join") {
     val nodes = allNodes(
       SimilarityQueries.queries("s14_hybrid_rrf")(spark, sf))
-    assert(nodes.exists(n =>
-      n.getClass.getSimpleName.contains("TakeOrderedAndProject") ||
-        n.getClass.getSimpleName.contains("GlobalLimit")),
-      "the lexical side must end in its top-20 limit BEFORE fusion")
+    // the lexical leg is PER-QUERY now: its top-20 bound is a
+    // row_number window partitioned by query_id (same bound shape as
+    // the dense leg), not a global limit
+    assert(nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "the lexical side must rank per query (window) BEFORE fusion")
     assert(!nodes.exists(
       _.getClass.getSimpleName.contains("SortMergeJoin")),
       "fused relations are K·queries rows — nothing may sort-merge")
     assert(!nodes.exists(
       _.getClass.getSimpleName.contains("CartesianProduct")),
-      "the lexical ranking reaches each query by a bounded broadcast " +
-        "product, never a cartesian shuffle")
+      "the term sets and statistics reach the postings by bounded " +
+        "broadcasts, never a cartesian shuffle")
   }
 
   test("q53: longest-run reads only purchases (pushed filter), no join anywhere") {

@@ -35,6 +35,8 @@ object SparkSpec {
       // stats exist, unlike deprecated INT96 — enables the footer-
       // inventory commit fast path (GraftTable.footerInventory)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem") // fork-free local chmod
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
