@@ -985,7 +985,53 @@ object DedupQueries {
     arms.reduce(_ unionByName _).orderBy($"bands")
   }
 
+  /** Contamination decision threshold: an eval document whose n-gram
+    * CONTAINMENT in the training corpus reaches 70% is flagged — the
+    * published large-LM decontamination rule (Chowdhery et al. 2022,
+    * PaLM §8, "70% of its 8-grams"; here the corpus' word-trigram
+    * shingles). */
+  private val ContainmentBp = 7000L
+
+  /** N-GRAM CONTAINMENT decontamination (d27): per EVAL document, the
+    * fraction of its distinct n-grams that occur ANYWHERE in the
+    * training corpus, plus the 70%-rule flag ([[ContainmentBp]]). d08
+    * and d18 answer the training-side question (which training docs
+    * share ANY n-gram); this is the eval-side RATIO — the quantity the
+    * published decontamination rules actually threshold on, since a
+    * single shared n-gram is noise but 70% containment is a leak.
+    *
+    * Scale shape: the eval shingle sets are 2% of the corpus, session-
+    * cached and BROADCAST; the training corpus is ONE linear shingle
+    * pass whose output is immediately semi-joined down to eval-set
+    * matches (bounded by the eval shingle volume, never corpus-scale);
+    * the per-eval aggregate runs over eval-bounded rows only. */
+  def d27NgramContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    // (eval_id, sh): each held-out doc's distinct shingles (docs too
+    // short to shingle are excluded on BOTH sides, the d03 contract)
+    val evalSh = cached(s, dir, "d27_eval") {
+      docs.filter($"doc_id" % 50 === 0 && size(split($"text", " ")) >= 3)
+        .select($"doc_id".as("eval_id"),
+          explode(hashedShingles($"text")).as("sh"))
+    }
+    // distinct eval shingles that occur anywhere in the training corpus
+    // — bounded by the eval shingle volume after the broadcast probe
+    val present = docs.filter($"doc_id" % 50 =!= 0)
+      .select(explode(hashedShingles($"text")).as("sh"))
+      .join(broadcast(evalSh.select($"sh").distinct()), Seq("sh"))
+      .distinct()
+    evalSh.join(present.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy($"eval_id")
+      .agg(count($"sh").as("n_ngrams"), count($"hit").as("n_contained"))
+      .withColumn("contained_bp",
+        expr("n_contained * 10000 div n_ngrams"))
+      .withColumn("flagged", ($"contained_bp" >= ContainmentBp))
+      .orderBy($"eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_ngram_containment" -> (d27NgramContainment _),
     "d26_minhash_sweep" -> (d26MinhashSweep _),
     "d25_leakage_safe_split" -> (d25LeakageSafeSplit _),
     "d24_keep_best" -> (d24KeepBest _),
@@ -1391,6 +1437,25 @@ object DedupQueries {
         |FROM base LEFT JOIN cov c USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d08_decontaminate" -> decontaminateOracle,
+    "d27_ngram_containment" ->
+      s"""WITH ev AS MATERIALIZED (
+        |  SELECT doc_id AS eval_id, unnest($hashedShingleSql) AS sh
+        |  FROM documents
+        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+        |present AS MATERIALIZED (
+        |  SELECT DISTINCT c.sh
+        |  FROM (SELECT unnest($hashedShingleSql) AS sh
+        |        FROM documents WHERE doc_id % 50 <> 0) c
+        |  JOIN (SELECT DISTINCT sh FROM ev) e ON c.sh = e.sh),
+        |rep AS (
+        |  SELECT e.eval_id, count(e.sh) AS n_ngrams, count(p.sh) AS n_contained
+        |  FROM ev e LEFT JOIN present p ON e.sh = p.sh
+        |  GROUP BY e.eval_id)
+        |SELECT eval_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(n_contained AS BIGINT) AS n_contained,
+        |  n_contained * 10000 // n_ngrams AS contained_bp,
+        |  n_contained * 10000 // n_ngrams >= $ContainmentBp AS flagged
+        |FROM rep ORDER BY eval_id""".stripMargin,
     // the bloom prefilter must be invisible in the answer: exact-join
     // verification kills every false positive, so d18 shares d08's oracle
     "d18_bloom_decontaminate" -> decontaminateOracle,

@@ -822,6 +822,27 @@ class PlanShapeSpec extends SparkSpec {
       "centroids broadcast onto the corpus — never a cartesian shuffle")
   }
 
+  test("d27: one corpus pass probed by a BROADCAST eval shingle set; eval side cached") {
+    val nodes = allNodes(
+      graft.ext.DedupQueries.queries("d27_ngram_containment")(spark, sf))
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }.distinct
+    assert(docScans.size <= 1,
+      s"the training corpus is shingled in ONE linear pass; the eval " +
+        s"side reads its session cache — saw ${docScans.size} scans")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "the eval shingle relation must come from the session cache")
+    assert(nodes.exists(
+      _.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "the corpus probe join must BROADCAST the eval shingle set")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "everything downstream of the probe is eval-bounded — no products")
+  }
+
   test("d26: sweep arms project ONE cached signature relation — no corpus re-scan per arm") {
     val nodes = allNodes(
       graft.ext.DedupQueries.queries("d26_minhash_sweep")(spark, sf))
