@@ -34,7 +34,7 @@ object MaintenanceQueries {
 
   // serializes fixture check/rebuild/stamp within the JVM (st11's recipe)
   private val xSeedLock = new Object
-  private val XSeedVer = "2" // bump when ANY clonedSeed build recipe changes
+  private val XSeedVer = "3" // bump when ANY clonedSeed build recipe changes
 
   /** Build-once / clone-per-run seed state for the maintenance demos —
     * st11's fixture-reuse recipe applied to the x family. A demo's SEED
@@ -360,14 +360,26 @@ object MaintenanceQueries {
     * the new files; merged HLL/min-max stats over the sketch store. */
   private def incrementalDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
-    val t = GraftTable.create(spark, freshDir("inc"),
-      seed(spark, sfDir).schema)
     val df = seed(spark, sfDir)
-    // pinned file counts so the oracle can assert "run 2 scanned ONLY
-    // the new files" as exact constants
-    t.append(df.filter(col("p_partkey") % 2 === 0).repartition(2), t0)
-    val scan1 = t.analyzeIncremental(t0)
-    t.append(df.filter(col("p_partkey") % 2 === 1).repartition(2), t0)
+    // append-1 + its sketch pass + append-2 are a deterministic prefix
+    // under the fixed clock (HLL register maxes are insertion-order
+    // independent, and the sketch store's absolute paths point at the
+    // fixture's shared data files — exactly like the cloned manifests)
+    // → seed state. The demo's CLAIM — run 2 scans ONLY the new files —
+    // runs live every pass. Pinned file counts so the oracle can assert
+    // the scan counts as exact constants.
+    val base = clonedSeed(spark, sfDir, "incr", "part") { fx =>
+      val s = GraftTable.create(spark, fx.resolve("t").toString, df.schema)
+      s.append(df.filter(col("p_partkey") % 2 === 0).repartition(2), t0)
+      s.analyzeIncremental(t0)
+      s.append(df.filter(col("p_partkey") % 2 === 1).repartition(2), t0)
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
+    // run-1's scan count reconstructed from the log: the seeded sketch
+    // pass scanned exactly the FIRST append's files
+    val scan1 = t.snapshots.find(_.operation == "append").map(_.numFiles)
+      .getOrElse(sys.error("incr seed log has no append commit — " +
+        "check the clonedSeed recipe above"))
     val scan2 = t.analyzeIncremental(t0)
     // merged min/max/fractions/row-count are oracled from part; sketch
     // NDV is approximate by design and pinned by ScalaTest bounds
@@ -466,31 +478,33 @@ object MaintenanceQueries {
       val s = GraftTable.create(spark, fx.resolve("t").toString,
         seed(spark, sfDir).schema)
       s.append(seed(spark, sfDir).repartition(3), t0)
-      // delete batch 1 is deterministic under the fixed clock → seed
-      // state; batch 2 + the backlog rewrite + optimize run live. The
-      // batch-1 row count is reconstructed below from the snapshot
-      // log's logical totalRows — metadata, no scan.
+      // BOTH delete batches are deterministic under the fixed clock →
+      // seed state; the backlog rewrite + MOR read + optimize run live.
+      // Row counts are reconstructed below from the snapshot log's
+      // logical totalRows — metadata, no scan.
       s.deleteWhereMOR(col("p_partkey") % 7 === 0, t0)
+      s.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
     }
     val t = GraftTable.load(spark, base.resolve("t").toString)
     // file counts from the snapshot summary — metadata-only, no scan
     // (MOR deletes leave the DATA file count untouched, so the seeded
-    // delete does not move filesBefore)
+    // deletes do not move filesBefore)
     def nFiles = t.currentSnapshot.map(_.numFiles).getOrElse(0L)
     val filesBefore = nFiles
     // select the seed commits by OPERATION, not position: the fixture
-    // recipe above pins the log to [append, delete], but a recipe tweak
-    // must fail loudly here rather than misreport rows_deleted
+    // recipe above pins the log to [append, delete, delete], but a
+    // recipe tweak must fail loudly here, not misreport rows_deleted
     val snaps = t.snapshots
     val seedAppend = snaps.find(_.operation == "append").getOrElse(
       sys.error(s"mor seed log has no append commit: " +
         s"${snaps.map(_.operation)} — check the clonedSeed recipe above"))
-    val seedDelete = snaps.find(_.operation == "delete").getOrElse(
-      sys.error(s"mor seed log has no delete commit: " +
-        s"${snaps.map(_.operation)} — check the clonedSeed recipe above"))
+    val dels = snaps.filter(_.operation == "delete")
+    require(dels.size == 2, s"mor seed log must hold the two delete " +
+      s"batches: ${snaps.map(_.operation)} — check the clonedSeed recipe")
     val rowsBefore = seedAppend.totalRows
-    val deleted = (seedAppend.totalRows - seedDelete.totalRows) +
-      t.deleteWhereMOR(col("p_partkey") % 11 === 1, t0)
+    // cumulative deleted rows across both seeded batches (the log is
+    // oldest-first; totalRows decreases monotonically through deletes)
+    val deleted = seedAppend.totalRows - dels.last.totalRows
     val filesAfterDelete = nFiles // unchanged: metadata-only
     // delete-file COUNT per delete derives from task layout (one file
     // per scan partition) — report the layout-independent invariant
@@ -760,12 +774,19 @@ object MaintenanceQueries {
   private def rollbackDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val df = seed(spark, sfDir)
-    val t = GraftTable.create(spark, freshDir("rollback"), df.schema)
-    t.append(df.filter(col("p_partkey") <= 100).repartition(2), t0)  // s1
-    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
-      .repartition(1), t0)                                            // s2: good head
-    t.append(df.filter(col("p_partkey") > 150 && col("p_partkey") <= 180)
-      .repartition(1), t0)                                            // s3: bad commit
+    // the three appends are a deterministic prefix under the fixed
+    // clock → seed state (clone shares data files safely: rollback is
+    // metadata-only, nothing here physically deletes). The demo's own
+    // ops — rollback, read-as-of, the chained s4 append — run live.
+    val base = clonedSeed(spark, sfDir, "rollback", "part") { fx =>
+      val s = GraftTable.create(spark, fx.resolve("t").toString, df.schema)
+      s.append(df.filter(col("p_partkey") <= 100).repartition(2), t0)  // s1
+      s.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+        .repartition(1), t0)                                           // s2: good head
+      s.append(df.filter(col("p_partkey") > 150 && col("p_partkey") <= 180)
+        .repartition(1), t0)                                           // s3: bad commit
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
     val badId = t.currentSnapshot.get.snapshotId
     val rowsBad = t.read.count()
     t.rollback(badId - 1)
