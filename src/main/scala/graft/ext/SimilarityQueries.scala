@@ -1070,7 +1070,65 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
+  private val MrlPrefixDim = 8 // coarse tier reads dims 1..8 of 64
+
+  /** MATRYOSHKA PREFIX-DIM ANN (s17): coarse-score on a PREFIX of the
+    * embedding dimensions, exact-rerank on the full vector — the
+    * deployment pattern Matryoshka representation learning (Kusupati
+    * et al. 2022) trains for, used by adaptive-retrieval stacks (e.g.
+    * OpenAI text-embedding-3's dimension parameter): the first D' dims
+    * of an MRL embedding ARE a valid low-dim embedding, so a store can
+    * keep the 8-dim prefix in its hot tier and the 64-dim tail cold.
+    * This is the missing rung of the ANN ladder — s06 shrinks bytes
+    * per DIMENSION (SQ8), s11 shrinks dimensions to CODES (PQ), s17
+    * just TRUNCATES, trading zero decode work for a trained-in
+    * assumption about the embedding.
+    *
+    * Scale shape: the coarse pass is ONE corpus scan that reads an
+    * 8/64 slice of the vector column (at 100 TB with the prefix stored
+    * as its own column/tier this is an 8× byte reduction — here the
+    * slice happens post-read, the plan shape is what's pinned); the
+    * query side broadcasts, the coarse rank ships skinny
+    * (query_id, vec_id, pcos) scalars, and full-width floats re-enter
+    * only as s06's broadcast-gather rerank bounded at
+    * TopK·[[CandMult]] rows per query. */
+  def s17MatryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val pref = e
+      .select($"vec_id", slice($"embedding", 1, MrlPrefixDim).as("pe"))
+      .withColumn("pn", norm($"pe"))
+    val qp = pref.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"pe".as("qpe"), $"pn".as("qpn"))
+    val coarse = pref.join(broadcast(qp), $"vec_id" =!= $"query_id")
+      .withColumn("pcos",
+        when($"qpn" === 0.0 || $"pn" === 0.0, lit(-2.0))
+          .otherwise(round(dot($"qpe", $"pe") / ($"qpn" * $"pn"), 6)))
+      .select($"query_id", $"vec_id", $"pcos") // skinny rows into the rank
+    val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"vec_id")
+    val shortlist = coarse.withColumn("prn", row_number().over(wp))
+      .filter($"prn" <= TopK * CandMult)
+      .select($"query_id", $"vec_id")
+    // full-width floats re-enter ONLY for the shortlist (s06's bound)
+    val ef = withNorm(e)
+    val qe = ef.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qnrm"))
+    val reranked = ef.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qe), "query_id")
+      .withColumn("cos",
+        round(dot($"qe", $"embedding") / ($"qnrm" * $"nrm"), 6))
+      .select($"query_id", $"vec_id", $"cos")
+    val wr = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    reranked.withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= TopK)
+      .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_matryoshka_topk" -> (s17MatryoshkaTopK _),
     "s16_ivfpq_topk" -> (s16IvfPqTopK _),
     "s15_probe_sweep" -> (s15ProbeSweep _),
     "s14_hybrid_rrf" -> (s14HybridRrf _),
@@ -1618,6 +1676,39 @@ object SimilarityQueries {
         |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
     "s01_cosine_topk" -> s01OracleSql,
     "s02_ivf_topk" -> s02OracleSql,
+    // coarse tier = prefix-dim cosine, exact tier = s01's full kernel;
+    // e MATERIALIZED: the norm-bearing scan feeds queries AND corpus
+    "s17_matryoshka_topk" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm,
+        |    embedding[1:$MrlPrefixDim] AS pe,
+        |    ${normSql.format(s"embedding[1:$MrlPrefixDim]")} AS pn
+        |  FROM embeddings),
+        |qp AS (
+        |  SELECT vec_id AS query_id, pe AS qpe, pn AS qpn,
+        |    embedding AS qe, nrm AS qnrm
+        |  FROM e WHERE vec_id < $NumQueries),
+        |coarse AS (
+        |  SELECT query_id, vec_id, qe, qnrm, embedding, nrm,
+        |    CASE WHEN qpn = 0 OR pn = 0 THEN -2.0
+        |         ELSE round(${dotSql.format("qpe", "pe")} / (qpn * pn), 6)
+        |    END AS pcos
+        |  FROM e, qp WHERE vec_id <> query_id),
+        |topp AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY pcos DESC, vec_id) AS prn
+        |  FROM coarse),
+        |rer AS (
+        |  SELECT query_id, vec_id,
+        |    round(${dotSql.format("qe", "embedding")} / (qnrm * nrm), 6) AS cos
+        |  FROM topp WHERE prn <= ${TopK * CandMult}),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM rer)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cos
+        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
     // fixed-point micro-unit distances make every sum exact — the
     // row_number argmin here is semantically the Spark min-struct
     "s11_pq_topk" -> {

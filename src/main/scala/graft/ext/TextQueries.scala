@@ -994,6 +994,24 @@ object TextQueries {
   private val BigramVocab = 4096        // top-K bigram head kept as the model
   private val BigramBackoffBits = 20L   // surprisal charged to unseen bigrams
 
+  /** Session-cached adjacent-word-pair relation `(doc_id, source, w1,
+    * w2)` — ONE tokenize pass feeds t25's LM model+scoring and t26's
+    * DSIR features (the t15-postings convention). */
+  private def bigramRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RelCache.cached(s, s"$dir#t25_bigrams") {
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          filter(split($"text", " "), w => w =!= "").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", $"source", explode(transform(
+          sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("p"))
+        .select($"doc_id", $"source", $"p.w1", $"p.w2")
+    }
+  }
+
   /** BIGRAM LM SURPRISAL (t25): per-document average conditional
     * surprisal -log2 p(w2|w1) against a TRUNCATED corpus bigram model —
     * the next LM-scoring rung after t19's unigram model (a unigram
@@ -1019,19 +1037,7 @@ object TextQueries {
     * broadcast stays driver-safe no matter how many distinct bigrams a
     * 100 TB corpus holds. */
   def t25BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bi = RelCache.cached(s, s"$dir#t25_bigrams") {
-      t(s, dir, "documents")
-        .select($"doc_id", $"source",
-          filter(split($"text", " "), w => w =!= "").as("w"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", $"source", explode(transform(
-          sequence(lit(1), size($"w") - 1),
-          i => struct(element_at($"w", i).as("w1"),
-            element_at($"w", i + 1).as("w2")))).as("p"))
-        .select($"doc_id", $"source", $"p.w1", $"p.w2")
-    }
-    bigramSurprisalCore(bi, BigramVocab, BigramBackoffBits,
+    bigramSurprisalCore(bigramRel(s, dir), BigramVocab, BigramBackoffBits,
       BigramHeadCentibits,
       cacheHead = h => RelCache.cached(s, s"$dir#t25_head")(h))
   }
@@ -1072,7 +1078,67 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  private val DsirBuckets = 256          // hashed bigram feature space
+  private val DsirTargetSource = "src0"  // curated-target stand-in
+  private val DsirSelectCentibits = 0L   // >= 0: more target- than raw-like
+
+  /** DSIR IMPORTANCE SCORING (t26): Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS 2023) — every raw document scored
+    * by how much more likely its hashed n-gram features are under a
+    * small CURATED target distribution than under the raw-crawl
+    * distribution, the selection stage that front-loads "looks like
+    * the data I want" before any model-based quality gate. Features
+    * are word bigrams hashed into [[DsirBuckets]] buckets (the paper's
+    * hashed n-gram estimator — collisions are part of the estimator,
+    * not noise); the target is the [[DsirTargetSource]] slice standing
+    * in for the curated corpus. Per-token importance is the log-ratio
+    * log2 p_target(b) - log2 p_raw(b) in the t19 floor-log2 integer
+    * contract: bits(c+1) via `length(bin(..))` with +1 Laplace
+    * smoothing, the two normalizing totals entering as per-token
+    * constants. Scores are SIGNED, so per-doc averaging uses explicit
+    * floor division on the double quotient — exact here because
+    * |sum| <= 128·n_bigrams stays far below 2^53 and a non-integer
+    * quotient sits >= 1/n_bi away from any integer (documented bound;
+    * `div`'s truncation would disagree with floor on negatives).
+    *
+    * Scale shape: features project the SESSION-CACHED [[bigramRel]]
+    * (one tokenize pass shared with t25); both count tables and the
+    * weight table are <= [[DsirBuckets]] rows and BROADCAST onto the
+    * feature stream — the corpus never shuffles by bucket (skewed:
+    * stop-word bigrams concentrate); per-doc aggregation
+    * partial-combines map-side; the report is per source. */
+  def t26DsirScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val feats = bigramRel(s, dir).select($"doc_id", $"source",
+      (h32(concat_ws(" ", $"w1", $"w2")) % DsirBuckets).as("b"))
+    val raw = feats.groupBy($"b").agg(count(lit(1)).as("c_r"))
+    val tgt = feats.filter($"source" === DsirTargetSource)
+      .groupBy($"b").agg(count(lit(1)).as("c_t"))
+    val tot = feats.agg(count(lit(1)).as("n_r"),
+      count(when($"source" === DsirTargetSource, 1)).as("n_t"))
+    val weights = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+      .select($"b",
+        ((length(bin(coalesce($"c_t", lit(0L)) + 1)) -
+          length(bin($"c_r" + 1))) +
+         (length(bin($"n_r" + 1)) -
+          length(bin($"n_t" + 1)))).cast("long").as("bits"))
+    val perDoc = feats.join(broadcast(weights), Seq("b"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_bi"), sum($"bits").as("bits_sum"))
+      .withColumn("avg_centibits",
+        floor(($"bits_sum" * 100) / $"n_bi").cast("long"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        floor(sum($"avg_centibits") / count(lit(1))).cast("long")
+          .as("mean_centibits"),
+        count(when($"avg_centibits" >= DsirSelectCentibits, 1))
+          .as("n_selected"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_dsir_score" -> (t26DsirScore _),
     "t25_bigram_surprisal" -> (t25BigramSurprisal _),
     "t24_learned_bpe_apply" -> (t24LearnedBpeApply _),
     "t23_bpe_train" -> (t23BpeTrain _),
@@ -1214,6 +1280,43 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // bi MATERIALIZED: the hashed feature stream feeds four consumers
+    // (raw counts, target counts, totals, scoring join); floor division
+    // on the double quotient both sides — see t26DsirScore scaladoc
+    "t26_dsir_score" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8))::BIGINT
+        |      % $DsirBuckets AS b
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |        FROM toks WHERE len(w) >= 2)),
+        |raw AS (SELECT b, count(*)::BIGINT AS c_r FROM bi GROUP BY b),
+        |tgt AS (SELECT b, count(*)::BIGINT AS c_t FROM bi
+        |        WHERE source = '$DsirTargetSource' GROUP BY b),
+        |tot AS (SELECT count(*)::BIGINT AS n_r,
+        |    count(CASE WHEN source = '$DsirTargetSource' THEN 1 END)::BIGINT
+        |      AS n_t
+        |  FROM bi),
+        |wts AS (
+        |  SELECT raw.b,
+        |    ((length(bin(coalesce(c_t, 0) + 1)) - length(bin(c_r + 1)))
+        |     + (length(bin(n_r + 1)) - length(bin(n_t + 1))))::BIGINT AS bits
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+        |perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_bi,
+        |    CAST(floor((sum(bits) * 100) / count(*)) AS BIGINT)
+        |      AS avg_centibits
+        |  FROM bi JOIN wts USING (b) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(floor(sum(avg_centibits) / count(*)) AS BIGINT)
+        |    AS mean_centibits,
+        |  count(CASE WHEN avg_centibits >= $DsirSelectCentibits THEN 1 END)
+        |    ::BIGINT AS n_selected
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "t25_bigram_surprisal" ->
       s"""WITH toks AS (
         |  SELECT doc_id, source,

@@ -891,6 +891,50 @@ class PlanShapeSpec extends SparkSpec {
         "rerank rank ships scalars")
   }
 
+  test("t26: DSIR features project the cached bigram relation; weights broadcast") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t26_dsir_score")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "the feature stream must project the session-cached bigram " +
+        "relation (one tokenize pass shared with t25)")
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      s"counts, totals and scoring all read the bigram cache — a direct " +
+        s"documents scan means a consumer re-tokenized: ${docScans.size}")
+    assert(nodes.exists(
+      _.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "the <=256-row weight table must BROADCAST onto the skewed " +
+        "feature stream — never a shuffle keyed by bucket")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "the only product is the 1-row totals broadcast")
+  }
+
+  test("s17: coarse rank ships scalars; full floats re-enter only as broadcast gathers") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s17_matryoshka_topk")(spark, sf))
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "queries and shortlists broadcast — never a cartesian shuffle")
+    // both ranking windows (coarse prefix rank, exact rerank) must ship
+    // skinny scalar rows: the full-width vectors enter only through the
+    // broadcast-gather rerank join, never an exchange
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "no embedding slice may ride an exchange — the coarse rank ships " +
+        "(query_id, vec_id, pcos) and the rerank rank ships scalars")
+    val bcasts = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.size >= 2,
+      s"expected broadcast query side + broadcast shortlist; saw ${bcasts.size}")
+  }
+
   test("d25: split is a projection over cached labels — no window, no corpus cartesian") {
     val nodes = allNodes(
       graft.ext.DedupQueries.queries("d25_leakage_safe_split")(spark, sf))
