@@ -1070,6 +1070,49 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
+  // nDCG discount 1/log2(i+1) in fixed-point micro-units — computed
+  // ONCE here and interpolated as identical integer literals into both
+  // the Spark plan and the DuckDB oracle (the t07 constant convention,
+  // hardened from shared doubles to shared INTEGERS), so the per-query
+  // DCG sum is exact in any accumulation order (the d19 contract)
+  private val NdcgDiscMicro: Seq[Long] =
+    (1 to TopK).map(i => math.round(1e6 * math.log(2) / math.log(i + 1)))
+  private val NdcgIdcgMicro: Long =
+    (1 to TopK).map(i => (TopK + 1 - i) * NdcgDiscMicro(i - 1)).sum
+
+  /** nDCG@k RETRIEVAL EVAL (s18): graded-relevance quality of the IVF
+    * ranking against the exact ranking — the eval the recall family
+    * (s10/s13) can't express: recall@k treats a hit at rank 1 and rank
+    * k identically, while nDCG charges position, the number a
+    * retrieval deployment actually tunes against (Järvelin & Kekäläinen
+    * 2002). Relevance labels come from the exact s01 ranking itself
+    * (gain of vector v = k+1 − exact_rank, 0 outside the exact top-k) —
+    * the standard label-free eval construction; the ideal DCG is then a
+    * CONSTANT ([[NdcgIdcgMicro]]) and nDCG is reported in basis points.
+    *
+    * Scale shape: composes the two session-cached result relations
+    * (s01's exact top-k, s02's IVF top-k) — queries·k rows each; the
+    * discount table enters as a k-entry literal, the join is id-keyed,
+    * and every sum is integer micro-units. Nothing here rescans the
+    * corpus at any scale. */
+  def s18NdcgEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = s01TopKRel(s, dir)
+      .select($"query_id", $"vec_id", (lit(TopK + 1) - $"rn").as("gain"))
+    val disc = element_at(
+      array(NdcgDiscMicro.map(lit): _*), $"rn".cast("int"))
+    s02IvfTopK(s, dir)
+      .select($"query_id", $"vec_id", $"rn")
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .select($"query_id",
+        (coalesce($"gain", lit(0L)) * disc).as("contrib"))
+      .groupBy($"query_id")
+      .agg(sum($"contrib").cast("long").as("dcg_micro"))
+      .withColumn("ndcg_bp",
+        expr(s"dcg_micro * 10000 div $NdcgIdcgMicro"))
+      .orderBy($"query_id")
+  }
+
   private val MrlPrefixDim = 8 // coarse tier reads dims 1..8 of 64
 
   /** MATRYOSHKA PREFIX-DIM ANN (s17): coarse-score on a PREFIX of the
@@ -1128,6 +1171,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_ndcg_eval" -> (s18NdcgEval _),
     "s17_matryoshka_topk" -> (s17MatryoshkaTopK _),
     "s16_ivfpq_topk" -> (s16IvfPqTopK _),
     "s15_probe_sweep" -> (s15ProbeSweep _),
@@ -1744,6 +1788,25 @@ object SimilarityQueries {
         |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id,
         |  CAST(adist_micro AS BIGINT) AS adist_micro
         |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+    },
+    // the same two result relations composed with the k-entry integer
+    // discount literal — gains and discounts are BIGINTs, so dcg_micro
+    // is exact in any accumulation order
+    "s18_ndcg_eval" -> {
+      val discRows = (1 to TopK)
+        .map(i => s"($i, ${NdcgDiscMicro(i - 1)})").mkString(", ")
+      s"""WITH brute AS (SELECT query_id, vec_id, rn FROM ($s01OracleSql)),
+        |ivf AS (SELECT query_id, vec_id, rn FROM ($s02OracleSql)),
+        |disc AS (SELECT * FROM (VALUES $discRows) AS d(i, dm))
+        |SELECT i.query_id,
+        |  CAST(sum(coalesce(${TopK + 1} - b.rn, 0) * d.dm) AS BIGINT)
+        |    AS dcg_micro,
+        |  CAST(sum(coalesce(${TopK + 1} - b.rn, 0) * d.dm) * 10000
+        |    // $NdcgIdcgMicro AS BIGINT) AS ndcg_bp
+        |FROM ivf i JOIN disc d ON i.rn = d.i
+        |LEFT JOIN brute b
+        |  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+        |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin
     },
     // the two result relations composed verbatim: recall@k is ivf hits
     // within the brute ground truth, in basis points

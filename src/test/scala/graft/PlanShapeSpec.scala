@@ -891,6 +891,18 @@ class PlanShapeSpec extends SparkSpec {
         "rerank rank ships scalars")
   }
 
+  test("s18: nDCG composes cached result relations — no corpus rescan, no cartesian") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s18_ndcg_eval")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "the exact ground-truth ranking must come from the session-cached " +
+        "s01 relation, not a fresh brute-force pass")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "queries·k-row relations join id-keyed — never a product")
+  }
+
   test("t26: DSIR features project the cached bigram relation; weights broadcast") {
     val nodes = allNodes(
       graft.ext.TextQueries.queries("t26_dsir_score")(spark, sf))
