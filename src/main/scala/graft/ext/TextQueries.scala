@@ -1112,17 +1112,22 @@ object TextQueries {
     val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val feats = bigramRel(s, dir).select($"doc_id", $"source",
       (h32(concat_ws(" ", $"w1", $"w2")) % DsirBuckets).as("b"))
-    val raw = feats.groupBy($"b").agg(count(lit(1)).as("c_r"))
-    val tgt = feats.filter($"source" === DsirTargetSource)
-      .groupBy($"b").agg(count(lit(1)).as("c_t"))
-    val tot = feats.agg(count(lit(1)).as("n_r"),
-      count(when($"source" === DsirTargetSource, 1)).as("n_t"))
-    val weights = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
-      .select($"b",
-        ((length(bin(coalesce($"c_t", lit(0L)) + 1)) -
-          length(bin($"c_r" + 1))) +
-         (length(bin($"n_r" + 1)) -
-          length(bin($"n_t" + 1)))).cast("long").as("bits"))
+    // both distributions + their totals from ONE aggregate over the
+    // cached feature stream (conditional count = the target slice);
+    // the totals derive from the <=256-row result, not a corpus pass.
+    // Session-cached: the model is fixed per corpus — repeated calls
+    // pay only the scoring join.
+    val weights = RelCache.cached(s, s"$dir#t26_weights") {
+      val perB = feats.groupBy($"b").agg(
+        count(lit(1)).as("c_r"),
+        count(when($"source" === DsirTargetSource, 1)).as("c_t"))
+      val tot = perB.agg(sum($"c_r").as("n_r"), sum($"c_t").as("n_t"))
+      perB.crossJoin(tot)
+        .select($"b",
+          ((length(bin($"c_t" + 1)) - length(bin($"c_r" + 1))) +
+           (length(bin($"n_r" + 1)) -
+            length(bin($"n_t" + 1)))).cast("long").as("bits"))
+    }
     val perDoc = feats.join(broadcast(weights), Seq("b"))
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_bi"), sum($"bits").as("bits_sum"))
