@@ -38,16 +38,30 @@ object Bench {
     // entries are independent (per-table commit locks, fingerprinted
     // fixture builds behind JVM locks, invocation-unique temp views,
     // compute-once RelCache holders); the TIMED passes stay sequential.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "8").toInt)
-    SparkEntry.queries.toSeq.map { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit =
-          try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => failed += name }
-      })
-    }.foreach(_.get())
-    pool.shutdown()
+    //
+    // EXCEPT the streaming entries: StreamOps.scopedStateParts sets
+    // spark.sql.shuffle.partitions on the SHARED session for the span of
+    // each stream start — a RelCache relation first materialized by a
+    // concurrent peer during that window would persist a mis-partitioned
+    // plan that all three timed passes then measure. Streaming entries
+    // therefore warm up in a second, SEQUENTIAL phase: with one thread
+    // no peer can observe the conf window.
+    val (streamingQs, batchQs) =
+      SparkEntry.queries.toSeq.partition(_._1.startsWith("st"))
+    def warm(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        threads: Int): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      entries.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try { fn(spark, sfDir).count() }
+            catch { case _: Throwable => failed += name }
+        })
+      }.foreach(_.get())
+      pool.shutdown()
+    }
+    warm(batchQs, sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "8").toInt)
+    warm(streamingQs, 1)
     val warmup = (System.nanoTime() - t0) / 1e9
     // Per-query MIN over three timed passes: single-pass timings on this
     // box swing 3-10x on identical plans (GC pauses / co-tenant load);

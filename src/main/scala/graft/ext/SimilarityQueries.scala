@@ -71,6 +71,20 @@ object SimilarityQueries {
     * each query, then exact cosine inside the probed cells only. */
   def s02IvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    s02TopKRel(s, dir).orderBy($"query_id", $"rn")
+  }
+
+  /** Session-cached s02 IVF top-k — the approximate result relation
+    * both evals (s10 recall, s18 nDCG) score; the s01TopKRel
+    * convention: one corpus pass per session feeds every consumer and
+    * every repeated bench pass. */
+  private def s02TopKRel(s: SparkSession, dir: String): DataFrame =
+    RelCache.cached(s, s"$dir#s02_topk") { s02TopKBuild(s, dir) }
+
+  // private[graft]: PlanShapeSpec pins the exchange-reuse shape of the
+  // BUILD plan (the consumer plan is just an InMemoryTableScan)
+  private[graft] def s02TopKBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     val cents = e.filter($"vec_id" < NumCells)
@@ -98,7 +112,6 @@ object SimilarityQueries {
     cand.withColumn("rn", row_number().over(wTop))
       .filter($"rn" <= TopK)
       .select($"query_id", $"rn".cast("long").as("rn"), $"vec_id", $"cos")
-      .orderBy($"query_id", $"rn")
   }
 
   private val NearDupThreshold = 0.4
@@ -637,7 +650,7 @@ object SimilarityQueries {
   def s10RecallEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val brute = s01TopKRel(s, dir).select($"query_id", $"vec_id")
-    val ivf = s02IvfTopK(s, dir)
+    val ivf = s02TopKRel(s, dir)
       .select($"query_id", $"vec_id", $"rn".as("ivf_rn"))
     brute.join(ivf, Seq("query_id", "vec_id"), "left")
       .groupBy($"query_id")
@@ -1028,7 +1041,8 @@ object SimilarityQueries {
     // indexed by code position: codebook ids are only dense 0..NumCells-1
     // by to-date construction, and the oracle joins on the code value —
     // a sparse id space must look up identically on both sides (a
-    // missing code surfaces as NULL, loudly, instead of a wrong-entry)
+    // missing code NULLs the lookup, which the ADC stage below turns
+    // into raise_error instead of a wrong entry)
     val qtab = pqDistRel(s, dir).filter($"vec_id" < NumQueries)
       .groupBy($"vec_id", $"m")
       .agg(map_from_entries(collect_list(struct($"c", $"di"))).as("mrow"))
@@ -1040,13 +1054,20 @@ object SimilarityQueries {
       .select($"vec_id".as("query_id"), $"cell_id")
       .join(qtab, Seq("query_id"))
     // ADC scan: probed-cell members only, PqSub integer lookups per row
+    // a NULL lookup (code absent from the map) would otherwise poison
+    // the sum to NULL, which an ascending rank places FIRST (Spark's
+    // nulls-first default) — a silently wrong top-1. raise_error makes
+    // code-space drift fail the query instead.
     val adc = s16CodesRel(s, dir)
       .join(broadcast(probes), Seq("cell_id"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("adist_micro", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> " +
-          "acc + element_at(element_at(qtab, m), " +
-          "element_at(codes, m + 1)))"))
+      .withColumn("adist_micro", coalesce(
+        expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> " +
+            "acc + element_at(element_at(qtab, m), " +
+            "element_at(codes, m + 1)))"),
+        raise_error(lit("s16: PQ code missing from the ADC distance " +
+          "table — codebook id space drifted")).cast("long")))
       .select($"query_id", $"vec_id", $"adist_micro")
     val wa = Window.partitionBy($"query_id")
       .orderBy($"adist_micro", $"vec_id")
@@ -1101,7 +1122,7 @@ object SimilarityQueries {
       .select($"query_id", $"vec_id", (lit(TopK + 1) - $"rn").as("gain"))
     val disc = element_at(
       array(NdcgDiscMicro.map(lit): _*), $"rn".cast("int"))
-    s02IvfTopK(s, dir)
+    s02TopKRel(s, dir)
       .select($"query_id", $"vec_id", $"rn")
       .join(truth, Seq("query_id", "vec_id"), "left")
       .select($"query_id",

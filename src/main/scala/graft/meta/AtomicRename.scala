@@ -34,8 +34,21 @@ private[meta] object AtomicRename {
     val (s, d) = (local(fs, src), local(fs, dst))
     Files.deleteIfExists(crcOf(d))
     Files.move(s, d, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(crcOf(s)))
-      Files.move(crcOf(s), crcOf(d), StandardCopyOption.REPLACE_EXISTING)
+    // The data file is PUBLISHED past this point: a sidecar failure
+    // must NOT propagate — the snapshot-log CAS catches IOException as
+    // "lost the race", so surfacing one here would misreport a LANDED
+    // commit as lost and the caller would re-apply it on the next
+    // version (a double-commit). Degrade instead: drop the stale src
+    // sidecar best-effort; a crc-less dst reads unverified, which is
+    // the documented gap state above.
+    try {
+      if (Files.exists(crcOf(s)))
+        Files.move(crcOf(s), crcOf(d), StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case _: java.io.IOException =>
+        try Files.deleteIfExists(crcOf(s))
+        catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Overwrite-publish `src` onto `dst` (properties/schema/spec heads). */

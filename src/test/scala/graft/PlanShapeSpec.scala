@@ -55,10 +55,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("s02: probe/assign branches share ONE exchange over the dot-product join") {
-    val nodes = allNodes(SimilarityQueries.s02IvfTopK(spark, sf))
-    assert(nodes.exists(
+    // the reuse shape lives in the BUILD plan; the entry itself must
+    // read the session cache (one corpus pass feeds s02/s10/s18)
+    val buildNodes = allNodes(SimilarityQueries.s02TopKBuild(spark, sf))
+    assert(buildNodes.exists(
       _.getClass.getSimpleName.contains("ReusedExchange")),
       "the 16xN similarity join must be computed once and reused")
+    val entryNodes = allNodes(SimilarityQueries.s02IvfTopK(spark, sf))
+    assert(entryNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "the entry must read the session-cached IVF top-k relation")
   }
 
   test("t07: BM25 corpus stats broadcast; top-k is TakeOrdered, not a sort") {
