@@ -368,6 +368,82 @@ object StreamOps {
       .orderBy("bucket"))
   }
 
+  private val OuterCutoffHours = 4 // > watermark(2h) + join range(1h)
+
+  /** Watermarked stream-stream LEFT OUTER join (st12): st04's inner
+    * join answers "which clicks converted within the hour"; the outer
+    * variant answers the complement — clicks that did NOT convert —
+    * which demands genuinely different engine behavior: a null-padded
+    * result may only be EMITTED at state-eviction time, once the
+    * watermark proves no future purchase can still match the click
+    * (emit-on-eviction, not emit-on-probe). Same event-time range
+    * condition and watermarks as st04, so both join state bounds hold.
+    *
+    * Determinism contract: outer emission is watermark-driven (the
+    * no-data micro-batch after the last data batch advances the
+    * watermark to max event time − 2 h and flushes evicted-unmatched
+    * state), so a click is GUARANTEED flushed only when its eviction
+    * bound (click_ts + 1 h range) sits below that final watermark.
+    * The aggregate therefore restricts to clicks at least
+    * [[OuterCutoffHours]] below the corpus max event time — an hour of
+    * margin past the 3 h requirement — making the landed set
+    * independent of batch boundaries and eviction-equality edges; the
+    * oracle mirrors the same cutoff from the same table. The events
+    * span ~30 days, so the cutoff trims only the final-hours tail. */
+  def st12OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // ONE source for both legs (stream SELF-join): each micro-batch
+    // scans the file once and feeds both filters — a second readStream
+    // would double the per-batch source scan and offset tracking
+    val one: DataFrame = Tables.normalizeTs(
+      s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"),
+      target = "timestamp")
+    val clicks = one.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = one.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""),
+      "left_outer")
+      .select(col("c_user"), col("click_id"), col("click_ts"), col("p_id"))
+    val sink = s"st12_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = scopedStateParts(s) {
+      joined.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    // cutoff from the SAME rows the stream consumed (1-row aggregate,
+    // broadcast back — never a driver collect)
+    val maxRel = Tables.normalizeTs(
+      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
+      .agg(max(col("ts")).as("max_ts"))
+    finishSink(s, sink, s.table(sink)
+      .crossJoin(broadcast(maxRel))
+      .filter(col("click_ts") <=
+        col("max_ts") - expr(s"interval $OuterCutoffHours hours"))
+      .groupBy((col("c_user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(when(col("p_id").isNotNull, col("click_id")))
+          .as("n_matched"),
+        countDistinct(when(col("p_id").isNull, col("click_id")))
+          .as("n_unmatched"))
+      .orderBy("bucket"))
+  }
+
   /** Streaming FROM a graft table: the table IS the stream — snapshot
     * ids are the offsets and each micro-batch is an incremental append
     * scan (org.apache.spark.sql.graft.GraftStreamSource), planned
@@ -753,6 +829,7 @@ object StreamOps {
     "st02_stream_dedup" -> (st02StreamDedup _),
     "st03_graft_sink" -> (st03GraftSink _),
     "st04_stream_join" -> (st04StreamJoin _),
+    "st12_outer_join" -> (st12OuterJoin _),
     "st05_graft_source" -> (st05GraftSource _),
     "st06_cdc_feed" -> (st06CdcFeed _))
 
@@ -836,6 +913,30 @@ object StreamOps {
     // Same oracle once more: the stream consumed three graft snapshots
     // as micro-batches — a hash match proves exactly-once delivery.
     "st05_graft_source" -> HourlyOracle,
+    // the batch left join under the SAME declared cutoff: a click
+    // counts (matched, unmatched, or both never — exactly one) only if
+    // its eviction bound provably sits below the final watermark
+    "st12_outer_join" ->
+      s"""WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS click_ts,
+        |             event_id AS click_id
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.c_user, c.click_id, c.click_ts, p.p_id
+        |      FROM c LEFT JOIN p ON c.c_user = p.p_user
+        |        AND p.p_ts >= c.click_ts
+        |        AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR)
+        |SELECT c_user % 10 AS bucket,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT click_id) AS n_clicks,
+        |  count(DISTINCT CASE WHEN p_id IS NOT NULL THEN click_id END)
+        |    AS n_matched,
+        |  count(DISTINCT CASE WHEN p_id IS NULL THEN click_id END)
+        |    AS n_unmatched
+        |FROM j, mx
+        |WHERE click_ts <= max_ts - INTERVAL $OuterCutoffHours HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "st04_stream_join" ->
       """SELECT c.user_id % 10 AS bucket, count(*) AS n_pairs,
         |  count(DISTINCT c.event_id) AS n_clicks_matched

@@ -92,6 +92,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
   }
 
+  test("st12 outer join emits null-padded rows on eviction, matching the batch left join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamOps.queries("st12_outer_join")(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    // the eviction path genuinely fired: unmatched clicks dominate the
+    // demo corpus — a zero here means outer state never flushed
+    val unmatched = streamed.map(r =>
+      r.getLong(r.fieldIndex("n_unmatched"))).sum
+    assert(unmatched > 0, "no null-padded outer rows were emitted")
+    // batch twin under the same declared cutoff
+    val ev = graft.rel.Tables.load(spark, sf, "events")
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val batch = c.join(p, expr("""c_user = p_user AND
+        p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""),
+        "left_outer")
+      .crossJoin(broadcast(mx))
+      .filter(col("click_ts") <= col("max_ts") - expr("interval 4 hours"))
+      .groupBy((col("c_user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(when(col("p_id").isNotNull, col("click_id")))
+          .as("n_matched"),
+        countDistinct(when(col("p_id").isNull, col("click_id")))
+          .as("n_unmatched"))
+      .orderBy("bucket")
+      .collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "streamed outer-join aggregate must equal the batch left join " +
+        "under the same cutoff")
+  }
+
   test("stateful starts run on the RocksDB state store; session conf restored") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val metricKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
