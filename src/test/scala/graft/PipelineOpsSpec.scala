@@ -165,6 +165,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getInt(4)).toSet == Set(0, 1, 2, 3))
   }
 
+  test("s18 nDCG is consistent with s10 recall: perfect recall implies perfect nDCG") {
+    val sf = "/root/testdata/sf0.001"
+    val ndcg = graft.ext.SimilarityQueries.queries("s18_ndcg_eval")(spark, sf)
+      .collect().map(r => r.getLong(r.fieldIndex("query_id")) ->
+        r.getLong(r.fieldIndex("ndcg_bp"))).toMap
+    val recall = graft.ext.SimilarityQueries.queries("s10_recall_eval")(spark, sf)
+      .collect().map(r => r.getLong(r.fieldIndex("query_id")) ->
+        r.getLong(r.fieldIndex("recall_bp"))).toMap
+    assert(ndcg.keySet == recall.keySet)
+    ndcg.foreach { case (q, bp) =>
+      assert(bp >= 0 && bp <= 10000, s"query $q: ndcg_bp $bp out of range")
+      // recall@k = 100% means the IVF set EQUALS the exact set; nDCG can
+      // still be < 1 only through ORDER — but identical sets with the
+      // same (cos desc, vec_id) tie-broken ranking ranks identically,
+      // so full recall must pin full nDCG. The converse is not implied.
+      if (recall(q) == 10000)
+        assert(bp == 10000,
+          s"query $q: recall 100% but ndcg_bp $bp — ranking diverged on an identical set")
+      else
+        assert(bp < 10000,
+          s"query $q: a missed exact neighbor must cost position gain")
+    }
+  }
+
+  test("t26 DSIR scores the target slice highest and selects all of it") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextQueries.queries("t26_dsir_score")(spark, sf).collect()
+    val bySource = rows.map(r => r.getString(r.fieldIndex("source")) ->
+      (r.getLong(r.fieldIndex("mean_centibits")),
+        r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("n_selected")))).toMap
+    val (tgtMean, tgtDocs, tgtSel) = bySource("src0")
+    // the importance weight is log p_target/p_raw: the target slice's own
+    // documents must be the most target-like on average, and every one of
+    // them should clear the >= 0 (more-target-than-raw) selection bar
+    bySource.foreach { case (src, (mean, _, _)) =>
+      if (src != "src0")
+        assert(mean < tgtMean,
+          s"$src mean $mean >= target slice mean $tgtMean")
+    }
+    assert(tgtSel == tgtDocs,
+      s"target slice selected $tgtSel of $tgtDocs of its own documents")
+  }
+
   test("t25 core at a small K: truncation tie-break, backoff branch, head-restricted unigrams") {
     import spark.implicits._
     // pairs: doc1(a) = (x,x),(x,y); doc2(a) = (x,x); doc3(b) = (y,z)
