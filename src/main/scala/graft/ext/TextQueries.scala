@@ -1142,7 +1142,104 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  private val NbBuckets = 512 // hashed unigram feature space
+  private val NbTestMod = 5   // doc_id % 5 == 0 → held-out test fifth
+
+  /** NAIVE BAYES CLASSIFIER — TRAIN + SCORE IN-ENGINE (t27): the
+    * quality/language-classifier TRAINING step the crawl pipelines run
+    * before t14-style inference (CCNet trains fastText on curated-vs-
+    * crawl; fastText itself is a linear model over hashed features) —
+    * here the full loop: multinomial NB over hashed unigrams trained on
+    * the doc_id-split train fifth's lang labels, scored on the held-out
+    * fifth, accuracy per class. Training a linear model IS two hash
+    * aggregates (per-(class, bucket) counts + per-class totals), which
+    * is why it belongs in the engine rather than a driver-side loop.
+    * The t19/t26 floor-log2 integer contract: per-token weight =
+    * bits(cnt+1) − bits(tot + B) (+1 Laplace over [[NbBuckets]]
+    * buckets), class prior = bits(n_docs_c); scores are exact BIGINT
+    * sums, argmax is a (score DESC, class ASC) total order.
+    *
+    * Scale shape: ONE tokenize pass builds the cached per-(doc, bucket)
+    * count relation that feeds BOTH training aggregates and scoring;
+    * the model is a ≤ classes·[[NbBuckets]]-row grid (unseen buckets
+    * densified to the smoothing weight) that BROADCASTS onto the test
+    * feature stream — the corpus never shuffles by token or bucket
+    * (stop-word skew); per-(doc, class) sums partial-combine; the
+    * argmax window runs over test-docs × classes rows only.
+    *
+    * Honesty note on the gate numbers: the synthetic corpus's 31-word
+    * vocabulary is frequency-UNIFORM across languages (every word in
+    * every lang at ~33‰), so there is no lexical lang signal to learn
+    * and majority-class is Bayes-optimal here — the entry pins the
+    * machinery and the exact integer math; PipelineOpsSpec drives
+    * [[nbClassifierCore]] on a constructed separable corpus (the d13
+    * convention) to prove the model actually learns when signal
+    * exists. Floor-log2 weights resolve frequency ratios ≥ 2×. */
+  def t27NbClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = RelCache.cached(s, s"$dir#t27_feats") {
+      nbFeatures(t(s, dir, "documents").select($"doc_id", $"lang", $"text"))
+    }
+    nbClassifierCore(feat, NbBuckets, NbTestMod,
+      cacheModel = m => RelCache.cached(s, s"$dir#t27_model")(m))
+  }
+
+  /** Hashed-unigram count features `(doc_id, lang, b, n)` for
+    * [[nbClassifierCore]] — one explode + one aggregate. */
+  private[graft] def nbFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    docs
+      .select($"doc_id", $"lang",
+        explode(filter(split($"text", " "), w => w =!= "")).as("word"))
+      .select($"doc_id", $"lang", (h32($"word") % NbBuckets).as("b"))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("n"))
+  }
+
+  /** Train + score over a feature relation `(doc_id, lang, b, n)` —
+    * injectable so PipelineOpsSpec can drive a constructed separable
+    * corpus through the exact production plan. */
+  private[graft] def nbClassifierCore(feat: DataFrame, buckets: Int,
+      testMod: Int, cacheModel: DataFrame => DataFrame = identity): DataFrame = {
+    val s = feat.sparkSession
+    import s.implicits._
+    val train = feat.filter($"doc_id" % testMod =!= 0)
+    val model = cacheModel {
+      val cb = train.groupBy($"lang".as("c"), $"b").agg(sum($"n").as("cnt"))
+      val ct = cb.groupBy($"c").agg(sum($"cnt").as("tot"))
+      // densify to the full classes × buckets grid so unseen buckets
+      // carry the smoothing weight (grid is model-sized, never corpus)
+      val grid = ct.crossJoin(s.range(buckets).select($"id".as("b")))
+      val pri = train.select($"doc_id", $"lang".as("c")).distinct()
+        .groupBy($"c").agg(count(lit(1)).as("n_docs"))
+      grid.join(cb, Seq("c", "b"), "left")
+        .join(pri, Seq("c"))
+        .select($"c", $"b",
+          (length(bin(coalesce($"cnt", lit(0L)) + 1)) -
+            length(bin($"tot" + buckets))).cast("long").as("wbits"),
+          length(bin($"n_docs")).cast("long").as("pbits"))
+    }
+    val test = feat.filter($"doc_id" % testMod === 0)
+    val scored = test.join(broadcast(model), Seq("b"))
+      .groupBy($"doc_id", $"lang", $"c", $"pbits")
+      .agg(sum($"n" * $"wbits").as("tokbits"))
+      .select($"doc_id", $"lang", $"c",
+        ($"tokbits" + $"pbits").as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"c")
+    val pred = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"c".as("pred"))
+    pred.groupBy($"lang")
+      .agg(count(lit(1)).as("n_test"),
+        count(when($"pred" === $"lang", 1)).as("n_correct"),
+        expr("count(CASE WHEN pred = lang THEN 1 END) * 10000 div count(1)")
+          .as("accuracy_bp"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_nb_classifier" -> (t27NbClassifier _),
     "t26_dsir_score" -> (t26DsirScore _),
     "t25_bigram_surprisal" -> (t25BigramSurprisal _),
     "t24_learned_bpe_apply" -> (t24LearnedBpeApply _),
@@ -1285,6 +1382,49 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // feat MATERIALIZED: the tokenize pass feeds train counts, priors,
+    // and the test scoring join; model MATERIALIZED: read by scoring
+    "t27_nb_classifier" ->
+      s"""WITH feat AS MATERIALIZED (
+        |  SELECT doc_id, lang, b, count(*)::BIGINT AS n FROM (
+        |    SELECT doc_id, lang,
+        |      ('0x' || substring(md5(word), 1, 8))::BIGINT % $NbBuckets AS b
+        |    FROM (SELECT doc_id, lang,
+        |            unnest(string_split(text, ' ')) AS word
+        |          FROM documents)
+        |    WHERE word <> '')
+        |  GROUP BY doc_id, lang, b),
+        |train AS (SELECT * FROM feat WHERE doc_id % $NbTestMod <> 0),
+        |cb AS MATERIALIZED (
+        |  SELECT lang AS c, b, sum(n)::BIGINT AS cnt
+        |  FROM train GROUP BY 1, 2),
+        |ct AS (SELECT c, sum(cnt)::BIGINT AS tot FROM cb GROUP BY c),
+        |pri AS (SELECT lang AS c, count(*)::BIGINT AS n_docs FROM
+        |        (SELECT DISTINCT doc_id, lang FROM train) GROUP BY 1),
+        |grid AS (SELECT c, tot, gb.b FROM ct,
+        |         (SELECT unnest(range(0, $NbBuckets)) AS b) gb),
+        |model AS MATERIALIZED (
+        |  SELECT g.c, g.b,
+        |    (length(bin(coalesce(cnt, 0) + 1))
+        |      - length(bin(g.tot + $NbBuckets)))::BIGINT AS wbits,
+        |    length(bin(n_docs))::BIGINT AS pbits
+        |  FROM grid g LEFT JOIN cb ON g.c = cb.c AND g.b = cb.b
+        |  JOIN pri ON g.c = pri.c),
+        |test AS (SELECT * FROM feat WHERE doc_id % $NbTestMod = 0),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, m.c, m.pbits,
+        |    sum(t.n * m.wbits)::BIGINT + m.pbits AS score
+        |  FROM test t JOIN model m USING (b)
+        |  GROUP BY t.doc_id, t.lang, m.c, m.pbits),
+        |pred AS (
+        |  SELECT doc_id, lang, c AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c) AS rn FROM scored) WHERE rn = 1)
+        |SELECT lang, count(*) AS n_test,
+        |  count(CASE WHEN pred = lang THEN 1 END) AS n_correct,
+        |  (count(CASE WHEN pred = lang THEN 1 END) * 10000 // count(*))
+        |    ::BIGINT AS accuracy_bp
+        |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
     // bi MATERIALIZED: the hashed feature stream feeds four consumers
     // (raw counts, target counts, totals, scoring join); floor division
     // on the double quotient both sides — see t26DsirScore scaladoc

@@ -209,6 +209,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"target slice selected $tgtSel of $tgtDocs of its own documents")
   }
 
+  test("t27 NB core reaches perfect accuracy on a lexically separable corpus") {
+    import spark.implicits._
+    // two classes with DISJOINT vocabularies: any functioning learner
+    // must separate them perfectly; the real corpus's uniform vocab
+    // (31 words, every lang ~33 per-mille) is covered by the oracle
+    // gate, this pins that the model LEARNS when signal exists
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val words = if (lang == "aa") Seq("apple", "ant", "axe", "acorn")
+      else Seq("bear", "bolt", "barn", "brick")
+      // vary composition per doc so train docs are not all identical
+      val text = (0 until 12).map(j => words((i + j) % 4)).mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val feat = TextQueries.nbFeatures(docs)
+    val out = TextQueries.nbClassifierCore(feat, 512, 5).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("accuracy_bp")) == 10000,
+        s"${r.getString(r.fieldIndex("lang"))}: expected perfect accuracy " +
+          s"on disjoint vocab, got ${r.getLong(r.fieldIndex("accuracy_bp"))}")
+    }
+  }
+
   test("t25 core at a small K: truncation tie-break, backoff branch, head-restricted unigrams") {
     import spark.implicits._
     // pairs: doc1(a) = (x,x),(x,y); doc2(a) = (x,x); doc3(b) = (y,z)

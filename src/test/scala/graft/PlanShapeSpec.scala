@@ -56,8 +56,16 @@ class PlanShapeSpec extends SparkSpec {
 
   test("s02: probe/assign branches share ONE exchange over the dot-product join") {
     // the reuse shape lives in the BUILD plan; the entry itself must
-    // read the session cache (one corpus pass feeds s02/s10/s18)
-    val buildNodes = allNodes(SimilarityQueries.s02TopKBuild(spark, sf))
+    // read the session cache (one corpus pass feeds s02/s10/s18).
+    // If another suite already materialized the cache, Spark's cache
+    // substitution collapses the whole build lineage into one
+    // InMemoryTableScan — pin the shape of the CACHED physical plan
+    // in that case (it is the same compiled plan).
+    val fresh = allNodes(SimilarityQueries.s02TopKBuild(spark, sf))
+    val buildNodes = fresh ++ fresh.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
+    }.flatMap(walkPlan)
     assert(buildNodes.exists(
       _.getClass.getSimpleName.contains("ReusedExchange")),
       "the 16xN similarity join must be computed once and reused")
@@ -930,6 +938,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!nodes.exists(
       _.getClass.getSimpleName.contains("CartesianProduct")),
       "the only product is the 1-row totals broadcast")
+  }
+
+  test("t27: NB model broadcasts onto the cached feature stream; no corpus rescan") {
+    val nodes = allNodes(
+      graft.ext.TextQueries.queries("t27_nb_classifier")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "training counts and scoring must read the one cached tokenize pass")
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      s"no stage may re-tokenize the corpus: ${docScans.size} direct scans")
+    assert(nodes.exists(
+      _.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "the classes-by-buckets model grid must BROADCAST onto the " +
+        "test feature stream — never a shuffle by bucket")
   }
 
   test("s17: coarse rank ships scalars; full floats re-enter only as broadcast gathers") {
