@@ -17,6 +17,14 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Portable 32-bit hash: first 8 hex chars of md5 as a long —
+    * identical in DuckDB as `('0x' || substring(md5(x), 1, 8))::BIGINT`
+    * (the d19 convention). ONE definition: t14, t26, and t27 all hash
+    * with this and their oracles mirror it; a divergent copy would
+    * silently break an entry's Spark/oracle parity. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** marker words per language for the n-gram/stopword language-ID
     * heuristic; scores are occurrence counts of each language's markers. */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -404,7 +412,6 @@ object TextQueries {
     * broadcasts a few-MB float vector. */
   def t14ClassifierScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val weight = (b: Column) => (b * lit(2654435761L)) % 997L - 498L
     val score = aggregate(
       array_distinct(split($"text", " ")),
@@ -1109,7 +1116,6 @@ object TextQueries {
     * partial-combines map-side; the report is per source. */
   def t26DsirScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val feats = bigramRel(s, dir).select($"doc_id", $"source",
       (h32(concat_ws(" ", $"w1", $"w2")) % DsirBuckets).as("b"))
     // both distributions + their totals from ONE aggregate over the
@@ -1189,7 +1195,6 @@ object TextQueries {
   private[graft] def nbFeatures(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     docs
       .select($"doc_id", $"lang",
         explode(filter(split($"text", " "), w => w =!= "")).as("word"))

@@ -321,6 +321,38 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** The watermarked clicks/purchases legs over ONE shared event
+    * file-stream source (a stream SELF-join: each micro-batch scans the
+    * file once and feeds both filters — a second readStream would
+    * double the per-batch source scan and offset tracking). Shared by
+    * st04 (inner) and st12 (left outer) so the watermark delays, the
+    * range condition, and the ts normalization cannot silently diverge
+    * between the two join variants. */
+  private def clickPurchaseLegs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val one: DataFrame = Tables.normalizeTs(
+      s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"),
+      target = "timestamp")
+    val clicks = one.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = one.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    (clicks, purchases)
+  }
+
+  private val ClickPurchaseRange =
+    """c_user = p_user AND
+       p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""
+
   /** Watermarked STREAM-STREAM inner join: clicks and purchases are two
     * independent unbounded streams; a purchase joins every click by the
     * same user in the preceding hour. The event-time range condition
@@ -329,25 +361,8 @@ object StreamOps {
     * property that makes a stream-stream join runnable forever at
     * 100 TB/day. Checked against DuckDB's batch self-join. */
   def st04StreamJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    def src: DataFrame = Tables.normalizeTs(
-      s.readStream
-        .schema(rawSchema)
-        .option("basePath", dir)
-        .parquet(s"$dir/{events.parquet}"),
-      target = "timestamp")
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "2 hours")
-    val joined = clicks.join(purchases,
-      expr("""c_user = p_user AND
-              p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""))
+    val (clicks, purchases) = clickPurchaseLegs(s, dir)
+    val joined = clicks.join(purchases, expr(ClickPurchaseRange))
       .select("c_user", "click_id") // sink only what the aggregate needs
     val sink = s"st04_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // A stream-stream join keeps 4 state stores per shuffle partition
@@ -368,7 +383,7 @@ object StreamOps {
       .orderBy("bucket"))
   }
 
-  private val OuterCutoffHours = 4 // > watermark(2h) + join range(1h)
+  private[graft] val OuterCutoffHours = 4 // > watermark(2h) + range(1h)
 
   /** Watermarked stream-stream LEFT OUTER join (st12): st04's inner
     * join answers "which clicks converted within the hour"; the outer
@@ -379,40 +394,23 @@ object StreamOps {
     * (emit-on-eviction, not emit-on-probe). Same event-time range
     * condition and watermarks as st04, so both join state bounds hold.
     *
-    * Determinism contract: outer emission is watermark-driven (the
-    * no-data micro-batch after the last data batch advances the
-    * watermark to max event time − 2 h and flushes evicted-unmatched
-    * state), so a click is GUARANTEED flushed only when its eviction
-    * bound (click_ts + 1 h range) sits below that final watermark.
-    * The aggregate therefore restricts to clicks at least
-    * [[OuterCutoffHours]] below the corpus max event time — an hour of
-    * margin past the 3 h requirement — making the landed set
-    * independent of batch boundaries and eviction-equality edges; the
-    * oracle mirrors the same cutoff from the same table. The events
-    * span ~30 days, so the cutoff trims only the final-hours tail. */
+    * Determinism contract: outer emission is watermark-driven, and a
+    * stream-stream join's GLOBAL watermark is the MIN over both
+    * watermarked inputs — the final watermark after the last data
+    * batch is least(max click ts, max purchase ts) − 2 h, NOT the
+    * corpus max event time − 2 h (a lagging leg holds the whole join
+    * back). A click is guaranteed flushed only when its eviction bound
+    * (click_ts + 1 h range) sits below that final watermark, so the
+    * aggregate restricts to clicks at least [[OuterCutoffHours]] below
+    * least(max click ts, max purchase ts) — an hour of margin past the
+    * 3 h requirement — making the landed set independent of batch
+    * boundaries, eviction-equality edges, and either leg's tail skew;
+    * the oracle mirrors the same least(...) cutoff from the same
+    * table. The events span ~30 days, so the cutoff trims only the
+    * final-hours tail. */
   def st12OuterJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    // ONE source for both legs (stream SELF-join): each micro-batch
-    // scans the file once and feeds both filters — a second readStream
-    // would double the per-batch source scan and offset tracking
-    val one: DataFrame = Tables.normalizeTs(
-      s.readStream
-        .schema(rawSchema)
-        .option("basePath", dir)
-        .parquet(s"$dir/{events.parquet}"),
-      target = "timestamp")
-    val clicks = one.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = one.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "2 hours")
-    val joined = clicks.join(purchases,
-      expr("""c_user = p_user AND
-              p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""),
+    val (clicks, purchases) = clickPurchaseLegs(s, dir)
+    val joined = clicks.join(purchases, expr(ClickPurchaseRange),
       "left_outer")
       .select(col("c_user"), col("click_id"), col("click_ts"), col("p_id"))
     val sink = s"st12_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -425,11 +423,15 @@ object StreamOps {
         .start()
     }
     q.awaitTermination()
-    // cutoff from the SAME rows the stream consumed (1-row aggregate,
-    // broadcast back — never a driver collect)
+    // cutoff base = the join's FINAL WATERMARK anchor: least over the
+    // two legs' max event times (1-row aggregate, broadcast back —
+    // never a driver collect), from the SAME rows the stream consumed
     val maxRel = Tables.normalizeTs(
       s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
-      .agg(max(col("ts")).as("max_ts"))
+      .agg(least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("max_ts"))
     finishSink(s, sink, s.table(sink)
       .crossJoin(broadcast(maxRel))
       .filter(col("click_ts") <=
@@ -915,9 +917,14 @@ object StreamOps {
     "st05_graft_source" -> HourlyOracle,
     // the batch left join under the SAME declared cutoff: a click
     // counts (matched, unmatched, or both never — exactly one) only if
-    // its eviction bound provably sits below the final watermark
+    // its eviction bound provably sits below the final watermark —
+    // which for a stream-stream join is the MIN over both legs' max
+    // event times minus the delay, hence least(...), not max(ts)
     "st12_outer_join" ->
-      s"""WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+      s"""WITH mx AS (SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN ts END),
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END))
+        |  AS max_ts FROM events),
         |c AS (SELECT user_id AS c_user, ts AS click_ts,
         |             event_id AS click_id
         |      FROM events WHERE event_type = 'click'),

@@ -102,9 +102,12 @@ class StreamingSpec extends SparkSpec {
     val unmatched = streamed.map(r =>
       r.getLong(r.fieldIndex("n_unmatched"))).sum
     assert(unmatched > 0, "no null-padded outer rows were emitted")
-    // batch twin under the same declared cutoff
+    // batch twin under the same declared cutoff (anchored on the
+    // join's final watermark: least over both legs' max event times)
     val ev = graft.rel.Tables.load(spark, sf, "events")
-    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    val mx = ev.agg(least(
+      max(when(col("event_type") === "click", col("ts"))),
+      max(when(col("event_type") === "purchase", col("ts")))).as("max_ts"))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -115,7 +118,8 @@ class StreamingSpec extends SparkSpec {
         p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""),
         "left_outer")
       .crossJoin(broadcast(mx))
-      .filter(col("click_ts") <= col("max_ts") - expr("interval 4 hours"))
+      .filter(col("click_ts") <= col("max_ts") -
+        expr(s"interval ${StreamOps.OuterCutoffHours} hours"))
       .groupBy((col("c_user") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("click_id")).as("n_clicks"),
