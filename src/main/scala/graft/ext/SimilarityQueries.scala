@@ -1062,10 +1062,10 @@ object SimilarityQueries {
       .join(broadcast(probes), Seq("cell_id"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("adist_micro", coalesce(
-        expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> " +
-            "acc + element_at(element_at(qtab, m), " +
-            "element_at(codes, m + 1)))"),
+        // fused codegen'd lookup-sum (graft.functions.AdcSum) — same
+        // by-key-value semantics as the aggregate/element_at fold it
+        // replaces, one loop inside whole-stage codegen
+        call_function("graft_adc", $"codes", $"qtab"),
         raise_error(lit("s16: PQ code missing from the ADC distance " +
           "table — codebook id space drifted")).cast("long")))
       .select($"query_id", $"vec_id", $"adist_micro")

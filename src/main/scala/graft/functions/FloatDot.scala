@@ -94,8 +94,10 @@ case class FloatDot(left: Expression, right: Expression)
   * [[GraftFunctions.ensureRegistered]] at first use for any session. */
 class GraftSparkExtensions
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.fdotDescriptor)
+    ext.injectFunction(GraftFunctions.adcDescriptor)
+  }
 }
 
 object GraftFunctions {
@@ -104,12 +106,21 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FloatDot].getName, "graft_fdot"),
     (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1)): Expression)
 
+  private[graft] val adcDescriptor = (
+    FunctionIdentifier("graft_adc"),
+    new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
+    (exprs: Seq[Expression]) => AdcSum(exprs(0), exprs(1)): Expression)
+
   /** Idempotently register into an existing session (temp function). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_fdot")))
       reg.createOrReplaceTempFunction("graft_fdot",
         exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+    // fused PQ ADC lookup-sum (s16's per-candidate kernel)
+    if (!reg.functionExists(FunctionIdentifier("graft_adc")))
+      reg.createOrReplaceTempFunction("graft_adc",
+        exprs => AdcSum(exprs(0), exprs(1)), "scala_udf")
     // raw AggregateFunction: the analyzer wraps it in AggregateExpression
     // itself (and would reject a pre-wrapped one for DISTINCT/FILTER)
     if (!reg.functionExists(FunctionIdentifier("graft_top_k")))
