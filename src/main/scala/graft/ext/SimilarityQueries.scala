@@ -1134,6 +1134,43 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  private val CellQuota = 24 // diversity cap: max vectors kept per cell
+
+  /** DIVERSITY-CAPPED SAMPLING (s19): at most [[CellQuota]] vectors
+    * kept per IVF cell, selected by portable hash order — the
+    * EMBEDDING rung of the sampling family (d06 uniform / d07
+    * per-label strata / d15 weighted / d17 per-source quota / s19
+    * per-SEMANTIC-CLUSTER quota): a crawl over-represents dense
+    * semantic regions (boilerplate, templates, near-paraphrases that
+    * survive lexical dedup), and capping per cluster is the
+    * SemDeDup-adjacent de-bias a mixture pass applies before training.
+    * Hash-order selection (d17's rule) keeps the sample reproducible
+    * and unbiased w.r.t. ingest position; the kept-id checksum pins
+    * the exact selection, not just counts.
+    *
+    * Scale shape: assignment is the session-cached centroid ranking
+    * ([[s15SlimRel]] crn = 1 — zero new corpus passes); the quota
+    * window shuffles skinny (vec_id, cell_id) pairs by cell — at
+    * 100 TB with k ∝ corpus/cell-size the per-cell sort is one task's
+    * local sort, the d22 export shape. */
+  def s19DiverseSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val assigned = s15SlimRel(s, dir).filter($"crn" === 1)
+      .select($"vec_id", $"cell_id")
+    val h = conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy($"cell_id").orderBy(h.asc, $"vec_id".asc)
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", $"rn" <= CellQuota)
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when($"kept", 1)).as("n_kept"),
+        sum(when($"kept", $"vec_id")).as("kept_id_sum"))
+      .orderBy($"cell_id")
+  }
+
   private val MrlPrefixDim = 8 // coarse tier reads dims 1..8 of 64
 
   /** MATRYOSHKA PREFIX-DIM ANN (s17): coarse-score on a PREFIX of the
@@ -1192,6 +1229,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_diverse_sample" -> (s19DiverseSample _),
     "s18_ndcg_eval" -> (s18NdcgEval _),
     "s17_matryoshka_topk" -> (s17MatryoshkaTopK _),
     "s16_ivfpq_topk" -> (s16IvfPqTopK _),
@@ -1741,6 +1779,34 @@ object SimilarityQueries {
         |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
     "s01_cosine_topk" -> s01OracleSql,
     "s02_ivf_topk" -> s02OracleSql,
+    // s02's assignment CTEs verbatim, then d17's hash-order quota;
+    // sims MATERIALIZED: the 16xN dot-product pass is read once
+    "s19_diverse_sample" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+        |          FROM e WHERE vec_id < $NumCells),
+        |sims AS MATERIALIZED (
+        |  SELECT e.vec_id, cell_id,
+        |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+        |  FROM e, cents),
+        |assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell_id) AS arn
+        |    FROM sims) WHERE arn = 1),
+        |quota AS (
+        |  SELECT vec_id, cell_id,
+        |    row_number() OVER (PARTITION BY cell_id
+        |      ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+        |                  1, 8))::BIGINT, vec_id) AS rn
+        |  FROM assigned)
+        |SELECT cell_id, count(*) AS n_vecs,
+        |  count(CASE WHEN rn <= $CellQuota THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= $CellQuota THEN vec_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM quota GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     // coarse tier = prefix-dim cosine, exact tier = s01's full kernel;
     // e MATERIALIZED: the norm-bearing scan feeds queries AND corpus
     "s17_matryoshka_topk" ->

@@ -905,6 +905,24 @@ class PlanShapeSpec extends SparkSpec {
         "rerank rank ships scalars")
   }
 
+  test("s19: quota runs over the cached assignment — no embeddings rescan, skinny window") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s19_diverse_sample")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "cell assignment must come from the session-cached centroid ranking")
+    val embScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("embeddings")) => f
+    }
+    assert(embScans.isEmpty,
+      s"the quota pass adds ZERO corpus passes: ${embScans.size} scans")
+    val shuffles = nodes.collect { case sh: ShuffleExchangeExec => sh }
+    assert(shuffles.forall(!_.output.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "the quota window ships (vec_id, cell_id) pairs — no vectors")
+  }
+
   test("s18: nDCG composes cached result relations — no corpus rescan, no cartesian") {
     val nodes = allNodes(
       SimilarityQueries.queries("s18_ndcg_eval")(spark, sf))
