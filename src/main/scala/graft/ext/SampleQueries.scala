@@ -100,8 +100,7 @@ object SampleQueries {
     * source's documents in one partition. */
   def d17SourceQuota(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h = DedupQueries.h32($"doc_id".cast("string"))
     val w = Window.partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
     docs(s, dir)
       .withColumn("rn", row_number().over(w))

@@ -1158,8 +1158,8 @@ object SimilarityQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val assigned = s15SlimRel(s, dir).filter($"crn" === 1)
       .select($"vec_id", $"cell_id")
-    val h = conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    // the ONE portable md5-prefix hash (cross-engine load-bearing)
+    val h = DedupQueries.h32($"vec_id".cast("string"))
     val w = Window.partitionBy($"cell_id").orderBy(h.asc, $"vec_id".asc)
     assigned
       .withColumn("rn", row_number().over(w))

@@ -19,11 +19,11 @@ object TextQueries {
 
   /** Portable 32-bit hash: first 8 hex chars of md5 as a long —
     * identical in DuckDB as `('0x' || substring(md5(x), 1, 8))::BIGINT`
-    * (the d19 convention). ONE definition: t14, t26, and t27 all hash
-    * with this and their oracles mirror it; a divergent copy would
-    * silently break an entry's Spark/oracle parity. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    * (the d19 convention). Delegates to the ONE canonical definition
+    * ([[DedupQueries.h32]]): t14, t26, and t27 all hash with this and
+    * their oracles mirror it; a divergent copy would silently break an
+    * entry's Spark/oracle parity. */
+  private def h32(c: Column): Column = DedupQueries.h32(c)
 
   /** marker words per language for the n-gram/stopword language-ID
     * heuristic; scores are occurrence counts of each language's markers. */

@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   * Lookups are BY KEY VALUE on both map levels (the r13 sparse-code-id
   * contract — never positional); map widths here are PqSub=8 and
   * NumCells=16, so the linear key scans stay register-friendly.
-  * NULL semantics match the fold exactly: a missing m-key, missing
-  * code, null entry, or a codes array whose length differs from the
-  * subspace-table count yields NULL — never a silently partial sum.
-  * (s16 turns that NULL into raise_error.)
+  * NULL contract (STRICTER than the fold where they differ — every
+  * divergence fails loud, never a silently perfect or partial
+  * distance): a missing m-key, missing code, null entry, EMPTY
+  * inputs, or a codes array whose length differs from the
+  * subspace-table count all yield NULL. The fold summed the first
+  * PqSub lookups of an overlong codes array and s16's coalesce would
+  * have scored an empty pair as a perfect 0 distance; both now
+  * surface through s16's raise_error instead.
   */
 case class AdcSum(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -52,7 +56,7 @@ case class AdcSum(left: Expression, right: Expression)
     val codes = a.asInstanceOf[ArrayData]
     val qtab = b.asInstanceOf[MapData]
     val n = codes.numElements()
-    if (n != qtab.numElements()) return null
+    if (n == 0 || n != qtab.numElements()) return null
     val mk = qtab.keyArray()
     val mv = qtab.valueArray()
     var acc = 0L
@@ -101,7 +105,7 @@ case class AdcSum(left: Expression, right: Expression)
       val ci = ctx.freshName("ci")
       s"""
          |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
+         |if ($n == 0 || $n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  final $ad $mk = $b.keyArray();

@@ -83,6 +83,9 @@ class AdcSumSpec extends SparkSpec {
         |""".stripMargin)
     assert(r.isNullAt(0), "missing code must be NULL, not a partial sum")
     assert(r.isNullAt(1), "codes longer than the subspace table must be NULL")
-    assert(!r.isNullAt(2) && r.getLong(2) == 0L)
+    // empty inputs are NULL, not a perfect 0 distance: an empty pair
+    // scored 0 would silently rank top-1 in s16's ascending ADC rank
+    // instead of tripping its raise_error drift guard
+    assert(r.isNullAt(2), "empty codes/qtab must be NULL, not 0")
   }
 }
