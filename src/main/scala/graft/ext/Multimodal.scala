@@ -307,7 +307,71 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  private val BinSelectMod = 20 // every 20th doc becomes a staged object
+
+  /** m09: BINARY-FILE INGEST — the source format raw media actually
+    * enters Spark through at 100 TB: one row per object from
+    * `spark.read.format("binaryFile")` (content as BinaryType, path /
+    * length metadata prunable before any byte is read). The m-family
+    * so far derives payloads from the documents table; this entry
+    * exercises the REAL ingest edge: a blob store directory staged
+    * executor-side (foreachPartition — the distributed copy-job
+    * shape, one object per selected document, fingerprint-guarded
+    * against testdata regeneration), read back through the binaryFile
+    * source, each object keyed by the doc_id parsed from its
+    * filename. Byte length and md5 are pinned against the SOURCE
+    * parquet by the oracle — the q25/q26/q48 lossless round-trip
+    * contract extended to a blob store. */
+  def m09BinaryIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_bin_g${math.abs(dir.hashCode)}"
+    val fp = SimilarityQueries.sourceFingerprint(
+      s, s"$dir/documents.parquet")
+    val docs = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % BinSelectMod === 0)
+      .select($"doc_id", $"text")
+    Multimodal.synchronized {
+      val root = new org.apache.hadoop.fs.Path(stage)
+      val marker = new org.apache.hadoop.fs.Path(stage, "_fp")
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fp
+        finally in.close()
+      }
+      if (!fresh) {
+        if (fs.exists(root)) fs.delete(root, true)
+        fs.mkdirs(root)
+        docs.rdd.foreachPartition { it =>
+          val pfs = new org.apache.hadoop.fs.Path(stage)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val out = pfs.create(new org.apache.hadoop.fs.Path(
+              stage, s"${r.getLong(0)}.bin"), true)
+            try out.write(r.getString(1).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+        // marker LAST: its presence implies every object landed
+        val out = fs.create(marker, true)
+        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    s.read.format("binaryFile").load(s"$stage/*.bin")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_binary_ingest" -> (m09BinaryIngest _),
     "m08_media_quality" -> (m08MediaQualityFilter _),
     "m07_contrastive_pairs" -> (m07ContrastivePairs _),
     "m06_scene_detect" -> (m06SceneDetect _),
@@ -356,6 +420,17 @@ object Multimodal {
       |  WHERE hamming <= $MaxHamming)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recomputed from the SOURCE parquet, never from the staged files:
+    // a hash match proves the blob round-trip lossless (octet_length
+    // over encode() = byte length, matching the staged file sizes;
+    // DuckDB md5(VARCHAR) digests the UTF-8 bytes, matching Spark's
+    // md5 over the binary content)
+    "m09_binary_ingest" ->
+      s"""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % $BinSelectMod = 0
+        |ORDER BY doc_id""".stripMargin,
     // strlen = BYTES (the payload is text cast to binary), mirroring
     // decodeStub's width/height/frames arithmetic exactly
     "m08_media_quality" ->
