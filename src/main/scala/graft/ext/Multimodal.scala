@@ -324,29 +324,34 @@ object Multimodal {
     * contract extended to a blob store. */
   def m09BinaryIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stage = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_bin_g${math.abs(dir.hashCode)}"
-    val fp = SimilarityQueries.sourceFingerprint(
+    // MD5 dir key, not String.hashCode: two source dirs with colliding
+    // hashCodes would thrash each other's staged cache (the s04/st09
+    // convention)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_bin_$dirKey"
+    val root = new org.apache.hadoop.fs.Path(stage)
+    // the staging SPEC is part of the freshness key: changing the
+    // selection modulus must restage, not serve the old object set
+    val fp = s"mod$BinSelectMod|" + SimilarityQueries.sourceFingerprint(
       s, s"$dir/documents.parquet")
     val docs = Tables.load(s, dir, "documents")
       .filter($"doc_id" % BinSelectMod === 0)
       .select($"doc_id", $"text")
     Multimodal.synchronized {
-      val root = new org.apache.hadoop.fs.Path(stage)
-      val marker = new org.apache.hadoop.fs.Path(stage, "_fp")
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-      val fresh = fs.exists(marker) && {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fp
-        finally in.close()
-      }
-      if (!fresh) {
+      if (!IncrementalDedup.readStamp(s, root).exists(_._2 == fp)) {
         if (fs.exists(root)) fs.delete(root, true)
         fs.mkdirs(root)
+        // executors must see the SESSION's Hadoop conf (default FS,
+        // credentials), not a from-scratch Configuration — the
+        // ExpireSnapshots/RemoveOrphanFiles broadcast pattern
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sessionState.newHadoopConf())
         docs.rdd.foreachPartition { it =>
           val pfs = new org.apache.hadoop.fs.Path(stage)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileSystem(conf.value)
           it.foreach { r =>
             val out = pfs.create(new org.apache.hadoop.fs.Path(
               stage, s"${r.getLong(0)}.bin"), true)
@@ -355,12 +360,17 @@ object Multimodal {
             finally out.close()
           }
         }
-        // marker LAST: its presence implies every object landed
-        val out = fs.create(marker, true)
-        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        // stamp LAST: its presence implies every object landed
+        IncrementalDedup.writeStamp(s, root, 0L, fp)
       }
     }
+    // an empty selection stages zero objects; binaryFile throws on an
+    // unmatched glob where the oracle returns an empty relation
+    val staged = root.getFileSystem(s.sessionState.newHadoopConf())
+      .listStatus(root).exists(_.getPath.getName.endsWith(".bin"))
+    if (!staged)
+      return s.range(0).select($"id".as("doc_id"),
+        $"id".as("length"), $"id".cast("string").as("content_md5"))
     s.read.format("binaryFile").load(s"$stage/*.bin")
       .select(
         regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
