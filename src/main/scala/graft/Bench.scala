@@ -45,9 +45,11 @@ object Bench {
     // concurrent peer during that window would persist a mis-partitioned
     // plan that all three timed passes then measure. Streaming entries
     // therefore warm up in a second, SEQUENTIAL phase: with one thread
-    // no peer can observe the conf window.
-    val (streamingQs, batchQs) =
-      SparkEntry.queries.toSeq.partition(_._1.startsWith("st"))
+    // no peer can observe the conf window. Membership in
+    // StreamOps.queries (the authoritative streaming registry) decides
+    // the phase — a name prefix would silently misfile a future entry.
+    val (streamingQs, batchQs) = SparkEntry.queries.toSeq
+      .partition(q => graft.streaming.StreamOps.queries.contains(q._1))
     def warm(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         threads: Int): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)

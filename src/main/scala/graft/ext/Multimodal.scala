@@ -330,38 +330,72 @@ object Multimodal {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_bin_$dirKey"
-    val root = new org.apache.hadoop.fs.Path(stage)
     // the staging SPEC is part of the freshness key: changing the
     // selection modulus must restage, not serve the old object set
     val fp = s"mod$BinSelectMod|" + SimilarityQueries.sourceFingerprint(
       s, s"$dir/documents.parquet")
+    // GENERATION dir — its name embeds the spec+source fingerprint (the
+    // clonedSeed convention): a regenerated source lands in a FRESH dir
+    // with certainty, and a superseded generation LINGERS rather than
+    // being deleted under a concurrent reader (a bench run beside the
+    // test suite must never race a restage against the other JVM's
+    // binaryFile read). Publish is an ATOMIC RENAME of a process-unique
+    // build dir, so a half-staged object set is never visible at the
+    // published name.
+    val fpKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val stage =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bin_${dirKey}_$fpKey"
+    val root = new org.apache.hadoop.fs.Path(stage)
     val docs = Tables.load(s, dir, "documents")
-      .filter($"doc_id" % BinSelectMod === 0)
+      // a NULL blob has no file representation (the oracle mirrors the
+      // same predicate) — and an unguarded getString would NPE the
+      // whole staging job on one bad row
+      .filter($"doc_id" % BinSelectMod === 0 && $"text".isNotNull)
       .select($"doc_id", $"text")
+    // JVM lock (prevents OverlappingFileLockException) + OS file lock:
+    // one builder across processes; readers need no lock since the
+    // published dir is immutable once renamed into place
     Multimodal.synchronized {
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-      if (!IncrementalDedup.readStamp(s, root).exists(_._2 == fp)) {
-        if (fs.exists(root)) fs.delete(root, true)
-        fs.mkdirs(root)
-        // executors must see the SESSION's Hadoop conf (default FS,
-        // credentials), not a from-scratch Configuration — the
-        // ExpireSnapshots/RemoveOrphanFiles broadcast pattern
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          s.sessionState.newHadoopConf())
-        docs.rdd.foreachPartition { it =>
-          val pfs = new org.apache.hadoop.fs.Path(stage)
-            .getFileSystem(conf.value)
-          it.foreach { r =>
-            val out = pfs.create(new org.apache.hadoop.fs.Path(
-              stage, s"${r.getLong(0)}.bin"), true)
-            try out.write(r.getString(1).getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
+      if (!fs.exists(root)) {
+        val lockPath = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_bin_${dirKey}_$fpKey.lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val flk = ch.lock()
+        try if (!fs.exists(root)) { // re-check under the lock
+          val build = new org.apache.hadoop.fs.Path(
+            s"$stage.build.${java.util.UUID.randomUUID().toString.take(8)}")
+          fs.mkdirs(build)
+          // executors must see the SESSION's Hadoop conf (default FS,
+          // credentials), not a from-scratch Configuration — the
+          // ExpireSnapshots/RemoveOrphanFiles broadcast pattern
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            s.sessionState.newHadoopConf())
+          val buildStr = build.toString
+          docs.rdd.foreachPartition { it =>
+            val pfs = new org.apache.hadoop.fs.Path(buildStr)
+              .getFileSystem(conf.value)
+            it.foreach { r =>
+              val out = pfs.create(new org.apache.hadoop.fs.Path(
+                buildStr, s"${r.getLong(0)}.bin"), true)
+              try out.write(r.getString(1).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
           }
-        }
-        // stamp LAST: its presence implies every object landed
-        IncrementalDedup.writeStamp(s, root, 0L, fp)
+          // atomic publish; under the file lock this cannot race
+          // another builder, so a false return means the fs refused
+          // the rename — surface it rather than read a missing dir
+          if (!fs.rename(build, root)) {
+            fs.delete(build, true)
+            sys.error(s"m09 staging: rename $build -> $root failed")
+          }
+        } finally { flk.release(); ch.close() }
       }
     }
     // an empty selection stages zero objects; binaryFile throws on an
@@ -439,7 +473,8 @@ object Multimodal {
       s"""SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  md5(text) AS content_md5
-        |FROM documents WHERE doc_id % $BinSelectMod = 0
+        |FROM documents
+        |WHERE doc_id % $BinSelectMod = 0 AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
     // strlen = BYTES (the payload is text cast to binary), mirroring
     // decodeStub's width/height/frames arithmetic exactly

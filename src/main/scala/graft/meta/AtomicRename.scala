@@ -23,6 +23,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * a reader in the gap sees data without a crc, which ChecksumFileSystem
   * reads unverified. */
 private[meta] object AtomicRename {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def local(fs: FileSystem, p: Path): java.nio.file.Path =
     java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
 
@@ -45,9 +47,19 @@ private[meta] object AtomicRename {
       if (Files.exists(crcOf(s)))
         Files.move(crcOf(s), crcOf(d), StandardCopyOption.REPLACE_EXISTING)
     } catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException =>
+        // degrade is intentional, but never SILENT: a checksum gap must
+        // be observable after the fact (and a src-named .crc left by a
+        // failed cleanup would otherwise be indistinguishable from one
+        // a concurrent writer is still using)
+        log.warn(s"crc sidecar move failed for $d — " +
+          "dst reads unverified until rewritten", e)
         try Files.deleteIfExists(crcOf(s))
-        catch { case _: java.io.IOException => () }
+        catch {
+          case e2: java.io.IOException =>
+            log.warn(s"stale src crc sidecar ${crcOf(s)} could not be " +
+              "removed", e2)
+        }
     }
   }
 

@@ -935,6 +935,29 @@ class PlanShapeSpec extends SparkSpec {
       "queries·k-row relations join id-keyed — never a product")
   }
 
+  test("s20: rerank composes three cached relations; model broadcasts; no corpus rescan") {
+    val nodes = allNodes(
+      SimilarityQueries.queries("s20_learned_rerank")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "candidates, feature ranks and labels must come from the " +
+        "session-cached s14/s02/s01 relations")
+    val corpusScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(l =>
+          l.contains("embeddings") || l.contains("documents")) => f
+    }
+    assert(corpusScans.isEmpty,
+      s"train + rerank + eval add ZERO corpus passes: ${corpusScans.size}")
+    assert(nodes.exists(
+      _.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "the (feature, value) model grid must BROADCAST onto the " +
+        "candidate stream — never a shuffle by feature value")
+    assert(!nodes.exists(
+      _.getClass.getSimpleName.contains("CartesianProduct")),
+      "K-per-query relations join id-keyed — never a product")
+  }
+
   test("t26: DSIR features project the cached bigram relation; weights broadcast") {
     val nodes = allNodes(
       graft.ext.TextQueries.queries("t26_dsir_score")(spark, sf))
@@ -1024,8 +1047,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("s14: fusion inputs are k-bounded rankings; the fuse is union+agg, never a corpus join") {
-    val nodes = allNodes(
-      SimilarityQueries.queries("s14_hybrid_rrf")(spark, sf))
+    // the entry itself serves the session-cached relation; the pinned
+    // shape is the BUILD plan (the s02TopKBuild convention). If a
+    // prior test already materialized the s14_fused cache, Spark's
+    // cache substitution collapses the fresh build into one
+    // InMemoryTableScan — walk into the CACHED physical plan then
+    // (it is the same compiled plan).
+    val fresh = allNodes(SimilarityQueries.s14FusedBuild(spark, sf))
+    val nodes = fresh ++ fresh.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
+    }.flatMap(walkPlan)
     // the lexical leg is PER-QUERY now: its top-20 bound is a
     // row_number window partitioned by query_id (same bound shape as
     // the dense leg), not a global limit

@@ -92,6 +92,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
   }
 
+  test("st04 matched slice of the shared outer pass equals a dedicated batch inner join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamOps.queries("st04_stream_join")(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    val ev = graft.rel.Tables.load(spark, sf, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val batch = c.join(p, expr("""c_user = p_user AND
+        p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""))
+      .groupBy((col("c_user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_matched"))
+      .orderBy("bucket")
+      .collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "outer-join matched rows (emitted on probe) must equal the " +
+        "dedicated inner join — st04's oracle contract")
+  }
+
+  test("st04/st12 shared landed pass is incremental: a re-run commits no new snapshots") {
+    val sf = "/root/testdata/sf0.001"
+    val first = StreamOps.queries("st12_outer_join")(spark, sf).collect()
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val gens = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith(s"graft_st0412_${key}_"))
+    assert(gens.nonEmpty, "the landed generation dir must exist after a run")
+    def snapCounts = gens.toSeq.map(g =>
+      graft.meta.GraftTable.load(spark, s"$g/joined").snapshots.size)
+    val before = snapCounts
+    val again = StreamOps.queries("st12_outer_join")(spark, sf).collect()
+    assert(snapCounts == before,
+      "the second consumer's re-run must be an incremental no-op " +
+        "(persistent checkpoint + batch markers), not a fresh stream pass")
+    assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
+  }
+
   test("st12 outer join emits null-padded rows on eviction, matching the batch left join") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
