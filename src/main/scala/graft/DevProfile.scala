@@ -19,7 +19,39 @@ object DevProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
     if (name == "x12_stages") { profileUpsertStages(spark, sfDir, n); spark.stop(); return }
+    // poor-man's sampling profiler for the DRIVER thread: aggregate the
+    // deepest graft/spark frame every 20 ms while the entry runs
+    if (sys.env.contains("SPARK_GRAFT_SAMPLE")) {
+      val fn0 = SparkEntry.queries(name)
+      fn0(spark, sfDir).count() // warm
+      val main = Thread.currentThread()
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      @volatile var on = true
+      val sampler = new Thread(() => {
+        while (on) {
+          val st = main.getStackTrace
+          // topmost interesting frame + the deepest graft frame
+          val top = st.headOption.map(f =>
+            s"${f.getClassName.split('.').last}.${f.getMethodName}").getOrElse("?")
+          val g = st.find(_.getClassName.startsWith("graft")).map(f =>
+            s"${f.getClassName.split('.').last}.${f.getMethodName}:${f.getLineNumber}")
+            .getOrElse("-")
+          counts.merge(s"$top | $g", 1, Integer.sum(_, _))
+          Thread.sleep(20)
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
+      (0 until n).foreach(_ => fn0(spark, sfDir).count())
+      on = false; sampler.join()
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq.sortBy(-_._2).take(30).foreach { case (k, c) =>
+        println(f"[devsample] $c%4d $k")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     val times = (0 until (n + 1)).map { i =>
       val t0 = System.nanoTime()
@@ -38,13 +70,21 @@ object DevProfile {
     import graft.meta.GraftTable
     import java.time.{Clock, Instant, ZoneOffset}
     val t0c = Clock.fixed(Instant.ofEpochSecond(20000L * 86400), ZoneOffset.UTC)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
     def time[A](tag: String)(f: => A): A = {
       val h0 = GraftTable.footerInventoryHits.get()
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       val r = f
       val dh = GraftTable.footerInventoryHits.get() - h0
       println(f"[devprofile]   $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-        s" (footer hits +$dh)")
+        s" (footer hits +$dh, jobs +${jobs.get() - j0})")
       r
     }
     (0 until n).foreach { i =>

@@ -267,14 +267,9 @@ object DedupQueries {
         hashedShingles($"text").as("shingles"))
   }
 
-  /** The prefix-filtered candidate expansion + exact-Jaccard verify over
-    * a `(doc_id, bkt, shingles)` relation. `residual` is an extra SQL
-    * predicate over the candidate-pair struct `p` (member fields under
-    * `p.a` / `p.b`), applied AT EXPANSION — pairs it rejects never
-    * reach the verify join (d11 uses it to keep only pairs touching a
-    * new batch). */
-  private[graft] def verifiedNgramPairs(docs: DataFrame,
-                                      residual: String = ""): DataFrame = {
+  /** The prefix-filtered candidate expansion + exact-Jaccard verify
+    * over a `(doc_id, bkt, shingles)` relation. */
+  private[graft] def verifiedNgramPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // Prefix filtering (AllPairs/PPJoin): under a global element order
@@ -285,15 +280,31 @@ object DedupQueries {
     // Candidates become "pairs sharing a rare prefix hash" — near-dup
     // density, not the quadratic length-bucket blowup (5.9M pairs at
     // sf0.1); the bucket adjacency condition rides as a residual.
-    val pref = docs.select($"doc_id", $"bkt",
+    val pref = prefixRel(docs)
+    val cand = saltedPairExpansion(pref, Seq("h"),
+      Seq($"doc_id", $"bkt"), "doc_id",
+      " AND (p.b.bkt = p.a.bkt OR p.b.bkt = p.a.bkt + 1)")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, docs)
+  }
+
+  /** The PPJoin prefix relation (see [[verifiedNgramPairs]]): one row
+    * per (doc, prefix shingle hash). */
+  private def prefixRel(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", $"bkt",
       explode(slice(array_sort($"shingles"), lit(1),
         (size($"shingles") - ceil(size($"shingles") * 0.499) + 1)
           .cast("int"))).as("h"))
-    val cand = saltedPairExpansion(pref, Seq("h"),
-      Seq($"doc_id", $"bkt"), "doc_id",
-      " AND (p.b.bkt = p.a.bkt OR p.b.bkt = p.a.bkt + 1)" + residual)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+  }
+
+  /** Exact-Jaccard verification of an unordered candidate pair set —
+    * the tail shared by the symmetric and probe-side expansions. */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"shingles".as("sa")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"shingles".as("sb")), "doc_b")
@@ -302,6 +313,38 @@ object DedupQueries {
         (size($"sa") + size($"sb") - $"inter"), 6))
       .filter($"jac" >= 0.5)
       .select($"doc_a", $"doc_b", $"jac")
+  }
+
+  /** INCREMENTAL near-dup pairs: same pair set as
+    * [[verifiedNgramPairs]] restricted to "at least one side satisfies
+    * `probePred`" (d11/st09's batch residual) — but with ASYMMETRIC
+    * candidate generation: the probe side's prefixes equi-join the
+    * full prefix relation, so expansion work is O(batch · bucket), not
+    * the symmetric O(bucket²)-then-filter. This is the shape that
+    * keeps nightly catch-up dedup proportional to the ARRIVING batch
+    * at 100 TB: the standing corpus is join TARGET, never pairwise
+    * enumerated against itself. Pair normalization (a = min id) plus
+    * the length-bucket adjacency rule reproduce the symmetric
+    * expansion's candidates exactly; batch-batch pairs arrive twice
+    * (once from each side's probe row) and collapse in the distinct. */
+  private[graft] def verifiedNgramPairsProbe(docs: DataFrame,
+      probePred: Column): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pref = prefixRel(docs)
+    val bp = pref.filter(probePred)
+      .select($"doc_id".as("p_id"), $"bkt".as("p_bkt"), $"h")
+    val cand = bp.join(pref, Seq("h"))
+      .filter($"p_id" =!= $"doc_id")
+      .select(
+        least($"p_id", $"doc_id").as("doc_a"),
+        greatest($"p_id", $"doc_id").as("doc_b"),
+        when($"p_id" < $"doc_id", $"p_bkt").otherwise($"bkt").as("bka"),
+        when($"p_id" < $"doc_id", $"bkt").otherwise($"p_bkt").as("bkb"))
+      .filter($"bkb" === $"bka" || $"bkb" === $"bka" + 1)
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    verifyJaccard(cand, docs)
   }
 
   /** Near-dup CLUSTERING: connected components over the d05 near-dup

@@ -35,8 +35,12 @@ object IncrementalDedup {
     new Path(s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_$dirKey")
   }
 
-  private[graft] val BatchResidual =
-    " AND (p.a.doc_id % 10 = 0 OR p.b.doc_id % 10 = 0)"
+  /** The overnight-batch membership predicate (doc_id % 10 == 0) —
+    * the PROBE side of the asymmetric candidate expansion
+    * ([[DedupQueries.verifiedNgramPairsProbe]]): catch-up dedup work
+    * scales with this slice, never with the standing corpus. */
+  private[graft] def batchPred: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("doc_id") % 10 === 0
 
   // ---- index stamp: "<lastIndexedSnapshotId>\n<sourceFingerprint>" ----
 
@@ -141,7 +145,7 @@ object IncrementalDedup {
     val index = GraftTable.load(s, indexLoc)
     catchUp(corpus, index, rootDir, fp,
       DedupQueries.shingleRelation) // no-op when already caught up
-    DedupQueries.verifiedNgramPairs(index.read, BatchResidual)
+    DedupQueries.verifiedNgramPairsProbe(index.read, batchPred)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -742,8 +742,8 @@ object StreamOps {
         new org.apache.hadoop.fs.Path(rootDir, "ckpt").toString)
       .start()
     q.awaitTermination()
-    DedupQueries.verifiedNgramPairs(index.read,
-        IncrementalDedup.BatchResidual)
+    DedupQueries.verifiedNgramPairsProbe(index.read,
+        IncrementalDedup.batchPred)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
