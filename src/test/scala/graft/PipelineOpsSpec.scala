@@ -189,6 +189,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("s20 learned rerank beats the fusion-only ordering on held-out queries") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ext.SimilarityQueries
+      .queries("s20_learned_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getString(r.fieldIndex("split")),
+        r.getLong(r.fieldIndex("ndcg_fused_bp")),
+        r.getLong(r.fieldIndex("ndcg_rr_bp"))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, f, rr) =>
+      assert(f >= 0 && f <= 10000 && rr >= 0 && rr <= 10000,
+        s"query $q: nDCG out of range (fused=$f, rr=$rr)")
+    }
+    // the entry's claim: the learned ordering improves on RRF fusion
+    // where it counts — queries the model never trained on. Mean over
+    // the held-out half, not per-query (a single query may tie).
+    val held = rows.filter(_._2 == "held_out")
+    assert(held.nonEmpty, "the held-out split must be populated")
+    val (fusedMean, rrMean) =
+      (held.map(_._3).sum / held.size, held.map(_._4).sum / held.size)
+    assert(rrMean > fusedMean,
+      s"held-out mean nDCG must improve: fused=$fusedMean rr=$rrMean")
+    assert(rows.map(_._2).toSet == Set("train", "held_out"),
+      "both split populations must reach the gate hash")
+  }
+
   test("t26 DSIR scores the target slice highest and selects all of it") {
     val sf = "/root/testdata/sf0.001"
     val rows = TextQueries.queries("t26_dsir_score")(spark, sf).collect()
