@@ -193,7 +193,13 @@ object Multimodal {
     * buckets, so pipeline width tracks near-dup density, never corpus². */
   def m05MediaDedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    DedupQueries.clusterSummary(m04Pairs(s, dir).select($"doc_a", $"doc_b"))
+    // session-cached component labels (the d09 ngramLabels convention):
+    // the iterative min-label propagation runs once per session; each
+    // call pays only the summary aggregate
+    DedupQueries.labelSummary(RelCache.cached(s, s"$dir#m05_labels") {
+      DedupQueries.connectedComponents(
+        m04Pairs(s, dir).select($"doc_a", $"doc_b"))
+    })
   }
 
   /** m06: SCENE-BOUNDARY DETECTION — the video-curation step between

@@ -92,6 +92,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
   }
 
+  /** Delete a landed-stream generation (landViaCheckpoint's dirs) so a
+    * test can observe a FRESH stream pass — the persistent generations
+    * make ordinary re-runs incremental no-ops with zero micro-batches,
+    * which defeats listeners that inspect per-batch progress. Safe
+    * here: suites run sequentially in one JVM and no concurrent reader
+    * holds the generation. */
+  private def clearGenerations(tag: String, dir: String): Unit = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(s"graft_${tag}_${key}_"))
+      .foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(g.toString)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+  }
+
   test("st04 matched slice of the shared outer pass equals a dedicated batch inner join") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
@@ -124,10 +144,10 @@ class StreamingSpec extends SparkSpec {
       .take(8).map("%02x".format(_)).mkString
     val gens = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().filter(f => f.isDirectory &&
-        f.getName.startsWith(s"graft_st0412_${key}_"))
+        f.getName.startsWith(s"graft_st0412b_${key}_"))
     assert(gens.nonEmpty, "the landed generation dir must exist after a run")
     def snapCounts = gens.toSeq.map(g =>
-      graft.meta.GraftTable.load(spark, s"$g/joined").snapshots.size)
+      graft.meta.GraftTable.load(spark, s"$g/landed").snapshots.size)
     val before = snapCounts
     val again = StreamOps.queries("st12_outer_join")(spark, sf).collect()
     assert(snapCounts == before,
@@ -196,6 +216,9 @@ class StreamingSpec extends SparkSpec {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.streams.addListener(listener)
     try {
+      // a fresh generation: the listener must see a real stateful pass,
+      // not the incremental no-op a landed generation serves
+      clearGenerations("st02", "/root/testdata/sf0.001")
       StreamOps.queries("st02_stream_dedup")(spark, "/root/testdata/sf0.001")
         .collect()
       // the listener bus is async — give progress events a moment
@@ -230,6 +253,8 @@ class StreamingSpec extends SparkSpec {
     }
     spark.streams.addListener(listener)
     try {
+      // fresh generation — the stateless claim is about the real pass
+      clearGenerations("st08", "/root/testdata/sf0.001")
       StreamOps.queries("st08_stream_decontaminate")(
         spark, "/root/testdata/sf0.001").collect()
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
