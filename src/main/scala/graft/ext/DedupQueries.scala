@@ -332,7 +332,12 @@ object DedupQueries {
     val s = docs.sparkSession
     import s.implicits._
     val pref = prefixRel(docs)
-    val bp = pref.filter(probePred)
+    // the probe side expands its OWN filtered scan — the predicate
+    // pushes below the shingle sort/explode, so this pass reads only
+    // the batch slice; deriving bp by filtering `pref` instead would
+    // run the full-corpus expansion twice (Spark does not dedupe the
+    // shared pre-exchange subtree)
+    val bp = prefixRel(docs.filter(probePred))
       .select($"doc_id".as("p_id"), $"bkt".as("p_bkt"), $"h")
     val cand = bp.join(pref, Seq("h"))
       .filter($"p_id" =!= $"doc_id")

@@ -330,15 +330,12 @@ object Multimodal {
     * contract extended to a blob store. */
   def m09BinaryIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // MD5 dir key, not String.hashCode: two source dirs with colliding
-    // hashCodes would thrash each other's staged cache (the s04/st09
-    // convention)
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
-    // the staging SPEC is part of the freshness key: changing the
-    // selection modulus must restage, not serve the old object set
-    val fp = s"mod$BinSelectMod|" + SimilarityQueries.sourceFingerprint(
+    val dirKey = graft.Fixtures.key8(dir)
+    // the staging SPEC is part of the freshness key — modulus AND a
+    // recipe version covering everything else about the selection
+    // (v2: the NULL-text guard): changing either must restage, not
+    // serve a stale object set from an existing generation
+    val fp = s"v2|mod$BinSelectMod|" + SimilarityQueries.sourceFingerprint(
       s, s"$dir/documents.parquet")
     // GENERATION dir — its name embeds the spec+source fingerprint (the
     // clonedSeed convention): a regenerated source lands in a FRESH dir
@@ -348,9 +345,7 @@ object Multimodal {
     // binaryFile read). Publish is an ATOMIC RENAME of a process-unique
     // build dir, so a half-staged object set is never visible at the
     // published name.
-    val fpKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
+    val fpKey = graft.Fixtures.key8(fp)
     val stage =
       s"${System.getProperty("java.io.tmpdir")}/graft_bin_${dirKey}_$fpKey"
     val root = new org.apache.hadoop.fs.Path(stage)
@@ -360,50 +355,46 @@ object Multimodal {
       // whole staging job on one bad row
       .filter($"doc_id" % BinSelectMod === 0 && $"text".isNotNull)
       .select($"doc_id", $"text")
-    // JVM lock (prevents OverlappingFileLockException) + OS file lock:
-    // one builder across processes; readers need no lock since the
-    // published dir is immutable once renamed into place
-    Multimodal.synchronized {
-      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(root)) {
-        val lockPath = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_bin_${dirKey}_$fpKey.lock")
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        val flk = ch.lock()
-        try if (!fs.exists(root)) { // re-check under the lock
+    // single builder across processes ([[graft.Fixtures.withFileLock]]);
+    // readers need no lock since the published dir is immutable once
+    // renamed into place
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root))
+      graft.Fixtures.withFileLock(s"graft_bin_${dirKey}_$fpKey") {
+        if (!fs.exists(root)) { // re-check under the lock
           val build = new org.apache.hadoop.fs.Path(
             s"$stage.build.${java.util.UUID.randomUUID().toString.take(8)}")
           fs.mkdirs(build)
-          // executors must see the SESSION's Hadoop conf (default FS,
-          // credentials), not a from-scratch Configuration — the
-          // ExpireSnapshots/RemoveOrphanFiles broadcast pattern
-          val conf = new org.apache.spark.util.SerializableConfiguration(
-            s.sessionState.newHadoopConf())
-          val buildStr = build.toString
-          docs.rdd.foreachPartition { it =>
-            val pfs = new org.apache.hadoop.fs.Path(buildStr)
-              .getFileSystem(conf.value)
-            it.foreach { r =>
-              val out = pfs.create(new org.apache.hadoop.fs.Path(
-                buildStr, s"${r.getLong(0)}.bin"), true)
-              try out.write(r.getString(1).getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
+          try {
+            // executors must see the SESSION's Hadoop conf (default FS,
+            // credentials), not a from-scratch Configuration — the
+            // ExpireSnapshots/RemoveOrphanFiles broadcast pattern
+            val conf = new org.apache.spark.util.SerializableConfiguration(
+              s.sessionState.newHadoopConf())
+            val buildStr = build.toString
+            docs.rdd.foreachPartition { it =>
+              val pfs = new org.apache.hadoop.fs.Path(buildStr)
+                .getFileSystem(conf.value)
+              it.foreach { r =>
+                val out = pfs.create(new org.apache.hadoop.fs.Path(
+                  buildStr, s"${r.getLong(0)}.bin"), true)
+                try out.write(r.getString(1).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+              }
             }
+            // atomic publish; under the file lock this cannot race
+            // another builder, so a false return means the fs refused
+            // the rename — surface it rather than read a missing dir
+            if (!fs.rename(build, root))
+              sys.error(s"m09 staging: rename $build -> $root failed")
+          } catch {
+            // a failed copy job (or refused rename) must not leak a
+            // partial corpus-scale build dir per retry
+            case e: Throwable => fs.delete(build, true); throw e
           }
-          // atomic publish; under the file lock this cannot race
-          // another builder, so a false return means the fs refused
-          // the rename — surface it rather than read a missing dir
-          if (!fs.rename(build, root)) {
-            fs.delete(build, true)
-            sys.error(s"m09 staging: rename $build -> $root failed")
-          }
-        } finally { flk.release(); ch.close() }
+        }
       }
-    }
     // an empty selection stages zero objects; binaryFile throws on an
     // unmatched glob where the oracle returns an empty relation
     val staged = root.getFileSystem(s.sessionState.newHadoopConf())

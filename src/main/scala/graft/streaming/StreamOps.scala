@@ -195,18 +195,22 @@ object StreamOps {
       // registered SQLConf entries — a plain get throws when unset
       val prev = Seq(partsKey, provKey, logKey)
         .map(k => k -> s.conf.getOption(k))
-      s.conf.set(partsKey, "8")
-      s.conf.set(provKey, RocksDbProvider)
-      s.conf.set(logKey, "true")
+      // the owner claim must COVER the whole span in which the session
+      // conf differs from its resting value — set before the first
+      // conf.set, cleared only after the restore — or a concurrent
+      // RelCache build slipping into the entry/exit gap would pass the
+      // guard and still capture the scoped partition count
       scopedConfWindowOwner.set(Thread.currentThread())
-      try start
-      finally {
-        scopedConfWindowOwner.set(null)
-        prev.foreach {
+      try {
+        s.conf.set(partsKey, "8")
+        s.conf.set(provKey, RocksDbProvider)
+        s.conf.set(logKey, "true")
+        try start
+        finally prev.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
         }
-      }
+      } finally scopedConfWindowOwner.set(null)
     }
 
   /** Run a transform over the events parquet as a FILE STREAM to
@@ -307,9 +311,9 @@ object StreamOps {
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}"),
       target = "timestamp")
-    val loc = java.nio.file.Files.createTempDirectory("graft_sink")
-      .resolve("t").toString
-    val table = graft.meta.GraftTable.create(s, loc, src.schema)
+    val base = java.nio.file.Files.createTempDirectory("graft_sink")
+    val table = graft.meta.GraftTable.create(s,
+      base.resolve("t").toString, src.schema)
     val sinkFn: (DataFrame, Long) => Unit =
       graft.streaming.GraftSink.appendBatch(table, "st03")
     val q = src.writeStream
@@ -321,12 +325,14 @@ object StreamOps {
     val replay = Tables.normalizeTs(
       s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
     sinkFn(replay, 0L)
-    table.read
+    // per-call temp table by design (the entry's claim IS the replay
+    // no-op) — so the finishTempTable discipline must reclaim it
+    finishTempTable(s, base, table.read
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .orderBy("hour", "event_type")
+      .orderBy("hour", "event_type"))
   }
 
   /** The watermarked clicks/purchases legs over ONE shared event
@@ -361,33 +367,6 @@ object StreamOps {
     """c_user = p_user AND
        p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""
 
-  // one JVM lock per generation name (prevents
-  // OverlappingFileLockException when two entries sharing a landed
-  // relation — st04/st12 — race the OS lock from one JVM)
-  private val genLocks =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
-
-  /** JVM + OS file lock around a shared-/tmp generation's
-    * build-or-catch-up: a persistent streaming checkpoint must be
-    * single-writer ACROSS processes (concurrent offset writes corrupt
-    * it), and readers need no lock — the landed graft table only grows
-    * through atomic marker-guarded commits. */
-  private def withGenerationLock[T](name: String)(f: => T): T =
-    genLocks.getOrElseUpdate(name, new Object).synchronized {
-      val lockPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"$name.lock")
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val flk = ch.lock()
-      try f finally { flk.release(); ch.close() }
-    }
-
-  private def md5k(v: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
-
   /** Fingerprint-keyed generation root for a persistent landed stream:
     * the dir NAME embeds the source fingerprint (the m09 / clonedSeed
     * convention), so a regenerated testdata dir lands in a fresh
@@ -400,7 +379,7 @@ object StreamOps {
       s, s"$dir/$sourceFile")
     new org.apache.hadoop.fs.Path(
       s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_${tag}_${md5k(dir)}_${md5k(fp)}")
+        s"graft_${tag}_${graft.Fixtures.key8(dir)}_${graft.Fixtures.key8(fp)}")
   }
 
   /** Land a stream into a PERSISTENT graft table behind a persistent
@@ -420,7 +399,9 @@ object StreamOps {
       perBatch: DataFrame => DataFrame = identity): DataFrame = {
     import graft.meta.GraftTable
     val loc = new org.apache.hadoop.fs.Path(root, "landed").toString
-    withGenerationLock(root.getName) {
+    // single-writer across processes: a persistent streaming checkpoint
+    // must never have two concurrent writers (offset corruption)
+    graft.Fixtures.withFileLock(root.getName) {
       val table = if (GraftTable.exists(s, loc)) GraftTable.load(s, loc)
         else GraftTable.create(s, loc, perBatch(rows).schema)
       val q = scopedStateParts(s) {

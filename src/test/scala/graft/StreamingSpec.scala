@@ -99,9 +99,7 @@ class StreamingSpec extends SparkSpec {
     * here: suites run sequentially in one JVM and no concurrent reader
     * holds the generation. */
   private def clearGenerations(tag: String, dir: String): Unit = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
+    val key = graft.Fixtures.key8(dir)
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
@@ -139,9 +137,7 @@ class StreamingSpec extends SparkSpec {
   test("st04/st12 shared landed pass is incremental: a re-run commits no new snapshots") {
     val sf = "/root/testdata/sf0.001"
     val first = StreamOps.queries("st12_outer_join")(spark, sf).collect()
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sf.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
+    val key = graft.Fixtures.key8(sf)
     val gens = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().filter(f => f.isDirectory &&
         f.getName.startsWith(s"graft_st0412b_${key}_"))
