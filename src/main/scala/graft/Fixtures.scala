@@ -5,9 +5,10 @@ package graft
   * one place for the 8-hex dir key and the cross-process build lock,
   * so a future fix to either lands everywhere at once. */
 private[graft] object Fixtures {
-  /** 8-hex MD5 prefix — the generation-dir key component. MD5 of the
-    * value, not String.hashCode: two sources with colliding hashCodes
-    * must not thrash each other's generation. */
+  /** 8-byte (16 hex char) MD5 prefix — the generation-dir key
+    * component. MD5 of the value, not String.hashCode: two sources
+    * with colliding hashCodes must not thrash each other's
+    * generation. */
   def key8(v: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -30,7 +31,12 @@ private[graft] object Fixtures {
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
-      val flk = ch.lock()
-      try f finally { flk.release(); ch.close() }
+      // the channel must close even when lock() itself throws (fs
+      // without byte-range locks, transient IO) — else every failing
+      // call leaks a file descriptor in a long-lived session
+      try {
+        val flk = ch.lock()
+        try f finally flk.release()
+      } finally ch.close()
     }
 }

@@ -390,8 +390,13 @@ object Multimodal {
               sys.error(s"m09 staging: rename $build -> $root failed")
           } catch {
             // a failed copy job (or refused rename) must not leak a
-            // partial corpus-scale build dir per retry
-            case e: Throwable => fs.delete(build, true); throw e
+            // partial corpus-scale build dir per retry — and the
+            // cleanup must never MASK the original failure (the same
+            // outage that killed the copy can kill the delete)
+            case e: Throwable =>
+              try fs.delete(build, true)
+              catch { case e2: Throwable => e.addSuppressed(e2) }
+              throw e
           }
         }
       }

@@ -393,7 +393,14 @@ object StreamOps {
     * resuming the stream on its own checkpoint replays only
     * uncommitted batches. `perBatch` folds each micro-batch BEFORE the
     * write (st08's map-side per-doc reduction); it must be
-    * deterministic per batch so replays land identical rows. */
+    * deterministic per batch so replays land identical rows.
+    *
+    * Superseded generations LINGER (the clonedSeed/m09 trade-off:
+    * never delete files under a concurrent reader — readers take no
+    * lock, they lazily scan the landed table after this returns).
+    * Growth is bounded by testdata regenerations per box, one
+    * landed-table copy each; the heaviest (st02's deduped feed) is
+    * row-scale of one source table. */
   private def landViaCheckpoint(s: SparkSession,
       root: org.apache.hadoop.fs.Path, queryName: String, rows: DataFrame,
       perBatch: DataFrame => DataFrame = identity): DataFrame = {

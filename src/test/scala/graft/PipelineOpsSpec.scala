@@ -207,10 +207,12 @@ class PipelineOpsSpec extends SparkSpec {
     // the held-out half, not per-query (a single query may tie).
     val held = rows.filter(_._2 == "held_out")
     assert(held.nonEmpty, "the held-out split must be populated")
-    val (fusedMean, rrMean) =
-      (held.map(_._3).sum / held.size, held.map(_._4).sum / held.size)
-    assert(rrMean > fusedMean,
-      s"held-out mean nDCG must improve: fused=$fusedMean rr=$rrMean")
+    // compare SUMS (same divisor): a truncating integer mean could
+    // collapse a genuine sub-1bp improvement into a false tie
+    val (fusedSum, rrSum) = (held.map(_._3).sum, held.map(_._4).sum)
+    assert(rrSum > fusedSum,
+      s"held-out mean nDCG must improve: fused total=$fusedSum " +
+        s"rr total=$rrSum over ${held.size} queries")
     assert(rows.map(_._2).toSet == Set("train", "held_out"),
       "both split populations must reach the gate hash")
   }

@@ -105,8 +105,13 @@ class StreamingSpec extends SparkSpec {
       .filter(f => f.isDirectory &&
         f.getName.startsWith(s"graft_${tag}_${key}_"))
       .foreach { g =>
-        val p = new org.apache.hadoop.fs.Path(g.toString)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        // under the generation's cross-process lock: a bench JVM
+        // running beside the suite must never have the checkpoint
+        // deleted out from under its in-flight stream
+        graft.Fixtures.withFileLock(g.getName) {
+          val p = new org.apache.hadoop.fs.Path(g.toString)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
       }
   }
 
