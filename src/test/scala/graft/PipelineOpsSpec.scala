@@ -189,6 +189,13 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("the driver's flagship smoke entry returns rows") {
+    // SparkEntry.entry is called by the DRIVER only (rows > 0 smoke);
+    // nothing else in the repo exercises it, so a regression there
+    // would surface first in the round gate — pin it in the suite
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("s20 learned rerank beats the fusion-only ordering on held-out queries") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.ext.SimilarityQueries
