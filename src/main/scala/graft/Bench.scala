@@ -36,20 +36,16 @@ object Bench {
     // (snapshot-commit fsyncs, micro-batch trigger waits, first codegen),
     // not CPU, so overlapping entries cuts wall-clock ~3x. Safe because
     // entries are independent (per-table commit locks, fingerprinted
-    // fixture builds behind JVM locks, invocation-unique temp views,
-    // compute-once RelCache holders); the TIMED passes stay sequential.
-    //
-    // EXCEPT the streaming entries: StreamOps.scopedStateParts sets
-    // spark.sql.shuffle.partitions on the SHARED session for the span of
-    // each stream start — a RelCache relation first materialized by a
-    // concurrent peer during that window would persist a mis-partitioned
-    // plan that all three timed passes then measure. Streaming entries
-    // therefore warm up in a second, SEQUENTIAL phase: with one thread
-    // no peer can observe the conf window. Membership in
-    // StreamOps.queries (the authoritative streaming registry) decides
-    // the phase — a name prefix would silently misfile a future entry.
-    val (streamingQs, batchQs) = SparkEntry.queries.toSeq
-      .partition(q => graft.streaming.StreamOps.queries.contains(q._1))
+    // fixture builds behind JVM+OS file locks, invocation-unique temp
+    // views, compute-once RelCache holders); the TIMED passes stay
+    // sequential. Streaming entries included: each stream start carries
+    // its scoped confs on a per-start CLONED session
+    // (StreamOps.streamClone), so there is no shared-conf window a
+    // concurrent peer could observe — the constraint that used to force
+    // a second, sequential streaming phase (and, on a fresh box, made
+    // first-generation landed-stream builds serialize into >110 s of
+    // warmup). Same-fixture entries (st04/st12 share one landed pass)
+    // still serialize on the generation file lock, by design.
     def warm(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         threads: Int): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -62,8 +58,8 @@ object Bench {
       }.foreach(_.get())
       pool.shutdown()
     }
-    warm(batchQs, sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "8").toInt)
-    warm(streamingQs, 1)
+    warm(SparkEntry.queries.toSeq,
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "8").toInt)
     val warmup = (System.nanoTime() - t0) / 1e9
     // Per-query MIN over three timed passes: single-pass timings on this
     // box swing 3-10x on identical plans (GC pauses / co-tenant load);

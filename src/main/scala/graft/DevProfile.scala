@@ -71,11 +71,15 @@ object DevProfile {
     import java.time.{Clock, Instant, ZoneOffset}
     val t0c = Clock.fixed(Instant.ofEpochSecond(20000L * 86400), ZoneOffset.UTC)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val verbose = sys.env.contains("SPARK_GRAFT_JOBSITES")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          if (verbose)
+            println(s"[devjob] ${e.stageInfos.map(_.name).distinct.mkString(" / ")}")
+        }
       })
     def time[A](tag: String)(f: => A): A = {
       val h0 = GraftTable.footerInventoryHits.get()

@@ -19,6 +19,52 @@ private[graft] object Fixtures {
   private val jvmLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** How long a SUPERSEDED generation must sit untouched before
+    * [[reapStaleSiblings]] reclaims it. Readers derive every generation
+    * path from the CURRENT source fingerprint and materialize within
+    * seconds of planning, so hours of slack is already conservative —
+    * the window exists for the pathological replan-after-regeneration
+    * straggler. */
+  val ReapAgeMs: Long = 6L * 3600 * 1000
+
+  /** Opportunistic reaper for superseded fingerprint-keyed generations
+    * (ADVICE r15): tmpdir siblings named `prefix*` OTHER than
+    * `keepName` — i.e. same tag + source-dir key, different source
+    * fingerprint — whose newest mtime is older than `ageMs` are
+    * deleted, bounding tmpdir growth on long-lived boxes to the live
+    * generation per (tag, source). Call while holding the CURRENT
+    * generation's file lock: old-fingerprint generations can gain no
+    * new writer (the fingerprint derives from source mtimes, which
+    * never revert), so age alone certifies them dead. A sibling's
+    * `.lock` file goes only once its directory is gone. */
+  def reapStaleSiblings(keepName: String, prefix: String,
+                        ageMs: Long = ReapAgeMs): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val now = System.currentTimeMillis()
+    def newest(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+          .map(newest).toSeq).max
+      else f.lastModified()
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete(); ()
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith(prefix) && n != keepName && n != s"$keepName.lock") {
+        val isStaleDir = f.isDirectory && now - newest(f) > ageMs
+        // a dangling lock file: its generation is gone and nobody has
+        // touched it for the window (builders create their dir promptly)
+        val isStaleLock = !f.isDirectory && n.endsWith(".lock") &&
+          !new java.io.File(tmp, n.stripSuffix(".lock")).exists() &&
+          now - f.lastModified() > ageMs
+        if (isStaleDir || isStaleLock) rmRf(f)
+      }
+    }
+  }
+
   /** JVM + OS file lock keyed by `name`: single writer ACROSS processes
     * for a shared /tmp generation (a streaming checkpoint or a staged
     * object set must never have two concurrent builders); readers need

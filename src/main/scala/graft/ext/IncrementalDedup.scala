@@ -28,12 +28,9 @@ import graft.rel.Tables
   * scratch. */
 object IncrementalDedup {
 
-  private def root(s: SparkSession, dir: String): Path = {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
-    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_$dirKey")
-  }
+  private def root(s: SparkSession, dir: String): Path =
+    new Path(s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_incdedup_${graft.Fixtures.key8(dir)}")
 
   /** The overnight-batch membership predicate (doc_id % 10 == 0) —
     * the PROBE side of the asymmetric candidate expansion

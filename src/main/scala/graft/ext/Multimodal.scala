@@ -361,6 +361,10 @@ object Multimodal {
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(root))
       graft.Fixtures.withFileLock(s"graft_bin_${dirKey}_$fpKey") {
+        // superseded blob generations for this source reap once cold
+        // (same-tag prefix, different fingerprint — ADVICE r15)
+        graft.Fixtures.reapStaleSiblings(s"graft_bin_${dirKey}_$fpKey",
+          s"graft_bin_${dirKey}_")
         if (!fs.exists(root)) { // re-check under the lock
           val build = new org.apache.hadoop.fs.Path(
             s"$stage.build.${java.util.UUID.randomUUID().toString.take(8)}")

@@ -34,20 +34,14 @@ private[ext] object RelCache {
     cache.filterInPlace { case ((owner, _), _) =>
       !owner.sparkContext.isStopped
     }
-    val fresh = new Holder(() => {
-      // A first materialization while ANOTHER thread holds the scoped
-      // streaming conf window would capture the scoped 8-partition
-      // value into this persisted plan for the session's lifetime —
-      // fail loudly instead of silently mis-partitioning every later
-      // consumer (the race the bench's sequential streaming warm-up
-      // phase exists to prevent).
-      val owner = graft.streaming.StreamOps.scopedConfWindowOwner.get()
-      require(owner == null || (owner eq Thread.currentThread()),
-        s"RelCache build of '$tag' raced a scoped streaming conf window " +
-          s"held by thread '${owner.getName}' — the cached plan would " +
-          "capture the scoped shuffle-partitions value")
-      build
-    })
+    // No conf-window hazard here BY CONSTRUCTION: streaming entries
+    // carry their scoped confs (8 shuffle partitions, RocksDB state
+    // store) on per-start CLONED sessions (StreamOps.streamClone) and
+    // never mutate the shared session conf, so a concurrent first
+    // materialization always captures the session's own resting values.
+    // (Historically this path guarded a save/set/restore window on the
+    // shared session — a check-then-act race the clone design removed.)
+    val fresh = new Holder(() => build)
     cache.putIfAbsent((s, tag), fresh).getOrElse(fresh).df
   }
 }

@@ -184,11 +184,8 @@ object SimilarityQueries {
     // keyed by a CONTENT hash of the source path, not String.hashCode:
     // two different source dirs with colliding hashCodes would thrash
     // staleness-triggered rebuilds against each other
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
     val rootDir = new org.apache.hadoop.fs.Path(
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g$dirKey")
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_g${graft.Fixtures.key8(dir)}")
     val corpusLoc = new org.apache.hadoop.fs.Path(rootDir, "corpus").toString
     val indexLoc = new org.apache.hadoop.fs.Path(rootDir, "index").toString
     val fs = rootDir.getFileSystem(s.sessionState.newHadoopConf())

@@ -166,9 +166,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * analogue of Iceberg's `"t$files"` (tests/test_maintenance.py:50). */
   def files: DataFrame = currentSnapshot match {
     case Some(s) if s.manifests.nonEmpty =>
-      spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
-    case _ =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
+      ManifestIO.relation(spark, s.manifests)
+    case _ => ManifestIO.emptyRelation(spark)
   }
 
   /** Union of every snapshot's inventory (for orphan reconciliation) —
@@ -177,9 +176,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val paths = snapshots
       .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
       .distinct
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
-    else spark.read.schema(ManifestSchema).parquet(paths: _*)
+    ManifestIO.relation(spark, paths)
   }
 
   /** Scan of the current snapshot. */
@@ -236,7 +233,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     if (range.isEmpty || to.manifests.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val compactionIds = range.filter(compaction).map(_.snapshotId)
-    val pairs = spark.read.schema(ManifestSchema).parquet(to.manifests: _*)
+    val pairs = ManifestIO.relation(spark, to.manifests)
       .filter(col("added_snapshot_id") > fromId &&
         col("added_snapshot_id") <= toId &&
         !col("added_snapshot_id").isin(compactionIds: _*))
@@ -371,7 +368,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val inserts: Option[DataFrame] =
         if (s.manifests.isEmpty) None
         else {
-          val pairs = spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
+          val pairs = manifestDf(s.manifests)
             .filter(col("added_snapshot_id") === s.snapshotId)
             .select("path", "added_snapshot_id").collect()
             .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
@@ -485,7 +482,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   /** (path, added_snapshot_id) of a snapshot's live data files. */
   private def filePairsOf(s: Snapshot): Seq[(String, Long)] =
-    spark.read.schema(ManifestSchema).parquet(s.manifests: _*)
+    manifestDf(s.manifests)
       .select("path", "added_snapshot_id").collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toIndexedSeq
@@ -504,8 +501,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     manifestDf(currentSnapshot.map(_.deleteManifests).getOrElse(Seq.empty))
 
   private def manifestDf(paths: Seq[String]): DataFrame =
-    if (paths.isEmpty) emptyManifest
-    else spark.read.schema(ManifestSchema).parquet(paths: _*)
+    ManifestIO.relation(spark, paths)
 
   /** All (file_path, pos) delete entries of a snapshot as a DataFrame. */
   private def deleteRowsOf(s: Snapshot): DataFrame = {
@@ -545,28 +541,45 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * (`added_snapshot_id`); log derivation is the legacy fallback. */
   private def eqFileInfos(manifests: Seq[String]): Seq[EqFileInfo] = {
     if (manifests.isEmpty) return Seq.empty
-    val rows = manifestDf(manifests)
-      .select(col("path"), col("added_snapshot_id"),
-        map_keys(col("null_counts")).as("keys"),
-        col("_metadata.file_path").as("mfile"))
-      // defense against zero-row eq files (writers no longer commit
-      // them, but a legacy manifest may carry one): no rows → deletes
-      // nothing → skip, instead of reading its NULL key record
-      .filter(col("keys").isNotNull)
-      .collect()
+    // (data-file path, intro id or null, key names or null, manifest dir)
+    // — per-dir driver reads when gated (the cache makes repeats free);
+    // one distributed scan otherwise, with `_metadata.file_path`
+    // substituting for the known dir. Defense against zero-row eq files
+    // (writers no longer commit them, but a legacy manifest may carry
+    // one): null key names → deletes nothing → skip, instead of reading
+    // its NULL key record.
+    val locals = manifests.map(m =>
+      ManifestIO.readLocal(spark, Seq(m)).map(rows => m -> rows))
+    val rows: Seq[(String, java.lang.Long, Seq[String], String)] =
+      if (locals.forall(_.isDefined))
+        locals.flatten.flatMap { case (m, rs) =>
+          rs.collect { case r if !r.isNullAt(3) =>
+            (r.getString(0),
+              if (r.isNullAt(7)) null else java.lang.Long.valueOf(r.getLong(7)),
+              r.getMap[String, Any](3).keys.toSeq, new Path(m).toUri.getPath)
+          }
+        }
+      else
+        manifestDf(manifests)
+          .select(col("path"), col("added_snapshot_id"),
+            map_keys(col("null_counts")).as("keys"),
+            col("_metadata.file_path").as("mfile"))
+          .filter(col("keys").isNotNull)
+          .collect().toIndexedSeq.map(r =>
+            (r.getString(0),
+              if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+              r.getSeq[String](2),
+              new Path(r.getString(3)).getParent.toUri.getPath))
     lazy val fromLog = eqIntroducedBy(snapshots).map { case (m, id) =>
       new Path(m).toUri.getPath -> id
     }
-    rows.toIndexedSeq.map { r =>
-      val keyNames = r.getSeq[String](2).filterNot(_ == EqIntroCol).sorted
+    rows.toIndexedSeq.map { case (path, added, keys, mdir) =>
+      val keyNames = keys.filterNot(_ == EqIntroCol).sorted
       val intro =
-        if (!r.isNullAt(1)) r.getLong(1)
-        else {
-          val mdir = new Path(r.getString(3)).getParent.toUri.getPath
-          fromLog.getOrElse(mdir, throw new IllegalStateException(
-            s"eq manifest $mdir not in log"))
-        }
-      EqFileInfo(r.getString(0), intro, keyNames)
+        if (added != null) added.longValue
+        else fromLog.getOrElse(mdir, throw new IllegalStateException(
+          s"eq manifest $mdir not in log"))
+      EqFileInfo(path, intro, keyNames)
     }
   }
 
@@ -575,7 +588,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * the nullable embedded intro column compacted files carry — files
     * written without it read as null there. */
   private def eqKeySchema(info: EqFileInfo): StructType = {
-    val fileSchema = spark.read.parquet(info.path).schema
+    val fileSchema = ManifestIO.parquetSchemaOf(spark, new Path(info.path))
+      .getOrElse(spark.read.parquet(info.path).schema)
     StructType(info.keys.map(k => fileSchema(k)) :+
       StructField(EqIntroCol, LongType, nullable = true))
   }
@@ -1030,12 +1044,25 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * whose content is CAS-attempt-independent). */
   private def inventoryManifest(dir: Path): String = {
     val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
-    inventory(dir)
-      .withColumn("added_snapshot_id", lit(null).cast(LongType))
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
-    fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+    writeManifestFile(manifestDir, inventory(dir)
+      .withColumn("added_snapshot_id", lit(null).cast(LongType)))
     manifestDir.toString
   }
+
+  /** Write a fully-stamped 8-column manifest frame to `manifestDir` —
+    * on the driver when the frame is already driver-resident (a footer
+    * inventory / metadata-only rewrite: no Spark job), else via the
+    * Spark writer. */
+  private def writeManifestFile(manifestDir: Path, df: DataFrame): Unit =
+    ManifestIO.localRowsOf(df) match {
+      case Some(rows) =>
+        ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(),
+          manifestDir, rows)
+        ManifestIO.cacheSeed(normalize(manifestDir), rows)
+      case None =>
+        df.coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
+        fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+    }
 
   /** Compact accumulated position-delete files into one clustered
     * delete file (Iceberg's `rewrite_position_delete_files`): a delete
@@ -1134,14 +1161,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
       val manifestDir = new Path(tableDir,
         s"_graft/manifests/${UUID.randomUUID()}")
-      mergedDirs.map { case (dir, maxIntro) =>
+      writeManifestFile(manifestDir, mergedDirs.map { case (dir, maxIntro) =>
         // file-level stamp = max intro of the folded files: only a
         // conservative pruning bound — reads use the embedded per-entry
         // intro column
         inventory(dir).withColumn("added_snapshot_id", lit(maxIntro))
-      }.reduce(_ unionByName _)
-        .coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
-      fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+      }.reduce(_ unionByName _))
       var done = false
       var attempt = 0
       while (!done) {
@@ -1182,10 +1207,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                            basisId: Long, clock: Clock,
                            filesAdded: Long): Unit = {
     val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
-    deleteManifest
-      .withColumn("added_snapshot_id", lit(null).cast(LongType))
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
-    fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+    writeManifestFile(manifestDir, deleteManifest
+      .withColumn("added_snapshot_id", lit(null).cast(LongType)))
     var attempt = 0
     var done = false
     while (!done) {
@@ -1545,7 +1568,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     commitLock.synchronized {
       val src = new Path(location)
       require(fs.exists(src), s"add_files: no such location $location")
-      val srcSchema = spark.read.parquet(location).schema
+      val srcSchema = ManifestIO.parquetSchemaOf(spark, src)
+        .getOrElse(spark.read.parquet(location).schema)
       val cur = schema
       require(srcSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
         cur.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -1728,7 +1752,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     if (listed.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
     }
-    val data = spark.read.parquet(commitDir.toString)
+    // schema from the footer's embedded Spark schema JSON (driver-side,
+    // no inference job); inference only for non-Spark-written files
+    val dataSchema = ManifestIO
+      .parquetSchemaOf(spark, new Path(listed.head._1))
+      .getOrElse(spark.read.parquet(commitDir.toString).schema)
+    val data = spark.read.schema(dataSchema).parquet(commitDir.toString)
     val names = data.schema.fieldNames.toSeq
     // Small flat commits take the FOOTER path: row counts, null counts,
     // and min/max come from the parquet footers the write already
@@ -2060,6 +2089,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val manifestDir = new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}")
     val eqManifestDir = eqDeleteSource.map(_ =>
       new Path(tableDir, s"_graft/manifests/${UUID.randomUUID()}"))
+    // Driver-resident inventories (the footer fast path, metadata-only
+    // rewrites) skip the per-attempt Spark write+observe job: the rows,
+    // their summary, and the parquet encoding all happen on the driver
+    // (ManifestIO.writeLocal — same bytes-on-disk as the Spark write).
+    val localBase: Option[IndexedSeq[Row]] = ManifestIO.localRowsOf(
+      manifest.select(col("path"), col("size_bytes"), col("record_count"),
+        col("null_counts"), col("min_values"), col("max_values"),
+        col("blooms"),
+        (if (manifest.columns.contains("added_snapshot_id"))
+          col("added_snapshot_id")
+        else lit(null).cast(LongType)).as("added_snapshot_id")))
+    val localEq: Option[Option[IndexedSeq[Row]]] =
+      eqDeleteSource.map(src => ManifestIO.localRowsOf(
+        src.drop("added_snapshot_id")
+          .withColumn("added_snapshot_id", lit(null).cast(LongType))))
     var attempt = 0
     var done = false
     while (!done) {
@@ -2085,34 +2129,57 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             s"$headId; rerun the operation")
       }
       val id = prior.map(_.snapshotId).foldLeft(0L)(math.max) + 1
-      val obs = new org.apache.spark.sql.Observation(
-        s"manifest-${manifestDir.getName}-$attempt")
-      val addedId = // rewrite_manifests passes lineage through; deltas stamp id
-        if (manifest.columns.contains("added_snapshot_id"))
-          coalesce(col("added_snapshot_id"), lit(id))
-        else lit(id)
-      manifest
-        .select(col("path"), col("size_bytes"), col("record_count"),
-          col("null_counts"), col("min_values"), col("max_values"),
-          col("blooms"), addedId.as("added_snapshot_id"))
-        .observe(obs, count(lit(1)).as("nf"),
-          coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
-          coalesce(sum("record_count"), lit(0L)).as("rows"))
-        .coalesce(1) // manifests are small relative to data; 1 file per commit
-        .write.mode("overwrite").parquet(manifestDir.toString)
-      fs.delete(new Path(manifestDir, "_SUCCESS"), false)
-      val m = obs.get
-      val (dnf, dbytes, drows) = (m("nf").asInstanceOf[Long],
-        m("bytes").asInstanceOf[Long], m("rows").asInstanceOf[Long])
+      // rewrite_manifests passes lineage through; deltas stamp id
+      val (dnf, dbytes, drows) = localBase match {
+        case Some(rows) =>
+          val stamped = rows.map(r =>
+            if (r.isNullAt(7))
+              Row(r(0), r(1), r(2), r(3), r(4), r(5), r(6), id)
+            else r)
+          ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(),
+            manifestDir, stamped)
+          ManifestIO.cacheSeed(normalize(manifestDir), stamped)
+          (rows.size.toLong, rows.map(_.getLong(1)).sum,
+            rows.map(_.getLong(2)).sum)
+        case None =>
+          val obs = new org.apache.spark.sql.Observation(
+            s"manifest-${manifestDir.getName}-$attempt")
+          val addedId =
+            if (manifest.columns.contains("added_snapshot_id"))
+              coalesce(col("added_snapshot_id"), lit(id))
+            else lit(id)
+          manifest
+            .select(col("path"), col("size_bytes"), col("record_count"),
+              col("null_counts"), col("min_values"), col("max_values"),
+              col("blooms"), addedId.as("added_snapshot_id"))
+            .observe(obs, count(lit(1)).as("nf"),
+              coalesce(sum("size_bytes"), lit(0L)).as("bytes"),
+              coalesce(sum("record_count"), lit(0L)).as("rows"))
+            .coalesce(1) // manifests are small relative to data; 1 file/commit
+            .write.mode("overwrite").parquet(manifestDir.toString)
+          fs.delete(new Path(manifestDir, "_SUCCESS"), false)
+          val m = obs.get
+          (m("nf").asInstanceOf[Long], m("bytes").asInstanceOf[Long],
+            m("rows").asInstanceOf[Long])
+      }
       // the eq-delete manifest stamps the INTRODUCING snapshot id in
       // its added_snapshot_id column — durable against expiry of the
       // introducing snapshot (per-attempt rewrite, like the data
       // manifest, since the id changes on CAS retry)
       eqDeleteSource.foreach { src =>
-        src.withColumn("added_snapshot_id", lit(id))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(eqManifestDir.get.toString)
-        fs.delete(new Path(eqManifestDir.get, "_SUCCESS"), false)
+        localEq.flatten match {
+          case Some(rows) =>
+            val stamped = rows.map(r =>
+              Row(r(0), r(1), r(2), r(3), r(4), r(5), r(6), id))
+            ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(),
+              eqManifestDir.get, stamped)
+            ManifestIO.cacheSeed(normalize(eqManifestDir.get), stamped)
+          case None =>
+            src.withColumn("added_snapshot_id", lit(id))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(eqManifestDir.get.toString)
+            fs.delete(new Path(eqManifestDir.get, "_SUCCESS"), false)
+        }
       }
       val eqAdd = eqManifestDir.map(_.toString).toSeq
       val parent = cur.map(_.snapshotId).getOrElse(-1L)
@@ -2386,7 +2453,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
                               basis: Option[Snapshot] = None): Unit =
     commit(op, manifest, clock, carryPrior, basis = basis)
   private[graft] def emptyManifest: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ManifestSchema)
+    ManifestIO.emptyRelation(spark)
 }
 
 /** Result of [[GraftTable.readPruned]]: the pruned scan plus the file

@@ -113,7 +113,7 @@ object ScaleQueries {
     * not the one-time bucketing. */
   def q24BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tag = s"g${math.abs(dir.hashCode)}"
+    val tag = s"g${graft.Fixtures.key8(dir)}"
     val db = s"graft_bkt_$tag"
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
@@ -269,7 +269,7 @@ object ScaleQueries {
   private def clusteredLineitemLoc(s: SparkSession, dir: String): String = {
     import s.implicits._
     import graft.meta.GraftTable
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_pruned_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_pruned_g${graft.Fixtures.key8(dir)}/t"
     val li = t(s, dir, "lineitem")
       .select($"l_shipdate", $"l_extendedprice", $"l_discount")
     val usable = GraftTable.exists(s, loc) &&
@@ -291,7 +291,7 @@ object ScaleQueries {
   private def bloomEventsLoc(s: SparkSession, dir: String): String = {
     import s.implicits._
     import graft.meta.GraftTable
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_g${graft.Fixtures.key8(dir)}/t"
     val ev = t(s, dir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value")
     val usable = GraftTable.exists(s, loc) &&
@@ -336,7 +336,7 @@ object ScaleQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.read.parquet(s"$dir/events.parquet")
       .select($"event_id", $"event_type", $"value")
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_morread_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_morread_g${graft.Fixtures.key8(dir)}/t"
     val nLive = src.filter($"event_type" =!= "error").count()
     val usable = GraftTable.exists(s, loc) &&
       GraftTable.load(s, loc).rowCount == nLive
@@ -366,7 +366,7 @@ object ScaleQueries {
     import graft.meta.GraftTable
     val part = t(s, dir, "part")
       .select($"p_partkey", $"p_brand", $"p_retailprice")
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_upsread_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_upsread_g${graft.Fixtures.key8(dir)}/t"
     val nRows = part.count() + part.filter($"p_partkey" % 100 === 1).count()
     val usable = GraftTable.exists(s, loc) &&
       GraftTable.load(s, loc).rowCount == nRows
@@ -496,7 +496,7 @@ object ScaleQueries {
   def q31PartitionedScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.{GraftTable, PartitionSpec}
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_part_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_part_g${graft.Fixtures.key8(dir)}/t"
     val ev = t(s, dir, "events")
       .select($"event_id", $"ts", $"event_type", $"value")
     val usable = GraftTable.exists(s, loc) &&
@@ -530,7 +530,7 @@ object ScaleQueries {
   def q32ZorderScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.GraftTable
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_g${graft.Fixtures.key8(dir)}/t"
     val ev = t(s, dir, "events")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
     val usable = GraftTable.exists(s, loc) &&
@@ -566,7 +566,7 @@ object ScaleQueries {
   def q39JoinPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.GraftTable
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_joinprune_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_joinprune_g${graft.Fixtures.key8(dir)}/t"
     val li = t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
     val usable = GraftTable.exists(s, loc) && {

@@ -69,7 +69,7 @@ object MaintenanceQueries {
     // from under a reader.
     val fixture = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_xseed_${tag}_${math.abs(sfDir.hashCode)}_" +
+      s"graft_xseed_${tag}_${graft.Fixtures.key8(sfDir)}_" +
         fp.replace(':', '-'))
     // JVM lock (prevents OverlappingFileLockException below) + an OS
     // file lock: a concurrent process (sbt test beside a Verify run)

@@ -68,10 +68,7 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
   }
 
   private def manifestDf(paths: Seq[String]): DataFrame =
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        GraftTable.ManifestSchema)
-    else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
+    graft.meta.ManifestIO.relation(spark, paths)
 
   override def rootPaths: Seq[Path] = Seq(new Path(table.location))
 

@@ -136,27 +136,43 @@ object StreamOps {
     out
   }
 
-  /** Run `start` with spark.sql.shuffle.partitions=8, restoring the
-    * session value once the query is STARTED (a streaming query
-    * captures the conf at start). 8 state stores instead of 32 per
-    * stateful operator is a 4x cut in per-micro-batch state I/O at
-    * demo rates — at production rates the right number is sized to
-    * the key cardinality, not inherited from the batch default. */
-  // serializes the save/set/restore below: two concurrent scopes on a
-  // shared session could otherwise interleave (A saves 32, sets 8; B
-  // saves 8; A restores 32; B restores 8) and leak 8 as the session
-  // value for every later batch query
-  private val statePartsLock = new Object
+  /** Per-start CLONED session carrying the stream-scoped confs —
+    * spark.sql.shuffle.partitions=8 and the RocksDB state-store
+    * provider with changelog checkpointing. A streaming query snapshots
+    * its session's conf at start(), so binding the pipeline to a clone
+    * gives the query its own conf while the SHARED session conf is
+    * never touched: there is no window in which a concurrently
+    * materialized batch plan (RelCache) could capture the scoped
+    * values, which is what lets streaming entries warm up concurrently
+    * with everything else. 8 state stores instead of 32 per stateful
+    * operator is a 4x cut in per-micro-batch state I/O at demo rates —
+    * at production rates the right number is sized to the key
+    * cardinality, not inherited from the batch default. Clone (not
+    * newSession): runtime confs the entry set on the shared session
+    * (e.g. nanosAsLong) must carry. */
+  private[graft] def streamClone(s: SparkSession): SparkSession = {
+    val cs = org.apache.spark.sql.graft.CatalystShims.cloneSession(s)
+    cs.conf.set("spark.sql.shuffle.partitions", "8")
+    cs.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDbProvider)
+    cs.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    onStreamClone(cs)
+    cs
+  }
 
-  /** The thread currently inside a [[scopedStateParts]] conf window
-    * (null when none). RelCache's build path checks it: a relation
-    * first materialized by a DIFFERENT thread during the window would
-    * capture the scoped 8-partition conf and persist a mis-partitioned
-    * plan for the session's lifetime — the race the bench's two-phase
-    * warmup avoids by convention; this makes the convention a checked
-    * invariant rather than a comment. */
-  private[graft] val scopedConfWindowOwner =
-    new java.util.concurrent.atomic.AtomicReference[Thread](null)
+  /** Test hook: clone-bound queries report to the CLONE's
+    * StreamingQueryManager, so a spec observing stream progress (state
+    * metrics, stateless-pass pins) registers its listener here. */
+  private[graft] var onStreamClone: SparkSession => Unit = _ => ()
+
+  /** Rebind a (streaming) pipeline onto `cs` so that start() captures
+    * the clone's conf; the logical plan is shared, only the session
+    * binding changes. */
+  private[graft] def onSession(cs: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CatalystShims.ofRows(
+      cs, df.queryExecution.logical)
 
   /** Once-per-session seed-fixture validation (st05/st06): the
     * freshness check costs a source count + snapshot-log reads, and the
@@ -177,41 +193,12 @@ object StreamOps {
   private[graft] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Every stateful start also flips the state store to the RocksDB
-    * provider (with changelog checkpointing): the default HDFS-backed
-    * provider keeps each partition's ENTIRE key map on the executor
-    * heap, which caps a dedup key space or join range state at
-    * executor-memory scale — RocksDB spills state to local disk and
-    * checkpoints deltas, the posture an unbounded 100 TB feed needs.
-    * Scoped the same way as the partition count: captured by the query
-    * at start, restored for batch-side work. */
-  private def scopedStateParts[T](s: SparkSession)(start: => T): T =
-    statePartsLock.synchronized {
-      val partsKey = "spark.sql.shuffle.partitions"
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val logKey =
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-      // getOption: the rocksdb.* keys are provider-read raw confs, not
-      // registered SQLConf entries — a plain get throws when unset
-      val prev = Seq(partsKey, provKey, logKey)
-        .map(k => k -> s.conf.getOption(k))
-      // the owner claim must COVER the whole span in which the session
-      // conf differs from its resting value — set before the first
-      // conf.set, cleared only after the restore — or a concurrent
-      // RelCache build slipping into the entry/exit gap would pass the
-      // guard and still capture the scoped partition count
-      scopedConfWindowOwner.set(Thread.currentThread())
-      try {
-        s.conf.set(partsKey, "8")
-        s.conf.set(provKey, RocksDbProvider)
-        s.conf.set(logKey, "true")
-        try start
-        finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
-        }
-      } finally scopedConfWindowOwner.set(null)
-    }
+  // The RocksDB flip rides on [[streamClone]], like the partition trim:
+  // the default HDFS-backed provider keeps each partition's ENTIRE key
+  // map on the executor heap, which caps a dedup key space or join
+  // range state at executor-memory scale — RocksDB spills state to
+  // local disk and checkpoints deltas, the posture an unbounded 100 TB
+  // feed needs.
 
   /** Run a transform over the events parquet as a FILE STREAM to
     * completion (Trigger.AvailableNow) and return the final result as a
@@ -233,19 +220,19 @@ object StreamOps {
       target = "timestamp")
     // Stateful operators keep one state store per shuffle partition; at
     // the demo rate 8 partitions cut the per-batch state-store I/O 4x
-    // with no parallelism loss (the st04 recipe). Scoped to the
-    // streaming query: the conf is captured at start(), then restored
-    // for the batch-side result shaping.
-    val q = scopedStateParts(spark) {
-      transform(stream).writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode(outputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
+    // with no parallelism loss (the st04 recipe). The stream runs on a
+    // conf-scoped CLONED session ([[streamClone]]) — the memory sink
+    // registers its table in the clone's catalog, so the result is read
+    // (and the view dropped) there.
+    val cs = streamClone(spark)
+    val q = onSession(cs, transform(stream)).writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    finishSink(spark, sinkTable, spark.table(sinkTable))
+    finishSink(cs, sinkTable, cs.table(sinkTable))
   }
 
   // ---- driver-visible queries ------------------------------------------
@@ -409,17 +396,21 @@ object StreamOps {
     // single-writer across processes: a persistent streaming checkpoint
     // must never have two concurrent writers (offset corruption)
     graft.Fixtures.withFileLock(root.getName) {
+      // superseded generations of the same tag+source (root name =
+      // graft_<tag>_<dirKey8>_<fpKey8>; the trailing fp key is 16 hex
+      // chars) are reaped once cold — bounding tmpdir growth that used
+      // to be unbounded across testdata regenerations (ADVICE r15)
+      graft.Fixtures.reapStaleSiblings(root.getName,
+        root.getName.dropRight(16))
       val table = if (GraftTable.exists(s, loc)) GraftTable.load(s, loc)
         else GraftTable.create(s, loc, perBatch(rows).schema)
-      val q = scopedStateParts(s) {
-        rows.writeStream
-          .foreachBatch((df: DataFrame, id: Long) =>
-            GraftSink.appendBatch(table, queryName)(perBatch(df), id))
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation",
-            new org.apache.hadoop.fs.Path(root, "ckpt").toString)
-          .start()
-      }
+      val q = onSession(streamClone(s), rows).writeStream
+        .foreachBatch((df: DataFrame, id: Long) =>
+          GraftSink.appendBatch(table, queryName)(perBatch(df), id))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          new org.apache.hadoop.fs.Path(root, "ckpt").toString)
+        .start()
       q.awaitTermination()
       table.read
     }
@@ -525,7 +516,7 @@ object StreamOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Tables.normalizeTs(
       s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_evsrc_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_evsrc_g${graft.Fixtures.key8(dir)}/t"
     ensureSeededOnce(s, loc) {
       val nRows = src.count()
       val reusable = GraftTable.exists(s, loc) && {
@@ -542,13 +533,12 @@ object StreamOps {
       }
     }
     val sink = s"st05_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = scopedStateParts(s) {
-      hourlyCounts(s.readStream.format("graft").load(loc))
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .start()
-    }
+    val cs = streamClone(s)
+    val q = onSession(cs, hourlyCounts(s.readStream.format("graft").load(loc)))
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
     q.processAllAvailable(); q.stop()
-    finishSink(s, sink, s.table(sink).orderBy("hour", "event_type"))
+    finishSink(cs, sink, cs.table(sink).orderBy("hour", "event_type"))
   }
 
   /** Streaming CHANGE FEED consumption: the graft table receives two
@@ -564,7 +554,7 @@ object StreamOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Tables.normalizeTs(
       s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_cdcfeed_g${math.abs(dir.hashCode)}/t"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_cdcfeed_g${graft.Fixtures.key8(dir)}/t"
     ensureSeededOnce(s, loc) {
       val nLive = src.filter($"event_type" =!= "error").count()
       val reusable = GraftTable.exists(s, loc) && {
@@ -582,19 +572,19 @@ object StreamOps {
       }
     }
     val sink = s"st06_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = scopedStateParts(s) {
+    val cs = streamClone(s)
+    val q = onSession(cs,
       s.readStream.format("graft").option("readChangeFeed", "true")
         .load(loc)
         .withColumn("sgn", when($"_change_type" === "insert", 1L).otherwise(-1L))
         .groupBy(date_trunc("hour", $"ts").cast("string").as("hour"),
           $"event_type")
         .agg(sum($"sgn").as("n_events"),
-          sum($"value" * $"sgn").as("raw_value"))
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .start()
-    }
+          sum($"value" * $"sgn").as("raw_value")))
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
     q.processAllAvailable(); q.stop()
-    finishSink(s, sink, s.table(sink)
+    finishSink(cs, sink, cs.table(sink)
       .filter($"n_events" > 0)
       .select($"hour", $"event_type", $"n_events",
         round($"raw_value", 2).as("total_value"))
@@ -715,11 +705,8 @@ object StreamOps {
     // repeated runs — the bench's three timed passes, repeated gates —
     // re-seed NOTHING; the sink's batch markers plus the persistent
     // checkpoint make the streamed appends exactly-once across runs too.
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
     val rootDir = new org.apache.hadoop.fs.Path(
-      s"${System.getProperty("java.io.tmpdir")}/graft_st09_$dirKey")
+      s"${System.getProperty("java.io.tmpdir")}/graft_st09_${graft.Fixtures.key8(dir)}")
     val fs = rootDir.getFileSystem(s.sessionState.newHadoopConf())
     val fp = SimilarityQueries.sourceFingerprint(s, s"$dir/documents.parquet")
     val indexLoc = new org.apache.hadoop.fs.Path(rootDir, "index").toString
@@ -827,7 +814,7 @@ object StreamOps {
     // regeneration that rewrites part-file contents forces a rebuild
     val fp = graft.SourceFingerprint.of(srcFs, srcPath)
     val base = new org.apache.hadoop.fs.Path(
-      s"${System.getProperty("java.io.tmpdir")}/graft_st11_g${math.abs(dir.hashCode)}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_st11_g${graft.Fixtures.key8(dir)}")
     val fs = base.getFileSystem(hadoopConf)
     val streamDir = new org.apache.hadoop.fs.Path(base, "feed")
     val loc = new org.apache.hadoop.fs.Path(base, "t").toString

@@ -57,4 +57,12 @@ object CatalystShims {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Clone a session INCLUDING its runtime conf (`cloneSession` is
+    * `private[sql]`; `newSession` would reset runtime confs) — the
+    * carrier for stream-scoped confs (graft.streaming.StreamOps). */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
 }

@@ -215,7 +215,8 @@ class StreamingSpec extends SparkSpec {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.get(provKey)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.streams.addListener(listener)
+    // clone-bound queries report to the clone's StreamingQueryManager
+    StreamOps.onStreamClone = cs => cs.streams.addListener(listener)
     try {
       // a fresh generation: the listener must see a real stateful pass,
       // not the incremental no-op a landed generation serves
@@ -231,10 +232,10 @@ class StreamingSpec extends SparkSpec {
         s"expected RocksDB state-store metrics in query progress; " +
           s"saw: ${metricKeys.toArray.mkString(", ")}")
       assert(spark.conf.get(provKey) == prevProv,
-        "provider conf must be restored after the scoped start")
+        "shared-session provider conf must be untouched by a stream start")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts,
-        "shuffle-partition conf must be restored after the scoped start")
-    } finally spark.streams.removeListener(listener)
+        "shared-session shuffle-partition conf must be untouched")
+    } finally StreamOps.onStreamClone = _ => ()
   }
 
   test("st08 is stateless end-to-end — no state operator in any micro-batch") {
@@ -252,7 +253,7 @@ class StreamingSpec extends SparkSpec {
       override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
-    spark.streams.addListener(listener)
+    StreamOps.onStreamClone = cs => cs.streams.addListener(listener)
     try {
       // fresh generation — the stateless claim is about the real pass
       clearGenerations("st08", "/root/testdata/sf0.001")
@@ -267,6 +268,6 @@ class StreamingSpec extends SparkSpec {
       // shingle) state — corpus-scale, unbounded, no watermark evicts it
       assert(stateOps.get() == 0L,
         s"st08 must run with ZERO stateful operators; saw ${stateOps.get()}")
-    } finally spark.streams.removeListener(listener)
+    } finally StreamOps.onStreamClone = _ => ()
   }
 }
