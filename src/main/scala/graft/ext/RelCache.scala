@@ -16,7 +16,7 @@ import org.apache.spark.storage.StorageLevel
   * another. Entries whose owning session has stopped are evicted on the
   * next lookup — their cached blocks died with the executors, so keeping
   * the entry would pin a dead plan (and the session object) forever. */
-private[ext] object RelCache {
+private[graft] object RelCache {
   /** Holder defers the build behind a `lazy val`: `putIfAbsent` races
     * resolve to ONE winning holder, whose lazy initializer then runs the
     * build exactly once (JVM-synchronized on the holder, so a concurrent

@@ -53,23 +53,47 @@ object ManifestIO {
     * size) list Spark's InMemoryFileIndex would hold for such a scan. */
   val LocalReadMaxBytes: Long = 32L << 20
 
-  private val MaxCachedDirs = 2048
+  /** Driver-heap budget for cached manifest rows, tracked by the
+    * on-disk byte size of each cached dir (a faithful proxy for decoded
+    * row footprint). LRU eviction; a single entry can be at most
+    * [[LocalReadMaxBytes]], so the worst case stays a few hundred MB
+    * regardless of how many tables one driver serves. */
+  private val MaxCachedBytes = 256L << 20
 
-  /** manifest dir (or file) path → decoded rows. Access-ordered LRU;
-    * entries are immutable (UUID-named dirs, rewritten only before their
-    * commit's CAS lands — i.e. before any reader can name them). */
+  /** manifest dir (or file) path → (decoded rows, on-disk bytes).
+    * Access-ordered LRU bounded by [[MaxCachedBytes]]; entries are
+    * immutable (UUID-named dirs, rewritten only before their commit's
+    * CAS lands — i.e. before any reader can name them). */
   private val cache =
-    new java.util.LinkedHashMap[String, IndexedSeq[Row]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, IndexedSeq[Row]]): Boolean =
-        size() > MaxCachedDirs
+    new java.util.LinkedHashMap[String, (IndexedSeq[Row], Long)](
+      64, 0.75f, true)
+  private var cachedBytes = 0L
+
+  private def cachePut(path: String, rows: IndexedSeq[Row],
+                       bytes: Long): Unit = cache.synchronized {
+    Option(cache.remove(path)).foreach(old => cachedBytes -= old._2)
+    cache.put(path, (rows, bytes))
+    cachedBytes += bytes
+    val it = cache.entrySet().iterator()
+    while (cachedBytes > MaxCachedBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != path) { cachedBytes -= e.getValue._2; it.remove() }
     }
+  }
+
+  private def cacheGet(path: String): Option[IndexedSeq[Row]] =
+    cache.synchronized(Option(cache.get(path)).map(_._1))
 
   private[graft] def cacheSeed(path: String, rows: IndexedSeq[Row]): Unit =
-    cache.synchronized { cache.put(path, rows); () }
+    // size proxy for a just-written manifest: rows are KB-scale; a
+    // conservative flat estimate keeps the accounting simple (the next
+    // cold read re-prices it from the real file length)
+    cachePut(path, rows, rows.size.toLong * 1024L)
 
   private[meta] def cacheDrop(path: String): Unit =
-    cache.synchronized { cache.remove(path); () }
+    cache.synchronized {
+      Option(cache.remove(path)).foreach(old => cachedBytes -= old._2)
+    }
 
   /** Test hook: how many manifest relations were served driver-locally. */
   private[graft] val localReadHits = new java.util.concurrent.atomic.AtomicLong
@@ -105,13 +129,13 @@ object ManifestIO {
     try {
       val parts = paths.map { p =>
         val key = GraftTable.normalize(p)
-        cache.synchronized(Option(cache.get(key))) match {
+        cacheGet(key) match {
           case Some(rows) => Left(key -> rows)
           case None => Right(key)
         }
       }
       val misses = parts.collect { case Right(k) => k }
-      val missFiles: Map[String, Seq[Path]] =
+      val missFiles: Map[String, (Seq[Path], Long)] =
         if (misses.isEmpty) Map.empty
         else {
           val listed = misses.map { k =>
@@ -121,15 +145,17 @@ object ManifestIO {
           }
           if (listed.iterator.flatMap(_._2.iterator.map(_._2)).sum >
               LocalReadMaxBytes) return None
-          listed.map { case (k, fl) => k -> fl.map(_._1) }.toMap
+          listed.map { case (k, fl) =>
+            k -> (fl.map(_._1), fl.map(_._2).sum) }.toMap
         }
       val out = IndexedSeq.newBuilder[Row]
       parts.foreach {
         case Left((_, rows)) => out ++= rows
         case Right(key) =>
-          val rows = missFiles(key).iterator
+          val (files, bytes) = missFiles(key)
+          val rows = files.iterator
             .flatMap(f => readFile(conf, f)).toIndexedSeq
-          cache.synchronized { cache.put(key, rows); () }
+          cachePut(key, rows, bytes)
           out ++= rows
       }
       Some(out.result())

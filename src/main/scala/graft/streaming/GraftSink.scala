@@ -45,6 +45,17 @@ object GraftSink {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** A replayed (marker-skipped) batch must still be PROCESSED, not
+    * just dropped: the micro-batch frame carries the query's stateful
+    * operators, whose per-partition state commits happen only when the
+    * frame executes — an unexecuted replay leaves zero state commits
+    * for the batch and fails Spark's state-store commit validation on
+    * exactly the crash-recovery restart the marker exists to survive
+    * (found by GenerationFaultSpec's lost-commit injection). One pass
+    * over the (single, replayed) batch; rows are discarded. */
+  private def drainReplay(df: DataFrame): Unit =
+    df.foreach(_ => ())
+
   /** `foreachBatch` function: append the micro-batch unless this
     * (query, batchId) already committed. With `branch` set, micro-
     * batches stage on that branch instead of main — streaming
@@ -57,6 +68,7 @@ object GraftSink {
     table.lock.synchronized {
       if (!lastBatch(table, queryName).exists(_ >= batchId))
         table.appendOp(df, opFor(OpPrefix, queryName, batchId), clock, branch)
+      else drainReplay(df)
     }
 
   /** `foreachBatch` UPSERT function (CDC-stream-into-table): each
@@ -72,6 +84,7 @@ object GraftSink {
     table.lock.synchronized {
       if (!lastBatch(table, queryName).exists(_ >= batchId))
         table.upsertOp(df, keys, opFor(UpsertPrefix, queryName, batchId), clock)
+      else drainReplay(df)
     }
 
   /** `foreachBatch` CDC APPLY tolerant of OUT-OF-ORDER delivery: reduce
