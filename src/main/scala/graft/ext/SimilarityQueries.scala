@@ -1325,7 +1325,54 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  /** Token budget for s21's packed context; ~mean-doc-tokens × 4.7, so
+    * a 10-candidate fused list packs a nontrivial prefix (typically
+    * 4-6 docs) and the budget boundary is exercised on every query. */
+  private val S21TokenBudget = 256L
+
+  /** s21: RAG CONTEXT PACKING — the step between retrieval and the
+    * model call in a production RAG/training-data stack: each query's
+    * fused candidate list (s14, session-cached) is packed into a fixed
+    * token budget in rank order, keeping the maximal prefix whose
+    * running token total fits. One broadcast semi-join prunes the
+    * corpus scan to candidate documents for the token counts
+    * (whitespace tokens — the t-family contract); the packing itself is
+    * a per-query window cumsum over FusedK rows. Zero new corpus
+    * relations: candidates come from the cached fused pass, so at
+    * 100 TB the only corpus touch is the id-pruned token-count scan. */
+  def s21ContextPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cands = s14FusedRel(s, dir).select($"query_id", $"frank", $"doc_id")
+    val toks = t(s, dir, "documents")
+      .join(broadcast(cands.select($"doc_id").distinct()), Seq("doc_id"))
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("doc_tokens"))
+    val wcum = Window.partitionBy($"query_id").orderBy($"frank")
+    cands.join(broadcast(toks), Seq("doc_id"))
+      .withColumn("cum_tokens", sum($"doc_tokens").over(wcum))
+      .filter($"cum_tokens" <= S21TokenBudget)
+      .select($"query_id", $"frank", $"doc_id", $"doc_tokens", $"cum_tokens")
+      .orderBy($"query_id", $"frank")
+  }
+
+  private lazy val s21OracleSql: String =
+    s"""WITH fused AS (
+      |  SELECT query_id, frank, doc_id FROM ($s14OracleSql)),
+      |toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_tokens
+      |  FROM documents WHERE doc_id IN (SELECT doc_id FROM fused)),
+      |packed AS (
+      |  SELECT f.query_id, f.frank, f.doc_id, t.doc_tokens,
+      |    CAST(sum(t.doc_tokens) OVER (
+      |      PARTITION BY f.query_id ORDER BY f.frank) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM fused f JOIN toks t USING (doc_id))
+      |SELECT query_id, frank, doc_id, doc_tokens, cum_tokens
+      |FROM packed WHERE cum_tokens <= $S21TokenBudget
+      |ORDER BY query_id, frank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_context_pack" -> (s21ContextPack _),
     "s20_learned_rerank" -> (s20LearnedRerank _),
     "s19_diverse_sample" -> (s19DiverseSample _),
     "s18_ndcg_eval" -> (s18NdcgEval _),
@@ -1641,6 +1688,7 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s21_context_pack" -> s21OracleSql,
     "s20_learned_rerank" -> s20OracleSql,
     "s16_ivfpq_topk" -> s16OracleSql,
     "s15_probe_sweep" -> s15OracleSql,

@@ -10,6 +10,40 @@ import graft.ext.{ClusterQueries, DedupQueries, TextQueries}
   */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("s21 packs the MAXIMAL budget-fitting prefix of each fused list") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val packed = graft.ext.SimilarityQueries
+      .queries("s21_context_pack")(spark, sf).collect()
+    assert(packed.nonEmpty)
+    val byQ = packed.groupBy(_.getLong(0))
+    // prefix property: ranks are 1..n with no gaps, cumsum consistent
+    byQ.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq,
+        s"query $q packed a non-prefix of the fused ranking")
+      val cum = rows.sortBy(_.getLong(1)).map(_.getLong(3)).scanLeft(0L)(_ + _)
+      assert(rows.sortBy(_.getLong(1)).map(_.getLong(4)).toSeq == cum.tail.toSeq)
+    }
+    // maximality: the first UNPACKED candidate (if any) must overflow
+    val fused = graft.ext.SimilarityQueries
+      .queries("s14_hybrid_rrf")(spark, sf)
+      .select(col("query_id"), col("frank"), col("doc_id")).collect()
+    val toks = graft.rel.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fused.groupBy(_.getLong(0)).foreach { case (q, cands) =>
+      val packedN = byQ.get(q).map(_.length).getOrElse(0)
+      val packedSum = byQ.get(q)
+        .map(_.map(_.getLong(3)).sum).getOrElse(0L)
+      cands.sortBy(_.getLong(1)).drop(packedN).headOption.foreach { next =>
+        assert(packedSum + toks(next.getLong(2)) > 256L,
+          s"query $q stopped early: next candidate still fits the budget")
+      }
+    }
+  }
+
   test("d12 flags documents covered by a cross-document template 3-gram") {
     import spark.implicits._
     val dir = tmpDir("boiler")
