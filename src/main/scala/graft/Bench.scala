@@ -26,6 +26,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pre-r16 hashCode-keyed fixture dirs are permanently orphaned by
+    // the key8 rename — sweep them once per run (age-gated)
+    Fixtures.reapLegacyNames()
     val t0 = System.nanoTime()
     // a failing entry would otherwise just read as a suspiciously FAST
     // time (the catch swallows it) — record names durably instead

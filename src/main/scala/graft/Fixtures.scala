@@ -19,24 +19,30 @@ private[graft] object Fixtures {
   private val jvmLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** How long a SUPERSEDED generation must sit untouched before
-    * [[reapStaleSiblings]] reclaims it. Readers derive every generation
-    * path from the CURRENT source fingerprint and materialize within
-    * seconds of planning, so hours of slack is already conservative —
-    * the window exists for the pathological replan-after-regeneration
-    * straggler. */
+  /** How long a superseded generation must remain unclaimed AFTER its
+    * supersession is first OBSERVED (the [[SupersededMarker]] stamp)
+    * before [[reapStaleSiblings]] reclaims it. The clock starts at
+    * observation, not at the generation's build time, so an in-flight
+    * reader that planned against the old generation moments before the
+    * new one landed always gets the full window — readers never bump
+    * mtimes, so age-since-build alone could delete a generation that
+    * was serving reads a second earlier. */
   val ReapAgeMs: Long = 6L * 3600 * 1000
 
-  /** Opportunistic reaper for superseded fingerprint-keyed generations
-    * (ADVICE r15): tmpdir siblings named `prefix*` OTHER than
-    * `keepName` — i.e. same tag + source-dir key, different source
-    * fingerprint — whose newest mtime is older than `ageMs` are
-    * deleted, bounding tmpdir growth on long-lived boxes to the live
-    * generation per (tag, source). Call while holding the CURRENT
-    * generation's file lock: old-fingerprint generations can gain no
-    * new writer (the fingerprint derives from source mtimes, which
-    * never revert), so age alone certifies them dead. A sibling's
-    * `.lock` file goes only once its directory is gone. */
+  private val SupersededMarker = ".graft_superseded"
+
+  /** Opportunistic two-phase reaper for superseded fingerprint-keyed
+    * generations (ADVICE r15): tmpdir siblings named `prefix*` OTHER
+    * than `keepName` — same tag + source-dir key, different source
+    * fingerprint. First sighting stamps a [[SupersededMarker]] into the
+    * sibling and leaves it; a later call deletes it once EVERYTHING in
+    * it (marker included) has been cold for `ageMs` — bounding tmpdir
+    * growth on long-lived boxes to the live generation (plus at most
+    * one reap-window of lag) per (tag, source). Call while holding the
+    * CURRENT generation's file lock: old-fingerprint generations can
+    * gain no new writer (the fingerprint derives from source mtimes,
+    * which never revert), so marker age certifies them dead. A
+    * sibling's `.lock` file goes only once its directory is gone. */
   def reapStaleSiblings(keepName: String, prefix: String,
                         ageMs: Long = ReapAgeMs): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -46,22 +52,60 @@ private[graft] object Fixtures {
         (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
           .map(newest).toSeq).max
       else f.lastModified()
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-      f.delete(); ()
-    }
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       if (n.startsWith(prefix) && n != keepName && n != s"$keepName.lock") {
-        val isStaleDir = f.isDirectory && now - newest(f) > ageMs
-        // a dangling lock file: its generation is gone and nobody has
-        // touched it for the window (builders create their dir promptly)
-        val isStaleLock = !f.isDirectory && n.endsWith(".lock") &&
+        if (f.isDirectory) {
+          val marker = new java.io.File(f, SupersededMarker)
+          if (!marker.exists())
+            // phase 1: observed superseded — start its clock
+            (try marker.createNewFile() catch { case _: Exception => false })
+          else if (now - newest(f) > ageMs)
+            // phase 2: a full window has passed since observation (the
+            // marker's own mtime is included in newest), nothing inside
+            // moved — dead
+            rmRf(f)
+        } else if (n.endsWith(".lock") &&
           !new java.io.File(tmp, n.stripSuffix(".lock")).exists() &&
-          now - f.lastModified() > ageMs
-        if (isStaleDir || isStaleLock) rmRf(f)
+          now - f.lastModified() > ageMs) {
+          // a dangling lock file: its generation is gone and nobody has
+          // touched it for the window
+          rmRf(f)
+        }
       }
+    }
+  }
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+    f.delete(); ()
+  }
+
+  /** One-time sweep for fixture dirs keyed by the PRE-r16 naming scheme
+    * (`math.abs(String.hashCode)` decimal keys, replaced by
+    * [[key8]] MD5 hex): nothing can ever reference or rebuild those
+    * names again, so on long-lived boxes they are a permanent leak the
+    * age-gated sibling reaper cannot see (its prefixes now carry hex
+    * keys). Decimal keys are 1-10 digits (positive int range); real
+    * key8 values are 16 hex chars, so the patterns cannot collide.
+    * Age-gated like the sibling reaper in case an old-build JVM is
+    * somehow still serving them. Called once per driver entry point
+    * (Bench / Verify). */
+  def reapLegacyNames(ageMs: Long = ReapAgeMs): Unit = {
+    val legacy = ("""graft_(?:pruned|bloom|morread|upsread|bucketed|""" +
+      """evsrc|cdcfeed|st11)_g\d{1,10}|graft_xseed_\w+_\d{1,10}_.*""").r
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val now = System.currentTimeMillis()
+    def newest(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+          .map(newest).toSeq).max
+      else f.lastModified()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && legacy.matches(f.getName) &&
+          now - newest(f) > ageMs)
+        rmRf(f)
     }
   }
 

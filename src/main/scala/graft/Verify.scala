@@ -39,6 +39,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Fixtures.reapLegacyNames() // orphaned pre-r16 hashCode-keyed dirs
     new java.io.File(outDir).mkdirs()
 
     val todo = SparkEntry.queries

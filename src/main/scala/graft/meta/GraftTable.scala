@@ -542,17 +542,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def eqFileInfos(manifests: Seq[String]): Seq[EqFileInfo] = {
     if (manifests.isEmpty) return Seq.empty
     // (data-file path, intro id or null, key names or null, manifest dir)
-    // — per-dir driver reads when gated (the cache makes repeats free);
-    // one distributed scan otherwise, with `_metadata.file_path`
+    // — one aggregate-gated driver read with per-dir attribution when
+    // local; one distributed scan otherwise, with `_metadata.file_path`
     // substituting for the known dir. Defense against zero-row eq files
     // (writers no longer commit them, but a legacy manifest may carry
     // one): null key names → deletes nothing → skip, instead of reading
     // its NULL key record.
-    val locals = manifests.map(m =>
-      ManifestIO.readLocal(spark, Seq(m)).map(rows => m -> rows))
+    val locals = ManifestIO.readLocalByDir(spark, manifests)
     val rows: Seq[(String, java.lang.Long, Seq[String], String)] =
-      if (locals.forall(_.isDefined))
-        locals.flatten.flatMap { case (m, rs) =>
+      if (locals.isDefined)
+        locals.get.flatMap { case (m, rs) =>
           rs.collect { case r if !r.isNullAt(3) =>
             (r.getString(0),
               if (r.isNullAt(7)) null else java.lang.Long.valueOf(r.getLong(7)),
@@ -1056,9 +1055,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def writeManifestFile(manifestDir: Path, df: DataFrame): Unit =
     ManifestIO.localRowsOf(df) match {
       case Some(rows) =>
-        ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(),
-          manifestDir, rows)
-        ManifestIO.cacheSeed(normalize(manifestDir), rows)
+        val written = ManifestIO.writeLocal(fs,
+          spark.sessionState.newHadoopConf(), manifestDir, rows)
+        ManifestIO.cacheSeed(normalize(manifestDir), rows, written)
       case None =>
         df.coalesce(1).write.mode("overwrite").parquet(manifestDir.toString)
         fs.delete(new Path(manifestDir, "_SUCCESS"), false)
@@ -2136,9 +2135,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             if (r.isNullAt(7))
               Row(r(0), r(1), r(2), r(3), r(4), r(5), r(6), id)
             else r)
-          ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(),
-            manifestDir, stamped)
-          ManifestIO.cacheSeed(normalize(manifestDir), stamped)
+          val written = ManifestIO.writeLocal(fs,
+            spark.sessionState.newHadoopConf(), manifestDir, stamped)
+          ManifestIO.cacheSeed(normalize(manifestDir), stamped, written)
           (rows.size.toLong, rows.map(_.getLong(1)).sum,
             rows.map(_.getLong(2)).sum)
         case None =>
@@ -2171,9 +2170,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           case Some(rows) =>
             val stamped = rows.map(r =>
               Row(r(0), r(1), r(2), r(3), r(4), r(5), r(6), id))
-            ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(),
-              eqManifestDir.get, stamped)
-            ManifestIO.cacheSeed(normalize(eqManifestDir.get), stamped)
+            val written = ManifestIO.writeLocal(fs,
+              spark.sessionState.newHadoopConf(), eqManifestDir.get, stamped)
+            ManifestIO.cacheSeed(normalize(eqManifestDir.get), stamped,
+              written)
           case None =>
             src.withColumn("added_snapshot_id", lit(id))
               .coalesce(1).write.mode("overwrite")

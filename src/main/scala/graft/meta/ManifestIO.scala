@@ -81,14 +81,15 @@ object ManifestIO {
     }
   }
 
-  private def cacheGet(path: String): Option[IndexedSeq[Row]] =
-    cache.synchronized(Option(cache.get(path)).map(_._1))
+  private def cacheGet(path: String): Option[(IndexedSeq[Row], Long)] =
+    cache.synchronized(Option(cache.get(path)))
 
-  private[graft] def cacheSeed(path: String, rows: IndexedSeq[Row]): Unit =
-    // size proxy for a just-written manifest: rows are KB-scale; a
-    // conservative flat estimate keeps the accounting simple (the next
-    // cold read re-prices it from the real file length)
-    cachePut(path, rows, rows.size.toLong * 1024L)
+  /** Seed the cache with just-written rows, priced at the REAL bytes
+    * [[writeLocal]] returned — bloom-bearing rows can be ~200 KB each,
+    * so a flat per-row estimate would let the byte bound lie. */
+  private[graft] def cacheSeed(path: String, rows: IndexedSeq[Row],
+                               bytes: Long): Unit =
+    cachePut(path, rows, bytes)
 
   private[meta] def cacheDrop(path: String): Unit =
     cache.synchronized {
@@ -120,45 +121,44 @@ object ManifestIO {
       Seq.empty[Row].asJava, GraftTable.ManifestSchema)
   }
 
-  /** Driver-local read of the given manifest dirs/files, or None when the
-    * uncached portion exceeds the size gate or any file is undecodable
-    * (caller falls back to the distributed read — fallback is always
-    * correct, local is only a latency optimization). */
-  def readLocal(spark: SparkSession, paths: Seq[String]): Option[IndexedSeq[Row]] = {
+  /** Driver-local read of the given manifest dirs/files, or None when
+    * their TOTAL on-disk size (cached entries at their recorded size,
+    * misses at their listed size) exceeds the gate or any file is
+    * undecodable (caller falls back to the distributed read — fallback
+    * is always correct, local is only a latency optimization). */
+  def readLocal(spark: SparkSession, paths: Seq[String]): Option[IndexedSeq[Row]] =
+    readLocalByDir(spark, paths).map(_.flatMap(_._2))
+
+  /** [[readLocal]] with per-dir attribution: (normalized dir path, its
+    * rows) in input order — for callers that need to know which
+    * manifest produced each row (eq-delete planning's legacy intro
+    * derivation). The size gate applies to the AGGREGATE across all
+    * requested dirs, cached or not: a set of individually-small dirs
+    * must not accumulate unbounded rows on the driver in one call. */
+  def readLocalByDir(spark: SparkSession, paths: Seq[String])
+      : Option[IndexedSeq[(String, IndexedSeq[Row])]] = {
     val conf = spark.sessionState.newHadoopConf()
     try {
       val parts = paths.map { p =>
         val key = GraftTable.normalize(p)
         cacheGet(key) match {
-          case Some(rows) => Left(key -> rows)
-          case None => Right(key)
+          case Some((rows, bytes)) => (key, Some(rows), bytes, Seq.empty[Path])
+          case None =>
+            val dir = new Path(key)
+            val fs = dir.getFileSystem(conf)
+            val listed = GraftTable.listFiles(fs, dir)
+            (key, None, listed.map(_.getLen).sum, listed.map(_.getPath))
         }
       }
-      val misses = parts.collect { case Right(k) => k }
-      val missFiles: Map[String, (Seq[Path], Long)] =
-        if (misses.isEmpty) Map.empty
-        else {
-          val listed = misses.map { k =>
-            val dir = new Path(k)
-            val fs = dir.getFileSystem(conf)
-            k -> GraftTable.listFiles(fs, dir).map(f => (f.getPath, f.getLen))
-          }
-          if (listed.iterator.flatMap(_._2.iterator.map(_._2)).sum >
-              LocalReadMaxBytes) return None
-          listed.map { case (k, fl) =>
-            k -> (fl.map(_._1), fl.map(_._2).sum) }.toMap
-        }
-      val out = IndexedSeq.newBuilder[Row]
-      parts.foreach {
-        case Left((_, rows)) => out ++= rows
-        case Right(key) =>
-          val (files, bytes) = missFiles(key)
+      if (parts.iterator.map(_._3).sum > LocalReadMaxBytes) return None
+      Some(parts.toIndexedSeq.map {
+        case (key, Some(rows), _, _) => key -> rows
+        case (key, None, bytes, files) =>
           val rows = files.iterator
             .flatMap(f => readFile(conf, f)).toIndexedSeq
           cachePut(key, rows, bytes)
-          out ++= rows
-      }
-      Some(out.result())
+          key -> rows
+      })
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -232,9 +232,10 @@ object ManifestIO {
     * on the driver, replacing any prior content (mode-overwrite parity
     * with the Spark write it substitutes). Bytes on disk match the Spark
     * write: the encoding runs through Spark's own [[ParquetWriteSupport]].
-    */
+    * @return the written file's length — the cache price for
+    *         [[cacheSeed]] */
   def writeLocal(fs: FileSystem, hadoopConf: Configuration, dir: Path,
-                 rows: Seq[Row]): Unit = {
+                 rows: Seq[Row]): Long = {
     val conf = new Configuration(hadoopConf)
     val schema = GraftTable.ManifestSchema
     ParquetWriteSupport.setSchema(schema, conf)
@@ -255,6 +256,7 @@ object ManifestIO {
       .build()
     try rows.foreach(r => writer.write(toInternal(r).asInstanceOf[InternalRow]))
     finally writer.close()
+    fs.getFileStatus(file).getLen
   }
 
   /** Spark schema of a parquet file (or one file of a dir), read from

@@ -45,16 +45,27 @@ object GraftSink {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
-  /** A replayed (marker-skipped) batch must still be PROCESSED, not
-    * just dropped: the micro-batch frame carries the query's stateful
-    * operators, whose per-partition state commits happen only when the
-    * frame executes — an unexecuted replay leaves zero state commits
-    * for the batch and fails Spark's state-store commit validation on
-    * exactly the crash-recovery restart the marker exists to survive
-    * (found by GenerationFaultSpec's lost-commit injection). One pass
-    * over the (single, replayed) batch; rows are discarded. */
-  private def drainReplay(df: DataFrame): Unit =
-    df.foreach(_ => ())
+  /** A replayed (marker-skipped) STATEFUL batch must still be
+    * PROCESSED, not just dropped: the micro-batch frame carries the
+    * query's stateful operators, whose per-partition state commits
+    * happen only when the frame executes — an unexecuted replay leaves
+    * zero state commits for the batch and fails Spark's state-store
+    * commit validation on exactly the crash-recovery restart the
+    * marker exists to survive (found by GenerationFaultSpec's
+    * lost-commit injection). One pass over the (single, replayed)
+    * batch; rows are discarded. Only true MICRO-BATCH frames drain:
+    * foreachBatch hands the user a LogicalRDD wrapping the in-flight
+    * incremental execution (whose state commits ride on pulling that
+    * RDD — the stateful operators themselves are not visible in the
+    * user-facing plan), whereas the demos' deliberate MANUAL replays
+    * (st03/st11) pass plain batch reads, where draining would just
+    * re-scan the source for nothing — the marker check alone must stay
+    * free for those. */
+  private def drainReplay(df: DataFrame): Unit = {
+    val microBatch = df.queryExecution.logical.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    if (microBatch) df.foreach(_ => ())
+  }
 
   /** `foreachBatch` function: append the micro-batch unless this
     * (query, batchId) already committed. With `branch` set, micro-
@@ -118,15 +129,22 @@ object GraftSink {
       d.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     table.lock.synchronized {
-      // One window pass: the batch's key set (a cheap distinct, no
-      // window) semi-joins the current rows in, then a single `latest`
-      // reduces {batch rows, table row} per key. Reducing the batch
-      // first and again after the union would shuffle+sort twice for
-      // the same result.
-      val cur = table.read
-        .join(df.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      upsertBatch(table, queryName, keys, clock)(
-        latest(df.unionByName(cur)), batchId)
+      // Marker check BEFORE composing: a replayed batch must not pay
+      // the table-side semi-join + window just to be discarded — the
+      // raw micro-batch frame alone carries the stateful lineage whose
+      // state must still commit (drainReplay).
+      if (lastBatch(table, queryName).exists(_ >= batchId)) drainReplay(df)
+      else {
+        // One window pass: the batch's key set (a cheap distinct, no
+        // window) semi-joins the current rows in, then a single
+        // `latest` reduces {batch rows, table row} per key. Reducing
+        // the batch first and again after the union would shuffle+sort
+        // twice for the same result.
+        val cur = table.read
+          .join(df.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        upsertBatch(table, queryName, keys, clock)(
+          latest(df.unionByName(cur)), batchId)
+      }
     }
   }
 }

@@ -29,17 +29,23 @@ class PipelineOpsSpec extends SparkSpec {
     val fused = graft.ext.SimilarityQueries
       .queries("s14_hybrid_rrf")(spark, sf)
       .select(col("query_id"), col("frank"), col("doc_id")).collect()
+    // null text → null token count (size(split(null)) is null); skip
+    // like the production join does, instead of NPE-ing on getLong
     val toks = graft.rel.Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getLong(1)))
+      .toMap
     fused.groupBy(_.getLong(0)).foreach { case (q, cands) =>
       val packedN = byQ.get(q).map(_.length).getOrElse(0)
       val packedSum = byQ.get(q)
         .map(_.map(_.getLong(3)).sum).getOrElse(0L)
       cands.sortBy(_.getLong(1)).drop(packedN).headOption.foreach { next =>
-        assert(packedSum + toks(next.getLong(2)) > 256L,
-          s"query $q stopped early: next candidate still fits the budget")
+        toks.get(next.getLong(2)).foreach { nextToks =>
+          assert(packedSum + nextToks > 256L,
+            s"query $q stopped early: next candidate still fits the budget")
+        }
       }
     }
   }
