@@ -6,37 +6,97 @@ import java.nio.file.attribute.PosixFilePermission._
 import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 
-/** `file:` filesystem with a FORK-FREE setPermission.
+/** `file:` filesystem with FORK-FREE permission handling.
   *
-  * Without libhadoop.so (none ships with Spark), Hadoop's
-  * `RawLocalFileSystem.setPermission` shells out (`exec chmod`) — and
-  * every Spark write job calls it several times through
-  * `FileOutputCommitter.setupJob`/`create` (_temporary dirs, task
-  * files). On the maintenance demos that was ~25 forks per run, a
-  * measurable slice of every commit's latency (JFR `jdk.ProcessStart`,
-  * round 14). This subclass does the same chmod as ONE `java.nio`
-  * syscall. Register with
-  * `spark.hadoop.fs.file.impl = graft.sources.GraftLocalFileSystem`.
-  * Everything else (checksums, rename, listing) is inherited unchanged.
+  * Without libhadoop.so (none ships with Spark), Hadoop's local
+  * filesystem shells out for permissions in BOTH directions:
+  * `setPermission` execs `chmod` (called several times per Spark write
+  * through `FileOutputCommitter`), and every `FileStatus` whose
+  * permission is read — which `listFiles`' LocatedFileStatus does
+  * EAGERLY for every listed file — lazily execs `ls -ld`
+  * (`DeprecatedRawLocalFileStatus.loadPermissionInfoByNonNativeIO`).
+  * On the maintenance demos that was ~25 forks per run on the write
+  * side (JFR `jdk.ProcessStart`, round 14) plus one fork PER LISTED
+  * FILE on the status side (driver stack samples, round 16 — listing
+  * is on every commit's inventory path). This subclass does chmod as
+  * ONE `java.nio` syscall and builds statuses from
+  * `Files.readAttributes` (one statx, permissions included). Register
+  * with `spark.hadoop.fs.file.impl = graft.sources.GraftLocalFileSystem`.
+  * Everything else (checksums, rename) is inherited unchanged.
   */
 final class GraftLocalFileSystem
   extends LocalFileSystem(new GraftRawLocalFileSystem)
 
 final class GraftRawLocalFileSystem extends RawLocalFileSystem {
+  private val PermBits = Seq(
+    0x100 -> OWNER_READ, 0x80 -> OWNER_WRITE, 0x40 -> OWNER_EXECUTE,
+    0x20 -> GROUP_READ, 0x10 -> GROUP_WRITE, 0x8 -> GROUP_EXECUTE,
+    0x4 -> OTHERS_READ, 0x2 -> OTHERS_WRITE, 0x1 -> OTHERS_EXECUTE)
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val bits = permission.toShort.toInt
     // beyond rwxrwxrwx (sticky/setuid) NIO posix perms can't express —
     // fall back to Hadoop's shell path for those rare cases
     if ((bits & ~0x1ff) != 0) { super.setPermission(p, permission); return }
-    val mapping = Seq(
-      0x100 -> OWNER_READ, 0x80 -> OWNER_WRITE, 0x40 -> OWNER_EXECUTE,
-      0x20 -> GROUP_READ, 0x10 -> GROUP_WRITE, 0x8 -> GROUP_EXECUTE,
-      0x4 -> OTHERS_READ, 0x2 -> OTHERS_WRITE, 0x1 -> OTHERS_EXECUTE)
     val perms = new java.util.HashSet[PosixFilePermission]()
-    mapping.foreach { case (bit, perm) =>
+    PermBits.foreach { case (bit, perm) =>
       if ((bits & bit) != 0) perms.add(perm)
     }
     java.nio.file.Files.setPosixFilePermissions(
       java.nio.file.Paths.get(makeQualified(p).toUri.getPath), perms)
+  }
+
+  /** FileStatus from one NIO readAttributes call — size, mtime, atime,
+    * owner, group, AND permission bits eagerly populated, so nothing
+    * downstream (LocatedFileStatus, permission checks) can trigger the
+    * lazy `ls -ld` fork of the deprecated local status. */
+  private def nioStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    val file = pathToFile(f)
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        file.toPath, classOf[java.nio.file.attribute.PosixFileAttributes])
+      var bits = 0
+      val ps = attrs.permissions()
+      PermBits.foreach { case (bit, perm) =>
+        if (ps.contains(perm)) bits |= bit
+      }
+      // Path recipe BYTE-IDENTICAL to the deprecated local status:
+      // Path(osPath).makeQualified(uri, wd) yields an EMPTY-string
+      // authority ("file:///p" as a URI), whereas makeQualified(f) on
+      // an already-schemed path keeps a NULL authority ("file:/p").
+      // Path.toString hides the difference but Path.toUri does not —
+      // and streaming file sources key their seen-files map on the URI
+      // string, so the null-authority form made every checkpointed
+      // file look NEW on restart (one full re-delivery per source:
+      // caught by the driver gate as doubled st09 index rows).
+      val qualified = new Path(file.getPath)
+        .makeQualified(getUri, getWorkingDirectory)
+      new org.apache.hadoop.fs.FileStatus(
+        attrs.size(), attrs.isDirectory, 1, getDefaultBlockSize(f),
+        attrs.lastModifiedTime().toMillis, attrs.lastAccessTime().toMillis,
+        new FsPermission(bits.toShort),
+        attrs.owner().getName, attrs.group().getName,
+        null, qualified)
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new java.io.FileNotFoundException(s"File $f does not exist")
+    }
+  }
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    nioStatus(f)
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val file = pathToFile(f)
+    if (file.isFile) return Array(nioStatus(f))
+    val names = file.list()
+    if (names == null) // not a dir (or vanished): match Hadoop's contract
+      throw new java.io.FileNotFoundException(s"File $f does not exist")
+    // a child deleted between list() and stat (e.g. a concurrent
+    // cleanup) is skipped, matching RawLocalFileSystem's tolerance
+    names.flatMap { n =>
+      try Some(nioStatus(new Path(f, n)))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
   }
 }
