@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: commit-rate probe for the maintenance/CDC sink path —
+  * the number that bounds micro-batch rate at 100 TB/day. Creates a
+  * graft table, appends a seed, then times N small upsert commits
+  * (the st11-shaped micro-batch) and N small append commits, printing
+  * commits/sec and Spark jobs/commit. The metadata work per commit
+  * (manifest write, inventory, log CAS) runs driver-local
+  * (ManifestIO); the remaining jobs are the data writes themselves. */
+object DevCommitRate {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(); ()
+      })
+    import graft.meta.GraftTable
+    val loc = java.nio.file.Files.createTempDirectory("graft_rate")
+      .resolve("t").toString
+    val seed = spark.range(0, 100000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    val t = GraftTable.create(spark, loc, seed.schema)
+    t.append(seed)
+    def probe(tag: String)(commit: Int => Unit): Unit = {
+      // one untimed pass to warm codegen/classloading
+      commit(-1)
+      val j0 = jobs.get(); val t0 = System.nanoTime()
+      (0 until n).foreach(commit)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""[commitrate] {"op":"$tag","n":$n,"sec":$sec%.2f,""" +
+        f""""commits_per_sec":${n / sec}%.1f,""" +
+        f""""jobs_per_commit":${(jobs.get() - j0).toDouble / n}%.1f}""")
+    }
+    probe("upsert") { i =>
+      t.upsert(spark.range(0, 200)
+        .select((col("id") * 131 + i).as("k"), lit(i.toLong).as("v")),
+        Seq("k"))
+    }
+    // the SUSTAINED shape: a long-running upsert stream accumulates one
+    // eq-delete file per commit and degrades unless delete-file
+    // compaction runs periodically (the scheduler's job) — this arm
+    // interleaves it every 10 commits, the production cadence
+    probe("upsert_maintained") { i =>
+      t.upsert(spark.range(0, 200)
+        .select((col("id") * 137 + 31 * i).as("k"), lit(i.toLong).as("v")),
+        Seq("k"))
+      if (i % 10 == 9) { t.rewriteEqDeleteFiles(); t.rewriteDeleteFiles(); () }
+    }
+    probe("append") { i =>
+      t.append(spark.range(0, 200)
+        .select((col("id") + 1000000L * (i + 10)).as("k"),
+          lit(i.toLong).as("v")))
+    }
+    spark.stop()
+  }
+}
