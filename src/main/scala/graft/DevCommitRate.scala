@@ -38,15 +38,18 @@ object DevCommitRate {
       .select(col("id").as("k"), (col("id") % 97).as("v"))
     val t = GraftTable.create(spark, loc, seed.schema)
     t.append(seed)
+    // the listener bus is async: drain it before reading the counter or
+    // the tail commits' job events leak into the next probe's baseline
+    def settledJobs(): Int = { Thread.sleep(1000); jobs.get() }
     def probe(tag: String)(commit: Int => Unit): Unit = {
       // one untimed pass to warm codegen/classloading
       commit(-1)
-      val j0 = jobs.get(); val t0 = System.nanoTime()
+      val j0 = settledJobs(); val t0 = System.nanoTime()
       (0 until n).foreach(commit)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""[commitrate] {"op":"$tag","n":$n,"sec":$sec%.2f,""" +
         f""""commits_per_sec":${n / sec}%.1f,""" +
-        f""""jobs_per_commit":${(jobs.get() - j0).toDouble / n}%.1f}""")
+        f""""jobs_per_commit":${(settledJobs() - j0).toDouble / n}%.1f}""")
     }
     probe("upsert") { i =>
       t.upsert(spark.range(0, 200)

@@ -47,14 +47,19 @@ private[graft] object Fixtures {
                         ageMs: Long = ReapAgeMs): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val now = System.currentTimeMillis()
-    def newest(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
-          .map(newest).toSeq).max
-      else f.lastModified()
+    // self-heal a WRONG stamp on the live generation: a racer still
+    // holding the OLD fingerprint's lock sees the new generation as a
+    // "sibling" and phase-1-stamps it; left in place, that marker would
+    // let the next reap delete a just-superseded generation with no
+    // window. The current generation's own reap clears it.
+    rmRf(new java.io.File(new java.io.File(tmp, keepName), SupersededMarker))
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
-      if (n.startsWith(prefix) && n != keepName && n != s"$keepName.lock") {
+      if (n.startsWith(prefix) && n != keepName && n != s"$keepName.lock" &&
+          // a .build.* dir is a LIVE builder's workspace (m09's atomic
+          // staging), never a superseded generation — stamping it would
+          // bake a marker into the published dir
+          !n.contains(".build.")) {
         if (f.isDirectory) {
           val marker = new java.io.File(f, SupersededMarker)
           if (!marker.exists())
@@ -76,6 +81,12 @@ private[graft] object Fixtures {
     }
   }
 
+  private def newest(f: java.io.File): Long =
+    if (f.isDirectory)
+      (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(newest).toSeq).max
+    else f.lastModified()
+
   private def rmRf(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
@@ -94,17 +105,12 @@ private[graft] object Fixtures {
     * (Bench / Verify). */
   def reapLegacyNames(ageMs: Long = ReapAgeMs): Unit = {
     val legacy = ("""graft_(?:pruned|bloom|morread|upsread|bucketed|""" +
-      """evsrc|cdcfeed|st11)_g\d{1,10}|graft_xseed_\w+_\d{1,10}_.*""").r
+      """evsrc|cdcfeed|st11|part|zorder|joinprune)_g\d{1,10}""" +
+      """(?:\.lock)?|graft_xseed_\w+_\d{1,10}_.*""").r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val now = System.currentTimeMillis()
-    def newest(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
-          .map(newest).toSeq).max
-      else f.lastModified()
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.isDirectory && legacy.matches(f.getName) &&
-          now - newest(f) > ageMs)
+      if (legacy.matches(f.getName) && now - newest(f) > ageMs)
         rmRf(f)
     }
   }

@@ -122,8 +122,7 @@ object ManifestIO {
   }
 
   /** Driver-local read of the given manifest dirs/files, or None when
-    * their TOTAL on-disk size (cached entries at their recorded size,
-    * misses at their listed size) exceeds the gate or any file is
+    * the UNCACHED portion exceeds the size gate or any file is
     * undecodable (caller falls back to the distributed read — fallback
     * is always correct, local is only a latency optimization). */
   def readLocal(spark: SparkSession, paths: Seq[String]): Option[IndexedSeq[Row]] =
@@ -132,9 +131,13 @@ object ManifestIO {
   /** [[readLocal]] with per-dir attribution: (normalized dir path, its
     * rows) in input order — for callers that need to know which
     * manifest produced each row (eq-delete planning's legacy intro
-    * derivation). The size gate applies to the AGGREGATE across all
-    * requested dirs, cached or not: a set of individually-small dirs
-    * must not accumulate unbounded rows on the driver in one call. */
+    * derivation). The size gate applies to the aggregate MISS bytes
+    * across all requested dirs: a set of individually-small uncached
+    * dirs must not accumulate unbounded fresh rows on the driver in one
+    * call, while CACHE-resident rows are already on the driver and cost
+    * nothing to return — gating them would just demote a fully-warm
+    * manifest set to a distributed re-read forever (worst case returned
+    * from cache = the cache's own 256 MB byte bound). */
   def readLocalByDir(spark: SparkSession, paths: Seq[String])
       : Option[IndexedSeq[(String, IndexedSeq[Row])]] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -150,7 +153,8 @@ object ManifestIO {
             (key, None, listed.map(_.getLen).sum, listed.map(_.getPath))
         }
       }
-      if (parts.iterator.map(_._3).sum > LocalReadMaxBytes) return None
+      if (parts.iterator.filter(_._2.isEmpty).map(_._3).sum >
+          LocalReadMaxBytes) return None
       Some(parts.toIndexedSeq.map {
         case (key, Some(rows), _, _) => key -> rows
         case (key, None, bytes, files) =>

@@ -93,9 +93,12 @@ final class GraftRawLocalFileSystem extends RawLocalFileSystem {
     if (names == null) // not a dir (or vanished): match Hadoop's contract
       throw new java.io.FileNotFoundException(s"File $f does not exist")
     // a child deleted between list() and stat (e.g. a concurrent
-    // cleanup) is skipped, matching RawLocalFileSystem's tolerance
+    // cleanup) is skipped, matching RawLocalFileSystem's tolerance.
+    // Child names wrap in Path(null, null, name) — Hadoop's own listing
+    // recipe — so a ':' in a filename is a name character, not a URI
+    // scheme separator (Path(parent, String) would parse it as one).
     names.flatMap { n =>
-      try Some(nioStatus(new Path(f, n)))
+      try Some(nioStatus(new Path(f, new Path(null, null, n))))
       catch { case _: java.io.FileNotFoundException => None }
     }
   }

@@ -82,6 +82,23 @@ class FixturesReaperSpec extends SparkSpec {
     } finally Seq(keep, sib).foreach(rm)
   }
 
+  test("a wrong stamp on the live generation self-heals; .build dirs never stamp") {
+    val prefix = s"graft_reapspec3_${System.nanoTime()}_"
+    val keep = mkGen(s"${prefix}ffffffffffffffff", 100L * 3600 * 1000)
+    val build = mkGen(s"${prefix}aaaaaaaaaaaaaaaa.build.deadbeef",
+      100L * 3600 * 1000)
+    // a stale-fingerprint racer stamped the CURRENT generation
+    Files.writeString(keep.toPath.resolve(".graft_superseded"), "")
+    try {
+      Fixtures.reapStaleSiblings(keep.getName, prefix)
+      assert(!new java.io.File(keep, ".graft_superseded").exists(),
+        "the live generation's reap must clear a racer's wrong stamp")
+      assert(build.exists() &&
+        !new java.io.File(build, ".graft_superseded").exists(),
+        "a live builder's .build.* dir is never stamped or touched")
+    } finally Seq(keep, build).foreach(rm)
+  }
+
   test("legacy hashCode-keyed fixture names reap once cold") {
     val d1 = mkGen("graft_pruned_g12345678", 100L * 3600 * 1000)
     val d2 = mkGen("graft_xseed_x12_987654321_v9-static", 100L * 3600 * 1000)
