@@ -709,14 +709,23 @@ object SimilarityQueries {
 
   def s11PqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dists = pqDistRel(s, dir)
+    // Both inputs are BOUNDED derivatives of the corpus×codebook
+    // distance expansion (vecs × subspaces codes; queries × subspaces ×
+    // cells distance table) — session-cache them so repeated calls pay
+    // the broadcast join + top-k only, never the 10M-row expansion
+    // (the d26_sig convention; the expansion itself must not be cached,
+    // it is corpus × cells scale).
     // argmin per (vector, subspace): min of (di, c) structs — an
     // aggregate with partial combines, not a corpus window
-    val enc = dists.groupBy($"vec_id", $"m")
-      .agg(min(struct($"di", $"c")).as("mc"))
-      .select($"vec_id", $"m", $"mc.c".as("code"))
-    val qdt = dists.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"m".as("qm"), $"c".as("qc"), $"di")
+    val enc = RelCache.cached(s, s"$dir#s11_enc") {
+      pqDistRel(s, dir).groupBy($"vec_id", $"m")
+        .agg(min(struct($"di", $"c")).as("mc"))
+        .select($"vec_id", $"m", $"mc.c".as("code"))
+    }
+    val qdt = RelCache.cached(s, s"$dir#s11_qdt") {
+      pqDistRel(s, dir).filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"m".as("qm"), $"c".as("qc"), $"di")
+    }
     val scored = enc
       .join(broadcast(qdt), $"m" === $"qm" && $"code" === $"qc")
       .filter($"vec_id" =!= $"query_id")

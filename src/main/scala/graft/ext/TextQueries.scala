@@ -950,27 +950,34 @@ object TextQueries {
     * the corpus; rounds cost O(|vocab|) each, independent of corpus
     * size. The pair aggregate is aggregate-only (no corpus window) —
     * pinned in PlanShapeSpec. */
-  def t23BpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    var enc = t23EncodedVocab(s, dir)
-    val rules = Seq.newBuilder[(Long, String, String, Long)]
-    var step = 1
-    var exhausted = false
-    while (step <= BpeTrainRounds && !exhausted) {
-      t23PairCounts(enc).orderBy($"c".desc, $"a", $"b").limit(1)
-        .collect().headOption match {
-        case Some(r) =>
-          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
-          rules += ((step.toLong, a.stripPrefix("_"), b.stripPrefix("_"), c))
-          enc = enc.withColumn("enc",
-            replace($"enc", lit(s"$a $b "), lit(s"$a${b.stripPrefix("_")} ")))
-          step += 1
-        case None => exhausted = true
+  def t23BpeTrain(s: SparkSession, dir: String): DataFrame =
+    t23Merges(s, dir).orderBy("step")
+
+  /** The learned merge table — a pure function of the corpus, so the
+    * TRAINING LOOP (rounds × pair-count jobs) runs once per session and
+    * every later t23/t24 call reads the O(rounds) cached result (the
+    * d26_sig convention). */
+  private def t23Merges(s: SparkSession, dir: String): DataFrame =
+    RelCache.cached(s, s"$dir#t23_merges") {
+      import s.implicits._
+      var enc = t23EncodedVocab(s, dir)
+      val rules = Seq.newBuilder[(Long, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeTrainRounds && !exhausted) {
+        t23PairCounts(enc).orderBy($"c".desc, $"a", $"b").limit(1)
+          .collect().headOption match {
+          case Some(r) =>
+            val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+            rules += ((step.toLong, a.stripPrefix("_"), b.stripPrefix("_"), c))
+            enc = enc.withColumn("enc",
+              replace($"enc", lit(s"$a $b "), lit(s"$a${b.stripPrefix("_")} ")))
+            step += 1
+          case None => exhausted = true
+        }
       }
+      rules.result().toDF("step", "token_a", "token_b", "n_pair")
     }
-    rules.result().toDF("step", "token_a", "token_b", "n_pair")
-      .orderBy($"step")
-  }
 
   /** LEARNED-BPE APPLICATION (t24): tokenize the corpus with the merge
     * table [[t23BpeTrain]] just induced — the full train→apply loop
@@ -985,7 +992,7 @@ object TextQueries {
     * rounds (a corpus so degenerate that pair counting runs dry would
     * apply fewer rules). */
   def t24LearnedBpeApply(s: SparkSession, dir: String): DataFrame = {
-    val merges = t23BpeTrain(s, dir).collect()
+    val merges = t23Merges(s, dir).orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     // loud, not divergent: a corpus that exhausts pair counting early
     // would silently apply fewer rules here while the unrolled oracle
