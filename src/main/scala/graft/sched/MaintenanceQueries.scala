@@ -212,6 +212,47 @@ object MaintenanceQueries {
       .orderBy("p_partkey")
   }
 
+  /** Compaction PLANNING (x22) — the metadata-only half of Iceberg's
+    * rewrite_data_files: given the live file inventory, decide WHICH
+    * small files would compact and how they bin-pack, without reading
+    * one data byte (Iceberg's planFileGroups; the reference reaches the
+    * execution half via `optimize`, __main__.py:161-177 — this entry
+    * answers the "what would it rewrite" question an operator asks
+    * first at 100 TB, where the plan must come from manifests alone).
+    * Six single-file appends of modulo key slices (two large, four
+    * small) give a file layout whose per-file row counts the oracle
+    * recomputes from the part table; the planner marks files under 10%
+    * of table rows as candidates and packs them, in commit order, into
+    * bins of 15% of table rows (bin = completed-target prefix count —
+    * exact BIGINT division, no floats). The whole plan is a projection
+    * of the `files` metadata relation: one window cumsum over the
+    * candidate list, zero data-file scans. */
+  private def compactionPlanDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t = GraftTable.create(spark, freshDir("compactplan"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    // big, small x4, big — each append lands exactly one file
+    t.append(df.filter(col("p_partkey") % 20 < 10).repartition(1), t0)
+    (10 to 13).foreach(m =>
+      t.append(df.filter(col("p_partkey") % 20 === m).repartition(1), t0))
+    t.append(df.filter(col("p_partkey") % 20 > 13).repartition(1), t0)
+    val total = t.rowCount
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("added_snapshot_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.files
+      .filter(col("record_count") * 10 < lit(total))
+      .withColumn("cum", sum(col("record_count")).over(w))
+      .withColumn("bin", expr(s"(cum - record_count) div ($total * 3 div 20)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("record_count")).as("rows_to_rewrite"),
+        min(col("added_snapshot_id")).as("first_snapshot"),
+        max(col("added_snapshot_id")).as("last_snapshot"))
+      .orderBy("bin")
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1006,6 +1047,7 @@ object MaintenanceQueries {
     "x11_cdc_read" -> (cdcDemo _),
     "x10_mor_delete" -> (morDeleteDemo _),
     "x09_incremental_read" -> (incrementalReadDemo _),
+    "x22_compaction_plan" -> (compactionPlanDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1114,6 +1156,28 @@ object MaintenanceQueries {
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
         |  CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "x22_compaction_plan" ->
+      // per-file row counts recomputed from the modulo slices, same
+      // candidate filter and exact-BIGINT bin arithmetic as the planner
+      """WITH slices(sid, cnt) AS (
+        |  SELECT 2, count(*) FROM part WHERE p_partkey % 20 = 10 UNION ALL
+        |  SELECT 3, count(*) FROM part WHERE p_partkey % 20 = 11 UNION ALL
+        |  SELECT 4, count(*) FROM part WHERE p_partkey % 20 = 12 UNION ALL
+        |  SELECT 5, count(*) FROM part WHERE p_partkey % 20 = 13),
+        |tot AS (SELECT count(*) AS total FROM part),
+        |cand AS (
+        |  SELECT sid, cnt,
+        |    sum(cnt) OVER (ORDER BY sid) AS cum, total
+        |  FROM slices, tot WHERE cnt * 10 < total),
+        |binned AS (
+        |  SELECT sid, cnt, (cum - cnt) // (total * 3 // 20) AS bin
+        |  FROM cand)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  count(*) AS n_files,
+        |  CAST(sum(cnt) AS BIGINT) AS rows_to_rewrite,
+        |  CAST(min(sid) AS BIGINT) AS first_snapshot,
+        |  CAST(max(sid) AS BIGINT) AS last_snapshot
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     "x02_expire_snapshots" ->
       """WITH c AS (SELECT
         |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,

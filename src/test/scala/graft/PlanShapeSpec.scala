@@ -34,6 +34,17 @@ class PlanShapeSpec extends SparkSpec {
     walkPlan(df.queryExecution.executedPlan)
   }
 
+  test("x22: compaction planning is metadata-only — zero data-file scans") {
+    val nodes = allNodes(graft.sched.MaintenanceQueries
+      .queries("x22_compaction_plan")(spark, sf))
+    // the PLAN must come from the files metadata relation alone
+    // (Iceberg's planFileGroups): any FileSourceScan here would mean
+    // the planner read data (or manifest parquet despite the local
+    // gate) to decide what to rewrite
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "compaction planning must not scan any file")
+  }
+
   test("q01: ship-date filter pushed into the parquet scan; columns pruned") {
     val scans = allNodes(RelQueries.q01PricingSummary(spark, sf))
       .collect { case f: FileSourceScanExec => f }
