@@ -56,20 +56,8 @@ object ExpireSnapshots {
       }
 
       val spark = table.spark
-      // Delete manifests ride along: position-delete files live under
-      // data/ and are reclaimed by exactly the same set algebra.
-      def manifestPathsOf(s: graft.meta.Snapshot) =
-        s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests
-      def manifests(ss: Seq[graft.meta.Snapshot]) = {
-        val paths = ss.flatMap(manifestPathsOf).distinct
-        if (paths.isEmpty) table.emptyManifest
-        else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
-      }
-
       import spark.implicits._
-      val doomed = manifests(expired).select("path").distinct()
-        .join(manifests(retained).select("path"), Seq("path"), "left_anti")
-        .as[String]
+      val doomed = reclaimable(table, expired, retained).as[String]
       // Executors must see the session's Hadoop conf (s3a credentials,
       // endpoints, …), not a from-scratch Configuration.
       val confB = spark.sparkContext.broadcast(
@@ -91,4 +79,55 @@ object ExpireSnapshots {
         .foreach(p => table.fileSystem.delete(new Path(p), true))
       deleted.value
     }
+
+  private def manifestPathsOf(s: graft.meta.Snapshot) =
+    s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests
+
+  /** Paths of data (and position-delete) files ONLY expired snapshots
+    * reference — the retention set algebra, over the manifest
+    * relations (ManifestIO: driver-local LocalRelations under the size
+    * gate, distributed parquet above it — the delete fan-out and this
+    * planning share one shape). */
+  private def reclaimable(table: GraftTable,
+                          expired: Seq[graft.meta.Snapshot],
+                          retained: Seq[graft.meta.Snapshot])
+      : org.apache.spark.sql.DataFrame = {
+    def manifests(ss: Seq[graft.meta.Snapshot]) =
+      graft.meta.ManifestIO.relation(table.spark,
+        ss.flatMap(manifestPathsOf).distinct)
+    manifests(expired).select("path").distinct()
+      .join(manifests(retained).select("path"), Seq("path"), "left_anti")
+  }
+
+  /** DRY RUN (the x22 planning pattern applied to retention): which
+    * snapshots WOULD expire under `retentionDays` at `clock`, and how
+    * many data files that would reclaim — metadata-only, the table is
+    * not touched. One row per snapshot in id order, with the
+    * reclaimable count broadcast onto every row (the x02 demo shape).
+    * At 100 TB this is the question an operator answers BEFORE running
+    * the irreversible expiry: both the partition and the set algebra
+    * read only snapshot-log metadata and manifests. */
+  def plan(table: GraftTable, retentionDays: Int,
+           clock: Clock): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = table.spark
+    import spark.implicits._
+    val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
+    val (_, st) = SnapshotLog.readState(table.fileSystem, table.dir)
+    val all = st.snapshots
+    val currentId = SnapshotLog.current(all).map(_.snapshotId).getOrElse(-1L)
+    val refIds = st.refs.values.toSet ++ st.tags.values
+    val (expired, retained) = all.partition(s =>
+      s.timestampMs < cutoffMs && s.snapshotId != currentId &&
+        !refIds(s.snapshotId))
+    val nReclaimable =
+      if (expired.isEmpty) 0L
+      else reclaimable(table, expired, retained).count()
+    val expIds = expired.map(_.snapshotId).toSet
+    all.map(s => (s.snapshotId, s.operation, s.numFiles,
+        expIds(s.snapshotId))).toDF(
+        "snapshotId", "operation", "numFiles", "would_expire")
+      .withColumn("reclaimable_files", lit(nReclaimable))
+      .orderBy("snapshotId")
+  }
 }

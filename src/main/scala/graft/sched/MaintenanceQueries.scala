@@ -253,6 +253,33 @@ object MaintenanceQueries {
       .orderBy("bin")
   }
 
+  /** Retention PLANNING (x23) — expire_snapshots as a DRY RUN
+    * ([[graft.cmd.ExpireSnapshots.plan]]): the x02 scenario verbatim
+    * (two appends, a compaction, a fresh append 11 days later), but the
+    * query answers "what WOULD a 5-day retention expire, and how many
+    * files would it reclaim" without touching the table — snapshots 1-3
+    * expire, the current append survives, and exactly the four
+    * pre-compaction files are reclaimable (the compacted file is still
+    * referenced by the survivor). The trailing live-rows column is
+    * computed AFTER planning and proves non-mutation: it must equal the
+    * full pre-plan content. */
+  private def retentionPlanDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t1 = fixedClock(20011) // +11 days
+    val t = GraftTable.create(spark, freshDir("retentionplan"),
+      seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    val a = df.filter(col("p_partkey") <= 100)
+    t.append(a.repartition(2), t0) // s1: 2 files
+    t.append(a.repartition(2), t0) // s2: 2 more (content doubled)
+    t.optimize(clock = t0)         // s3: 1 compacted file
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t1)         // s4: current
+    graft.cmd.ExpireSnapshots.plan(t, retentionDays = 5, clock = t1)
+      .withColumn("live_rows", lit(t.rowCount))
+      .orderBy("snapshotId")
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1048,6 +1075,7 @@ object MaintenanceQueries {
     "x10_mor_delete" -> (morDeleteDemo _),
     "x09_incremental_read" -> (incrementalReadDemo _),
     "x22_compaction_plan" -> (compactionPlanDemo _),
+    "x23_retention_plan" -> (retentionPlanDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1188,6 +1216,23 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS files_deleted, 2*a + b AS live_rows,
         |  a + b AS live_distinct_keys
         |FROM c""".stripMargin,
+    "x23_retention_plan" ->
+      // snapshots 1-3 would expire; the current append survives; the 4
+      // pre-compaction files are reclaimable; live content untouched
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150 THEN 1 END) AS b
+        |  FROM part),
+        |plan(sid, op, nf, exp) AS (
+        |  SELECT 1, 'append', 2, true UNION ALL
+        |  SELECT 2, 'append', 4, true UNION ALL
+        |  SELECT 3, 'optimize', 1, true UNION ALL
+        |  SELECT 4, 'append', 2, false)
+        |SELECT CAST(sid AS BIGINT) AS "snapshotId", op AS operation,
+        |  CAST(nf AS BIGINT) AS "numFiles", exp AS would_expire,
+        |  CAST(4 AS BIGINT) AS reclaimable_files,
+        |  2*a + b AS live_rows
+        |FROM plan, c ORDER BY sid""".stripMargin,
     "x03_remove_orphans" ->
       """WITH c AS (SELECT
         |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS live,
