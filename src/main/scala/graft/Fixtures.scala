@@ -31,6 +31,27 @@ private[graft] object Fixtures {
 
   private val SupersededMarker = ".graft_superseded"
 
+  private val LastReadStamp = ".graft_lastread"
+
+  /** Reader-liveness stamp (ADVICE r16): readers take no lock, so the
+    * reaper's age window used to be INFERRED from build-time mtimes — a
+    * reader idle longer than [[ReapAgeMs]] (paused bench, debugger)
+    * could have the generation it planned against deleted mid-session.
+    * Touching a dot-file on every read-resolve makes liveness OBSERVED:
+    * [[reapStaleSiblings]]'s phase-2 `newest` walk sees the stamp, so a
+    * generation is only reclaimed once a full window has passed since
+    * the last OPEN (dot-files are invisible to Spark's file listing and
+    * to [[graft.meta.GraftTable.listFiles]], so the stamp never changes
+    * what a scan reads). Best-effort: a read-only or vanished dir must
+    * never fail the read itself. */
+  def touchRead(dir: java.io.File): Unit =
+    try {
+      if (dir.isDirectory) {
+        val f = new java.io.File(dir, LastReadStamp)
+        if (!f.createNewFile()) { f.setLastModified(System.currentTimeMillis()); () }
+      }
+    } catch { case _: Exception => () }
+
   /** Opportunistic two-phase reaper for superseded fingerprint-keyed
     * generations (ADVICE r15): tmpdir siblings named `prefix*` OTHER
     * than `keepName` — same tag + source-dir key, different source

@@ -404,6 +404,9 @@ object Multimodal {
           }
         }
       }
+    // reader-liveness stamp: the reaper's phase-2 window restarts from
+    // the last OPEN, not the build time (ADVICE r16)
+    graft.Fixtures.touchRead(new java.io.File(root.toUri.getPath))
     // an empty selection stages zero objects; binaryFile throws on an
     // unmatched glob where the oracle returns an empty relation
     val staged = root.getFileSystem(s.sessionState.newHadoopConf())

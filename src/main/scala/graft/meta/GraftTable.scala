@@ -559,7 +559,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           }
         }
       else
-        manifestDf(manifests)
+        // direct parquet read, NOT manifestDf→ManifestIO.relation: a
+        // retried relation() could serve a LocalRelation (partial cache
+        // warm shrank miss-bytes under the gate), and LocalRelation has
+        // no _metadata column — the file-source scan always does
+        // (ADVICE r16)
+        spark.read.schema(GraftTable.ManifestSchema).parquet(manifests: _*)
           .select(col("path"), col("added_snapshot_id"),
             map_keys(col("null_counts")).as("keys"),
             col("_metadata.file_path").as("mfile"))
@@ -2138,8 +2143,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           val written = ManifestIO.writeLocal(fs,
             spark.sessionState.newHadoopConf(), manifestDir, stamped)
           ManifestIO.cacheSeed(normalize(manifestDir), stamped, written)
-          (rows.size.toLong, rows.map(_.getLong(1)).sum,
-            rows.map(_.getLong(2)).sum)
+          // null-tolerant like the Observation path's coalesce(sum, 0):
+          // a lineage-pass-through frame (rewrite_manifests) may carry a
+          // null stat (ADVICE r16)
+          (rows.size.toLong,
+            rows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum,
+            rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum)
         case None =>
           val obs = new org.apache.spark.sql.Observation(
             s"manifest-${manifestDir.getName}-$attempt")

@@ -149,6 +149,18 @@ object ManifestIO {
           case None =>
             val dir = new Path(key)
             val fs = dir.getFileSystem(conf)
+            // a log-referenced manifest whose dir VANISHED (concurrent
+            // cross-process expiry, corruption) must fail loudly, never
+            // read as zero rows — an empty read here would silently
+            // resurrect MOR-deleted rows (empty delete manifest) or
+            // plan an empty table. Throwing falls through the NonFatal
+            // catch to None WITHOUT caching; the distributed fallback
+            // then fails with PATH_NOT_FOUND, exactly as the pure-Spark
+            // path always did (ADVICE r16). Only an existing-but-empty
+            // dir may yield zero rows.
+            if (!fs.exists(dir))
+              throw new java.io.FileNotFoundException(
+                s"manifest dir does not exist: $key")
             val listed = GraftTable.listFiles(fs, dir)
             (key, None, listed.map(_.getLen).sum, listed.map(_.getPath))
         }

@@ -412,6 +412,11 @@ object StreamOps {
           new org.apache.hadoop.fs.Path(root, "ckpt").toString)
         .start()
       q.awaitTermination()
+      // reader-liveness stamp: the returned DataFrame scans this
+      // generation LAZILY after the lock is released — the stamp makes
+      // the reaper's phase-2 window run from this open, not from the
+      // generation's build time (ADVICE r16)
+      graft.Fixtures.touchRead(new java.io.File(root.toUri.getPath))
       table.read
     }
   }

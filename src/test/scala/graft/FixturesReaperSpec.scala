@@ -82,6 +82,27 @@ class FixturesReaperSpec extends SparkSpec {
     } finally Seq(keep, sib).foreach(rm)
   }
 
+  test("a touchRead reader stamp holds the window open (observed liveness)") {
+    val prefix = s"graft_reapspec4_${System.nanoTime()}_"
+    val keep = mkGen(s"${prefix}ffffffffffffffff", 0L)
+    val sib = mkGen(s"${prefix}aaaaaaaaaaaaaaaa", 100L * 3600 * 1000)
+    try {
+      Fixtures.reapStaleSiblings(keep.getName, prefix) // stamps
+      age(sib, 100L * 3600 * 1000)                     // fully cold...
+      // ...but a reader OPENED it just now (ADVICE r16: liveness is
+      // observed via the stamp, not inferred from build mtimes)
+      Fixtures.touchRead(sib)
+      Fixtures.reapStaleSiblings(keep.getName, prefix)
+      assert(sib.exists(), "a just-read generation must survive the reap")
+      assert(new java.io.File(sib, ".graft_lastread").exists())
+      age(sib, 100L * 3600 * 1000) // reader gone for a full window
+      Fixtures.reapStaleSiblings(keep.getName, prefix)
+      assert(!sib.exists(), "once the READER has been cold a window, reap")
+      // touchRead on a vanished dir is a no-op, never a throw
+      Fixtures.touchRead(sib)
+    } finally Seq(keep, sib).foreach(f => if (f.exists()) rm(f))
+  }
+
   test("a wrong stamp on the live generation self-heals; .build dirs never stamp") {
     val prefix = s"graft_reapspec3_${System.nanoTime()}_"
     val keep = mkGen(s"${prefix}ffffffffffffffff", 100L * 3600 * 1000)

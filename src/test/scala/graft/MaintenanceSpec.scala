@@ -250,6 +250,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(data.toSeq == Seq("a", "b", "c"))
   }
 
+  test("expire plan agrees with run: would_expire == actually-expired, " +
+      "and planning mutates nothing (x23)") {
+    val fx = fixture("expplan")
+    fx.createTable("t")
+    fx.insert("t", ("a", "1"))
+    fx.insert("t", ("b", "2"))
+    fx.table("t").optimize(clock = fx.clock)
+    fx.clock.advanceDays(11)
+    fx.insert("t", ("c", "3"))
+    // also pin a ref: a tagged old snapshot must be retained by BOTH
+    // plan and run (the predicate is shared — this exercises it)
+    fx.table("t").createTag("keep", Some(2L))
+
+    val before = fx.table("t").snapshots.map(_.snapshotId)
+    val plan = graft.cmd.ExpireSnapshots.plan(fx.table("t"), 5, fx.clock)
+      .collect()
+    // planning is a pure read: log untouched, data untouched
+    assert(fx.table("t").snapshots.map(_.snapshotId) == before)
+    assert(fx.table("t").read.collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b", "c"))
+
+    val wouldExpire = plan.filter(_.getAs[Boolean]("would_expire"))
+      .map(_.getAs[Long]("snapshotId")).toSet
+    val plannedReclaim = plan.head.getAs[Long]("reclaimable_files")
+
+    val deleted = fx.table("t").expireSnapshots(5, fx.clock)
+    val after = fx.table("t").snapshots.map(_.snapshotId).toSet
+    // the shared predicate guarantees agreement BY CONSTRUCTION; this
+    // pins it against future drift
+    assert(before.toSet -- after == wouldExpire,
+      "plan's would_expire set must equal run's actually-expired set")
+    assert(deleted == plannedReclaim,
+      "plan's reclaimable count must equal run's deleted count")
+    assert(!wouldExpire.contains(2L), "tag-pinned snapshot never expires")
+  }
+
   test("expire_snapshots with everything inside retention is a no-op") {
     val fx = fixture("expnoop")
     fx.createTable("t")

@@ -63,6 +63,25 @@ class ManifestIOSpec extends SparkSpec {
     assert(norm(back.get) === norm(sampleRows))
   }
 
+  test("a missing manifest dir fails loudly — never reads as zero rows") {
+    val dir = new Path(tmpDir("manifestio"), "vanished")
+    // local read refuses (no silent empty, nothing cached) …
+    assert(ManifestIO.readLocal(spark, Seq(dir.toString)).isEmpty,
+      "a vanished log-referenced manifest must not read as empty — " +
+        "empty delete manifests would resurrect MOR-deleted rows")
+    // … so relation() falls to the distributed read, which fails loudly
+    intercept[Exception] {
+      ManifestIO.relation(spark, Seq(dir.toString)).collect()
+    }
+    // and the miss was NOT cached as empty: once the dir appears, the
+    // same path serves its real rows
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestIO.writeLocal(fs, spark.sessionState.newHadoopConf(), dir,
+      sampleRows)
+    val back = ManifestIO.readLocal(spark, Seq(dir.toString))
+    assert(back.isDefined && norm(back.get) === norm(sampleRows))
+  }
+
   test("relation() under the gate is LocalRelation-backed and filter-foldable") {
     val dir = new Path(tmpDir("manifestio"), "m4")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
