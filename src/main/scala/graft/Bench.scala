@@ -13,6 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val jvm0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,10 +27,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sessionSec = (System.nanoTime() - jvm0) / 1e9
     // pre-r16 hashCode-keyed fixture dirs are permanently orphaned by
     // the key8 rename — sweep them once per run (age-gated)
+    val reap0 = System.nanoTime()
     Fixtures.reapLegacyNames()
+    val reapSec = (System.nanoTime() - reap0) / 1e9
     val t0 = System.nanoTime()
+    // Per-entry warmup attribution (judge r16 item 1: warmup_sec was
+    // missed twice and cannot be decomposed from the committed
+    // artifacts): (start offset into the pool, elapsed) per entry. The
+    // elapsed of a generation-building entry INCLUDES the build and any
+    // wait on a sibling's generation file lock — exactly the wall this
+    // exists to attribute.
+    val wtimes = new java.util.concurrent.ConcurrentHashMap[
+      String, (Double, Double)]()
     // a failing entry would otherwise just read as a suspiciously FAST
     // time (the catch swallows it) — record names durably instead
     import scala.jdk.CollectionConverters._
@@ -54,9 +66,13 @@ object Bench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       entries.map { case (name, fn) =>
         pool.submit(new Runnable {
-          def run(): Unit =
+          def run(): Unit = {
+            val s0 = System.nanoTime()
             try { fn(spark, sfDir).count() }
             catch { case _: Throwable => failed += name }
+            finally wtimes.put(name,
+              ((s0 - t0) / 1e9, (System.nanoTime() - s0) / 1e9))
+          }
         })
       }.foreach(_.get())
       pool.shutdown()
@@ -92,10 +108,26 @@ object Bench {
     // 1-8 ("parsed": null). The full per-query line prints first (and
     // lands durably in the file below); a SHORT summary line — compact
     // enough to always survive the tail — prints last.
+    // Warmup decomposition. warmup_top (the 10 slowest first-touches,
+    // with their pool-start offsets) rides the SHORT summary line so it
+    // survives the driver's ~2000-char stdout tail; the full per-entry
+    // map rides the long line + the durable bench_out file. An entry
+    // near the END of the top list with a LATE start is queue time; an
+    // early start with long elapsed is a real first-touch cost
+    // (generation build, first codegen, commit fsyncs).
+    import scala.jdk.CollectionConverters._
+    def r3(d: Double) = math.round(d * 1000) / 1000.0
+    val wAll = wtimes.asScala.toSeq.sortBy(-_._2._2)
+    val wEntries = wAll.map { case (n, (s, d)) =>
+      s"\"$n\":[${r3(s)},${r3(d)}]" }.mkString("{", ",", "}")
+    val wTop = wAll.take(10).map { case (n, (s, d)) =>
+      s"\"$n\":[${r3(s)},${r3(d)}]" }.mkString("{", ",", "}")
+    val phases = s"""{"session_sec":${r3(sessionSec)},"reap_sec":${r3(
+      reapSec)},"pool_wall_sec":${r3(warmup)}}"""
     val line =
-      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_sec":$warmup,"failed":$fails}"""
+      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_sec":$warmup,"warmup_phases":$phases,"warmup_entries":$wEntries,"failed":$fails}"""
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_sec":$warmup,"n_queries":${results.size},"failed":$fails}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_sec":$warmup,"n_queries":${results.size},"warmup_phases":$phases,"warmup_top":$wTop,"failed":$fails}""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()

@@ -34,35 +34,9 @@ object RemoveOrphanFiles {
   def run(table: GraftTable, retentionDays: Int, clock: Clock): Long =
     table.lock.synchronized {
       val spark = table.spark
-      val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
-      val distributed = spark.conf
-        .getOption("spark.graft.removeOrphans.distributedListing")
-        .exists(_.toBoolean)
       import spark.implicits._
-      val listing =
-        if (distributed) shardedListing(table)
-        else {
-          val listed = GraftTable
-            .listFiles(table.fileSystem, new Path(table.dir, "data"))
-            .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
-          spark.createDataset(listed).toDF("path", "mtime")
-        }
-      if (listing.isEmpty) return 0L
-
-      val referenced = {
-        // includes delete manifests — position-delete files live under
-        // data/ and are referenced storage, not orphans
-        val paths = table.snapshots
-          .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
-          .distinct
-        if (paths.isEmpty) table.emptyManifest
-        else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
-      }.select("path")
-
-      val orphans = listing
-        .filter($"mtime" < cutoffMs)
-        .join(referenced, Seq("path"), "left_anti")
-        .select("path").as[String]
+      val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
+      val orphans = orphanSet(table, cutoffMs).as[String]
 
       // Ship the session's Hadoop conf to executors (credentials/endpoint
       // for non-default filesystems), instead of a from-scratch Configuration.
@@ -79,6 +53,67 @@ object RemoveOrphanFiles {
       }
       deleted.value
     }
+
+  /** THE orphan derivation — one column `path`: files under the
+    * table's `data/` tree older than `cutoffMs` (REAL filesystem
+    * mtimes, matching the reference's retention semantics) that no
+    * snapshot of any age references. One definition shared by [[run]]
+    * (the delete fan-out consumes it) and [[plan]] (the x24 dry run),
+    * so the two can never drift — the x23 shared-predicate contract
+    * applied to orphan reconciliation. Listing + manifest metadata
+    * only; never reads a data byte. */
+  private[graft] def orphanSet(table: GraftTable, cutoffMs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    val distributed = spark.conf
+      .getOption("spark.graft.removeOrphans.distributedListing")
+      .exists(_.toBoolean)
+    val listing =
+      if (distributed) shardedListing(table)
+      else {
+        val listed = GraftTable
+          .listFiles(table.fileSystem, new Path(table.dir, "data"))
+          .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
+        spark.createDataset(listed).toDF("path", "mtime")
+      }
+    val referenced = {
+      // includes delete manifests — position-delete files live under
+      // data/ and are referenced storage, not orphans
+      val paths = table.snapshots
+        .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
+        .distinct
+      if (paths.isEmpty) table.emptyManifest
+      else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
+    }.select("path")
+    listing
+      .filter($"mtime" < cutoffMs)
+      .join(referenced, Seq("path"), "left_anti")
+      .select("path")
+  }
+
+  /** DRY RUN (x24 — the planning trio's third leg beside x22
+    * compaction and x23 retention): what WOULD remove_orphan_files
+    * reclaim under `retentionDays` at `clock`, without deleting
+    * anything — one row: would-delete count, files on disk, and the
+    * referenced-path count the live set is judged against. At 100 TB
+    * the operator reads this before the irreversible sweep: a
+    * surprising `would_delete` (a misconfigured clock, a writer still
+    * landing files) is caught while it is still just a number. */
+  def plan(table: GraftTable, retentionDays: Int,
+           clock: Clock): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
+    val onDisk = GraftTable
+      .listFiles(table.fileSystem, new Path(table.dir, "data")).size.toLong
+    val nReferenced = table.snapshots
+      .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
+      .distinct.size.toLong
+    table.spark.range(1).select(
+      lit(orphanSet(table, cutoffMs).count()).as("would_delete"),
+      lit(onDisk).as("files_on_disk"),
+      lit(nReferenced).as("referenced_manifests"))
+  }
 
   /** Prefix-sharded listing of `data/`: the driver sees only the
     * first-level entries (commit directories); each shard's recursive

@@ -694,6 +694,56 @@ object TextQueries {
       .orderBy($"rank")
   }
 
+  private val GrowthBuckets = 8 // corpus prefixes on the Heaps curve
+
+  /** VOCABULARY GROWTH CURVE (t28): cumulative distinct-word count vs
+    * cumulative token count at [[GrowthBuckets]] corpus prefixes in
+    * doc_id order — the Heaps'-law diagnostic read before sizing a
+    * tokenizer vocabulary (does vocab growth flatten, or is the crawl
+    * still surfacing new domains?) and a cheap dedup anomaly signal (a
+    * heavily duplicated corpus grows measurably sublinearly). Bucket
+    * assignment is exact integer math over the id space —
+    * `(id · B) div (max_id + 1) + 1` — mirrored verbatim in the
+    * oracle, so there is no threshold rounding to disagree about.
+    *
+    * Scale shape: TWO corpus passes, both minimal for the semantics —
+    * (1) first-occurrence per word: explode + min-aggregate, which
+    * partial-combines map-side so the shuffle carries one row per
+    * (mapper, distinct word), the vocabulary, not the token stream;
+    * (2) per-doc token counts: a NARROW projection
+    * (`size(filter(split))`, no explode) into a B-row aggregate. The
+    * curve itself — join, coalesce, running sums — lives on ≤ 2·B
+    * rows. Nothing ever shuffles by word except the vocabulary-sized
+    * min-aggregate, and the max-id scalar rides a broadcast, not a
+    * collect. */
+  def t28VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg((max($"doc_id") + 1L).as("mm"))
+    val wf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(min($"doc_id").as("first_doc"))
+    val vb = wf.crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        expr(s"(first_doc * $GrowthBuckets) div mm + 1"))
+      .groupBy($"bucket").agg(count(lit(1)).as("v"))
+    val db = docs.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"(doc_id * $GrowthBuckets) div mm + 1"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("nd"),
+        sum(size(filter(split($"text", " "), w => w =!= lit(""))))
+          .as("nt"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    db.join(vb, Seq("bucket"), "left")
+      .withColumn("v", coalesce($"v", lit(0L)))
+      .select($"bucket", sum($"nd").over(w).as("n_docs"),
+        sum($"nt").over(w).as("n_tokens"),
+        sum($"v").over(w).as("vocab_size"))
+      .orderBy($"bucket")
+  }
+
   private val HeadCentibits = 800 // head/tail split: 8 bits/token
 
   /** Unigram LM quality scoring (t19): each document scored by its
@@ -1261,6 +1311,7 @@ object TextQueries {
     "t20_bpe_apply" -> (t20BpeApply _),
     "t19_lm_surprisal" -> (t19LmSurprisal _),
     "t18_vocab" -> (t18Vocab _),
+    "t28_vocab_growth" -> (t28VocabGrowth _),
     "t17_relative_filter" -> (t17RelativeFilter _),
     "t16_line_dedup" -> (t16LineDedup _),
     "t15_tfidf_terms" -> (t15TfidfTerms _),
@@ -1641,6 +1692,33 @@ object TextQueries {
         |  count(CASE WHEN avg_centibits > $HeadCentibits THEN 1 END) AS n_tail
         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
     // same (count desc, word asc) total order; coverage is integral
+    "t28_vocab_growth" ->
+      s"""WITH m AS (SELECT max(doc_id) + 1 AS mm FROM documents),
+        |wf AS (
+        |  SELECT word, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |vb AS (
+        |  SELECT (first_doc * $GrowthBuckets) // mm + 1 AS bucket,
+        |    count(*) AS v
+        |  FROM wf, m GROUP BY 1),
+        |db AS (
+        |  SELECT (doc_id * $GrowthBuckets) // mm + 1 AS bucket,
+        |    count(*) AS nd,
+        |    sum(len(list_filter(string_split(text, ' '),
+        |      w -> w <> ''))) AS nt
+        |  FROM documents, m GROUP BY 1),
+        |b AS (
+        |  SELECT db.bucket, nd, nt, coalesce(v, 0) AS v
+        |  FROM db LEFT JOIN vb ON db.bucket = vb.bucket)
+        |SELECT bucket,
+        |  CAST(sum(nd) OVER w AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) OVER w AS BIGINT) AS n_tokens,
+        |  CAST(sum(v) OVER w AS BIGINT) AS vocab_size
+        |FROM b WINDOW w AS (ORDER BY bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
     "t18_vocab" ->
       s"""WITH vocab AS (
         |  SELECT word, count(*) AS n_occ

@@ -280,6 +280,36 @@ object MaintenanceQueries {
       .orderBy("snapshotId")
   }
 
+  /** Orphan-file PLANNING (x24 — the planning trio's third leg beside
+    * x22 compaction and x23 retention): remove_orphan_files as a DRY
+    * RUN ([[graft.cmd.RemoveOrphanFiles.plan]]), sharing `orphanSet`
+    * with the real sweep so plan and run cannot drift. Two committed
+    * appends (3 files) plus one stray uncommitted write give a layout
+    * whose every count the oracle recomputes from the part table; the
+    * far-future clock ages the stray's REAL mtime past the window
+    * (x03's contract). `files_after_plan` is recounted AFTER planning
+    * and must equal `files_on_disk` — the non-mutation proof — and
+    * `live_rows` pins the readable content. */
+  private def orphanPlanDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t1 = fixedClock(40000) // real mtimes must age out (x03's contract)
+    val loc = freshDir("orphanplan")
+    val t = GraftTable.create(spark, loc, seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") <= 100).repartition(2), t0)
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t0)
+    // a failed job's leftover — uncommitted, reclaimable once aged out
+    df.filter(col("p_partkey") <= 10).repartition(1)
+      .write.mode("overwrite").parquet(s"$loc/data/stray")
+    val plan = graft.cmd.RemoveOrphanFiles.plan(t, retentionDays = 5,
+      clock = t1)
+    val after = graft.meta.GraftTable.listFiles(t.fileSystem,
+      new org.apache.hadoop.fs.Path(loc, "data")).size.toLong
+    plan.withColumn("files_after_plan", lit(after))
+      .withColumn("live_rows", lit(t.rowCount))
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1076,6 +1106,7 @@ object MaintenanceQueries {
     "x09_incremental_read" -> (incrementalReadDemo _),
     "x22_compaction_plan" -> (compactionPlanDemo _),
     "x23_retention_plan" -> (retentionPlanDemo _),
+    "x24_orphan_plan" -> (orphanPlanDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1233,6 +1264,19 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS reclaimable_files,
         |  2*a + b AS live_rows
         |FROM plan, c ORDER BY sid""".stripMargin,
+    "x24_orphan_plan" ->
+      // 3 committed files + 1 aged-out stray on disk; 1 would delete;
+      // 2 append manifests referenced; planning touched nothing
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS a,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150 THEN 1 END) AS b
+        |  FROM part)
+        |SELECT CAST(1 AS BIGINT) AS would_delete,
+        |  CAST(4 AS BIGINT) AS files_on_disk,
+        |  CAST(2 AS BIGINT) AS referenced_manifests,
+        |  CAST(4 AS BIGINT) AS files_after_plan,
+        |  a + b AS live_rows
+        |FROM c""".stripMargin,
     "x03_remove_orphans" ->
       """WITH c AS (SELECT
         |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS live,

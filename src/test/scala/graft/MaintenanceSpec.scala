@@ -286,6 +286,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(!wouldExpire.contains(2L), "tag-pinned snapshot never expires")
   }
 
+  test("orphan plan agrees with run: would_delete == actually-deleted, " +
+      "and planning mutates nothing (x24)") {
+    val fx = fixture("orphplan")
+    fx.createTable("t")
+    fx.insert("t", ("a", "1"))
+    fx.insert("t", ("b", "2"))
+    // a stray uncommitted file under data/
+    val stray = new java.io.File(s"${fx.dir}/t/data/stray.parquet")
+    java.nio.file.Files.writeString(stray.toPath, "junk")
+    val future = new TestClock(java.time.Instant.parse("2036-01-01T00:00:00Z"))
+
+    val plan = graft.cmd.RemoveOrphanFiles.plan(fx.table("t"), 5, future)
+      .collect().head
+    // planning is a pure read: the stray is still there, content intact
+    assert(stray.exists())
+    assert(fx.table("t").read.count() == 2)
+    assert(plan.getAs[Long]("would_delete") == 1L)
+    assert(plan.getAs[Long]("files_on_disk") == 3L)
+
+    val deleted = fx.table("t").removeOrphanFiles(5, future)
+    assert(deleted == plan.getAs[Long]("would_delete"),
+      "plan's would_delete must equal run's deleted count (shared orphanSet)")
+    assert(!stray.exists())
+    assert(fx.table("t").read.count() == 2)
+  }
+
   test("expire_snapshots with everything inside retention is a no-op") {
     val fx = fixture("expnoop")
     fx.createTable("t")
