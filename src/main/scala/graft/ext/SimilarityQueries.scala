@@ -491,39 +491,48 @@ object SimilarityQueries {
     *
     * Scale shape: relevance scoring + top-[[MmrCand]] pooling are the
     * s06/s07 distributed kernels (quantized scan, TopKAgg); pairwise
-    * sims live only on the ≤ Cand² per-query pool. The greedy loop is
-    * inherently sequential, so each round picks the arg-max via ONE
-    * struct-max aggregate over the cached pool and collects only the
-    * PICKED rows — bounded K×queries control state on the driver, the
-    * d13-centroid pattern, never data-plane rows. */
+    * sims live only on the ≤ Cand² per-query pool. The greedy loop
+    * itself runs DRIVER-LOCAL over that pool — ≤ queries·Cand rel rows
+    * plus ≤ queries·Cand² pairwise integers, control-plane state whose
+    * size is INDEPENDENT of corpus scale (the d13-centroid bounded-
+    * collect pattern). The alternative — K serial distributed arg-max
+    * rounds over the same cached rows — spends ~K scheduler round-trips
+    * to aggregate ~30k integers: the r17 profile measured 95% of its
+    * 2.2 s warm wall parked in those tiny-stage waits. Selection over a
+    * bounded pool is driver work; only the pooling scans the corpus. */
   def s08MmrRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cand = s08CandidateRel(s, dir)
+      .select($"query_id", $"vec_id", $"rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val pair = s08PairRel(s, dir)
-    // arg-max by (mscore DESC, vec_id ASC): max of (score, -id) structs
-    def pick(df: DataFrame, step: Int): Seq[(Long, Long, Long, Long)] =
-      df.groupBy($"query_id")
-        .agg(max(struct($"mscore".as("sc"), (-$"vec_id").as("nid"))).as("m"))
-        .select($"query_id", $"m.sc", $"m.nid")
-        .collect().toSeq
-        .map(r => (r.getLong(0), step.toLong, -r.getLong(2), r.getLong(1)))
-    var sel = pick(cand.withColumn("mscore",
-      $"rel" * MmrLambdaTenths), 1)
-    for (i <- 2 to MmrK) {
-      val selDf = sel.toDF("query_id", "step", "vec_id", "mmr_score")
-        .select($"query_id", $"vec_id")
-      val rem = cand.join(selDf, Seq("query_id", "vec_id"), "left_anti")
-      val mms = pair
-        .join(broadcast(selDf.withColumnRenamed("vec_id", "b")),
-          Seq("query_id", "b"))
-        .groupBy($"query_id", $"a").agg(max($"pdot").as("mms"))
-      sel = sel ++ pick(
-        rem.join(mms.withColumnRenamed("a", "vec_id"),
-            Seq("query_id", "vec_id"))
-          .withColumn("mscore", $"rel" * MmrLambdaTenths -
-            $"mms" * (10 - MmrLambdaTenths)), i)
+      .select($"query_id", $"a", $"b", $"pdot").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val rows = cand.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      val rel = cs.map { case (_, id, r) => id -> r }.toMap
+      var selected = List.empty[Long]
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      for (step <- 1 to MmrK) {
+        val rem = rel.keySet.diff(selected.toSet)
+        if (rem.nonEmpty) {
+          // arg-max by (mscore DESC, vec_id ASC) — the same total order
+          // the struct-max aggregate used
+          val (bid, bsc) = rem.toSeq.map { id =>
+            val mscore =
+              if (selected.isEmpty) rel(id) * MmrLambdaTenths
+              else rel(id) * MmrLambdaTenths -
+                selected.iterator.map(sid => pair((q, id, sid))).max *
+                  (10 - MmrLambdaTenths)
+            (id, mscore)
+          }.minBy { case (id, sc) => (-sc, id) }
+          out += ((q, step.toLong, bid, bsc))
+          selected ::= bid
+        }
+      }
+      out.result()
     }
-    sel.toDF("query_id", "step", "vec_id", "mmr_score")
+    rows.toDF("query_id", "step", "vec_id", "mmr_score")
       .orderBy($"query_id", $"step")
   }
 
