@@ -1078,7 +1078,45 @@ object DedupQueries {
       .orderBy($"eval_id")
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX (d28): for every pair of sources, how
+    * many distinct hashed shingles they SHARE plus the integer-bp
+    * Jaccard — the corpus-composition diagnostic read before mixture
+    * design and dedup prioritization (two mirrors of the same crawl
+    * surface as a near-10000 bp pair; scraped quotation shows up as an
+    * asymmetric low-Jaccard overlap). Shingles are the d03/d08 hashed
+    * 3-gram sets, so "shared" means the same thing across the whole
+    * dedup family. Only pairs sharing ≥1 shingle appear (inner-join
+    * contract, mirrored in the oracle).
+    *
+    * Scale shape: ONE corpus shingling pass deduped into a distinct
+    * (source, shingle) relation (hash-aggregate, partial combines
+    * map-side); the pair join runs on that DEDUPED relation keyed by
+    * shingle, so per-key fan-out is bounded by #sources² — never
+    * documents² — and the matrix itself is ≤ sources²/2 rows with the
+    * per-source totals broadcast onto it. */
+  def d28SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcSh = cached(s, dir, "d28_src_sh") {
+      t(s, dir, "documents")
+        .select($"source", explode(hashedShingles($"text")).as("sh"))
+        .distinct()
+    }
+    val totals = srcSh.groupBy($"source").agg(count(lit(1)).as("n"))
+    srcSh.toDF("src_a", "sh")
+      .join(srcSh.toDF("src_b", "sh"), Seq("sh"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(totals.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(totals.toDF("src_b", "n_b")), "src_b")
+      .select($"src_a", $"src_b", $"shared_shingles",
+        expr("shared_shingles * 10000 div (n_a + n_b - shared_shingles)")
+          .as("jaccard_bp"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_source_overlap" -> (d28SourceOverlap _),
     "d27_ngram_containment" -> (d27NgramContainment _),
     "d26_minhash_sweep" -> (d26MinhashSweep _),
     "d25_leakage_safe_split" -> (d25LeakageSafeSplit _),
@@ -1485,6 +1523,24 @@ object DedupQueries {
         |FROM base LEFT JOIN cov c USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d08_decontaminate" -> decontaminateOracle,
+    "d28_source_overlap" ->
+      s"""WITH ss AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest($hashedShingleSql) AS sh
+        |    FROM documents)),
+        |tot AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS shared_shingles
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_shingles,
+        |  CAST(shared_shingles * 10000
+        |    // (ta.n + tb.n - shared_shingles) AS BIGINT) AS jaccard_bp
+        |FROM pairs
+        |JOIN tot ta ON ta.source = src_a
+        |JOIN tot tb ON tb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "d27_ngram_containment" ->
       s"""WITH ev AS MATERIALIZED (
         |  SELECT doc_id AS eval_id, unnest($hashedShingleSql) AS sh
