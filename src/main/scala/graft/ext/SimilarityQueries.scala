@@ -959,6 +959,29 @@ object SimilarityQueries {
     }
   }
 
+  /** IVF CELL-BALANCE REPORT (s22): per-cell population, corpus share
+    * in integer bp, and the max/mean skew percentage — the index-health
+    * check an ANN deployment reads alongside s15's recall sweep: a hot
+    * cell (skew ≫ 100%) means probed-cell scan cost is dominated by one
+    * cell and the centroids need retraining; an empty cell is wasted
+    * fanout. Composes the SESSION-CACHED [[s15SlimRel]] assignment —
+    * zero new corpus passes; the report is a NumCells-row aggregate
+    * with the one-row totals broadcast back onto it. All ratios are
+    * exact integer division, mirrored verbatim in the oracle. */
+  def s22CellBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cells = s15SlimRel(s, dir).filter($"crn" === 1)
+      .groupBy($"cell_id").agg(count(lit(1)).as("n_vecs"))
+    cells.crossJoin(broadcast(cells.agg(
+        sum($"n_vecs").as("total"), count(lit(1)).as("n_cells"),
+        max($"n_vecs").as("max_n"))))
+      .select($"cell_id", $"n_vecs",
+        expr("n_vecs * 10000 div total").as("share_bp"),
+        expr("max_n * n_cells * 100 div total").as("skew_pct"))
+      .orderBy($"cell_id")
+  }
+
   /** IVF PROBE SWEEP (s15): recall@nprobe against the exact top-k — the
     * tuning curve every IVF deployment reads before fixing nprobe
     * (recall rises with probes, scan cost rises linearly; the knee is
@@ -1397,6 +1420,7 @@ object SimilarityQueries {
     "s17_matryoshka_topk" -> (s17MatryoshkaTopK _),
     "s16_ivfpq_topk" -> (s16IvfPqTopK _),
     "s15_probe_sweep" -> (s15ProbeSweep _),
+    "s22_cell_balance" -> (s22CellBalance _),
     "s14_hybrid_rrf" -> (s14HybridRrf _),
     "s13_semantic_recall" -> (s13SemanticRecall _),
     "s11_pq_topk" -> (s11PqTopK _),
@@ -1710,6 +1734,29 @@ object SimilarityQueries {
     "s20_learned_rerank" -> s20OracleSql,
     "s16_ivfpq_topk" -> s16OracleSql,
     "s15_probe_sweep" -> s15OracleSql,
+    "s22_cell_balance" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, embedding AS ce, nrm AS cn
+        |          FROM e WHERE vec_id < $NumCells),
+        |sims AS (
+        |  SELECT e.vec_id, cell_id,
+        |    round(${dotSql.format("ce", "embedding")} / (cn * nrm), 6) AS csim
+        |  FROM e, cents),
+        |assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell_id) AS arn
+        |    FROM sims) WHERE arn = 1),
+        |cells AS (
+        |  SELECT cell_id, count(*) AS n_vecs FROM assigned GROUP BY cell_id),
+        |tot AS (SELECT sum(n_vecs) AS total, count(*) AS n_cells,
+        |               max(n_vecs) AS max_n FROM cells)
+        |SELECT cell_id, n_vecs,
+        |  CAST(n_vecs * 10000 // total AS BIGINT) AS share_bp,
+        |  CAST(max_n * n_cells * 100 // total AS BIGINT) AS skew_pct
+        |FROM cells, tot ORDER BY cell_id""".stripMargin,
     "s14_hybrid_rrf" -> s14OracleSql,
     "s13_semantic_recall" ->
       s"""WITH $lshPairCtes,
