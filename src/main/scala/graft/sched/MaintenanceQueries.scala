@@ -310,6 +310,34 @@ object MaintenanceQueries {
       .withColumn("live_rows", lit(t.rowCount))
   }
 
+  /** TIME-TRAVEL READ (x25): the same table read three ways — pinned to
+    * snapshot 1 (`snapshotId`, Iceberg Spark's option spelling), as of
+    * snapshot 1's COMMIT TIMESTAMP (`asOfTimestamp` — Trino's
+    * `FOR TIMESTAMP AS OF`, `__main__.py`'s engine exposes it on every
+    * Iceberg table), and current — all through the DataSource, so
+    * pinned scans keep pushdown and file skipping (TimeTravelReadSpec
+    * pins that separately). The demo's claim: both historical spellings
+    * see exactly the first append's rows and the current read sees
+    * both appends — every cell recomputed from the part table. */
+  private def timeTravelDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val t1 = fixedClock(20001) // +1 day: distinct commit timestamps
+    val loc = freshDir("timetravel")
+    val t = GraftTable.create(spark, loc, seed(spark, sfDir).schema)
+    val df = seed(spark, sfDir)
+    t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)
+    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+      .repartition(1), t1)
+    val s1ts = t.snapshots.find(_.snapshotId == 1L).get.timestampMs
+    def agg(df2: DataFrame, tag: String) =
+      df2.agg(count(lit(1)).as(s"rows_$tag"),
+        sum(col("p_partkey")).as(s"keysum_$tag"))
+    agg(spark.read.format("graft").option("snapshotId", "1").load(loc), "s1")
+      .crossJoin(broadcast(agg(spark.read.format("graft")
+        .option("asOfTimestamp", s1ts.toString).load(loc), "asof")))
+      .crossJoin(broadcast(agg(t.read, "now")))
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1107,6 +1135,7 @@ object MaintenanceQueries {
     "x22_compaction_plan" -> (compactionPlanDemo _),
     "x23_retention_plan" -> (retentionPlanDemo _),
     "x24_orphan_plan" -> (orphanPlanDemo _),
+    "x25_time_travel" -> (timeTravelDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1264,6 +1293,20 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS reclaimable_files,
         |  2*a + b AS live_rows
         |FROM plan, c ORDER BY sid""".stripMargin,
+    "x25_time_travel" ->
+      // both historical spellings see append 1; current sees both
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS na,
+        |  sum(CASE WHEN p_partkey <= 100 THEN p_partkey END) AS ka,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150
+        |    THEN 1 END) AS nb,
+        |  sum(CASE WHEN p_partkey > 100 AND p_partkey <= 150
+        |    THEN p_partkey END) AS kb
+        |  FROM part)
+        |SELECT na AS rows_s1, CAST(ka AS BIGINT) AS keysum_s1,
+        |  na AS rows_asof, CAST(ka AS BIGINT) AS keysum_asof,
+        |  na + nb AS rows_now, CAST(ka + kb AS BIGINT) AS keysum_now
+        |FROM c""".stripMargin,
     "x24_orphan_plan" ->
       // 3 committed files + 1 aged-out stray on disk; 1 would delete;
       // 2 append manifests referenced; planning touched nothing
