@@ -229,14 +229,20 @@ object MaintenanceQueries {
     * candidate list, zero data-file scans. */
   private def compactionPlanDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
-    val t = GraftTable.create(spark, freshDir("compactplan"),
-      seed(spark, sfDir).schema)
-    val df = seed(spark, sfDir)
-    // big, small x4, big — each append lands exactly one file
-    t.append(df.filter(col("p_partkey") % 20 < 10).repartition(1), t0)
-    (10 to 13).foreach(m =>
-      t.append(df.filter(col("p_partkey") % 20 === m).repartition(1), t0))
-    t.append(df.filter(col("p_partkey") % 20 > 13).repartition(1), t0)
+    // planning never mutates, so the six-append layout is pure SEED —
+    // build once per (source fp), clone metadata per run (r17; the
+    // plan query below is the demo's live claim)
+    val base = clonedSeed(spark, sfDir, "cplan", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      // big, small x4, big — each append lands exactly one file
+      t.append(df.filter(col("p_partkey") % 20 < 10).repartition(1), t0)
+      (10 to 13).foreach(m =>
+        t.append(df.filter(col("p_partkey") % 20 === m).repartition(1), t0))
+      t.append(df.filter(col("p_partkey") % 20 > 13).repartition(1), t0)
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
     val total = t.rowCount
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("added_snapshot_id"))
@@ -266,15 +272,19 @@ object MaintenanceQueries {
   private def retentionPlanDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val t1 = fixedClock(20011) // +11 days
-    val t = GraftTable.create(spark, freshDir("retentionplan"),
-      seed(spark, sfDir).schema)
-    val df = seed(spark, sfDir)
-    val a = df.filter(col("p_partkey") <= 100)
-    t.append(a.repartition(2), t0) // s1: 2 files
-    t.append(a.repartition(2), t0) // s2: 2 more (content doubled)
-    t.optimize(clock = t0)         // s3: 1 compacted file
-    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
-      .repartition(1), t1)         // s4: current
+    // planning never mutates: the x02 scenario is pure seed (r17)
+    val base = clonedSeed(spark, sfDir, "rplan", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      val a = df.filter(col("p_partkey") <= 100)
+      t.append(a.repartition(2), t0) // s1: 2 files
+      t.append(a.repartition(2), t0) // s2: 2 more (content doubled)
+      t.optimize(clock = t0)         // s3: 1 compacted file
+      t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+        .repartition(1), t1)         // s4: current
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
     graft.cmd.ExpireSnapshots.plan(t, retentionDays = 5, clock = t1)
       .withColumn("live_rows", lit(t.rowCount))
       .orderBy("snapshotId")
@@ -322,12 +332,17 @@ object MaintenanceQueries {
   private def timeTravelDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val t1 = fixedClock(20001) // +1 day: distinct commit timestamps
-    val loc = freshDir("timetravel")
-    val t = GraftTable.create(spark, loc, seed(spark, sfDir).schema)
-    val df = seed(spark, sfDir)
-    t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)
-    t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
-      .repartition(1), t1)
+    // pinned reads never mutate: the two-append history is pure seed (r17)
+    val base = clonedSeed(spark, sfDir, "ttravel", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)
+      t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+        .repartition(1), t1)
+    }
+    val loc = base.resolve("t").toString
+    val t = GraftTable.load(spark, loc)
     val s1ts = t.snapshots.find(_.snapshotId == 1L).get.timestampMs
     def agg(df2: DataFrame, tag: String) =
       df2.agg(count(lit(1)).as(s"rows_$tag"),
