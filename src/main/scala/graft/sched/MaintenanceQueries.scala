@@ -353,6 +353,46 @@ object MaintenanceQueries {
       .crossJoin(broadcast(agg(t.read, "now")))
   }
 
+  /** METADATA-ONLY COUNT (x26 — [[graft.sources.GraftCountRule]]): a
+    * global unfiltered `count(*)` over a graft scan folds to the pinned
+    * snapshot's row count at optimization time — a LocalRelation, zero
+    * data files read, zero tasks — the way Iceberg/Trino answer
+    * `SELECT count(*)` from manifest statistics; at 100 TB it is the
+    * difference between a catalog lookup and a corpus scan for the most
+    * common sanity query there is. The demo REQUIREs the fold happened
+    * (optimized plan is the LocalRelation) and emits the folded count
+    * beside a filtered count (which must keep the scan) and a
+    * time-travel-pinned count (folds to snapshot 1's total) — every
+    * value recomputed from the part table, so a fold that lied about
+    * the number fails the hash gate, not just a plan check. */
+  private def metadataCountDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val base = clonedSeed(spark, sfDir, "metacnt", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)
+      t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
+        .repartition(1), t0)
+    }
+    val loc = base.resolve("t").toString
+    val scan = spark.read.format("graft").load(loc)
+    val full = scan.groupBy().count()
+    require(full.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "x26: unfiltered count(*) must fold to metadata — plan was\n" +
+        full.queryExecution.optimizedPlan.treeString)
+    val pinned = spark.read.format("graft").option("snapshotId", "1")
+      .load(loc).groupBy().count()
+    require(pinned.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "x26: time-travel count(*) must fold to the pinned snapshot")
+    full.toDF("rows_total")
+      .crossJoin(broadcast(scan.filter(col("p_partkey") % 2 === 0)
+        .groupBy().count().toDF("rows_even_keys")))
+      .crossJoin(broadcast(pinned.toDF("rows_s1")))
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1154,6 +1194,7 @@ object MaintenanceQueries {
     "x23_retention_plan" -> (retentionPlanDemo _),
     "x24_orphan_plan" -> (orphanPlanDemo _),
     "x25_time_travel" -> (timeTravelDemo _),
+    "x26_metadata_count" -> (metadataCountDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1311,6 +1352,19 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS reclaimable_files,
         |  2*a + b AS live_rows
         |FROM plan, c ORDER BY sid""".stripMargin,
+    "x26_metadata_count" ->
+      // rows_total/rows_s1 are the FOLDED metadata counts (the demo
+      // require()s the LocalRelation plan); the oracle recomputes the
+      // numbers the fold claimed from the raw part table
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS na,
+        |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150
+        |    THEN 1 END) AS nb,
+        |  count(CASE WHEN p_partkey <= 150 AND p_partkey % 2 = 0
+        |    THEN 1 END) AS ne
+        |  FROM part)
+        |SELECT na + nb AS rows_total, ne AS rows_even_keys, na AS rows_s1
+        |FROM c""".stripMargin,
     "x25_time_travel" ->
       // both historical spellings see append 1; current sees both
       """WITH c AS (SELECT

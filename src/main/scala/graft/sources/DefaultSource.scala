@@ -119,6 +119,7 @@ final class DefaultSource extends RelationProvider
     // ANALYZE stats → Catalyst CBO (see GraftStatsRule): installed on
     // first load, rewrites this relation's plan stats at optimize time
     GraftStatsRule.ensureInstalled(spark)
+    GraftCountRule.ensureInstalled(spark)
     HadoopFsRelation(
       location = new GraftFileIndex(spark, table, asOf),
       partitionSchema = new org.apache.spark.sql.types.StructType(),

@@ -84,6 +84,17 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
     GraftStatsRule.catalogTableFor(table,
       asOf.orElse(table.currentSnapshot), sizeInBytes)
 
+  /** The exact LOGICAL row count of the pinned snapshot, when a bare
+    * unfiltered scan of this index returns exactly that many rows —
+    * i.e. no outstanding merge-on-read delete files (with deletes, the
+    * physical scan over-returns and [[GraftCountRule]] must not fire).
+    * Snapshot `totalRows` is maintained by every commit. */
+  lazy val metadataRowCount: Option[Long] =
+    asOf.orElse(table.currentSnapshot).collect {
+      case s if s.deleteManifests.isEmpty && s.eqDeleteManifests.isEmpty =>
+        s.totalRows
+    }
+
   override def inputFiles: Array[String] = pinned._2.map(_._1).toArray
 
   override def refresh(): Unit = { pinned = load(); listCache.clear() }

@@ -130,6 +130,8 @@ object GraftStatsRule extends Rule[LogicalPlan] {
   * [[GraftStatsRule.withStats]] call needed. */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPreCBORule(_ => GraftStatsRule)
+    e.injectOptimizerRule(_ => GraftCountRule)
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.GraftTable
+
+/** GraftCountRule: a global unfiltered count(*) over a graft scan is
+  * answered from snapshot metadata — the optimized plan is a
+  * LocalRelation, no file scan — while anything the metadata cannot
+  * answer exactly (filters, count(col), MOR deletes, grouping) keeps
+  * the scan and stays correct. */
+class CountPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id",
+      when($"id" % 3 === 0, lit(null)).otherwise(concat(lit("v"), $"id"))
+        .as("v"))
+
+  private def isMetadataOnly(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => true
+    }.isDefined &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr
+      }.isEmpty
+
+  test("bare count(*) folds to the snapshot row count — no scan") {
+    val loc = tmpDir("cnt") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 500))
+    t.append(rows(500, 800))
+    val scan = spark.read.format("graft").load(loc)
+    val cnt = scan.groupBy().count()
+    assert(isMetadataOnly(cnt), "unfiltered count(*) must fold to metadata:\n" +
+      cnt.queryExecution.optimizedPlan.treeString)
+    assert(cnt.collect().head.getLong(0) == 800L)
+    assert(scan.count() == 800L)
+    // SQL spelling folds too
+    scan.createOrReplaceTempView("cnt_t")
+    val sqlCnt = spark.sql("SELECT count(*) AS n FROM cnt_t")
+    assert(isMetadataOnly(sqlCnt))
+    assert(sqlCnt.collect().head.getLong(0) == 800L)
+    // a projection below the count is row-preserving — still folds
+    val projected = scan.select($"id").groupBy().count()
+    assert(isMetadataOnly(projected))
+    assert(projected.collect().head.getLong(0) == 800L)
+  }
+
+  test("filters, count(col), and grouping keep the scan — and stay right") {
+    val loc = tmpDir("cntneg") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 300))
+    val scan = spark.read.format("graft").load(loc)
+    val filtered = scan.filter($"id" < 100).groupBy().count()
+    assert(!isMetadataOnly(filtered), "a filtered count must scan")
+    assert(filtered.collect().head.getLong(0) == 100L)
+    val countCol = scan.agg(count($"v"))
+    assert(!isMetadataOnly(countCol), "count(col) skips nulls — must scan")
+    assert(countCol.collect().head.getLong(0) == 200L) // 100 of 300 are null
+    val grouped = scan.groupBy($"id" % 2).count()
+    assert(!isMetadataOnly(grouped), "grouped counts must scan")
+    assert(grouped.collect().map(_.getLong(1)).sum == 300L)
+  }
+
+  test("time travel composes: pinned snapshot folds to ITS count") {
+    val loc = tmpDir("cnttt") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 100)) // s1
+    t.append(rows(100, 250)) // s2
+    val pinned = spark.read.format("graft")
+      .option("snapshotId", "1").load(loc).groupBy().count()
+    assert(isMetadataOnly(pinned))
+    assert(pinned.collect().head.getLong(0) == 100L)
+  }
+
+  test("outstanding MOR deletes refuse the fold; the read path stays exact") {
+    val loc = tmpDir("cntmor") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 100))
+    t.deleteWhereMOR(col("id") < 10) // MOR position delete, no rewrite
+    // GraftTable.read plans delete anti-joins above the relation — the
+    // bare-child bound alone prevents the fold; the count stays exact
+    val viaRead = t.read.groupBy().count()
+    assert(viaRead.collect().head.getLong(0) == 90L)
+    // and even a forced bare relation must refuse (metadataRowCount None)
+    val bare = spark.read.format("graft")
+      .option("graft.internal.allowDeletes", "true").load(loc)
+      .groupBy().count()
+    assert(!isMetadataOnly(bare),
+      "a delete-bearing snapshot must never fold count(*) to metadata")
+    assert(bare.collect().head.getLong(0) == 100L) // physical rows, pre-join
+  }
+}
