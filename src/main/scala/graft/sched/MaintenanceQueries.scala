@@ -387,10 +387,24 @@ object MaintenanceQueries {
     require(pinned.queryExecution.optimizedPlan
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
       "x26: time-travel count(*) must fold to the pinned snapshot")
+    // min/max fold to MANIFEST bounds (KB-scale metadata) — the plan
+    // must carry no GraftFileIndex scan
+    val mm = scan.agg(min(col("p_partkey")).as("min_key"),
+      max(col("p_partkey")).as("max_key"))
+    require(!mm.queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.isInstanceOf[graft.sources.GraftFileIndex]
+            case _ => false
+          }
+        case _ => false
+      }, "x26: min/max over a bounded column must fold to manifest bounds")
     full.toDF("rows_total")
       .crossJoin(broadcast(scan.filter(col("p_partkey") % 2 === 0)
         .groupBy().count().toDF("rows_even_keys")))
       .crossJoin(broadcast(pinned.toDF("rows_s1")))
+      .crossJoin(broadcast(mm))
   }
 
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
@@ -1363,7 +1377,11 @@ object MaintenanceQueries {
         |  count(CASE WHEN p_partkey <= 150 AND p_partkey % 2 = 0
         |    THEN 1 END) AS ne
         |  FROM part)
-        |SELECT na + nb AS rows_total, ne AS rows_even_keys, na AS rows_s1
+        |SELECT na + nb AS rows_total, ne AS rows_even_keys, na AS rows_s1,
+        |  (SELECT min(p_partkey) FROM part WHERE p_partkey <= 150)
+        |    AS min_key,
+        |  (SELECT max(p_partkey) FROM part WHERE p_partkey <= 150)
+        |    AS max_key
         |FROM c""".stripMargin,
     "x25_time_travel" ->
       // both historical spellings see append 1; current sees both

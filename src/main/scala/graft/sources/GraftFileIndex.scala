@@ -84,6 +84,10 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
     GraftStatsRule.catalogTableFor(table,
       asOf.orElse(table.currentSnapshot), sizeInBytes)
 
+  /** For [[GraftCountRule]]'s manifest-aggregate rewrite. */
+  private[sources] def session: SparkSession = spark
+  private[sources] def manifestPaths: Seq[String] = pinned._1
+
   /** The exact LOGICAL row count of the pinned snapshot, when a bare
     * unfiltered scan of this index returns exactly that many rows —
     * i.e. no outstanding merge-on-read delete files (with deletes, the

@@ -24,14 +24,18 @@ class CountPushdownSpec extends SparkSpec {
       when($"id" % 3 === 0, lit(null)).otherwise(concat(lit("v"), $"id"))
         .as("v"))
 
+  // metadata-only = no scan over a GraftFileIndex survives optimization
+  // (the min/max fold keeps a KB-scale manifest relation — that is
+  // still metadata, not the data files)
   private def isMetadataOnly(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collectFirst {
-      case _: LocalRelation => true
-    }.isDefined &&
-      df.queryExecution.optimizedPlan.collectFirst {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr
-      }.isEmpty
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if lr.relation.isInstanceOf[
+             org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+           lr.relation.asInstanceOf[
+             org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+             .location.isInstanceOf[graft.sources.GraftFileIndex] => lr
+    }.isEmpty
 
   test("bare count(*) folds to the snapshot row count — no scan") {
     val loc = tmpDir("cnt") + "/t"
@@ -53,6 +57,40 @@ class CountPushdownSpec extends SparkSpec {
     val projected = scan.select($"id").groupBy().count()
     assert(isMetadataOnly(projected))
     assert(projected.collect().head.getLong(0) == 800L)
+  }
+
+  test("min/max of a bounded column fold to manifest bounds — no data scan") {
+    val loc = tmpDir("cntmm") + "/t"
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("maybe", LongType, nullable = true),
+      StructField("s", StringType, nullable = true))))
+    // file 1: ids 10..99, maybe all null (null bound must be IGNORED,
+    // not treated as a value); file 2: ids 0..9, maybe = id * 2
+    t.append(spark.range(10, 100).select($"id",
+      lit(null).cast("long").as("maybe"), lit("a").as("s")))
+    t.append(spark.range(0, 10).select($"id", ($"id" * 2).as("maybe"),
+      lit("b").as("s")))
+    val scan = spark.read.format("graft").load(loc)
+    val mm = scan.agg(min($"id").as("lo"), max($"id").as("hi"),
+      count(lit(1)).as("n"), min($"maybe").as("mlo"), max($"maybe").as("mhi"))
+    assert(isMetadataOnly(mm), "min/max over bounded columns must fold:\n" +
+      mm.queryExecution.optimizedPlan.treeString)
+    val r = mm.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((0L, 99L, 100L, 0L, 18L)))
+    // a rename below the aggregate is followed to the source column
+    val renamed = scan.select($"id".as("renamed")).agg(max($"renamed"))
+    assert(isMetadataOnly(renamed))
+    assert(renamed.collect().head.getLong(0) == 99L)
+    // strings are NOT folded (footer truncation hazard) — scan + correct
+    val sMin = scan.agg(min($"s"))
+    assert(!isMetadataOnly(sMin), "string min/max must keep the scan")
+    assert(sMin.collect().head.getString(0) == "a")
+    // a computed column can't fold — scan + correct
+    val computed = scan.select(($"id" + 1).as("idp")).agg(min($"idp"))
+    assert(!isMetadataOnly(computed))
+    assert(computed.collect().head.getLong(0) == 1L)
   }
 
   test("filters, count(col), and grouping keep the scan — and stay right") {
