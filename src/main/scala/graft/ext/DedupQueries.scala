@@ -1115,7 +1115,45 @@ object DedupQueries {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** SOURCE NOVELTY (d29): how much genuinely NEW content each source
+    * contributes — for every source, its distinct-shingle count and
+    * how many of those shingles FIRST appear (by doc_id order) in a
+    * document of that source, with the ratio in integer bp. The
+    * marginal-contribution metric mixture design actually wants: d28's
+    * overlap matrix says which sources overlap, this says who brought
+    * the content first — a mirror crawl scores near-zero novelty
+    * however large it is. First-occurrence attribution is exact
+    * (min doc_id per shingle, ties impossible within one corpus scan).
+    *
+    * Scale shape: one explode pass into a per-shingle min-doc
+    * aggregate (map-side partial, the shuffle carries the shingle
+    * vocabulary); attribution is ONE equi-join of that vocabulary-
+    * sized relation against the skinny (doc_id, source) projection;
+    * per-source totals REUSE d28's cached distinct (source, shingle)
+    * relation — zero additional corpus passes for the denominator. */
+  def d29SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val firstDoc = docs
+      .select($"doc_id", explode(hashedShingles($"text")).as("sh"))
+      .groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    val novel = firstDoc
+      .join(docs.select($"doc_id".as("first_doc"), $"source"), "first_doc")
+      .groupBy($"source").agg(count(lit(1)).as("novel_shingles"))
+    val totals = cached(s, dir, "d28_src_sh") {
+      docs.select($"source", explode(hashedShingles($"text")).as("sh"))
+        .distinct()
+    }.groupBy($"source").agg(count(lit(1)).as("distinct_shingles"))
+    totals.join(novel, Seq("source"), "left")
+      .withColumn("novel_shingles", coalesce($"novel_shingles", lit(0L)))
+      .select($"source", $"distinct_shingles", $"novel_shingles",
+        expr("novel_shingles * 10000 div distinct_shingles")
+          .as("novelty_bp"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_source_novelty" -> (d29SourceNovelty _),
     "d28_source_overlap" -> (d28SourceOverlap _),
     "d27_ngram_containment" -> (d27NgramContainment _),
     "d26_minhash_sweep" -> (d26MinhashSweep _),
@@ -1523,6 +1561,24 @@ object DedupQueries {
         |FROM base LEFT JOIN cov c USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d08_decontaminate" -> decontaminateOracle,
+    "d29_source_novelty" ->
+      s"""WITH ex AS (
+        |  SELECT doc_id, source, unnest($hashedShingleSql) AS sh
+        |  FROM documents),
+        |fd AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh),
+        |nv AS (
+        |  SELECT d.source, count(*) AS novel_shingles
+        |  FROM fd JOIN documents d ON d.doc_id = fd.first_doc
+        |  GROUP BY d.source),
+        |tot AS (
+        |  SELECT source, count(*) AS distinct_shingles FROM (
+        |    SELECT DISTINCT source, sh FROM ex) GROUP BY source)
+        |SELECT t.source, t.distinct_shingles,
+        |  coalesce(nv.novel_shingles, 0) AS novel_shingles,
+        |  CAST(coalesce(nv.novel_shingles, 0) * 10000
+        |    // t.distinct_shingles AS BIGINT) AS novelty_bp
+        |FROM tot t LEFT JOIN nv ON nv.source = t.source
+        |ORDER BY t.source""".stripMargin,
     "d28_source_overlap" ->
       s"""WITH ss AS (
         |  SELECT DISTINCT source, sh FROM (
