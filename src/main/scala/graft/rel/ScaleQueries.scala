@@ -473,6 +473,49 @@ object ScaleQueries {
       .orderBy($"p_brand")
   }
 
+  /** Point-in-time join to an SCD2 dimension (a04): every line item
+    * joined to the dimension VERSION that was valid at its ship date —
+    * the PIT-correctness join feature stores and warehouses run
+    * against every versioned dimension (training a model on the
+    * CURRENT dim row instead of the one valid at event time is
+    * time-travel leakage, d25's cousin). The dimension is the q49
+    * shape (one version per (customer, change date), versions ordered
+    * by date); the match is [[graft.operators.AsOfJoin.backward]] on
+    * (custkey, valid_from ≤ ship) — the same single-shuffle
+    * union+window merge as a01, no range explosion, no per-row probe.
+    * Ties on a change date resolve to the LATEST same-day version in
+    * both engines (the dim dedupes to max-orderkey per day before
+    * versioning). */
+  def a04PitScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val od = t(s, dir, "orders").filter($"o_custkey" % 50 === 0)
+    val wDay = Window.partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val wVer = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+    val dim = od
+      .withColumn("dayrn", row_number().over(wDay))
+      .filter($"dayrn" === 1)
+      .withColumn("version", row_number().over(wVer).cast("long"))
+      .select($"o_custkey".as("custkey"), $"o_orderdate".as("valid_from"),
+        $"version", $"o_orderpriority".as("priority"))
+    val facts = t(s, dir, "lineitem")
+      .join(od.select($"o_orderkey", $"o_custkey".as("custkey")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"custkey", $"l_shipdate",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    AsOfJoin.backward(facts, dim, Seq("custkey"),
+        leftTime = "l_shipdate", rightTime = "valid_from", tie = "version")
+      // INNER PIT semantics (DuckDB's plain ASOF JOIN): a fact before
+      // the dimension's first version has no valid row to attribute to
+      .filter($"matched_version".isNotNull)
+      .groupBy($"matched_priority".as("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"matched_version").as("version_sum"),
+        round(sum($"rev"), 2).as("revenue"))
+      .orderBy($"priority")
+  }
+
   /** PIVOT with an explicit value list (no extra distinct-scan pass to
     * discover columns — the 100 TB form): events reshaped to one row per
     * user bucket × one column per event type. */
@@ -781,6 +824,7 @@ object ScaleQueries {
     "q46_variant_shred" -> (q46VariantShred _),
     "q47_funnel" -> (q47Funnel _),
     "a01_asof_join" -> (a01AsofJoin _),
+    "a04_pit_scd2" -> (a04PitScd2 _),
     "a03_asof_forward" -> (a03AsofForward _),
     "q31_partitioned_scan" -> (q31PartitionedScan _),
     "q32_zorder_scan" -> (q32ZorderScan _),
@@ -882,6 +926,27 @@ object ScaleQueries {
         |SELECT node AS p_name, min(anc) AS canonical,
         |  count(DISTINCT anc) AS n_reachable
         |FROM reach GROUP BY node ORDER BY p_name""".stripMargin,
+    "a04_pit_scd2" ->
+      """WITH od AS (SELECT * FROM orders WHERE o_custkey % 50 = 0),
+        |dim AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate) AS BIGINT) AS version,
+        |    o_orderpriority AS priority
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS dayrn FROM od)
+        |  WHERE dayrn = 1),
+        |facts AS (
+        |  SELECT od.o_custkey AS custkey, l.l_shipdate,
+        |    l.l_extendedprice * (1.0 - l.l_discount) AS rev
+        |  FROM lineitem l JOIN od ON l.l_orderkey = od.o_orderkey)
+        |SELECT d.priority, count(*) AS n_items,
+        |  CAST(sum(d.version) AS BIGINT) AS version_sum,
+        |  round(sum(f.rev), 2) AS revenue
+        |FROM facts f ASOF JOIN dim d
+        |  ON f.custkey = d.custkey AND f.l_shipdate >= d.valid_from
+        |GROUP BY d.priority ORDER BY d.priority""".stripMargin,
     "a01_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id AS click_id FROM events
