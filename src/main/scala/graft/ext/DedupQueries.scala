@@ -1152,7 +1152,40 @@ object DedupQueries {
       .orderBy($"source")
   }
 
+  /** DEDUP PLANNING (d30): what WOULD near-dup dedup delete — the
+    * cluster-size histogram (how many clusters of each size), the rows
+    * each size band would remove under keep-one-per-cluster, and the
+    * corpus-wide removable fraction in integer bp — answered BEFORE
+    * anyone runs the deletion, the x22/x23/x24 plan-first discipline
+    * applied to the data plane (at 100 TB the dedup pass is itself a
+    * major job; the plan says whether it pays). A histogram dominated
+    * by huge clusters also flags boilerplate/mirror pathologies that
+    * keep-first dedup would mishandle.
+    *
+    * Scale shape: composes the SESSION-CACHED d09/d24 component labels
+    * — zero new corpus passes beyond the one count(*) denominator; the
+    * histogram is two tiny aggregates over the cluster-size relation
+    * with the one-row totals broadcast back on. */
+  def d30DedupPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = ngramLabels(s, dir)
+      .groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val totals = hist.agg(
+      sum(($"cluster_size" - 1L) * $"n_clusters").as("removable"))
+    val nDocs = t(s, dir, "documents").count()
+    hist.crossJoin(broadcast(totals))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("docs_in_size"),
+        (($"cluster_size" - 1L) * $"n_clusters").as("removable_in_size"),
+        expr(s"removable * 10000 div ${math.max(nDocs, 1L)}")
+          .as("total_removable_bp"))
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_dedup_plan" -> (d30DedupPlan _),
     "d29_source_novelty" -> (d29SourceNovelty _),
     "d28_source_overlap" -> (d28SourceOverlap _),
     "d27_ngram_containment" -> (d27NgramContainment _),
@@ -1561,6 +1594,23 @@ object DedupQueries {
         |FROM base LEFT JOIN cov c USING (doc_id)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "d08_decontaminate" -> decontaminateOracle,
+    "d30_dedup_plan" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+        |comp AS MATERIALIZED (
+        |  SELECT doc, min(lbl) AS rep FROM reach GROUP BY doc),
+        |sz AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep),
+        |hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters
+        |  FROM sz GROUP BY cluster_size),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |rem AS (SELECT sum((cluster_size - 1) * n_clusters) AS removable
+        |        FROM hist)
+        |SELECT cluster_size, n_clusters,
+        |  cluster_size * n_clusters AS docs_in_size,
+        |  (cluster_size - 1) * n_clusters AS removable_in_size,
+        |  CAST(rem.removable * 10000 // tot.n_docs AS BIGINT)
+        |    AS total_removable_bp
+        |FROM hist, tot, rem ORDER BY cluster_size""".stripMargin,
     "d29_source_novelty" ->
       s"""WITH ex AS (
         |  SELECT doc_id, source, unnest($hashedShingleSql) AS sh
