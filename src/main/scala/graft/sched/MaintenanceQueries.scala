@@ -407,6 +407,38 @@ object MaintenanceQueries {
       .crossJoin(broadcast(mm))
   }
 
+  /** BRANCH DIFF / WAP AUDIT (x27): the audit-side content query of
+    * the write-audit-publish workflow x08 demonstrates end-to-end —
+    * WHAT exactly is staged on the audit branch and not on main,
+    * BEFORE fast-forward publishes it. The delta is
+    * [[graft.meta.GraftTable.readIncremental]] between the two ref
+    * heads (branch appends chain onto the main head in the shared
+    * log), so the audit reads ONLY the staged files — never a
+    * main-vs-branch anti-join over the table, which at 100 TB would
+    * scan everything to audit a 1% staging. Per-brand staged counts +
+    * the untouched main row count; all recomputed from part. */
+  private def branchDiffDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    // seed: main holds the even half, the audit branch stages a small
+    // odd slice — both deterministic → build once, clone per run
+    val base = clonedSeed(spark, sfDir, "bdiff", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      t.append(df.filter(col("p_partkey") % 2 === 0), t0)
+      t.createBranch("audit")
+      t.appendToBranch("audit",
+        df.filter(col("p_partkey") % 2 === 1 && col("p_partkey") <= 99), t0)
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
+    val staged = t.readIncremental(t.branches("main"), t.branches("audit"))
+    staged.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_staged"),
+        min(col("p_partkey")).as("min_staged_key"))
+      .withColumn("rows_main_during_audit", lit(t.rowCount))
+      .orderBy("p_brand")
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1209,6 +1241,7 @@ object MaintenanceQueries {
     "x24_orphan_plan" -> (orphanPlanDemo _),
     "x25_time_travel" -> (timeTravelDemo _),
     "x26_metadata_count" -> (metadataCountDemo _),
+    "x27_branch_diff" -> (branchDiffDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1366,6 +1399,17 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS reclaimable_files,
         |  2*a + b AS live_rows
         |FROM plan, c ORDER BY sid""".stripMargin,
+    "x27_branch_diff" ->
+      // staged = odd keys <= 99; main = the even half, untouched
+      """WITH st AS (
+        |  SELECT p_brand, count(*) AS n_staged,
+        |    min(p_partkey) AS min_staged_key
+        |  FROM part WHERE p_partkey % 2 = 1 AND p_partkey <= 99
+        |  GROUP BY p_brand),
+        |m AS (SELECT count(*) AS rows_main FROM part WHERE p_partkey % 2 = 0)
+        |SELECT p_brand, n_staged, min_staged_key,
+        |  m.rows_main AS rows_main_during_audit
+        |FROM st, m ORDER BY p_brand""".stripMargin,
     "x26_metadata_count" ->
       // rows_total/rows_s1 are the FOLDED metadata counts (the demo
       // require()s the LocalRelation plan); the oracle recomputes the
