@@ -53,7 +53,7 @@ object MaintenanceQueries {
     * fingerprint is the source leaves (len + mtime + count) plus the
     * recipe version, stamped LAST after a complete build, so a
     * regenerated testdata dir forces a rebuild. */
-  private def clonedSeed(spark: SparkSession, sfDir: String, tag: String,
+  private[graft] def clonedSeed(spark: SparkSession, sfDir: String, tag: String,
                          srcTable: String)
                         (build: java.nio.file.Path => Unit): java.nio.file.Path = {
     val hc = spark.sessionState.newHadoopConf()
