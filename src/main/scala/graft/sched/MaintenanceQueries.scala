@@ -439,6 +439,42 @@ object MaintenanceQueries {
       .orderBy("p_brand")
   }
 
+  /** DELETE-FILE COMPACTION (x28 — Iceberg's
+    * `rewrite_position_delete_files`): a MOR delete stream leaves one
+    * small position-delete file per commit; compaction merges them into
+    * ONE clustered delete file WITHOUT touching data — reads are back
+    * to a single anti-join input while the expensive data rewrite stays
+    * deferred to optimize. At 100 TB this is the maintenance op that
+    * keeps a CDC-heavy table readable between compactions. Seed: one
+    * data file + three single-file MOR deletes (build once, clone per
+    * run); the LIVE op is the rewrite on the clone — old delete files
+    * are only de-referenced (expire's job to reclaim), so the shared
+    * fixture is never mutated. `rows_live`/`keysum_live` prove the
+    * logical content is untouched by the rewrite. */
+  private def deleteCompactionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = fixedClock(20000)
+    val base = clonedSeed(spark, sfDir, "delcomp", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      // ONE data file → each MOR delete writes exactly one delete file
+      t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)
+      t.deleteWhereMOR(col("p_partkey") % 10 === 1, t0)
+      t.deleteWhereMOR(col("p_partkey") % 10 === 2, t0)
+      t.deleteWhereMOR(col("p_partkey") % 10 === 3, t0)
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
+    val before = t.deleteFiles.count()
+    val merged = t.rewriteDeleteFiles(t0)
+    val after = t.deleteFiles.count()
+    t.read.agg(count(lit(1)).as("rows_live"),
+        sum(col("p_partkey")).as("keysum_live"))
+      .select(lit(before).as("delete_files_before"),
+        lit(merged).as("files_merged"),
+        lit(after).as("delete_files_after"),
+        col("rows_live"), col("keysum_live"))
+  }
+
   /** expire_snapshots: files exclusive to expired snapshots reclaimed;
     * the snapshot log keeps only the survivors and the live content is
     * untouched. Deterministic by construction (key-filter subsets, not
@@ -1242,6 +1278,7 @@ object MaintenanceQueries {
     "x25_time_travel" -> (timeTravelDemo _),
     "x26_metadata_count" -> (metadataCountDemo _),
     "x27_branch_diff" -> (branchDiffDemo _),
+    "x28_delete_compaction" -> (deleteCompactionDemo _),
     "x01_optimize" -> (optimizeDemo _),
     "x02_expire_snapshots" -> (expireDemo _),
     "x03_remove_orphans" -> (orphanDemo _),
@@ -1399,6 +1436,19 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS reclaimable_files,
         |  2*a + b AS live_rows
         |FROM plan, c ORDER BY sid""".stripMargin,
+    "x28_delete_compaction" ->
+      // 3 single-file MOR deletes merge to 1; content untouched
+      """WITH c AS (SELECT
+        |  count(CASE WHEN p_partkey <= 100 AND p_partkey % 10 NOT IN (1,2,3)
+        |    THEN 1 END) AS live,
+        |  sum(CASE WHEN p_partkey <= 100 AND p_partkey % 10 NOT IN (1,2,3)
+        |    THEN p_partkey END) AS ks
+        |  FROM part)
+        |SELECT CAST(3 AS BIGINT) AS delete_files_before,
+        |  CAST(3 AS BIGINT) AS files_merged,
+        |  CAST(1 AS BIGINT) AS delete_files_after,
+        |  live AS rows_live, CAST(ks AS BIGINT) AS keysum_live
+        |FROM c""".stripMargin,
     "x27_branch_diff" ->
       // staged = odd keys <= 99; main = the even half, untouched
       """WITH st AS (
