@@ -33,6 +33,22 @@ class BranchSpec extends SparkSpec {
     assert(t.branches("main") == t.branches("audit"))
   }
 
+  test("branch diff reads ONLY the staged files (x27's audit contract)") {
+    val t = freshTable()
+    val mainFiles = t.files.select("path").collect().map(_.getString(0)).toSet
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq((3L, "c"), (4L, "d")).toDF("id", "tag"))
+    t.appendToBranch("audit", Seq((5L, "e")).toDF("id", "tag"))
+    val diff = t.readIncremental(t.branches("main"), t.branches("audit"))
+    assert(diff.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    // the audit scans exactly the staged files — never main's data;
+    // at 100 TB this is what makes auditing a 1% staging a 1% read
+    val scanned = diff.inputFiles.map(graft.meta.GraftTable.normalize).toSet
+    assert(scanned.nonEmpty &&
+      scanned.intersect(mainFiles.map(graft.meta.GraftTable.normalize)).isEmpty,
+      s"audit read touched main files: $scanned vs $mainFiles")
+  }
+
   test("main keeps committing independently; diverged publish is refused") {
     val t = freshTable()
     t.createBranch("audit")
