@@ -1,0 +1,63 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.GraftTable
+
+/** Randomized equivalence for GraftCountRule: for seeded random tables
+  * — random append counts and sizes, nullable columns with random
+  * all-null stretches, random date/timestamp ranges — the FOLDED
+  * count/min/max (metadata plan) must equal the same aggregates
+  * computed with the fold disabled (a filter that keeps every row
+  * forces the scan). This is the property the transparent rewrite
+  * stands on: a manifest bound that ever disagreed with the data would
+  * surface here as a value mismatch, not just a plan-shape surprise. */
+class CountFoldPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", LongType, nullable = true),
+    StructField("d", DateType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)))
+
+  private def run(seed: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = tmpDir(s"cfp$seed") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    val nAppends = 1 + rnd.nextInt(4)
+    var base = rnd.nextInt(1000).toLong
+    (0 until nAppends).foreach { a =>
+      val n = 1 + rnd.nextInt(300)
+      val allNull = rnd.nextInt(4) == 0 // one-in-four appends: v all null
+      val off = rnd.nextInt(100000)
+      val df = spark.range(base, base + n).select(
+        $"id",
+        when(lit(allNull) || $"id" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"id" * 3 - 1000).as("v"),
+        date_add(lit("2020-01-01").cast("date"),
+          (($"id" + off) % 5000).cast("int")).as("d"),
+        timestamp_seconds($"id" * 977 + off).as("ts"))
+        .repartition(1 + rnd.nextInt(3))
+      t.append(df)
+      base += n + rnd.nextInt(50)
+    }
+    val scan = spark.read.format("graft").load(loc)
+    val folded = scan.agg(
+      count(lit(1)).as("n"), min($"id"), max($"id"), min($"v"), max($"v"),
+      min($"d"), max($"d"), min($"ts"), max($"ts")).collect().head
+    // fold-proof filter: keeps every row but blocks the bare-scan match
+    val scanned = scan.filter($"id" >= Long.MinValue).agg(
+      count(lit(1)), min($"id"), max($"id"), min($"v"), max($"v"),
+      min($"d"), max($"d"), min($"ts"), max($"ts")).collect().head
+    assert(folded.toSeq == scanned.toSeq,
+      s"seed $seed: folded $folded != scanned $scanned")
+  }
+
+  test("folded count/min/max equal the forced-scan aggregates (30 seeds)") {
+    (1 to 30).foreach(run)
+  }
+}
