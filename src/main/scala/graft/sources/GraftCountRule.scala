@@ -147,9 +147,24 @@ object GraftCountRule extends Rule[LogicalPlan] {
 
   /** Idempotent installation into the session's extra optimizer rules
     * (the last optimizer batch — the Aggregate is still logical there). */
-  def ensureInstalled(spark: SparkSession): Unit = {
+  def ensureInstalled(spark: SparkSession): Unit =
+    GraftRuleInstall.install(spark, this)
+}
+
+/** Serializes extra-optimizer-rule installation: the bare
+  * read-modify-write on `spark.experimental.extraOptimizations` is a
+  * check-then-act — two concurrent first graft loads (the bench's
+  * concurrent warmup) could interleave so that one thread's stale
+  * write momentarily DROPPED the other's just-added rule, and a query
+  * planned in that window would silently scan where it should fold
+  * (x26's plan require() would then fail the gate). One lock per JVM;
+  * contains-check inside the lock makes installation exactly-once per
+  * (session, rule). */
+private[sources] object GraftRuleInstall {
+  def install(spark: SparkSession,
+              rule: Rule[LogicalPlan]): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(this))
-      spark.experimental.extraOptimizations = cur :+ this
+    if (!cur.contains(rule))
+      spark.experimental.extraOptimizations = cur :+ rule
   }
 }

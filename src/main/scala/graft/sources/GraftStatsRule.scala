@@ -60,11 +60,8 @@ object GraftStatsRule extends Rule[LogicalPlan] {
     * REORDER, stats must already be present when that batch runs: use
     * [[withStats]] on the DataFrame, or install [[GraftSparkExtensions]]
     * session-wide via `spark.sql.extensions` (injectPreCBORule). */
-  def ensureInstalled(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(this))
-      spark.experimental.extraOptimizations = cur :+ this
-  }
+  def ensureInstalled(spark: SparkSession): Unit =
+    GraftRuleInstall.install(spark, this)
 
   /** Attach pinned ANALYZE statistics to `df`'s graft scans at
     * RESOLUTION time, so every optimizer batch — including Spark's
