@@ -48,6 +48,18 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
                            asOf: Option[graft.meta.Snapshot] = None)
   extends FileIndex {
 
+  /** THE pinned snapshot — captured exactly once at construction (and
+    * re-captured only by [[refresh]]), so every view of this index
+    * derives from ONE snapshot: the file list, [[sizeInBytes]], the
+    * [[metadataRowCount]] the count fold serves, and the stats-bearing
+    * catalog table. Deriving any of them from `table.currentSnapshot`
+    * at first-access time instead would let a DataFrame held across a
+    * concurrent commit fold `count(*)` to the NEW snapshot's total
+    * while its `collect()` scans the OLD pinned files — breaking the
+    * snapshot isolation documented above (ADVICE r17). */
+  @volatile private var pinnedSnap: Option[graft.meta.Snapshot] =
+    asOf.orElse(table.currentSnapshot)
+
   /** (manifest parquet paths of the pinned snapshot, live (path, size)). */
   private var pinned: (Seq[String], Seq[(String, Long)]) = load()
   // listFiles can be re-entered during (re)planning of the same query
@@ -58,10 +70,7 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
 
   private def load(): (Seq[String], Seq[(String, Long)]) = {
-    // time travel pins the index to a named snapshot; refresh() then
-    // deliberately re-pins to the SAME one (an as-of read never moves)
-    val manifests = asOf.orElse(table.currentSnapshot)
-      .map(_.manifests).getOrElse(Seq.empty)
+    val manifests = pinnedSnap.map(_.manifests).getOrElse(Seq.empty)
     val entries = manifestDf(manifests).select("path", "size_bytes")
       .collect().toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
     (manifests, entries)
@@ -76,32 +85,50 @@ final class GraftFileIndex(spark: SparkSession, table: GraftTable,
 
   override def sizeInBytes: Long = pinned._2.map(_._2).sum
 
-  /** Stats-bearing CatalogTable for [[GraftStatsRule]] — computed once
-    * per index (the index is already pinned to one snapshot, so the
-    * row count and ANALYZE store are read at the same consistency). */
-  lazy val catalogTableWithStats
+  /** Stats-bearing CatalogTable for [[GraftStatsRule]] — memoized per
+    * pinned snapshot (the ANALYZE store and row count are read at the
+    * same consistency as the file list; [[refresh]] invalidates). */
+  private var catalogMemo
+      : Option[Option[org.apache.spark.sql.catalyst.catalog.CatalogTable]] =
+    None
+  def catalogTableWithStats
       : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
-    GraftStatsRule.catalogTableFor(table,
-      asOf.orElse(table.currentSnapshot), sizeInBytes)
+    synchronized {
+      catalogMemo.getOrElse {
+        val ct = GraftStatsRule.catalogTableFor(table, pinnedSnap, sizeInBytes)
+        catalogMemo = Some(ct)
+        ct
+      }
+    }
 
   /** For [[GraftCountRule]]'s manifest-aggregate rewrite. */
   private[sources] def session: SparkSession = spark
   private[sources] def manifestPaths: Seq[String] = pinned._1
+  private[sources] def snapshot: Option[graft.meta.Snapshot] = pinnedSnap
 
   /** The exact LOGICAL row count of the pinned snapshot, when a bare
     * unfiltered scan of this index returns exactly that many rows —
     * i.e. no outstanding merge-on-read delete files (with deletes, the
     * physical scan over-returns and [[GraftCountRule]] must not fire).
-    * Snapshot `totalRows` is maintained by every commit. */
-  lazy val metadataRowCount: Option[Long] =
-    asOf.orElse(table.currentSnapshot).collect {
+    * Snapshot `totalRows` is maintained by every commit. Reads the SAME
+    * [[pinnedSnap]] the file list came from, so a count folded here can
+    * never disagree with what a scan of this index would return. */
+  def metadataRowCount: Option[Long] =
+    pinnedSnap.collect {
       case s if s.deleteManifests.isEmpty && s.eqDeleteManifests.isEmpty =>
         s.totalRows
     }
 
   override def inputFiles: Array[String] = pinned._2.map(_._1).toArray
 
-  override def refresh(): Unit = { pinned = load(); listCache.clear() }
+  override def refresh(): Unit = synchronized {
+    // time travel pins the index to a named snapshot; refresh()
+    // deliberately re-pins to the SAME one (an as-of read never moves)
+    pinnedSnap = asOf.orElse(table.currentSnapshot)
+    pinned = load()
+    listCache.clear()
+    catalogMemo = None
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

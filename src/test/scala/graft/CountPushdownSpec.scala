@@ -109,6 +109,28 @@ class CountPushdownSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).sum == 300L)
   }
 
+  test("a DataFrame held across a commit folds to ITS pinned snapshot") {
+    val loc = tmpDir("cntpin") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 100))
+    val df = spark.read.format("graft").load(loc)
+    assert(df.collect().length == 100) // index pinned to snapshot 1
+    t.append(rows(100, 160)) // a concurrent commit lands AFTER the load
+    // snapshot isolation (ADVICE r17): the fold must serve the SAME
+    // snapshot the pinned file list came from — never the new head
+    val cnt = df.groupBy().count()
+    assert(isMetadataOnly(cnt))
+    assert(cnt.collect().head.getLong(0) == 100L,
+      "count must fold to the pinned snapshot, not the current one")
+    assert(df.count() == 100L)
+    assert(df.collect().length == 100)
+    // and mixed count+min/max stay internally consistent (one snapshot)
+    val mm = df.agg(count(lit(1)).as("n"), max($"id").as("hi")).collect().head
+    assert((mm.getLong(0), mm.getLong(1)) == ((100L, 99L)))
+    // a FRESH load sees the new head
+    assert(spark.read.format("graft").load(loc).count() == 160L)
+  }
+
   test("time travel composes: pinned snapshot folds to ITS count") {
     val loc = tmpDir("cnttt") + "/t"
     val t = GraftTable.create(spark, loc, schema)
