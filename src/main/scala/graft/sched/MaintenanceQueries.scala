@@ -34,7 +34,7 @@ object MaintenanceQueries {
 
   // serializes fixture check/rebuild/stamp within the JVM (st11's recipe)
   private val xSeedLock = new Object
-  private val XSeedVer = "3" // bump when ANY clonedSeed build recipe changes
+  private val XSeedVer = "4" // bump when ANY clonedSeed build recipe changes
 
   /** Build-once / clone-per-run seed state for the maintenance demos —
     * st11's fixture-reuse recipe applied to the x family. A demo's SEED
@@ -353,45 +353,39 @@ object MaintenanceQueries {
       .crossJoin(broadcast(agg(t.read, "now")))
   }
 
-  /** METADATA-ONLY COUNT (x26 — [[graft.sources.GraftCountRule]]): a
-    * global unfiltered `count(*)` over a graft scan folds to the pinned
-    * snapshot's row count at optimization time — a LocalRelation, zero
-    * data files read, zero tasks — the way Iceberg/Trino answer
-    * `SELECT count(*)` from manifest statistics; at 100 TB it is the
-    * difference between a catalog lookup and a corpus scan for the most
-    * common sanity query there is. The demo REQUIREs the fold happened
-    * (optimized plan is the LocalRelation) and emits the folded count
-    * beside a filtered count (which must keep the scan) and a
-    * time-travel-pinned count (folds to snapshot 1's total) — every
-    * value recomputed from the part table, so a fold that lied about
-    * the number fails the hash gate, not just a plan check. */
+  /** METADATA-ONLY AGGREGATES (x26 — [[graft.sources.GraftCountRule]]):
+    * a global unfiltered `count(*)` over a graft scan folds to the
+    * pinned snapshot's row count at optimization time — a
+    * LocalRelation, zero data files read, zero tasks — the way
+    * Iceberg/Trino answer `SELECT count(*)` from manifest statistics;
+    * at 100 TB it is the difference between a catalog lookup and a
+    * corpus scan for the most common sanity query there is. The r18
+    * rungs: `count(col)` folds to `record_count − null_counts[col]`
+    * (every file's entry presence verified first), and a PARTITION-
+    * ALIGNED filtered `count(*)` folds when every file's bounds decide
+    * all-rows-match or no-rows-match — `count(*) WHERE day = X` as a
+    * manifest sum — while one partial-overlap file keeps the scan
+    * (exactness, not skipping). The demo REQUIREs each plan shape
+    * (folded = LocalRelation / no GraftFileIndex scan; refused = scan
+    * present) and emits every number beside scan-computed neighbors —
+    * all recomputed from the part table, so a fold that lied about a
+    * value fails the hash gate, not just a plan check. */
   private def metadataCountDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
     val base = clonedSeed(spark, sfDir, "metacnt", "part") { fx =>
-      val t = GraftTable.create(spark, fx.resolve("t").toString,
-        seed(spark, sfDir).schema)
-      val df = seed(spark, sfDir)
+      // maybe_size: NULL on every third key — gives count(col) a real
+      // null_counts story whose value the oracle recomputes
+      val df = seed(spark, sfDir).withColumn("maybe_size",
+        when(col("p_partkey") % 3 === 0, lit(null).cast("integer"))
+          .otherwise(col("p_size")))
+      val t = GraftTable.create(spark, fx.resolve("t").toString, df.schema)
       t.append(df.filter(col("p_partkey") <= 100).repartition(1), t0)
       t.append(df.filter(col("p_partkey") > 100 && col("p_partkey") <= 150)
         .repartition(1), t0)
     }
     val loc = base.resolve("t").toString
-    val scan = spark.read.format("graft").load(loc)
-    val full = scan.groupBy().count()
-    require(full.queryExecution.optimizedPlan
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
-      "x26: unfiltered count(*) must fold to metadata — plan was\n" +
-        full.queryExecution.optimizedPlan.treeString)
-    val pinned = spark.read.format("graft").option("snapshotId", "1")
-      .load(loc).groupBy().count()
-    require(pinned.queryExecution.optimizedPlan
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
-      "x26: time-travel count(*) must fold to the pinned snapshot")
-    // min/max fold to MANIFEST bounds (KB-scale metadata) — the plan
-    // must carry no GraftFileIndex scan
-    val mm = scan.agg(min(col("p_partkey")).as("min_key"),
-      max(col("p_partkey")).as("max_key"))
-    require(!mm.queryExecution.optimizedPlan.exists {
+    def graftScan(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
             case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -399,12 +393,48 @@ object MaintenanceQueries {
             case _ => false
           }
         case _ => false
-      }, "x26: min/max over a bounded column must fold to manifest bounds")
+      }
+    def isLocal(df: DataFrame): Boolean = df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val scan = spark.read.format("graft").load(loc)
+    val full = scan.groupBy().count()
+    require(isLocal(full),
+      "x26: unfiltered count(*) must fold to metadata — plan was\n" +
+        full.queryExecution.optimizedPlan.treeString)
+    val pinned = spark.read.format("graft").option("snapshotId", "1")
+      .load(loc).groupBy().count()
+    require(isLocal(pinned),
+      "x26: time-travel count(*) must fold to the pinned snapshot")
+    // min/max fold to MANIFEST bounds (KB-scale metadata) — the plan
+    // must carry no GraftFileIndex scan
+    val mm = scan.agg(min(col("p_partkey")).as("min_key"),
+      max(col("p_partkey")).as("max_key"))
+    require(!graftScan(mm),
+      "x26: min/max over a bounded column must fold to manifest bounds")
+    // count(col) folds via the manifests' per-column null counts
+    val cc = scan.agg(count(col("maybe_size")).as("cnt_maybe"))
+    require(!graftScan(cc),
+      "x26: count(col) must fold to record_count − null_counts[col]")
+    // file A holds exactly keys ≤ 100: the filter is partition-aligned,
+    // so the filtered count is a manifest sum — zero data tasks
+    val fAligned = scan.filter(col("p_partkey") <= 100).groupBy().count()
+    require(isLocal(fAligned),
+      "x26: a partition-aligned filtered count(*) must fold — plan was\n" +
+        fAligned.queryExecution.optimizedPlan.treeString)
+    // ≤ 120 splits file B — the exactness test must refuse and scan
+    val fPartial = scan.filter(col("p_partkey") <= 120).groupBy().count()
+    require(graftScan(fPartial),
+      "x26: a partial-overlap filtered count must keep the scan")
+    val evens = scan.filter(col("p_partkey") % 2 === 0).groupBy().count()
+    require(graftScan(evens),
+      "x26: a computed-predicate count must keep the scan")
     full.toDF("rows_total")
-      .crossJoin(broadcast(scan.filter(col("p_partkey") % 2 === 0)
-        .groupBy().count().toDF("rows_even_keys")))
+      .crossJoin(broadcast(evens.toDF("rows_even_keys")))
       .crossJoin(broadcast(pinned.toDF("rows_s1")))
       .crossJoin(broadcast(mm))
+      .crossJoin(broadcast(cc))
+      .crossJoin(broadcast(fAligned.toDF("rows_le100")))
+      .crossJoin(broadcast(fPartial.toDF("rows_le120")))
   }
 
   /** BRANCH DIFF / WAP AUDIT (x27): the audit-side content query of
@@ -1461,21 +1491,27 @@ object MaintenanceQueries {
         |  m.rows_main AS rows_main_during_audit
         |FROM st, m ORDER BY p_brand""".stripMargin,
     "x26_metadata_count" ->
-      // rows_total/rows_s1 are the FOLDED metadata counts (the demo
-      // require()s the LocalRelation plan); the oracle recomputes the
-      // numbers the fold claimed from the raw part table
+      // rows_total/rows_s1/cnt_maybe/rows_le100 are the FOLDED metadata
+      // answers (the demo require()s each plan shape; rows_le120 is the
+      // refused partial-overlap case, scan-computed); the oracle
+      // recomputes every number the folds claimed from the raw part
+      // table
       """WITH c AS (SELECT
         |  count(CASE WHEN p_partkey <= 100 THEN 1 END) AS na,
         |  count(CASE WHEN p_partkey > 100 AND p_partkey <= 150
         |    THEN 1 END) AS nb,
         |  count(CASE WHEN p_partkey <= 150 AND p_partkey % 2 = 0
-        |    THEN 1 END) AS ne
+        |    THEN 1 END) AS ne,
+        |  count(CASE WHEN p_partkey <= 150 AND p_partkey % 3 <> 0
+        |    THEN 1 END) AS nm,
+        |  count(CASE WHEN p_partkey <= 120 THEN 1 END) AS n120
         |  FROM part)
         |SELECT na + nb AS rows_total, ne AS rows_even_keys, na AS rows_s1,
         |  (SELECT min(p_partkey) FROM part WHERE p_partkey <= 150)
         |    AS min_key,
         |  (SELECT max(p_partkey) FROM part WHERE p_partkey <= 150)
-        |    AS max_key
+        |    AS max_key,
+        |  nm AS cnt_maybe, na AS rows_le100, n120 AS rows_le120
         |FROM c""".stripMargin,
     "x25_time_travel" ->
       // both historical spellings see append 1; current sees both

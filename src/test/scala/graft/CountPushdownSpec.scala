@@ -93,20 +93,119 @@ class CountPushdownSpec extends SparkSpec {
     assert(computed.collect().head.getLong(0) == 1L)
   }
 
-  test("filters, count(col), and grouping keep the scan — and stay right") {
+  test("unaligned filters and grouping keep the scan — and stay right") {
     val loc = tmpDir("cntneg") + "/t"
     val t = GraftTable.create(spark, loc, schema)
-    t.append(rows(0, 300))
+    t.append(rows(0, 300).repartition(1)) // ONE file spanning ids 0..299
     val scan = spark.read.format("graft").load(loc)
+    // id < 100 partially overlaps the single file — not decidable as
+    // all-or-nothing, so the exactness test refuses and the scan stays
     val filtered = scan.filter($"id" < 100).groupBy().count()
-    assert(!isMetadataOnly(filtered), "a filtered count must scan")
+    assert(!isMetadataOnly(filtered), "a partial-overlap count must scan")
     assert(filtered.collect().head.getLong(0) == 100L)
-    val countCol = scan.agg(count($"v"))
-    assert(!isMetadataOnly(countCol), "count(col) skips nulls — must scan")
-    assert(countCol.collect().head.getLong(0) == 200L) // 100 of 300 are null
+    // a computed predicate is never decidable from bounds
+    val computed = scan.filter($"id" % 2 === 0).groupBy().count()
+    assert(!isMetadataOnly(computed), "a computed-predicate count must scan")
+    assert(computed.collect().head.getLong(0) == 150L)
     val grouped = scan.groupBy($"id" % 2).count()
     assert(!isMetadataOnly(grouped), "grouped counts must scan")
     assert(grouped.collect().map(_.getLong(1)).sum == 300L)
+  }
+
+  test("count(col) folds via manifest null counts; a missing entry refuses") {
+    val loc = tmpDir("cntcol") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 300)) // 100 of 300 v-nulls (id % 3 == 0)
+    t.append(spark.range(300, 340).select($"id",
+      lit(null).cast("string").as("v"))) // an ALL-null append
+    val scan = spark.read.format("graft").load(loc)
+    val countCol = scan.agg(count($"v").as("nv"))
+    assert(isMetadataOnly(countCol),
+      "count(col) must fold to record_count − null_counts[col]:\n" +
+        countCol.queryExecution.optimizedPlan.treeString)
+    assert(countCol.collect().head.getLong(0) == 200L)
+    // mixed with count(*)/min/max in one aggregate — still metadata
+    val mixed = scan.agg(count(lit(1)).as("n"), count($"v").as("nv"),
+      max($"id").as("hi"))
+    assert(isMetadataOnly(mixed))
+    assert(mixed.collect().head.toSeq == Seq(340L, 200L, 339L))
+    // DOCTOR one manifest: drop the v entry from null_counts — the
+    // exactness arithmetic would lie, so the fold must refuse (and the
+    // scan still returns the right answer)
+    val dir = t.currentSnapshot.get.manifests.head
+    val key = GraftTable.normalize(dir)
+    val rows0 = graft.meta.ManifestIO.readLocal(spark, Seq(dir)).get
+    val doctored = rows0.map { r =>
+      val nc = r.get(3).asInstanceOf[scala.collection.Map[String, Any]]
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+        if (nc == null) null else nc.filter(_._1 != "v"),
+        r.get(4), r.get(5), r.get(6), r.get(7))
+    }
+    val bytes = graft.meta.ManifestIO.writeLocal(t.fileSystem,
+      spark.sessionState.newHadoopConf(), new org.apache.hadoop.fs.Path(dir),
+      doctored)
+    graft.meta.ManifestIO.cacheSeed(key, doctored, bytes)
+    val refused = spark.read.format("graft").load(loc).agg(count($"v"))
+    assert(!isMetadataOnly(refused),
+      "a file missing its null count must refuse the count(col) fold")
+    assert(refused.collect().head.getLong(0) == 200L)
+  }
+
+  test("partition-aligned filtered count(*) folds; partial overlap refuses") {
+    val loc = tmpDir("cntflt") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(rows(0, 100).repartition(1))   // file 1: ids 0..99
+    t.append(rows(100, 150).repartition(1)) // file 2: ids 100..149
+    val scan = spark.read.format("graft").load(loc)
+    // every file decides all-or-nothing → the count is a manifest sum
+    val aligned = scan.filter($"id" < 100).groupBy().count()
+    assert(isMetadataOnly(aligned),
+      "an aligned filtered count must fold:\n" +
+        aligned.queryExecution.optimizedPlan.treeString)
+    assert(aligned.collect().head.getLong(0) == 100L)
+    val ranged = scan.filter($"id" >= 100 && $"id" < 150).groupBy().count()
+    assert(isMetadataOnly(ranged))
+    assert(ranged.collect().head.getLong(0) == 50L)
+    // one partial-overlap file refuses the whole fold (exactness, not
+    // skipping) — and the scan answer is of course still right
+    val partial = scan.filter($"id" < 120).groupBy().count()
+    assert(!isMetadataOnly(partial), "partial overlap must keep the scan")
+    assert(partial.collect().head.getLong(0) == 120L)
+
+    // the day = X shape this fold exists for: per-partition-value files
+    val loc2 = tmpDir("cntday") + "/t"
+    val daySchema = StructType(Seq(
+      StructField("day", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val t2 = GraftTable.create(spark, loc2, daySchema)
+    t2.append(spark.range(0, 30).select(lit(1L).as("day"), $"id".as("n"))
+      .repartition(1))
+    t2.append(spark.range(0, 45).select(lit(2L).as("day"), $"id".as("n"))
+      .repartition(1))
+    val day = spark.read.format("graft").load(loc2)
+      .filter($"day" === 1).groupBy().count()
+    assert(isMetadataOnly(day),
+      "count(*) WHERE day = X over day-clustered files must fold")
+    assert(day.collect().head.getLong(0) == 30L)
+
+    // null-count alignment: IS NOT NULL over all-null vs no-null files
+    val loc3 = tmpDir("cntnull") + "/t"
+    val t3 = GraftTable.create(spark, loc3, schema)
+    t3.append(spark.range(0, 40).select($"id",
+      lit(null).cast("string").as("v")).repartition(1))
+    t3.append(spark.range(40, 100).select($"id",
+      concat(lit("x"), $"id").as("v")).repartition(1))
+    val nn = spark.read.format("graft").load(loc3)
+      .filter($"v".isNotNull).groupBy().count()
+    assert(isMetadataOnly(nn), "IS NOT NULL over all-or-nothing null " +
+      "files must fold from null counts")
+    assert(nn.collect().head.getLong(0) == 60L)
+
+    // composes with time travel: the pinned snapshot's single file
+    val pinned = spark.read.format("graft").option("snapshotId", "1")
+      .load(loc).filter($"id" < 100).groupBy().count()
+    assert(isMetadataOnly(pinned))
+    assert(pinned.collect().head.getLong(0) == 100L)
   }
 
   test("a DataFrame held across a commit folds to ITS pinned snapshot") {
