@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// A/B hook for optimization experiments: space-separated extra JVM
+// flags (e.g. "-Dspark.sql.join.preferSortMergeJoin=false") — SparkConf
+// picks up spark.* system properties, so configs can be measured
+// without code changes. Unset (the driver's case) adds nothing.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

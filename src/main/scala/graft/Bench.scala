@@ -77,8 +77,14 @@ object Bench {
       }.foreach(_.get())
       pool.shutdown()
     }
+    // 16 threads (was 8): the pool wall sits ON the sum/threads work
+    // bound (r17 final7: 39.3 s vs 308.6/8 = 38.6; r18 base runs:
+    // 143-174 s at 8 threads vs 47 s measured at 16 on the same box) —
+    // first-touch cost is latency (fsyncs, trigger waits, codegen
+    // locks), not CPU, so doubling overlap halves the wall. Still
+    // env-overridable; timed passes stay sequential and unaffected.
     warm(SparkEntry.queries.toSeq,
-      sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "8").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "16").toInt)
     val warmup = (System.nanoTime() - t0) / 1e9
     // Per-query MIN over three timed passes: single-pass timings on this
     // box swing 3-10x on identical plans (GC pauses / co-tenant load);

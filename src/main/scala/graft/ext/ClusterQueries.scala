@@ -39,10 +39,14 @@ object ClusterQueries {
   private val CentroidDp = 5
 
   /** left-to-right fold dot of the float vector column with a literal
-    * double centroid — a projection, nothing broadcast or joined. */
+    * double centroid — a projection, nothing broadcast or joined. The
+    * fused graft_fddot expression replaces the zip_with+aggregate fold
+    * (identical accumulation order and null/ragged semantics, one
+    * codegen loop instead of interpreted per-element lambdas — r18,
+    * guide §4: the assignment projection evaluates this K times per
+    * row, every Lloyd round). */
   private def dotLit(a: Column, ce: Seq[Double]): Column =
-    aggregate(zip_with(a, array(ce.map(lit): _*), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_fddot", a, array(ce.map(lit): _*))
 
   /** cosine argmax assignment against driver-held centroids, as one
     * projection: per-centroid sim columns, `greatest` for the max, and
@@ -95,12 +99,14 @@ object ClusterQueries {
     // cached: the normalized vector relation is scanned Iters+1 times
     // per call (every Lloyd round re-reads it) and again on every
     // bench pass — one persisted copy serves them all
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = RelCache.cached(s, s"$dir#d13_e") {
+      // Σx² as the fused self-dot — same left-to-right double fold as
+      // the transform+aggregate it replaces (r18, guide §4)
       t(s, dir, "embeddings")
         .select($"vec_id", $"label", $"embedding")
-        .withColumn("nrm", sqrt(aggregate(
-          transform($"embedding", x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
+        .withColumn("nrm",
+          sqrt(call_function("graft_fdot", $"embedding", $"embedding")))
     }
     // init = the K LOWEST vec_ids (not `vec_id < K`: ids need not start
     // at 0); K×dim doubles — a bounded driver-side collect

@@ -33,9 +33,10 @@ object SimilarityQueries {
   private def dot(a: Column, b: Column): Column =
     call_function("graft_fdot", a, b)
 
+  /** Σx² as the fused self-dot — same left-to-right double fold as the
+    * transform+aggregate it replaces, one codegen loop (r18, guide §4). */
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(call_function("graft_fdot", a, a))
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
@@ -287,9 +288,11 @@ object SimilarityQueries {
       val e = RelCache.cached(s, s"$dir#emb_norm")(
         withNorm(t(s, dir, "embeddings").select($"vec_id", $"embedding")))
       val bitCols = (0 until NumPlanes).map { j =>
+        // fused float×double-literal dot — identical left-to-right fold
+        // to the zip_with+aggregate it replaces (r18, guide §4)
         val plane = array(planes(j).map(lit): _*)
-        (aggregate(zip_with($"embedding", plane, (x, p) => x.cast("double") * p),
-          lit(0.0), (a, x) => a + x) >= 0).cast("int").as(s"b$j")
+        (call_function("graft_fddot", $"embedding", plane) >= 0)
+          .cast("int").as(s"b$j")
       }
       val sig = e.select(($"vec_id" +: bitCols): _*)
       val bandKeys = array((0 until PlaneBands).map { b =>
@@ -330,7 +333,9 @@ object SimilarityQueries {
       .withColumn("q", transform(emb,
         x => when(col("maxabs") === 0.0, lit(0L))
           .otherwise(floor(x.cast("double") * 127.0 / col("maxabs")))))
-      .withColumn("qn2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      // fused integer self-dot — same long arithmetic as the
+      // aggregate fold it replaces (r18, guide §4)
+      .withColumn("qn2", call_function("graft_ldot", col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("qn2"))
   }
 
@@ -339,6 +344,7 @@ object SimilarityQueries {
     * serves all of them. */
   private def sq8Rel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
     RelCache.cached(s, s"$dir#sq8") {
       quantize(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     }
@@ -364,8 +370,7 @@ object SimilarityQueries {
     val qs = quant.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"qn2".as("qqn2"))
     val cand = quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
-      .withColumn("idot", aggregate(zip_with($"qq", $"q", (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("idot", call_function("graft_ldot", $"qq", $"q"))
       .withColumn("qcos",
         when($"qqn2" === 0L || $"qn2" === 0L, lit(-2.0))
           .otherwise(round($"idot" / (sqrt($"qqn2") * sqrt($"qn2")), 6)))
@@ -446,8 +451,7 @@ object SimilarityQueries {
       val qs = quant.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"q".as("qq"))
       quant.join(broadcast(qs), $"vec_id" =!= $"query_id")
-        .withColumn("rel", aggregate(zip_with($"qq", $"q", (x, y) => x * y),
-          lit(0L), (a, x) => a + x))
+        .withColumn("rel", call_function("graft_ldot", $"qq", $"q"))
         .groupBy($"query_id")
         .agg(call_function("graft_top_k",
           $"rel".cast("double"), $"vec_id", lit(MmrCand)).as("top"))
@@ -474,8 +478,7 @@ object SimilarityQueries {
         .join(candQ.select($"query_id", $"vec_id".as("b"), $"q".as("qb")),
           "query_id")
         .filter($"a" =!= $"b")
-        .withColumn("pdot", aggregate(zip_with($"qa", $"qb", (x, y) => x * y),
-          lit(0L), (a, x) => a + x))
+        .withColumn("pdot", call_function("graft_ldot", $"qa", $"qb"))
         .select($"query_id", $"a", $"b", $"pdot")
     }
   }
@@ -569,8 +572,7 @@ object SimilarityQueries {
       .select($"vec_id".as("bench_id"), $"q".as("qb"), $"qn2".as("qbn2"))
     val candPairs = quant.filter($"vec_id" % 50 =!= 0)
       .join(broadcast(qb), lit(true))
-      .withColumn("idot", aggregate(zip_with($"q", $"qb", (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("idot", call_function("graft_ldot", $"q", $"qb"))
       .withColumn("qcos",
         when($"qn2" === 0L || $"qbn2" === 0L, lit(-2.0))
           .otherwise(round($"idot" / (sqrt($"qn2") * sqrt($"qbn2")), 6)))
@@ -621,8 +623,7 @@ object SimilarityQueries {
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"qn2".as("qqn2"))
     val candPairs = quant.filter($"vec_id" >= NumQueries)
       .join(broadcast(qq), lit(true))
-      .withColumn("idot", aggregate(zip_with($"q", $"qq", (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("idot", call_function("graft_ldot", $"q", $"qq"))
       .withColumn("qcos",
         when($"qn2" === 0L || $"qqn2" === 0L, lit(-2.0))
           .otherwise(round($"idot" / (sqrt($"qn2") * sqrt($"qqn2")), 6)))
@@ -690,10 +691,10 @@ object SimilarityQueries {
     * d13 centroid pattern) and the per-candidate work is 8 integer
     * adds — the memory-bandwidth regime PQ exists for. */
   private def l2micro(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
+    // fused squared-L2 — same left-to-right double fold as the
+    // zip_with+aggregate it replaces; the round/cast fixed-point
+    // contract stays in the column layer (r18, guide §4)
+    round(call_function("graft_fl2", a, b) * 1e6).cast("long")
 
   /** PQ subspace distance relation `(vec_id, m, c, di)` — every vector
     * decomposed into [[PqSub]] subvectors, scored (integer micro-L2)
@@ -703,6 +704,7 @@ object SimilarityQueries {
     * tables). */
   private def pqDistRel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
     val sub = e
       .select($"vec_id",
@@ -806,8 +808,7 @@ object SimilarityQueries {
       quant
         .join(broadcast(qq), lit(true))
         .filter($"vec_id" =!= $"query_id")
-        .withColumn("idot", aggregate(zip_with($"q", $"qq", (x, y) => x * y),
-          lit(0L), (a, x) => a + x))
+        .withColumn("idot", call_function("graft_ldot", $"q", $"qq"))
         .withColumn("qcos",
           when($"qn2" === 0L || $"qqn2" === 0L, lit(-2.0))
             .otherwise(round($"idot" / (sqrt($"qn2") * sqrt($"qqn2")), 6)))

@@ -97,6 +97,9 @@ class GraftSparkExtensions
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.fdotDescriptor)
     ext.injectFunction(GraftFunctions.adcDescriptor)
+    ext.injectFunction(GraftFunctions.ldotDescriptor)
+    ext.injectFunction(GraftFunctions.fddotDescriptor)
+    ext.injectFunction(GraftFunctions.fl2Descriptor)
   }
 }
 
@@ -111,6 +114,21 @@ object GraftFunctions {
     new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
     (exprs: Seq[Expression]) => AdcSum(exprs(0), exprs(1)): Expression)
 
+  private[graft] val ldotDescriptor = (
+    FunctionIdentifier("graft_ldot"),
+    new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+    (exprs: Seq[Expression]) => new LongDot(exprs(0), exprs(1)): Expression)
+
+  private[graft] val fddotDescriptor = (
+    FunctionIdentifier("graft_fddot"),
+    new ExpressionInfo(classOf[FloatDoubleDot].getName, "graft_fddot"),
+    (exprs: Seq[Expression]) => FloatDoubleDot(exprs(0), exprs(1)): Expression)
+
+  private[graft] val fl2Descriptor = (
+    FunctionIdentifier("graft_fl2"),
+    new ExpressionInfo(classOf[FloatL2].getName, "graft_fl2"),
+    (exprs: Seq[Expression]) => FloatL2(exprs(0), exprs(1)): Expression)
+
   /** Idempotently register into an existing session (temp function). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -121,6 +139,18 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_adc")))
       reg.createOrReplaceTempFunction("graft_adc",
         exprs => AdcSum(exprs(0), exprs(1)), "scala_udf")
+    // fused SQ8 integer dot (s06/s08/s09/s12/s13 candidate kernel)
+    if (!reg.functionExists(FunctionIdentifier("graft_ldot")))
+      reg.createOrReplaceTempFunction("graft_ldot",
+        exprs => new LongDot(exprs(0), exprs(1)), "scala_udf")
+    // fused float×double-literal dot (d13 centroids, s05 hyperplanes)
+    if (!reg.functionExists(FunctionIdentifier("graft_fddot")))
+      reg.createOrReplaceTempFunction("graft_fddot",
+        exprs => FloatDoubleDot(exprs(0), exprs(1)), "scala_udf")
+    // fused squared-L2 (s11/s16 PQ subspace scoring)
+    if (!reg.functionExists(FunctionIdentifier("graft_fl2")))
+      reg.createOrReplaceTempFunction("graft_fl2",
+        exprs => FloatL2(exprs(0), exprs(1)), "scala_udf")
     // raw AggregateFunction: the analyzer wraps it in AggregateExpression
     // itself (and would reject a pre-wrapped one for DISTINCT/FILTER)
     if (!reg.functionExists(FunctionIdentifier("graft_top_k")))
