@@ -95,7 +95,7 @@ object ScaleQueries {
       .select($"o_orderkey", $"o_orderpriority")
       .withColumn("salt",
         explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey")
+    li.join(ord.hint("shuffle_hash"), li("l_orderkey") === ord("o_orderkey")
         && li("salt") === ord("salt"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
@@ -333,8 +333,7 @@ object ScaleQueries {
   def q36MorRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.meta.GraftTable
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.read.parquet(s"$dir/events.parquet")
+    val src = graft.rel.Tables.raw(s, dir, "events.parquet")
       .select($"event_id", $"event_type", $"value")
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_morread_g${graft.Fixtures.key8(dir)}/t"
     val nLive = src.filter($"event_type" =!= "error").count()

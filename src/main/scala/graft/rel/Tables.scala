@@ -55,13 +55,44 @@ object Tables {
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val cols = tsColumns.getOrElse(name, Seq.empty)
-    // harmless when the data is µs; required to read a ns encoding at all
-    if (cols.nonEmpty)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cols.foldLeft(spark.read.parquet(s"$dir/$name.parquet")) {
-      (df, c) => normalizeTs(df, c)
+  /** PLAN memo, not a data cache: `spark.read.parquet` eagerly lists
+    * the path and reads a footer to infer the schema — ~50-100 ms of
+    * driver-side work per call (measured via the DevProfile sampler,
+    * r18) that every entry re-paid on every bench pass. The memo hands
+    * back the same immutable DataFrame (logical plan) per (session,
+    * dir, table); every ACTION still scans the parquet — nothing about
+    * query execution is cached. Keyed on the session OBJECT (identity
+    * equality, the RelCache convention) with stopped-session eviction. */
+  private val loadMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized RAW parquet read of `dir/file` — the same plan-level memo
+    * as [[load]] for call sites that need the unnormalized relation or
+    * just its schema (StreamOps' file-stream sources, the maintenance
+    * demos' seed reads). Sets nanosAsLong first, like [[load]], so a
+    * ns-encoded file is readable whichever call comes first. */
+  def raw(spark: SparkSession, dir: String, file: String): DataFrame = {
+    loadMemo.filterInPlace { case ((owner, _, _), _) =>
+      !owner.sparkContext.isStopped
     }
+    loadMemo.getOrElseUpdate((spark, dir, s"raw:$file"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$file")
+    })
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    loadMemo.filterInPlace { case ((owner, _, _), _) =>
+      !owner.sparkContext.isStopped
+    }
+    loadMemo.getOrElseUpdate((spark, dir, name), {
+      val cols = tsColumns.getOrElse(name, Seq.empty)
+      // harmless when the data is µs; required to read a ns encoding at all
+      if (cols.nonEmpty)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      cols.foldLeft(spark.read.parquet(s"$dir/$name.parquet")) {
+        (df, c) => normalizeTs(df, c)
+      }
+    })
   }
 }

@@ -29,8 +29,10 @@ object MaintenanceQueries {
   private def freshDir(tag: String): String =
     Files.createTempDirectory(s"graft_$tag").resolve("t").toString
 
+  // memoized plan read (r18): every x-entry re-read the seed parquet's
+  // footer per bench pass; Tables.raw hands back one immutable plan
   private def seed(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/part.parquet")
+    graft.rel.Tables.raw(spark, sfDir, "part.parquet")
 
   // serializes fixture check/rebuild/stamp within the JVM (st11's recipe)
   private val xSeedLock = new Object

@@ -209,7 +209,7 @@ object StreamOps {
                     transform: DataFrame => DataFrame,
                     outputMode: String, sinkTable: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val rawSchema = Tables.raw(spark, sfDir, "events.parquet").schema
     // events.parquet is a single file; the file-stream source needs a
     // directory basePath, so point it at the dir with a glob.
     val stream = Tables.normalizeTs(
@@ -257,7 +257,7 @@ object StreamOps {
     * dedup state, which is what keeps this viable on an unbounded feed. */
   def st02StreamDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = Tables.raw(s, dir, "events.parquet").schema
     def src: DataFrame = Tables.normalizeTs(
       s.readStream
         .schema(rawSchema)
@@ -291,7 +291,7 @@ object StreamOps {
     * would be inflated and the hash would mismatch. */
   def st03GraftSink(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = Tables.raw(s, dir, "events.parquet").schema
     val src = Tables.normalizeTs(
       s.readStream
         .schema(rawSchema)
@@ -310,7 +310,7 @@ object StreamOps {
     q.awaitTermination()
     // simulate an at-least-once redelivery of the whole first batch
     val replay = Tables.normalizeTs(
-      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
+      Tables.raw(s, dir, "events.parquet"), target = "timestamp")
     sinkFn(replay, 0L)
     // per-call temp table by design (the entry's claim IS the replay
     // no-op) — so the finishTempTable discipline must reclaim it
@@ -332,7 +332,7 @@ object StreamOps {
   private def clickPurchaseLegs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = Tables.raw(s, dir, "events.parquet").schema
     val one: DataFrame = Tables.normalizeTs(
       s.readStream
         .schema(rawSchema)
@@ -489,7 +489,7 @@ object StreamOps {
     // two legs' max event times (1-row aggregate, broadcast back —
     // never a driver collect), from the SAME rows the stream consumed
     val maxRel = Tables.normalizeTs(
-      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
+      Tables.raw(s, dir, "events.parquet"), target = "timestamp")
       .agg(least(
         max(when(col("event_type") === "click", col("ts"))),
         max(when(col("event_type") === "purchase", col("ts"))))
@@ -520,7 +520,7 @@ object StreamOps {
     import graft.meta.GraftTable
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Tables.normalizeTs(
-      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
+      Tables.raw(s, dir, "events.parquet"), target = "timestamp")
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_evsrc_g${graft.Fixtures.key8(dir)}/t"
     ensureSeededOnce(s, loc) {
       val nRows = src.count()
@@ -558,7 +558,7 @@ object StreamOps {
     import graft.meta.GraftTable
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Tables.normalizeTs(
-      s.read.parquet(s"$dir/events.parquet"), target = "timestamp")
+      Tables.raw(s, dir, "events.parquet"), target = "timestamp")
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_cdcfeed_g${graft.Fixtures.key8(dir)}/t"
     ensureSeededOnce(s, loc) {
       val nLive = src.filter($"event_type" =!= "error").count()
@@ -638,7 +638,7 @@ object StreamOps {
     * stream-source setup for the document-processing entries. */
   private def docStream(s: SparkSession, dir: String): DataFrame =
     s.readStream
-      .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+      .schema(Tables.raw(s, dir, "documents.parquet").schema)
       .option("basePath", dir)
       .parquet(s"$dir/{documents.parquet}")
 
@@ -801,7 +801,7 @@ object StreamOps {
   def st11StreamUpsert(s: SparkSession, dir: String): DataFrame = st11Lock.synchronized {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"),
+    val src = Tables.normalizeTs(Tables.raw(s, dir, "events.parquet"),
       target = "timestamp")
     // Validated reuse (the st05 recipe): feed chunks, table, and
     // checkpointable state are keyed by the source dir and fingerprinted
