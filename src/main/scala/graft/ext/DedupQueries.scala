@@ -215,32 +215,58 @@ object DedupQueries {
       residual: String = ""): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val base = rows.select(
       (bucketKeys.map(col) :+ struct(memberCols: _*).as("mbr")): _*)
     val sized = base.withColumn("bsz",
       count(lit(1)).over(Window.partitionBy(bucketKeys.map(col): _*)))
-    def pairFilter(extra: String) =
-      "flatten(transform(ds, x -> filter(transform(ds, y -> " +
-        "named_struct('a', x.mbr, 'b', y.mbr, 'ga', x.g, 'gb', y.g)), " +
-        s"p -> p.a.`$idField` < p.b.`$idField`$residual$extra)))"
-    val small = sized.filter($"bsz" <= BucketCap)
-      .withColumn("g", lit(0))
-      .groupBy(bucketKeys.map(col): _*)
-      .agg(collect_list(struct($"mbr", $"g")).as("ds"))
-      .filter(size($"ds") > 1)
-      .select(explode(expr(pairFilter(""))).as("p"))
-    val big = sized.filter($"bsz" > BucketCap)
-      .withColumn("g", pmod(hash(col(s"mbr.$idField")), lit(PairSalts)))
-      .select((bucketKeys.map(col) ++ Seq($"mbr", $"g", explode(expr(
-        s"transform(sequence(0, ${PairSalts - 1}), " +
-          "i -> struct(least(i, g) AS ci, greatest(i, g) AS cj))")).as("cell"))): _*)
-      .withColumn("ci", $"cell.ci").withColumn("cj", $"cell.cj")
-      .groupBy((bucketKeys :+ "ci" :+ "cj").map(col): _*)
-      .agg(collect_list(struct($"mbr", $"g")).as("ds"))
-      .filter(size($"ds") > 1)
-      .select(explode(expr(
-        pairFilter(" AND (p.ga <> p.gb OR ci = cj)"))).as("p"))
-    small.union(big).select($"p.a".as("a"), $"p.b".as("b"))
+    // Pair emission (r18, guide §4): the graft_pairs GENERATOR yields
+    // each index pair (i<j) of the bucket array once — one generator
+    // call per bucket row — replacing the nested
+    // `flatten(transform(ds, x -> filter(transform(ds, y ->
+    // named_struct(...)), pred)))` fold, which evaluated four
+    // interpreted lambdas per ORDERED candidate pair and materialized
+    // the full n² struct array before the explode. Orientation by id
+    // (strict `<`; id-ties yield null and are dropped, exactly the
+    // fold's `p.a.id < p.b.id` semantics) and the residual predicates
+    // run as ordinary codegen'd Project/Filter nodes over the emitted
+    // rows; the pair SET is unchanged (PairExpandSpec pins equality
+    // against the literal composable form).
+    def pairsOf(grouped: DataFrame, carry: Seq[String],
+                extra: String): DataFrame = {
+      val xid = col("x.mbr").getField(idField)
+      val yid = col("y.mbr").getField(idField)
+      val fwd = struct($"x.mbr".as("a"), $"y.mbr".as("b"),
+        $"x.g".as("ga"), $"y.g".as("gb"))
+      val rev = struct($"y.mbr".as("a"), $"x.mbr".as("b"),
+        $"y.g".as("ga"), $"x.g".as("gb"))
+      grouped
+        .select((carry.map(col) :+
+          call_function("graft_pairs", $"ds").as(Seq("x", "y"))): _*)
+        .select((carry.map(col) :+
+          when(xid < yid, fwd).when(yid < xid, rev).as("p")): _*)
+        .filter(expr(s"p IS NOT NULL$residual$extra"))
+    }
+    val small = pairsOf(
+      sized.filter($"bsz" <= BucketCap)
+        .withColumn("g", lit(0))
+        .groupBy(bucketKeys.map(col): _*)
+        .agg(collect_list(struct($"mbr", $"g")).as("ds"))
+        .filter(size($"ds") > 1),
+      Seq.empty, "")
+    val big = pairsOf(
+      sized.filter($"bsz" > BucketCap)
+        .withColumn("g", pmod(hash(col(s"mbr.$idField")), lit(PairSalts)))
+        .select((bucketKeys.map(col) ++ Seq($"mbr", $"g", explode(expr(
+          s"transform(sequence(0, ${PairSalts - 1}), " +
+            "i -> struct(least(i, g) AS ci, greatest(i, g) AS cj))")).as("cell"))): _*)
+        .withColumn("ci", $"cell.ci").withColumn("cj", $"cell.cj")
+        .groupBy((bucketKeys :+ "ci" :+ "cj").map(col): _*)
+        .agg(collect_list(struct($"mbr", $"g")).as("ds"))
+        .filter(size($"ds") > 1),
+      Seq("ci", "cj"), " AND (p.ga <> p.gb OR ci = cj)")
+      .select($"p")
+    small.select($"p").union(big).select($"p.a".as("a"), $"p.b".as("b"))
   }
 
   /** Verified near-dup pairs, unordered — persisted and shared between
@@ -1004,33 +1030,56 @@ object DedupQueries {
     }
     val truth = d21TruthRel(s, dir)
       .filter($"jac" >= JaccardThreshold).select($"da", $"db")
-    val arms = BandSweepArms.map { case (b, r) =>
-      val bandKeys = array((0 until b).map { bi =>
-        concat_ws(",", (0 until r).map(ri => col(s"m${bi * r + ri}")): _*)
-      }: _*)
-      val bands = sig.select($"doc_id",
-        posexplode(bandKeys).as(Seq("band", "band_key")))
-      val cand = saltedPairExpansion(bands, Seq("band", "band_key"),
-        Seq($"doc_id"), "doc_id")
-        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
-        .distinct()
-      // ONE pass over cand (the dominant per-arm cost): a full-outer
-      // join against the true-pair set lets a single aggregate count
-      // candidate volume, truth size, and their overlap together —
-      // evaluating cand separately for volume and recall would double
-      // the per-arm expansion work
-      cand.withColumn("hit", lit(1))
-        .join(truth.withColumn("tru", lit(1)), Seq("da", "db"), "full_outer")
-        .agg(count($"hit").as("cand_pairs"),
-          count($"tru").as("n_true"),
-          count(when($"hit" === 1 && $"tru" === 1, 1)).as("n_found"))
-        .select(lit(b.toLong).as("bands"),
-          lit(r.toLong).as("rows_per_band"),
-          $"cand_pairs", $"n_true", $"n_found",
-          expr("case when n_true = 0 then 10000" +
-            " else n_found * 10000 div n_true end").as("recall_bp"))
-    }
-    arms.reduce(_ unionByName _).orderBy($"bands")
+    // ONE pass for all four arms (r18, guide §2.4): the arms used to be
+    // four independent plan subtrees — 4× the band shuffle, expansion,
+    // distinct, truth join, and aggregate, ~25 tiny stages whose
+    // SCHEDULING (not data) was the measured wall. Tagging every band
+    // key with its arm id and keying the bucket expansion by
+    // (arm, band, band_key) computes the IDENTICAL per-arm candidate
+    // sets (no cross-arm pairs can form — the arm is part of the bucket
+    // key) through one expansion, one distinct, one truth join, and one
+    // grouped aggregate. Per-arm rows, values, and the oracle are
+    // unchanged.
+    val armKeys = array(BandSweepArms.zipWithIndex.flatMap {
+      case ((b, r), ai) => (0 until b).map { bi =>
+        struct(lit(ai).as("arm"),
+          concat_ws(",", (0 until r).map(ri => col(s"m${bi * r + ri}")): _*)
+            .as("bk"))
+      }
+    }: _*)
+    val bands = sig.select($"doc_id",
+      posexplode(armKeys).as(Seq("band", "ab")))
+      .select($"doc_id", $"ab.arm".as("arm"), $"band", $"ab.bk".as("band_key"))
+    val cand = saltedPairExpansion(bands, Seq("arm", "band", "band_key"),
+      Seq($"doc_id", $"arm"), "doc_id")
+      .select($"a.arm".as("arm"), $"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .distinct()
+    // the truth set replicates once per arm (4 × |truth| tiny rows) so
+    // one full-outer join + one grouped aggregate count candidate
+    // volume, truth size, and overlap for every arm together
+    val armRel = BandSweepArms.zipWithIndex.map { case ((b, r), ai) =>
+      (ai, b.toLong, r.toLong)
+    }.toDF("arm", "bands", "rows_per_band")
+    val truthTagged = truth.withColumn("tru", lit(1))
+      .crossJoin(armRel.select($"arm"))
+    val perArm = cand.withColumn("hit", lit(1))
+      .join(truthTagged, Seq("arm", "da", "db"), "full_outer")
+      .groupBy($"arm")
+      .agg(count($"hit").as("cp"),
+        count($"tru").as("nt"),
+        count(when($"hit" === 1 && $"tru" === 1, 1)).as("nf"))
+    // LEFT from the arm relation: an arm with zero candidates AND zero
+    // truth pairs must still emit its row (the original per-arm global
+    // aggregate always produced one), as all-zero counts
+    broadcast(armRel).join(perArm, Seq("arm"), "left")
+      .select($"bands", $"rows_per_band",
+        coalesce($"cp", lit(0L)).as("cand_pairs"),
+        coalesce($"nt", lit(0L)).as("n_true"),
+        coalesce($"nf", lit(0L)).as("n_found"))
+      .withColumn("recall_bp",
+        expr("case when n_true = 0 then 10000" +
+          " else n_found * 10000 div n_true end"))
+      .orderBy($"bands")
   }
 
   /** Contamination decision threshold: an eval document whose n-gram

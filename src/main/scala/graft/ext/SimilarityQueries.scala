@@ -1019,27 +1019,42 @@ object SimilarityQueries {
       .filter($"vec_id" < NumQueries)
     val exact = s01TopKRel(s, dir)
       .select($"query_id", $"vec_id", lit(1).as("hit"))
-    val arms = ProbeSweep.map { p =>
-      val probes = qf
-        .join(broadcast(
-          slim.filter($"vec_id" < NumQueries && $"crn" <= p)), Seq("vec_id"))
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-          $"nrm".as("qn"), $"cell_id")
-      val cand = assigned.join(broadcast(probes), Seq("cell_id"))
-        .filter($"vec_id" =!= $"query_id")
-        .withColumn("cos",
-          round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      val hits = cand.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= TopK)
-        .join(exact, Seq("query_id", "vec_id"), "left")
-        .agg(count($"hit").as("hits"))
-      cand.agg(count(lit(1)).as("cand_pairs"))
-        .crossJoin(broadcast(hits))
-        .select(lit(p.toLong).as("nprobe"), $"cand_pairs", $"hits",
-          expr(s"hits * 10000 div ${NumQueries * TopK}").as("recall_bp"))
-    }
-    arms.reduce(_ unionByName _).orderBy($"nprobe")
+    // ONE pass for all three nprobe arms (r18, guide §2.4 — the d26
+    // collapse): the arms differ only in the probe-depth filter
+    // `crn <= p`, so tagging each probe row with every arm that admits
+    // it (a tiny non-equi join: ≤ queries·cells × |ProbeSweep| rows)
+    // and carrying `nprobe` through ONE candidate join, ONE window
+    // (partitioned by (nprobe, query)), and grouped aggregates computes
+    // the identical per-arm rows through a third of the stages — the
+    // measured wall was stage scheduling, not candidate volume.
+    val armRel = ProbeSweep.map(_.toLong).toDF("nprobe")
+    val probes = qf
+      .join(broadcast(slim.filter($"vec_id" < NumQueries)), Seq("vec_id"))
+      .join(broadcast(armRel), $"crn" <= $"nprobe")
+      .select($"nprobe", $"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qn"), $"cell_id")
+    val cand = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos",
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+    val w = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"cos".desc, $"vec_id")
+    val hits = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= TopK)
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy($"nprobe").agg(count($"hit").as("h"))
+    val vols = cand.groupBy($"nprobe").agg(count(lit(1)).as("cp"))
+    // LEFT from the arm relation: an arm whose candidate set is empty
+    // must still emit its row (the original per-arm global aggregates
+    // always produced one), as zero counts
+    broadcast(armRel)
+      .join(vols, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .select($"nprobe", coalesce($"cp", lit(0L)).as("cand_pairs"),
+        coalesce($"h", lit(0L)).as("hits"))
+      .withColumn("recall_bp",
+        expr(s"hits * 10000 div ${NumQueries * TopK}"))
+      .orderBy($"nprobe")
   }
 
   /** Session-cached IVF-PQ index: `(vec_id, cell_id, codes)` — each

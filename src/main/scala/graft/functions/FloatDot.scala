@@ -100,6 +100,7 @@ class GraftSparkExtensions
     ext.injectFunction(GraftFunctions.ldotDescriptor)
     ext.injectFunction(GraftFunctions.fddotDescriptor)
     ext.injectFunction(GraftFunctions.fl2Descriptor)
+    ext.injectFunction(GraftFunctions.pairsDescriptor)
   }
 }
 
@@ -129,6 +130,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FloatL2].getName, "graft_fl2"),
     (exprs: Seq[Expression]) => FloatL2(exprs(0), exprs(1)): Expression)
 
+  private[graft] val pairsDescriptor = (
+    FunctionIdentifier("graft_pairs"),
+    new ExpressionInfo(classOf[PairExpand].getName, "graft_pairs"),
+    (exprs: Seq[Expression]) => PairExpand(exprs(0)): Expression)
+
   /** Idempotently register into an existing session (temp function). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -151,6 +157,10 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_fl2")))
       reg.createOrReplaceTempFunction("graft_fl2",
         exprs => FloatL2(exprs(0), exprs(1)), "scala_udf")
+    // bucket-local pair-expansion generator (saltedPairExpansion kernel)
+    if (!reg.functionExists(FunctionIdentifier("graft_pairs")))
+      reg.createOrReplaceTempFunction("graft_pairs",
+        exprs => PairExpand(exprs(0)), "scala_udf")
     // raw AggregateFunction: the analyzer wraps it in AggregateExpression
     // itself (and would reject a pre-wrapped one for DISTINCT/FILTER)
     if (!reg.functionExists(FunctionIdentifier("graft_top_k")))
