@@ -71,6 +71,50 @@ object DevCommitRate {
         .select((col("id") + 1000000L * (i + 10)).as("k"),
           lit(i.toLong).as("v")))
     }
+
+    // r17 item 1 (measured): CoW MERGE affected-file cost on a
+    // range-CLUSTERED table vs whole-domain keys. files_touched/commit =
+    // manifest rows REWRITTEN (dropped from the live set) per merge —
+    // the discovery scan (RowLevel.merge via pairsOverlappingKeys) must
+    // touch only bounds-overlapping files, so clustered keys rewrite ~1
+    // file while whole-domain keys rewrite every file.
+    def probeMerge(tag: String, keysOf: Int => org.apache.spark.sql.DataFrame): Unit = {
+      val loc = java.nio.file.Files.createTempDirectory("graft_rate")
+        .resolve(tag).toString
+      val tc = GraftTable.create(spark, loc, seed.schema)
+      // 16 range-clustered files over k = 0..100000 (the q31/x13 layout);
+      // pin the target file size to one seed file's bytes so CoW rewrites
+      // preserve the 16-file granularity at this probe's tiny scale (at
+      // the 128 MB default the whole probe table binpacks into one file
+      // and both arms degenerate to files_touched=1)
+      tc.append(seed.repartitionByRange(16, col("k")))
+      val seedFileBytes = tc.files.select("size_bytes")
+        .collect().map(_.getLong(0)).min
+      tc.setProperties(Map(
+        "write.target-file-size-bytes" -> seedFileBytes.toString))
+      def liveSet() = tc.files.select("path").collect()
+        .map(_.getString(0)).toSet
+      var touched = 0L
+      def commit(i: Int): Unit = {
+        val before = liveSet()
+        tc.merge(keysOf(i).select(col("k"), lit(i.toLong).as("v")), Seq("k"))
+        if (i >= 0) touched += (before -- liveSet()).size
+      }
+      commit(-1)
+      val j0 = settledJobs(); val t0 = System.nanoTime()
+      (0 until n).foreach(commit)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""[commitrate] {"op":"$tag","n":$n,"sec":$sec%.2f,""" +
+        f""""commits_per_sec":${n / sec}%.1f,""" +
+        f""""jobs_per_commit":${(settledJobs() - j0).toDouble / n}%.1f,""" +
+        f""""files_touched_per_commit":${touched.toDouble / n}%.2f}""")
+    }
+    // clustered: 200 keys inside ONE file's 6250-wide range
+    probeMerge("merge_clustered", i =>
+      spark.range(0, 200).select((col("id") + 400 * (i % 8)).as("k")))
+    // whole-domain: 200 keys spread across the full key space
+    probeMerge("merge_whole", i =>
+      spark.range(0, 200).select((col("id") * 500 + i % 100).as("k")))
     spark.stop()
   }
 }

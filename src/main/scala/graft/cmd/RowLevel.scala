@@ -44,12 +44,24 @@ object RowLevel {
     table.lock.synchronized {
       val matched = coalesce(cond, lit(false))
       val before = table.currentSnapshot.map(_.totalRows).getOrElse(0L)
-      val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
       rewrite(table, "cow_delete",
-        affected = withPath.filter(matched).select(col(FP).as("path")).distinct(),
+        affected = discover(table, matched),
         survivorsOf = df => df.filter(!matched),
         extra = None, clock)
       before - table.currentSnapshot.map(_.totalRows).getOrElse(0L)
+    }
+
+  /** Affected-file discovery for a predicate: the bounds/bloom-pruned
+    * raw scan when available ([[GraftTable.affectedFilesRaw]] — on a
+    * clustered table a selective predicate reads only candidate files),
+    * else the aligned full scan. Raw discovery may over-mark files
+    * whose matches are all MOR-deleted; those files are delete-targeted
+    * and the rewrite unions [[GraftTable.deleteTargets]], so the final
+    * affected set is identical either way. */
+  private def discover(table: GraftTable, matched: Column): DataFrame =
+    table.affectedFilesRaw(matched).getOrElse {
+      table.morReadLive(table.liveFilePairs, Some(FP))
+        .filter(matched).select(col(FP).as("path")).distinct()
     }
 
   /** UPDATE ... SET col = expr WHERE cond (Trino's general row-level
@@ -66,11 +78,18 @@ object RowLevel {
       sets.keys.foreach(c => require(table.schema.fieldNames.contains(c),
         s"no such column $c"))
       val matched = coalesce(cond, lit(false))
-      val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
-      val hit = withPath.filter(matched)
+      // discovery is pruned; the matched-row COUNT (MOR-applied, the
+      // return value) then scans only the affected files — every file
+      // holding a MOR-live matched row is raw-affected, so the pruned
+      // count equals the full-scan count
+      val spark = table.spark
+      import spark.implicits._
+      val affectedPaths = discover(table, matched).as[String].collect().toSet
+      val hit = table.morReadLive(
+        table.liveFilePairs.filter(p => affectedPaths(p._1))).filter(matched)
       val n = hit.count()
       if (n > 0) rewrite(table, "update",
-        affected = hit.select(col(FP).as("path")).distinct(),
+        affected = spark.createDataset(affectedPaths.toSeq).toDF("path"),
         // withColumns applies all SETs against the OLD row at once —
         // `SET a = b, b = a` swaps, like SQL requires
         survivorsOf = df => df.withColumns(sets.map { case (c, e) =>
@@ -81,12 +100,18 @@ object RowLevel {
     }
 
   /** MERGE (upsert): rows in `source` replace table rows with the same
-    * key; unmatched source rows are inserted. One commit. */
+    * key; unmatched source rows are inserted. One commit. The
+    * affected-file discovery scans only files whose manifest bounds
+    * overlap the source keys' min/max ([[GraftTable.pairsOverlappingKeys]]):
+    * a bounds-disjoint file cannot contain a matching row, so on a
+    * clustered table an upsert landing in one key range reads the
+    * overlapping files, not the table. */
   def merge(table: GraftTable, source: DataFrame, keys: Seq[String],
             clock: Clock): Unit =
     table.lock.synchronized {
       val srcKeys = source.select(keys.map(col): _*).distinct()
-      val withPath = table.morReadLive(table.liveFilePairs, Some(FP))
+      val withPath = table.morReadLive(
+        table.pairsOverlappingKeys(srcKeys, keys), Some(FP))
       rewrite(table, "merge",
         affected = withPath.join(srcKeys, keys, "left_semi")
           .select(col(FP).as("path")).distinct(),
@@ -129,7 +154,20 @@ object RowLevel {
     // MERGE touching no files must not land a junk empty commit
     val obs = new org.apache.spark.sql.Observation(
       s"cow-${commitDir.getName}")
-    table.dataWrite(rewrittenRows.observe(obs, count(lit(1)).as("n")))
+    // Size the output like optimize's binpack: ceil(affected bytes /
+    // target-file-size) files. Without this a small CoW rewrite emits
+    // one fragment PER TASK (shuffle-partition count), shredding a
+    // clustered file into overlapping slivers on every upsert — which
+    // both accumulates manifest rows and defeats the next merge's
+    // bounds pruning. coalesce never raises parallelism, so large
+    // rewrites keep their scan tasks.
+    val affectedBytes = table.files.select("path", "size_bytes").collect()
+      .iterator.filter(r => affectedPaths(r.getString(0)))
+      .map(_.getLong(1)).sum
+    val outParts = math.max(1L, (affectedBytes +
+      table.defaultTargetFileBytes - 1) / table.defaultTargetFileBytes).toInt
+    table.dataWrite(rewrittenRows.observe(obs, count(lit(1)).as("n"))
+        .coalesce(outParts))
       .parquet(commitDir.toString)
     table.fileSystem.delete(new Path(commitDir, "_SUCCESS"), false)
     if (affectedPaths.isEmpty &&

@@ -492,6 +492,48 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     case _ => Seq.empty
   }
 
+  /** [[liveFilePairs]] bounds-pruned to files whose per-key-column value
+    * range overlaps the key set's min/max — the same manifest
+    * file-skipping [[matchingRows]] performs for eq-deletes, applied to
+    * the CoW merge's affected-file discovery so it scans only candidate
+    * files, not the table (on a 100 TB table an upsert landing in one
+    * key range reads the overlapping files, not every file).
+    *
+    * MERGE key equality is plain `=` (a NULL key matches nothing), so
+    * only non-null key bounds participate: a key column with no non-null
+    * value prunes every file. Files with missing bounds for a boundable
+    * column are kept (never pruned); non-boundable key types disable
+    * pruning on that column. The min/max aggregate is one tiny job over
+    * the (small) source key set; the manifest filter folds into the
+    * driver-local manifest relation, job-free below the local-read gate. */
+  private[graft] def pairsOverlappingKeys(keys: DataFrame,
+                                          keyCols: Seq[String]): Seq[(String, Long)] =
+    currentSnapshot match {
+      case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty =>
+        val tableSchema = schema
+        val bounded = keyCols.filter(k => boundable(tableSchema(k).dataType))
+        if (bounded.isEmpty) return filePairsOf(s)
+        val aggs = bounded.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val st = keys.agg(aggs.head, aggs.tail: _*).head()
+        val keep = bounded.zipWithIndex.map { case (k, i) =>
+          val dt = tableSchema(k).dataType
+          val mn = st.get(2 * i)
+          val mx = st.get(2 * i + 1)
+          if (mn == null) lit(false) // no non-null keys: nothing can match
+          else {
+            val dmin = element_at(col("min_values"), k).cast(dt)
+            val dmax = element_at(col("max_values"), k).cast(dt)
+            (dmin.isNull || dmin <= lit(mx).cast(dt)) &&
+              (dmax.isNull || dmax >= lit(mn).cast(dt))
+          }
+        }.reduce(_ && _)
+        manifestDf(s.manifests).filter(keep)
+          .select("path", "added_snapshot_id").collect()
+          .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toIndexedSeq
+      case _ => Seq.empty
+    }
+
   // ---- merge-on-read position deletes (Iceberg v2) -----------------------
 
   /** Live position-delete file inventory of the current snapshot (the
@@ -753,6 +795,28 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       case Some(s) => morReadFiles(s, pairs, pathCol)
       case None => readFilesAligned(pairs, pathCol)
     }
+
+  /** Paths of live data files containing at least one RAW row matching
+    * `matched` — the CoW affected-file discovery, pruned. Single-
+    * generation tables scan through the registered source so Catalyst
+    * pushes the predicate into [[graft.sources.GraftFileIndex]]:
+    * manifest bounds, null counts, and blooms SKIP non-matching files
+    * before a row is read (the same fast path [[deleteWhereMOR]] uses),
+    * so a selective CoW delete/update on a clustered 100 TB table scans
+    * candidate files, not the table. Raw rows (outstanding MOR deletes
+    * NOT applied) make the result a SUPERSET of the MOR-applied
+    * affected set per file — and every file whose matches are all
+    * MOR-deleted is delete-targeted, which the CoW rewrite unions in
+    * anyway, so the final affected set is identical. None = evolved
+    * table (caller falls back to the aligned scan). */
+  private[graft] def affectedFilesRaw(matched: Column): Option[DataFrame] =
+    if (schemaVersions.size <= 1 && currentSnapshot.isDefined)
+      Some(spark.read.format("graft")
+        .option("graft.internal.allowDeletes", "true").load(location)
+        .filter(matched)
+        .select(normalizeCol(col("_metadata.file_path")).as("path"))
+        .distinct())
+    else None
 
   /** Merge-on-read DELETE (Iceberg v2 position deletes): rather than
     * rewriting every affected data file (the copy-on-write

@@ -62,30 +62,47 @@ object Tables {
     * back the same immutable DataFrame (logical plan) per (session,
     * dir, table); every ACTION still scans the parquet — nothing about
     * query execution is cached. Keyed on the session OBJECT (identity
-    * equality, the RelCache convention) with stopped-session eviction. */
+    * equality, the RelCache convention) with stopped-session eviction.
+    *
+    * Staleness guard: the eager read also pins the FILE LISTING into
+    * the plan, so a memo hit on a path that has since changed (files
+    * appended/removed — e.g. s04's source-append rebuild) would
+    * silently serve the old file set. Each entry therefore records the
+    * path's mtime at build time and rebuilds on mismatch — one local
+    * stat per call (~µs) against the 50-100 ms plan build. Appends and
+    * overwrites touch the parquet directory (or replace the file), so
+    * the mtime moves exactly when the listing can. */
   private val loadMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), (Long, DataFrame)]
+
+  private def memoized(spark: SparkSession, dir: String, key: String,
+                       path: String)(build: => DataFrame): DataFrame = {
+    loadMemo.filterInPlace { case ((owner, _, _), _) =>
+      !owner.sparkContext.isStopped
+    }
+    val mtime = new java.io.File(path).lastModified
+    loadMemo.get((spark, dir, key)) match {
+      case Some((m, df)) if m == mtime => df
+      case _ =>
+        val df = build
+        loadMemo.put((spark, dir, key), (mtime, df))
+        df
+    }
+  }
 
   /** Memoized RAW parquet read of `dir/file` — the same plan-level memo
     * as [[load]] for call sites that need the unnormalized relation or
     * just its schema (StreamOps' file-stream sources, the maintenance
     * demos' seed reads). Sets nanosAsLong first, like [[load]], so a
     * ns-encoded file is readable whichever call comes first. */
-  def raw(spark: SparkSession, dir: String, file: String): DataFrame = {
-    loadMemo.filterInPlace { case ((owner, _, _), _) =>
-      !owner.sparkContext.isStopped
-    }
-    loadMemo.getOrElseUpdate((spark, dir, s"raw:$file"), {
+  def raw(spark: SparkSession, dir: String, file: String): DataFrame =
+    memoized(spark, dir, s"raw:$file", s"$dir/$file") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$file")
-    })
-  }
-
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    loadMemo.filterInPlace { case ((owner, _, _), _) =>
-      !owner.sparkContext.isStopped
     }
-    loadMemo.getOrElseUpdate((spark, dir, name), {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memoized(spark, dir, name, s"$dir/$name.parquet") {
       val cols = tsColumns.getOrElse(name, Seq.empty)
       // harmless when the data is µs; required to read a ns encoding at all
       if (cols.nonEmpty)
@@ -93,6 +110,5 @@ object Tables {
       cols.foldLeft(spark.read.parquet(s"$dir/$name.parquet")) {
         (df, c) => normalizeTs(df, c)
       }
-    })
-  }
+    }
 }

@@ -100,8 +100,16 @@ class PlanShapeSpec extends SparkSpec {
   test("q23: salted join keeps the shuffle count bounded") {
     val nodes = allNodes(ScaleQueries.queries("q23_salted_join")(spark, sf))
     val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }.distinct
-    assert(shuffles.size <= 3,
+    // probe + build + aggregate + order — the build side is DISTRIBUTED
+    // across the salted shuffle (r18): the 8x-exploded build's size
+    // estimate fooled the planner into a single-threaded driver
+    // broadcast build, so the extra build-side exchange is the point
+    assert(shuffles.size <= 4,
       s"salting must not add extra shuffles (${shuffles.size})")
+    assert(nodes.exists(
+      _.getClass.getSimpleName.contains("ShuffledHashJoin")),
+      "the salted join must build per-partition, not broadcast the " +
+        "8x-exploded side from the driver")
   }
 
   test("s05: the LSH signature stage is a pure projection — no shuffle below the band explode") {

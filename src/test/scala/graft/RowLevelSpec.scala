@@ -73,6 +73,43 @@ class RowLevelSpec extends SparkSpec {
       "delete-everything must leave an empty manifest")
   }
 
+  test("merge affected-file discovery is bounds-pruned to overlapping files") {
+    val t = freshTable()
+    // 4 range-clustered files (0-249/250-499/500-749/750-999): keys
+    // 10..20 overlap exactly one file's bounds
+    val one = t.pairsOverlappingKeys(Seq(10L, 20L).toDF("id"), Seq("id"))
+    assert(one.size == 1, s"keys 10..20 must prune to 1 of 4 files, got ${one.size}")
+    // a spanning key set keeps the files its [min,max] envelope overlaps
+    val three = t.pairsOverlappingKeys(Seq(10L, 600L).toDF("id"), Seq("id"))
+    assert(three.size == 3, s"keys 10,600 overlap 3 files, got ${three.size}")
+    // MERGE equality is plain `=`: an all-null key set matches nothing
+    val none = t.pairsOverlappingKeys(
+      Seq(Option.empty[Long]).toDF("id"), Seq("id"))
+    assert(none.isEmpty, "null-only keys must prune every file")
+  }
+
+  test("pruned merge: updates in one key range rewrite only that file") {
+    val t = freshTable()
+    val filesBefore = t.files.select("path", "added_snapshot_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val source = Seq((10L, "UPDATED"), (20L, "ALSO"), (5000L, "NEW"))
+      .toDF("id", "tag")
+    t.merge(source, Seq("id"))
+    val after = t.files.select("path", "added_snapshot_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val untouched = after.keySet.intersect(filesBefore.keySet)
+    assert(untouched.size == 3,
+      s"3 of 4 range-clustered files are bounds-disjoint from keys " +
+        s"10/20/5000 and must be carried as-is, got ${untouched.size}")
+    untouched.foreach(p => assert(after(p) == filesBefore(p), "lineage kept"))
+    assert(t.read.count() == 1001)
+    val byId = t.read.filter(col("id").isin(10L, 20L, 21L, 5000L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(10L) == "UPDATED" && byId(20L) == "ALSO")
+    assert(byId(21L) == "v21", "survivor in the rewritten file carried")
+    assert(byId(5000L) == "NEW", "out-of-bounds key still inserts")
+  }
+
   test("merge upserts: updates replace by key, inserts append, one commit") {
     val t = freshTable()
     val snapBefore = t.currentSnapshot.get.snapshotId
