@@ -13,6 +13,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // entry names are interpolated RAW into the JSON lines below — a
+    // name ever carrying a quote/backslash would emit a malformed
+    // bench_out.json the driver's parse silently drops (r17 ADVICE)
+    SparkEntry.queries.keys.foreach(k =>
+      require(k.matches("[A-Za-z0-9_]+"),
+        s"entry name must be JSON-safe without escaping: $k"))
     val jvm0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

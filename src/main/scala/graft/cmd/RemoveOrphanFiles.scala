@@ -65,10 +65,10 @@ object RemoveOrphanFiles {
   private[graft] def orphanSet(table: GraftTable, cutoffMs: Long)
       : org.apache.spark.sql.DataFrame = {
     val spark = table.spark
-    import spark.implicits._
     val distributed = spark.conf
       .getOption("spark.graft.removeOrphans.distributedListing")
       .exists(_.toBoolean)
+    import spark.implicits._
     val listing =
       if (distributed) shardedListing(table)
       else {
@@ -77,6 +77,18 @@ object RemoveOrphanFiles {
           .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
         spark.createDataset(listed).toDF("path", "mtime")
       }
+    orphanSetFrom(table, listing, cutoffMs)
+  }
+
+  /** The shared derivation applied to an already-captured listing:
+    * age-filter + anti-join against every snapshot's referenced paths.
+    * [[run]] and [[plan]] differ only in how the listing is produced
+    * (and plan reuses ONE listing for both of its numbers). */
+  private def orphanSetFrom(table: GraftTable,
+                            listing: org.apache.spark.sql.DataFrame,
+                            cutoffMs: Long): org.apache.spark.sql.DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
     val referenced = {
       // includes delete manifests — position-delete files live under
       // data/ and are referenced storage, not orphans
@@ -101,19 +113,32 @@ object RemoveOrphanFiles {
     * surprising `would_delete` (a misconfigured clock, a writer still
     * landing files) is caught while it is still just a number. */
   def plan(table: GraftTable, retentionDays: Int,
-           clock: Clock): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
-    val onDisk = GraftTable
-      .listFiles(table.fileSystem, new Path(table.dir, "data")).size.toLong
-    val nReferenced = table.snapshots
-      .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
-      .distinct.size.toLong
-    table.spark.range(1).select(
-      lit(orphanSet(table, cutoffMs).count()).as("would_delete"),
-      lit(onDisk).as("files_on_disk"),
-      lit(nReferenced).as("referenced_manifests"))
-  }
+           clock: Clock): org.apache.spark.sql.DataFrame =
+    // under the table lock, and from ONE data/ listing (r17 ADVICE):
+    // the previous spelling listed twice without the lock, so a
+    // concurrent writer could make would_delete and files_on_disk
+    // mutually inconsistent — and paid an eager count() job at
+    // plan-CONSTRUCTION time. The listing and the referenced set are
+    // captured here (driver-side metadata, consistent view); only the
+    // tiny anti-join count defers to the caller's action.
+    table.lock.synchronized {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val spark = table.spark
+      import spark.implicits._
+      val cutoffMs = clock.millis() - retentionDays.toLong * 86400000L
+      val listed = GraftTable
+        .listFiles(table.fileSystem, new Path(table.dir, "data"))
+        .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
+      val nReferenced = table.snapshots
+        .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
+        .distinct.size.toLong
+      orphanSetFrom(table, spark.createDataset(listed).toDF("path", "mtime"),
+          cutoffMs)
+        .agg(count(lit(1)).as("would_delete"))
+        .select(col("would_delete"),
+          lit(listed.size.toLong).as("files_on_disk"),
+          lit(nReferenced).as("referenced_manifests"))
+    }
 
   /** Prefix-sharded listing of `data/`: the driver sees only the
     * first-level entries (commit directories); each shard's recursive
