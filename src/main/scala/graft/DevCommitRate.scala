@@ -115,6 +115,15 @@ object DevCommitRate {
     // whole-domain: 200 keys spread across the full key space
     probeMerge("merge_whole", i =>
       spark.range(0, 200).select((col("id") * 500 + i % 100).as("k")))
+    // scattered (r19 item 6): two tight 100-key clusters at opposite
+    // ends of the domain. Their min/max HULL spans nearly every file, so
+    // the r18 hull test kept ~all 16; the key-set test
+    // (pairsMatchingKeySet) keeps only the files the clusters land in
+    // (~2 + rewrite splits).
+    probeMerge("merge_scattered", i =>
+      spark.range(0, 100).select((col("id") + 400 * (i % 8)).as("k"))
+        .unionAll(spark.range(0, 100)
+          .select((col("id") + 93000L + 400 * (i % 8)).as("k"))))
     spark.stop()
   }
 }

@@ -77,31 +77,39 @@ object RemoveOrphanFiles {
           .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
         spark.createDataset(listed).toDF("path", "mtime")
       }
-    orphanSetFrom(table, listing, cutoffMs)
+    orphanSetFrom(listing, referencedRel(table), cutoffMs)
   }
 
-  /** The shared derivation applied to an already-captured listing:
-    * age-filter + anti-join against every snapshot's referenced paths.
-    * [[run]] and [[plan]] differ only in how the listing is produced
-    * (and plan reuses ONE listing for both of its numbers). */
-  private def orphanSetFrom(table: GraftTable,
-                            listing: org.apache.spark.sql.DataFrame,
+  /** Manifest paths of every snapshot — includes delete manifests:
+    * position-delete files live under data/ and are referenced storage,
+    * not orphans. */
+  private def manifestPaths(table: GraftTable): Seq[String] =
+    table.snapshots
+      .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
+      .distinct
+
+  /** The shared derivation applied to an already-captured listing and
+    * referenced-path relation: age-filter + anti-join. [[run]] and
+    * [[plan]] differ only in how the listing and the referenced set are
+    * produced (plan materializes both under the lock; run stays lazy —
+    * its whole action executes inside the lock). */
+  private def orphanSetFrom(listing: org.apache.spark.sql.DataFrame,
+                            referenced: org.apache.spark.sql.DataFrame,
                             cutoffMs: Long): org.apache.spark.sql.DataFrame = {
-    val spark = table.spark
-    import spark.implicits._
-    val referenced = {
-      // includes delete manifests — position-delete files live under
-      // data/ and are referenced storage, not orphans
-      val paths = table.snapshots
-        .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
-        .distinct
-      if (paths.isEmpty) table.emptyManifest
-      else spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
-    }.select("path")
+    import org.apache.spark.sql.functions.col
     listing
-      .filter($"mtime" < cutoffMs)
-      .join(referenced, Seq("path"), "left_anti")
+      .filter(col("mtime") < cutoffMs)
+      .join(referenced.select("path"), Seq("path"), "left_anti")
       .select("path")
+  }
+
+  /** Lazy referenced-path relation (run()'s shape — executed under the
+    * same lock that captured the manifest list). */
+  private def referencedRel(table: GraftTable)
+      : org.apache.spark.sql.DataFrame = {
+    val paths = manifestPaths(table)
+    if (paths.isEmpty) table.emptyManifest
+    else table.spark.read.schema(GraftTable.ManifestSchema).parquet(paths: _*)
   }
 
   /** DRY RUN (x24 — the planning trio's third leg beside x22
@@ -118,9 +126,13 @@ object RemoveOrphanFiles {
     // the previous spelling listed twice without the lock, so a
     // concurrent writer could make would_delete and files_on_disk
     // mutually inconsistent — and paid an eager count() job at
-    // plan-CONSTRUCTION time. The listing and the referenced set are
-    // captured here (driver-side metadata, consistent view); only the
-    // tiny anti-join count defers to the caller's action.
+    // plan-CONSTRUCTION time. Both the listing and the REFERENCED PATH
+    // SET are fully materialized here (r18 ADVICE: capturing only the
+    // manifest file names deferred the manifest parquet read to the
+    // caller's action, after the lock released — a concurrent
+    // expire_snapshots deleting an old manifest made the dry run throw
+    // FileNotFoundException). Driver-side metadata, O(referenced files)
+    // strings; only the tiny anti-join count defers to the action.
     table.lock.synchronized {
       import org.apache.spark.sql.functions.{col, count, lit}
       val spark = table.spark
@@ -129,15 +141,18 @@ object RemoveOrphanFiles {
       val listed = GraftTable
         .listFiles(table.fileSystem, new Path(table.dir, "data"))
         .map(f => (GraftTable.normalize(f.getPath), f.getModificationTime))
-      val nReferenced = table.snapshots
-        .flatMap(s => s.manifests ++ s.deleteManifests ++ s.eqDeleteManifests)
-        .distinct.size.toLong
-      orphanSetFrom(table, spark.createDataset(listed).toDF("path", "mtime"),
-          cutoffMs)
+      val mPaths = manifestPaths(table)
+      val referencedPaths: Seq[String] =
+        if (mPaths.isEmpty) Seq.empty
+        else spark.read.schema(GraftTable.ManifestSchema)
+          .parquet(mPaths: _*).select("path").as[String]
+          .collect().toSeq
+      orphanSetFrom(spark.createDataset(listed).toDF("path", "mtime"),
+          referencedPaths.toDF("path"), cutoffMs)
         .agg(count(lit(1)).as("would_delete"))
         .select(col("would_delete"),
           lit(listed.size.toLong).as("files_on_disk"),
-          lit(nReferenced).as("referenced_manifests"))
+          lit(mPaths.size.toLong).as("referenced_manifests"))
     }
 
   /** Prefix-sharded listing of `data/`: the driver sees only the

@@ -72,6 +72,25 @@ object DedupQueries {
         i => concat_ws(" ", slice(words, i + 1, lit(3))))))
   }
 
+  /** (doc_id, m0..m15) MinHash signature relation over a (doc_id, hs)
+    * hashed-shingle relation — ONE fused `graft_minhash` pass per row
+    * (r19, guide §4) replacing the 16 interpreted
+    * `array_min(transform(hs, h -> (h*a_j+b_j) % p))` lambdas (16
+    * passes over the shingle array with an intermediate array each —
+    * the dominant per-row term of the minhash family at scale). Values
+    * are identical (SigKernelSpec pins element equality to the literal
+    * fold); the m0..m15 extraction is a separate projection so the
+    * kernel column is produced once and the 16 getItems read it. */
+  private def minhashSig(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    docs
+      .select(col("doc_id"), call_function("graft_minhash", col("hs"),
+        array(hashA.map(lit): _*), array(hashB.map(lit): _*),
+        lit(P)).as("sigv"))
+      .select((col("doc_id") +: (0 until NumHashes).map(j =>
+        col("sigv").getItem(j).as(s"m$j"))): _*)
+  }
+
   /** Distinct 32-bit-hashed shingle set. Near-dup verification compares
     * these hashed sets, not the string sets: `array_intersect` over longs
     * is several times cheaper than over ~20-char strings, and because the
@@ -127,11 +146,9 @@ object DedupQueries {
     // MinHash as a PROJECTION over the per-doc hashed-shingle array —
     // identical to min-over-exploded-rows, but with no 5M-row explode
     // and NO shuffle: the signature stage is map-side only, which is the
-    // difference between a wide and a narrow stage at 100 TB.
-    val sigCols = (0 until NumHashes).map { j =>
-      array_min(transform($"hs", h => (h * hashA(j) + hashB(j)) % P)).as(s"m$j")
-    }
-    val sig = docs.select(($"doc_id" +: sigCols): _*)
+    // difference between a wide and a narrow stage at 100 TB. One fused
+    // kernel pass computes all 16 mins (minhashSig, r19).
+    val sig = minhashSig(s, docs)
     // ONE pass over sig: posexplode the 4 band keys (a 4-way union of
     // sig.select(...) would re-execute the whole explode+hash+aggregate
     // signature chain per band — Catalyst does not dedupe common
@@ -1022,12 +1039,7 @@ object DedupQueries {
         .filter(size(split($"text", " ")) >= 3)
         .select($"doc_id", hashedShingles($"text").as("hs"))
     }
-    val sig = cached(s, dir, "d26_sig") {
-      docs.select(($"doc_id" +: (0 until NumHashes).map { j =>
-        array_min(transform($"hs", h => (h * hashA(j) + hashB(j)) % P))
-          .as(s"m$j")
-      }): _*)
-    }
+    val sig = cached(s, dir, "d26_sig") { minhashSig(s, docs) }
     val truth = d21TruthRel(s, dir)
       .filter($"jac" >= JaccardThreshold).select($"da", $"db")
     // ONE pass for all four arms (r18, guide §2.4): the arms used to be

@@ -328,11 +328,13 @@ object SimilarityQueries {
     * float vectors through a ranking exchange would forfeit it. */
   private def quantize(e: DataFrame): DataFrame = {
     val emb = col("embedding")
-    e.withColumn("maxabs",
-        array_max(transform(emb, x => abs(x.cast("double")))))
-      .withColumn("q", transform(emb,
-        x => when(col("maxabs") === 0.0, lit(0L))
-          .otherwise(floor(x.cast("double") * 127.0 / col("maxabs")))))
+    // fused SQ8 codes — one two-phase loop per vector replacing the
+    // array_max(transform(|x|)) + transform(floor(x*127/maxabs)) chain
+    // (two interpreted lambdas and two intermediate arrays per row);
+    // values identical incl. the maxabs=0 and null/NaN edges (r19,
+    // guide §4 — SigKernelSpec pins equality to the literal form).
+    // Caller (sq8Rel) has ensureRegistered the graft functions.
+    e.withColumn("q", call_function("graft_sq8", emb))
       // fused integer self-dot — same long arithmetic as the
       // aggregate fold it replaces (r18, guide §4)
       .withColumn("qn2", call_function("graft_ldot", col("q"), col("q")))

@@ -101,6 +101,8 @@ class GraftSparkExtensions
     ext.injectFunction(GraftFunctions.fddotDescriptor)
     ext.injectFunction(GraftFunctions.fl2Descriptor)
     ext.injectFunction(GraftFunctions.pairsDescriptor)
+    ext.injectFunction(GraftFunctions.minhashDescriptor)
+    ext.injectFunction(GraftFunctions.sq8Descriptor)
   }
 }
 
@@ -135,6 +137,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PairExpand].getName, "graft_pairs"),
     (exprs: Seq[Expression]) => PairExpand(exprs(0)): Expression)
 
+  private[graft] val minhashDescriptor = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (exprs: Seq[Expression]) =>
+      new MinHashSig(exprs(0), exprs(1), exprs(2), exprs(3)): Expression)
+
+  private[graft] val sq8Descriptor = (
+    FunctionIdentifier("graft_sq8"),
+    new ExpressionInfo(classOf[Sq8Quantize].getName, "graft_sq8"),
+    (exprs: Seq[Expression]) => Sq8Quantize(exprs(0)): Expression)
+
   /** Idempotently register into an existing session (temp function). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -161,6 +174,15 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_pairs")))
       reg.createOrReplaceTempFunction("graft_pairs",
         exprs => PairExpand(exprs(0)), "scala_udf")
+    // fused MinHash signature (d03/d26 sig relation — 16 mins, one pass)
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash")))
+      reg.createOrReplaceTempFunction("graft_minhash",
+        exprs => new MinHashSig(exprs(0), exprs(1), exprs(2), exprs(3)),
+        "scala_udf")
+    // fused SQ8 quantization (the relation every quantized entry reads)
+    if (!reg.functionExists(FunctionIdentifier("graft_sq8")))
+      reg.createOrReplaceTempFunction("graft_sq8",
+        exprs => Sq8Quantize(exprs(0)), "scala_udf")
     // raw AggregateFunction: the analyzer wraps it in AggregateExpression
     // itself (and would reject a pre-wrapped one for DISTINCT/FILTER)
     if (!reg.functionExists(FunctionIdentifier("graft_top_k")))

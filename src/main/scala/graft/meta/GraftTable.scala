@@ -534,6 +534,55 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       case _ => Seq.empty
     }
 
+  /** [[pairsOverlappingKeys]] refined to an ACTUAL-key-set overlap test
+    * (r19): given the MATERIALIZED distinct source keys, a file is kept
+    * only if for EVERY boundable key column SOME source key value lies
+    * within the file's recorded [min,max] — not merely if the file
+    * overlaps the key set's global min/max envelope. For scattered keys
+    * on a clustered table this prunes the files BETWEEN key clusters
+    * that the hull test kept. Still a provable superset of matches: a
+    * matching row with key k in file f implies min_f ≤ k_c ≤ max_f for
+    * every column c, so k witnesses every per-column exists.
+    *
+    * Same conservative edges as the hull test: null key values match
+    * nothing under MERGE's plain `=` and are dropped per column; a key
+    * column with no non-null value prunes every file; files with
+    * missing bounds for a boundable column are kept; non-boundable key
+    * types disable pruning on that column. The per-column value lists
+    * are literal arrays over the (small, already-collected) key set, so
+    * the filter folds into the driver-local manifest relation exactly
+    * like the hull test — no extra job. */
+  private[graft] def pairsMatchingKeySet(keyRows: Seq[Row],
+                                         keySchema: StructType,
+                                         keyCols: Seq[String]): Seq[(String, Long)] =
+    currentSnapshot match {
+      case Some(s) if s.numFiles > 0 && s.manifests.nonEmpty =>
+        val tableSchema = schema
+        val bounded = keyCols.filter(k => boundable(tableSchema(k).dataType))
+        if (bounded.isEmpty) return filePairsOf(s)
+        val keep = bounded.map { k =>
+          val dt = tableSchema(k).dataType
+          val idx = keySchema.fieldIndex(k)
+          val vals = keyRows.iterator.map(_.get(idx))
+            .filter(_ != null).toSeq.distinct
+          if (vals.isEmpty) lit(false) // no non-null keys: nothing matches
+          else {
+            val dmin = element_at(col("min_values"), k).cast(dt)
+            val dmax = element_at(col("max_values"), k).cast(dt)
+            // qualified: the companion's exists(spark, location) shadows
+            // the sql.functions higher-order exists here
+            org.apache.spark.sql.functions.exists(
+              array(vals.map(v => lit(v).cast(dt)): _*),
+              v => (dmin.isNull || dmin <= v) && (dmax.isNull || dmax >= v))
+          }
+        }.reduce(_ && _)
+        manifestDf(s.manifests).filter(keep)
+          .select("path", "added_snapshot_id").collect()
+          .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toIndexedSeq
+      case _ => Seq.empty
+    }
+
   // ---- merge-on-read position deletes (Iceberg v2) -----------------------
 
   /** Live position-delete file inventory of the current snapshot (the

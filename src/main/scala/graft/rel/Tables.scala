@@ -67,25 +67,49 @@ object Tables {
     * Staleness guard: the eager read also pins the FILE LISTING into
     * the plan, so a memo hit on a path that has since changed (files
     * appended/removed — e.g. s04's source-append rebuild) would
-    * silently serve the old file set. Each entry therefore records the
-    * path's mtime at build time and rebuilds on mismatch — one local
-    * stat per call (~µs) against the 50-100 ms plan build. Appends and
-    * overwrites touch the parquet directory (or replace the file), so
-    * the mtime moves exactly when the listing can. */
+    * silently serve the old file set. Each entry therefore records a
+    * LISTING FINGERPRINT at build time — a hash of the path's own mtime
+    * plus every child's (name, length, mtime) — and rebuilds on
+    * mismatch: one local directory listing per call (~µs for the
+    * table-count directories in play) against the 50-100 ms plan build.
+    * The r18 guard was the directory mtime alone, which (a) has 1 s
+    * granularity on some filesystems, missing a same-second replace,
+    * and (b) is 0 for any non-plain-local path, silently degrading to
+    * never-invalidate (r18 ADVICE); fingerprint 0 now means "unknown"
+    * and forces a rebuild every call instead. */
   private val loadMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (Long, DataFrame)]
+
+  /** Listing fingerprint of a local path; 0 = unknown (missing path or
+    * a non-plain-local URI java.io cannot stat) — never memoizable. */
+  private def listingFingerprint(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists) return 0L
+    var h = 1125899906842597L
+    def mix(v: Long): Unit = { h = h * 31 + v }
+    mix(f.lastModified)
+    if (f.isFile) { mix(f.length) }
+    else {
+      val kids = f.listFiles()
+      if (kids == null) return 0L
+      kids.sortBy(_.getName).foreach { k =>
+        mix(k.getName.hashCode.toLong); mix(k.length); mix(k.lastModified)
+      }
+    }
+    if (h == 0L) 1L else h
+  }
 
   private def memoized(spark: SparkSession, dir: String, key: String,
                        path: String)(build: => DataFrame): DataFrame = {
     loadMemo.filterInPlace { case ((owner, _, _), _) =>
       !owner.sparkContext.isStopped
     }
-    val mtime = new java.io.File(path).lastModified
+    val fp = listingFingerprint(path)
     loadMemo.get((spark, dir, key)) match {
-      case Some((m, df)) if m == mtime => df
+      case Some((m, df)) if m != 0L && m == fp => df
       case _ =>
         val df = build
-        loadMemo.put((spark, dir, key), (mtime, df))
+        loadMemo.put((spark, dir, key), (fp, df))
         df
     }
   }

@@ -698,14 +698,22 @@ object MaintenanceQueries {
   }
 
   /** rewrite_manifests: three delta-manifest appends merge to one
-    * manifest; same files, same rows, lineage preserved. */
+    * manifest; same files, same rows, lineage preserved. Seed: the
+    * three appends (build once per source fingerprint, metadata-only
+    * clone per run — r19, the x28/x01 pattern); the LIVE op is the
+    * manifest rewrite on the clone, which deletes nothing — old
+    * manifests are only de-referenced in the clone's own log, so the
+    * shared fixture is never mutated. */
   private def rewriteManifestsDemo(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = fixedClock(20000)
-    val t = GraftTable.create(spark, freshDir("rewrite"),
-      seed(spark, sfDir).schema)
-    val df = seed(spark, sfDir)
-    (0 until 3).foreach(i =>
-      t.append(df.filter(col("p_partkey") % 3 === i).repartition(1), t0))
+    val base = clonedSeed(spark, sfDir, "rewman", "part") { fx =>
+      val t = GraftTable.create(spark, fx.resolve("t").toString,
+        seed(spark, sfDir).schema)
+      val df = seed(spark, sfDir)
+      (0 until 3).foreach(i =>
+        t.append(df.filter(col("p_partkey") % 3 === i).repartition(1), t0))
+    }
+    val t = GraftTable.load(spark, base.resolve("t").toString)
     val before = t.currentSnapshot.map(_.manifests.size).getOrElse(0)
     val rowsBefore = t.currentSnapshot.map(_.totalRows).getOrElse(0L)
     val merged = t.rewriteManifests(t0)

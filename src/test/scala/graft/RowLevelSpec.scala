@@ -110,6 +110,108 @@ class RowLevelSpec extends SparkSpec {
     assert(byId(5000L) == "NEW", "out-of-bounds key still inserts")
   }
 
+  test("key-set discovery prunes scattered keys below the min/max hull (r19)") {
+    val t = freshTable()
+    // 4 range-clustered files (0-249/250-499/500-749/750-999): keys
+    // {10, 900} hull-span every file, but land in only two
+    val schema = Seq(10L).toDF("id").schema
+    def rows(ks: Seq[Option[Long]]) =
+      ks.map(k => org.apache.spark.sql.Row(k.orNull))
+    val hull = t.pairsOverlappingKeys(Seq(10L, 900L).toDF("id"), Seq("id"))
+    assert(hull.size == 4, s"the hull test keeps every spanned file: ${hull.size}")
+    val exact = t.pairsMatchingKeySet(
+      rows(Seq(Some(10L), Some(900L))), schema, Seq("id"))
+    assert(exact.size == 2,
+      s"keys 10/900 land in 2 of 4 files, got ${exact.size}")
+    // null keys match nothing under MERGE's `=`
+    assert(t.pairsMatchingKeySet(rows(Seq(None)), schema, Seq("id")).isEmpty,
+      "null-only keys must prune every file")
+    // a null among real keys is dropped, not match-all
+    assert(t.pairsMatchingKeySet(
+      rows(Seq(None, Some(10L))), schema, Seq("id")).size == 1)
+    // superset sanity: every key-set-kept file is hull-kept
+    assert(exact.toSet.subsetOf(hull.toSet))
+  }
+
+  test("scattered-key merge rewrites only the landed-in files (r19)") {
+    val t = freshTable()
+    val filesBefore = t.files.select("path").as[String].collect().toSet
+    t.merge(Seq((10L, "A"), (900L, "B")).toDF("id", "tag"), Seq("id"))
+    val after = t.files.select("path").as[String].collect().toSet
+    assert(filesBefore.intersect(after).size == 2,
+      "the two unlanded middle files must be carried as-is")
+    assert(t.read.count() == 1000)
+    val byId = t.read.filter(col("id").isin(10L, 900L, 500L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(10L) == "A" && byId(900L) == "B" && byId(500L) == "v500")
+  }
+
+  test("UPDATE is single-pass: the matched count rides the rewrite scan (r19)") {
+    val t = freshTable()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(); ()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = t.updateWhere(col("id") >= 10 && col("id") < 20,
+        Map("tag" -> lit("U")))
+      assert(n == 10)
+      Thread.sleep(1000) // the listener bus is async (DevCommitRate's drain)
+      // discovery + rewrite write + commit-inventory jobs. Measured on
+      // this exact update: 5 jobs after the r19 fold, 7 before it (the
+      // separate matched-count scan over the affected files plus its
+      // duplicated discovery collect). Pinned at the measured 5 so a
+      // reintroduced count scan fails here.
+      assert(jobs.get() <= 5, s"UPDATE ran ${jobs.get()} jobs — " +
+        "a separate matched-count scan has crept back in")
+      assert(t.read.filter(col("tag") === "U").count() == 10)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("UPDATE whose raw-affected matches are all MOR-deleted commits nothing") {
+    val t = freshTable()
+    // MOR-delete the rows the predicate would match: raw discovery still
+    // over-marks their file (raw rows match), but zero MOR-live rows do
+    t.deleteWhereMOR(col("id") >= 10 && col("id") < 20)
+    val head = t.currentSnapshot.get.snapshotId
+    val n = t.updateWhere(col("id") >= 10 && col("id") < 20,
+      Map("tag" -> lit("U")))
+    assert(n == 0, s"all matches are MOR-deleted, got $n")
+    assert(t.currentSnapshot.get.snapshotId == head,
+      "a zero-match UPDATE must not land a commit")
+  }
+
+  test("insert-heavy merge sizes output by source bytes too (r18 ADVICE)") {
+    val t = GraftTable.create(spark, tmpDir("rowlevel") + "/t",
+      spark.range(1).select(col("id"), lit("x").as("tag")).schema)
+    t.append(spark.range(0, 1000)
+      .select(col("id"), concat(lit("v"), col("id")).as("tag"))
+      .repartition(1))
+    val seedBytes = t.files.select("size_bytes").as[Long].collect().sum
+    t.setProperties(Map("write.target-file-size-bytes" -> seedBytes.toString))
+    // a source 4x the table, landing zero existing keys: affectedBytes=0,
+    // so pre-fix outParts was coalesce(1); the row-width estimate must
+    // size it at ~4 files
+    t.merge(spark.range(100000, 104000)
+      .select(col("id"), concat(lit("n"), col("id")).as("tag")), Seq("id"))
+    assert(t.read.count() == 5000)
+    val newFiles = t.files.count()
+    assert(newFiles >= 3,
+      s"an insert-dominated merge must binpack by estimated source bytes, " +
+        s"got $newFiles files")
+  }
+
+  test("merge into an empty table (no width evidence) stays unsized and works") {
+    val t = GraftTable.create(spark, tmpDir("rowlevel") + "/t",
+      spark.range(1).select(col("id"), lit("x").as("tag")).schema)
+    t.merge(spark.range(0, 500)
+      .select(col("id"), lit("n").as("tag")), Seq("id"))
+    assert(t.read.count() == 500)
+  }
+
   test("merge upserts: updates replace by key, inserts append, one commit") {
     val t = freshTable()
     val snapBefore = t.currentSnapshot.get.snapshotId
