@@ -106,12 +106,16 @@ object DevKernelAB {
           col("sigv").getItem(j).as(s"m$j"))): _*))
 
     val emb = spark.read.parquet(vecsIn)
-    val maxabs = array_max(transform(col("embedding"),
-      x => abs(x.cast("double"))))
+    // the EXACT pre-r19 quantize shape: maxabs as its own column
+    // (computed once per row), then the floor/scale transform reading it
     ab("sq8_quantize",
-      fold = emb.select(col("vec_id"),
-        transform(col("embedding"), x => when(maxabs === 0.0, lit(0L))
-          .otherwise(floor(x.cast("double") * 127.0 / maxabs))).as("q")),
+      fold = emb.withColumn("maxabs", array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => when(col("maxabs") === 0.0, lit(0L))
+              .otherwise(floor(x.cast("double") * 127.0 / col("maxabs"))))
+            .as("q")),
       kernel = emb.select(col("vec_id"),
         call_function("graft_sq8", col("embedding")).as("q")))
 

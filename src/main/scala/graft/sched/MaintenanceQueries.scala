@@ -503,9 +503,16 @@ object MaintenanceQueries {
       t.deleteWhereMOR(col("p_partkey") % 10 === 3, t0)
     }
     val t = GraftTable.load(spark, base.resolve("t").toString)
-    val before = t.deleteFiles.count()
+    // the snapshot's own delete-file counter (maintained by every MOR
+    // delete/compaction commit) — the r19 sampler showed the two
+    // deleteFiles.count() jobs here were a measurable slice of the
+    // entry; same value, metadata-only (the x26 fold precedent), with
+    // the relation count as the legacy-snapshot fallback
+    def delCount: Long = t.currentSnapshot.flatMap(_.deleteFileCount)
+      .getOrElse(t.deleteFiles.count())
+    val before = delCount
     val merged = t.rewriteDeleteFiles(t0)
-    val after = t.deleteFiles.count()
+    val after = delCount
     t.read.agg(count(lit(1)).as("rows_live"),
         sum(col("p_partkey")).as("keysum_live"))
       .select(lit(before).as("delete_files_before"),
