@@ -101,10 +101,15 @@ object RowLevel {
 
   /** Distinct-source-key cap for the localized MERGE path: up to this
     * many key tuples are collected to the driver and reused verbatim for
-    * bounds pruning and both joins. Kilobytes of driver state for the
-    * upsert shapes the entries exercise; a bulk merge beyond it falls
-    * back to the DataFrame path. */
-  private val MaxLocalKeys = 1024
+    * bounds pruning and both joins (≲256 KB of driver state — the
+    * upsert shapes the entries exercise are far below it). Within the
+    * cap, discovery prunes by the exact key set up to
+    * [[GraftTable.ExactValueCap]] values per column and by the job-free
+    * constant-folded hull beyond it. A bulk merge beyond the cap falls
+    * back to the DataFrame path (hull aggregate + re-executed source —
+    * requires a deterministic source, and pays one count for the
+    * insert-bytes estimate, both negligible at bulk scale). */
+  private val MaxLocalKeys = 8192
 
   /** MERGE (upsert): rows in `source` replace table rows with the same
     * key; unmatched source rows are inserted. One commit. The

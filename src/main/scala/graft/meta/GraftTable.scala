@@ -569,11 +569,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           else {
             val dmin = element_at(col("min_values"), k).cast(dt)
             val dmax = element_at(col("max_values"), k).cast(dt)
-            // qualified: the companion's exists(spark, location) shadows
-            // the sql.functions higher-order exists here
-            org.apache.spark.sql.functions.exists(
-              array(vals.map(v => lit(v).cast(dt)): _*),
-              v => (dmin.isNull || dmin <= v) && (dmax.isNull || dmax >= v))
+            val arr = array(vals.map(v => lit(v).cast(dt)): _*)
+            // hull conjunct first: array_min/max of the literal array
+            // constant-fold, so this is O(1) per file — the same test
+            // pairsOverlappingKeys runs, minus its aggregate job. It
+            // short-circuits the O(|values|) exists to hull-surviving
+            // files, and beyond ExactValueCap it stands alone (a linear
+            // probe of a huge value list per manifest row would not pay
+            // for the extra pruning).
+            val hull = (dmin.isNull || dmin <= array_max(arr)) &&
+              (dmax.isNull || dmax >= array_min(arr))
+            if (vals.size > GraftTable.ExactValueCap) hull
+            else hull &&
+              // qualified: the companion's exists(spark, location)
+              // shadows the sql.functions higher-order exists here
+              org.apache.spark.sql.functions.exists(arr,
+                v => (dmin.isNull || dmin <= v) && (dmax.isNull || dmax >= v))
           }
         }.reduce(_ && _)
         manifestDf(s.manifests).filter(keep)
@@ -2685,6 +2696,11 @@ object GraftTable {
   /** Column types whose string-encoded min/max round-trip losslessly
     * through `cast(string)` and back (Spark renders doubles/timestamps
     * shortest-round-trip), so file-skipping comparisons are exact. */
+  /** Per-column value-list cap for [[GraftTable.pairsMatchingKeySet]]'s
+    * exact exists-test; larger localized key sets prune by the
+    * (constant-folded, job-free) hull alone. */
+  private[graft] val ExactValueCap = 1024
+
   private[graft] def boundable(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType |
          TimestampType | TimestampNTZType => true

@@ -456,9 +456,17 @@ object ScaleQueries {
     import graft.meta.GraftTable
     val part = t(s, dir, "part")
       .select($"p_partkey", $"p_brand", $"p_retailprice")
-    val loc = Files.createTempDirectory("graft_merge").resolve("t").toString
-    val tbl = GraftTable.create(s, loc, part.schema)
-    tbl.append(part.repartitionByRange(8, $"p_partkey"))
+    // seed (create + range-clustered append) builds once per source
+    // fingerprint; each run merges into a metadata-only clone — the
+    // x12/x01 clonedSeed pattern (r19). MERGE only ADDS files in the
+    // clone dir and de-references shared ones, so the fixture is never
+    // mutated; the LIVE op per pass is the merge + the verify read.
+    val base = graft.sched.MaintenanceQueries.clonedSeed(
+      s, dir, "a02merge", "part") { fx =>
+      val seeded = GraftTable.create(s, fx.resolve("t").toString, part.schema)
+      seeded.append(part.repartitionByRange(8, $"p_partkey"))
+    }
+    val tbl = GraftTable.load(s, base.resolve("t").toString)
     val updates = part.filter($"p_partkey" % 10 === 0)
       .withColumn("p_retailprice", $"p_retailprice" + 100.0)
     val inserts = part.filter($"p_partkey" % 100 === 1)
